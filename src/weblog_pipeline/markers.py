@@ -1,0 +1,99 @@
+"""Telemetry-marker grammar: render and parse span events embedded in HTML.
+
+Grammar (FIXTURES.md §2) — one HTML comment per span event, single line,
+fixed field order, attrs as compact sorted-key JSON (values: str|int only):
+
+    <!--otel span_ctx=<trace_id_hex32>/<span_id_hex16>/<span_name>/<span_kind>
+        ts=<ns_epoch_int> name=<event_name> attrs=<json> span_attrs=<json>
+        res_attrs=<json>-->
+
+Parsing is byte-level regex over the raw ``html`` bytes with strict UTF-8
+decoding of captured fields — never locale- or Unicode-version-dependent —
+so extraction is byte-identical across pandas/pyarrow versions.
+
+Field meanings map 1:1 to what the reference reads from pdata:
+event name/timestamp/attributes (connector.go:221,338,274), span
+trace_id/span_id/name/kind/attributes (connector.go:390-402,381-386),
+resource attributes (connector.go:232-237).
+
+Grammar assumptions (enforced by the renderer): span_name/span_kind contain
+no '/', ' ' or '-->'; JSON payloads are compact (no spaces) with sorted keys
+and contain no '}' inside string values followed by ' span_attrs='/' res_attrs='
+collisions; event names may contain spaces but not ' attrs='.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+_MARKER_RE = re.compile(
+    rb"<!--otel span_ctx=([0-9a-f]{32})/([0-9a-f]{16})/([^/]*)/([^ ]*)"
+    rb" ts=(\d+)"
+    rb" name=(.*?)"
+    rb" attrs=(\{.*?\})"
+    rb" span_attrs=(\{.*?\})"
+    rb" res_attrs=(\{.*?\})-->",
+    re.DOTALL,
+)
+
+_TEXT_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+
+
+@dataclass
+class SpanEvent:
+    """One parsed span event in the flattened (per-event) grain."""
+
+    trace_id: str
+    span_id: str
+    span_name: str
+    span_kind: str
+    trace_state: str
+    ts_ns: int
+    name: str
+    attrs: dict = field(default_factory=dict)  # values: str | int
+    span_attrs: dict = field(default_factory=dict)
+    res_attrs: dict = field(default_factory=dict)
+
+
+def render_marker(ev: SpanEvent) -> str:
+    """Inverse of parse: one single-line HTML comment for a span event."""
+
+    def j(d: dict) -> str:
+        return json.dumps(d, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+    return (
+        f"<!--otel span_ctx={ev.trace_id}/{ev.span_id}/{ev.span_name}/{ev.span_kind}"
+        f" ts={ev.ts_ns} name={ev.name} attrs={j(ev.attrs)}"
+        f" span_attrs={j(ev.span_attrs)} res_attrs={j(ev.res_attrs)}-->"
+    )
+
+
+def parse_markers(html: bytes) -> list[SpanEvent]:
+    """Extract every embedded span event from raw page bytes, in order."""
+    events: list[SpanEvent] = []
+    for m in _MARKER_RE.finditer(html):
+        events.append(
+            SpanEvent(
+                trace_id=m.group(1).decode("utf-8", "strict"),
+                span_id=m.group(2).decode("utf-8", "strict"),
+                span_name=m.group(3).decode("utf-8", "strict"),
+                span_kind=m.group(4).decode("utf-8", "strict"),
+                trace_state="",
+                ts_ns=int(m.group(5)),
+                name=m.group(6).decode("utf-8", "strict"),
+                attrs=json.loads(m.group(7).decode("utf-8", "strict")),
+                span_attrs=json.loads(m.group(8).decode("utf-8", "strict")),
+                res_attrs=json.loads(m.group(9).decode("utf-8", "strict")),
+            )
+        )
+    return events
+
+
+def extract_text(html: bytes) -> str:
+    """Visible page text: the contents of every <p>…</p> block, joined by
+    a single newline. Strict UTF-8 decode; byte-identical by construction."""
+    return "\n".join(
+        m.group(1).decode("utf-8", "strict") for m in _TEXT_RE.finditer(html)
+    )

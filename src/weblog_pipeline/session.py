@@ -1,0 +1,47 @@
+"""SparkSession construction with the pipeline's required configuration.
+
+Scale-relevant settings, chosen for a 1000-executor / 100 TB deployment and
+equally valid on local[N]:
+  - AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+  - Arrow enabled for pandas UDFs; modest Arrow batch size because `html`
+    blobs are large (a 10k-row batch of 50 KiB pages is 500 MiB — too big);
+  - mapKeyDedupPolicy=LAST_WIN so map_concat reproduces pdata's
+    upsert-by-key ("later write wins") semantics (connector.go:361,381);
+  - UTC session timezone so timestamp arithmetic is engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "weblog-pipeline",
+    master: str | None = None,
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 1024,
+) -> SparkSession:
+    if master is None:
+        cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
