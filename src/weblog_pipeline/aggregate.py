@@ -1,0 +1,79 @@
+"""Per-sink aggregations with explicit heavy-tail skew handling.
+
+Domains are Zipf-distributed (the head domain owns ~20% of all pages), so a
+naive groupBy(domain) puts a fifth of a 100 TB shuffle into one reducer.
+Pattern (SURVEY.md §4): salt the hot key-space with a small uniform salt,
+partially aggregate per (key, salt) — map-side combine shrinks this to
+|keys|·S rows — then re-aggregate per key. AQE skew handling stays on as a
+safety net, but the salt makes the plan skew-proof by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    salt_col: str = "url",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Two-phase skew-safe aggregate.
+
+    aggs: output_name -> one of 'count' | 'sum:<col>' | 'max:<col>' |
+    'min:<col>'. Only algebraic aggregates (decomposable into
+    partial+final) are accepted — that is what makes salting sound.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets)).alias("_salt")
+
+    partial_exprs = []
+    final_exprs = []
+    for out, spec in aggs.items():
+        if spec == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").alias(out))
+        else:
+            op, _, col = spec.partition(":")
+            if op == "sum":
+                partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
+                final_exprs.append(F.sum(f"_p_{out}").alias(out))
+            elif op == "max":
+                partial_exprs.append(F.max(col).alias(f"_p_{out}"))
+                final_exprs.append(F.max(f"_p_{out}").alias(out))
+            elif op == "min":
+                partial_exprs.append(F.min(col).alias(f"_p_{out}"))
+                final_exprs.append(F.min(f"_p_{out}").alias(out))
+            else:
+                raise ValueError(f"unsupported agg spec: {spec}")
+
+    partial = df.select(*keys, salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def sink_counts(records: DataFrame) -> DataFrame:
+    """Per-sink record counts (O4 grouped emission: zero-row sinks produce
+    no group — 'lazy creation' for free)."""
+    return records.groupBy("sink").agg(F.count(F.lit(1)).alias("records"))
+
+
+def domain_counts(
+    records: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """Per-(sink, domain) counts, salt-protected against Zipf-head skew."""
+    with_domain = records.withColumn(
+        "domain", F.parse_url(F.col("url"), F.lit("HOST"))
+    )
+    return salted_agg(
+        with_domain,
+        keys=["sink", "domain"],
+        aggs={"records": "count"},
+        salt_col="url",
+        salt_buckets=salt_buckets,
+    )

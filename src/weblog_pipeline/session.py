@@ -30,6 +30,16 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
 
+    # Make the package importable by Python workers. In local mode workers
+    # inherit the driver environment (set it before the JVM starts); on a
+    # real cluster this is superseded by `spark-submit --py-files`.
+    src_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if src_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            src_dir + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

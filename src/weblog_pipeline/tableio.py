@@ -1,0 +1,71 @@
+"""TableIO seam: Iceberg when a catalog is configured, parquet paths otherwise.
+
+The production design targets Iceberg tables (`spark.read.format("iceberg")`
+/ `df.writeTo(tbl).append()`, sinks partitioned by days(warc_ts)); this
+sandbox has no Iceberg runtime jar and no network, so the seam falls back to
+schema-identical parquet directories with the same write semantics
+(append / dynamic overwrite). Activate Iceberg via
+`--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13` plus a
+catalog conf; call sites do not change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Read/write seam. `location` is a catalog namespace (Iceberg) or a
+    base directory (parquet fallback)."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.use_iceberg = "://" not in location and _iceberg_available(spark) and not os.path.isabs(location)
+
+    def _target(self, table: str) -> str:
+        if self.use_iceberg:
+            return f"{self.location}.{table}"
+        return os.path.join(self.location, table)
+
+    def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.format("iceberg").load(self._target(table))
+        return self.spark.read.parquet(self._target(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            df.writeTo(self._target(table)).append()
+            return
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._target(table))
+
+    def overwrite(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        if self.use_iceberg:
+            df.writeTo(self._target(table)).createOrReplace()
+            return
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._target(table))
+
+    def exists(self, table: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._target(table))
+        return os.path.exists(self._target(table))

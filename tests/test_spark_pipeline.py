@@ -1,0 +1,147 @@
+"""Spark end-to-end pipeline vs the pure-Python oracle on tiny synthetic
+webpages (FIXTURES.md `tiny` scale): per-sink counts, routed-row equality,
+byte-identical extracted text."""
+
+from collections import Counter
+
+import pytest
+
+from weblog_pipeline.config import DEFAULT_ROUTES, PipelineConfig
+from weblog_pipeline.enrich import attrs_rendered
+from weblog_pipeline.generate import gen_page
+from weblog_pipeline.oracle import process_page, render_attrs
+from weblog_pipeline.pipeline import build_pipeline
+from weblog_pipeline.webpages import generate_webpages
+
+N_PAGES = 200
+OBS_US = 1_751_600_000_000_000
+
+
+def oracle_records(cfg, n_pages=N_PAGES):
+    out = []
+    texts = {}
+    for i in range(n_pages):
+        page = gen_page(i)
+        text, records = process_page(cfg, page.url, page.html, OBS_US)
+        texts[page.url] = (text, page.text)
+        out.extend(records)
+    return texts, out
+
+
+def spark_rows(spark, cfg, n_pages=N_PAGES):
+    webpages = generate_webpages(spark, n_pages, partitions=4)
+    result = build_pipeline(webpages, cfg, observed_ts_us=OBS_US)
+    logs = result.logs.withColumn("attrs_str", attrs_rendered("attributes")).withColumn(
+        "res_attrs_str", attrs_rendered("resource_attributes")
+    )
+    return result, logs.collect()
+
+
+def record_key(url, event_name, ts_ns, sev_num, sev_text, body, attrs_str,
+               res_attrs_str, trace_id, span_id, sink):
+    return (url, event_name, ts_ns, sev_num, sev_text, body, attrs_str,
+            res_attrs_str, trace_id, span_id, sink)
+
+
+def to_keys_oracle(records):
+    return Counter(
+        record_key(
+            r.url, r.event_name, r.ts_ns, r.severity_number, r.severity_text,
+            r.body, render_attrs(r.attributes), render_attrs(r.resource_attributes),
+            r.trace_id, r.span_id, r.sink,
+        )
+        for r in records
+    )
+
+
+def to_keys_spark(rows):
+    return Counter(
+        record_key(
+            r.url, r.event_name, r.ts_ns, r.severity_number, r.severity_text,
+            r.body, r.attrs_str, r.res_attrs_str, r.trace_id, r.span_id, r.sink,
+        )
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        PipelineConfig(),  # C0 defaults
+        PipelineConfig(log_attributes_from=("event.attributes",)),  # C1
+        PipelineConfig(  # kitchen sink: every enrichment knob on
+            log_attributes_from=(
+                "event.attributes",
+                "span.attributes",
+                "resource.attributes",
+            ),
+            add_level=True,
+            severity_attribute="log.level",
+            severity_by_event_name=(
+                ("exception", "error"),
+                ("connection error", "fatal"),
+                ("error", "error2"),
+            ),
+        ),
+        PipelineConfig(  # attribute_mappings full (C3-ish) + filter
+            include_event_names=("backend.db.write_item.success", "retry"),
+            attribute_mappings=__import__(
+                "weblog_pipeline.config", fromlist=["AttributeMappings"]
+            ).AttributeMappings(
+                body="event.body",
+                severity_number="event.severity_number",
+                severity_text="event.severity_text",
+                event_name="event.name",
+            ),
+        ),
+        PipelineConfig(include_span_context=False),
+    ],
+    ids=["defaults", "event-attrs-only", "kitchen-sink", "mappings+filter", "no-span-ctx"],
+)
+def test_routed_row_equality(spark, cfg):
+    _, rows = spark_rows(spark, cfg)
+    _, oracle = oracle_records(cfg)
+    assert to_keys_spark(rows) == to_keys_oracle(oracle)
+
+
+def test_per_sink_counts_and_text(spark):
+    cfg = PipelineConfig()
+    result, rows = spark_rows(spark, cfg)
+
+    texts, oracle = oracle_records(cfg)
+    expected_counts = Counter(r.sink for r in oracle)
+    got_counts = {r["sink"]: r["records"] for r in result.per_sink.collect()}
+    assert got_counts == dict(expected_counts)
+
+    # byte-identical extracted text per url (north-rule invariant)
+    got_texts = {r["url"]: r["page_text"] for r in result.texts.collect()}
+    assert len(got_texts) == N_PAGES
+    for url, (oracle_text, input_text) in texts.items():
+        assert got_texts[url] == oracle_text == input_text
+
+    # zero parse errors
+    assert result.texts.where("parse_error is not null").count() == 0
+
+
+def test_include_event_names_zero_output(spark):
+    cfg = PipelineConfig(include_event_names=("nonexistent_event",))
+    result, rows = spark_rows(spark, cfg, n_pages=60)
+    assert rows == []
+    # empty-output suppression: no sink groups at all (O19/O4)
+    assert result.per_sink.count() == 0
+    # but texts still extracted (page grain unaffected)
+    assert result.texts.count() == 60
+
+
+def test_domain_counts_salted(spark):
+    cfg = PipelineConfig()
+    webpages = generate_webpages(spark, N_PAGES, partitions=4)
+    result = build_pipeline(webpages, cfg, observed_ts_us=OBS_US)
+    got = {
+        (r["sink"], r["domain"]): r["records"] for r in result.per_domain.collect()
+    }
+    _, oracle = oracle_records(cfg)
+    expected = Counter(
+        (r.sink, r.url.split("/")[2]) for r in oracle
+    )
+    assert got == dict(expected)
