@@ -1,0 +1,168 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+  python bench.py               # single run at SPARK_GRAFT_CPUS (default 32)
+  python bench.py --scaling     # local[8] vs local[32] subprocess runs +
+                                # BENCH/BASELINE.md scaling-efficiency report
+
+The timed unit is the north-rule pipeline — webpages parquet scan ->
+mapInPandas parse -> enrich -> route -> per-sink + per-domain aggregates —
+plus the headline training-data operators. Webpage materialization (input
+table construction) is cached to parquet and excluded from timing, mirroring
+production where the Iceberg input already exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_ROOT = os.environ.get("WEBLOG_BENCH_CACHE", "/tmp/weblog_bench_cache")
+#: deterministic synthetic webpages (seed folded into per-index hashing),
+#: sized so the local[8] e2e run amortizes Spark startup (>=60 s)
+N_PAGES = int(os.environ.get("WEBLOG_BENCH_PAGES", "1000000"))
+
+
+def _webpages_cache(spark, n_pages: int) -> str:
+    """Materialize the synthetic webpages input once (not timed — in
+    production the Iceberg input table already exists)."""
+    from weblog_pipeline.webpages import generate_webpages
+
+    path = os.path.join(CACHE_ROOT, f"webpages_n{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_webpages(spark, n_pages, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from weblog_pipeline.config import PipelineConfig
+    from weblog_pipeline.driver_queries import OBSERVED_TS_US
+    from weblog_pipeline.ops import dedup, similarity, textstats
+    from weblog_pipeline.pipeline import build_pipeline
+    from weblog_pipeline.session import build_session
+
+    spark = build_session(app_name="weblog-bench", parallelism=cpus,
+                          shuffle_partitions=max(cpus, 16))
+    spark.range(1).count()  # warm JVM + python workers before timing
+    pages_path = _webpages_cache(spark, N_PAGES)
+    webpages = spark.read.parquet(pages_path)
+    n_docs = webpages.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: flagship e2e (headline throughput). ONE pass: the salted
+    # per-(sink,domain) aggregate is collected (<= |sinks|*|domains| rows)
+    # and the per-sink totals roll up driver-side — no second execution.
+    cfg = PipelineConfig(add_level=True)
+
+    def e2e():
+        result = build_pipeline(webpages, cfg, observed_ts_us=OBSERVED_TS_US)
+        dom_rows = result.per_domain.collect()
+        per_sink: dict[str, int] = {}
+        for r in dom_rows:
+            per_sink[r["sink"]] = per_sink.get(r["sink"], 0) + r["records"]
+        return per_sink
+
+    timed("e2e_pipeline", e2e)
+
+    # q2: parse + text extraction only (UDF-bound stage)
+    from weblog_pipeline.parse import page_texts, parse_events
+
+    timed(
+        "parse_extract",
+        lambda: page_texts(parse_events(webpages))
+        .agg(F.count("*"), F.sum(F.length("page_text")))
+        .collect(),
+    )
+
+    # q3-q6: training-data operators
+    timed("token_quality", lambda: textstats.quality_stats(docs).agg(
+        F.sum("n_tokens"), F.sum("n_stopwords")).collect())
+    timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs).agg(F.sum("simhash")).collect())
+
+    def ann():
+        q = embs.where(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.brute_force_topk(embs, q, k=5).count()
+
+    timed("ann_topk", ann)
+
+    spark.stop()
+    e2e_sec = timings["e2e_pipeline"]
+    return {
+        "metric": "end-to-end parse→route→aggregate throughput (docs/sec)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs / e2e_sec, 1) if e2e_sec else None,
+    }
+
+
+def run_scaling(sf_dir: str) -> None:
+    """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    t8 = results[8]["queries"]["e2e_pipeline"]
+    t32 = results[32]["queries"]["e2e_pipeline"]
+    d8 = results[8]["docs_per_sec"]
+    d32 = results[32]["docs_per_sec"]
+    eff = round((d32 / d8) / 4, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            "# BENCH baseline — scaling evidence (local[8] vs local[32])\n\n"
+            f"Input: webpages derived from `{sf_dir}/documents.parquet` "
+            f"({results[8]['docs']} docs), identical for both runs; cold sinks; "
+            "timed unit = full parse→enrich→route→aggregate job.\n\n"
+            "| parallelism | e2e sec | docs/sec |\n|---|---|---|\n"
+            f"| local[8] | {t8} | {d8} |\n"
+            f"| local[32] | {t32} | {d32} |\n\n"
+            f"**Scaling efficiency (T32/T8)/4 = {eff}** (target >= 0.8)\n\n"
+            f"Full query timings:\n\n```json\n"
+            f"{json.dumps(results, indent=2)}\n```\n"
+        )
+    print(json.dumps({"scaling_efficiency": eff, "docs_per_sec_8": d8,
+                      "docs_per_sec_32": d32}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling(SF_DIR)
+    else:
+        print(json.dumps(run_bench(SF_DIR, CPUS)))

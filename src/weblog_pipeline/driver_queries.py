@@ -1,0 +1,835 @@
+"""Driver-contract query catalog: every implemented operator as a
+(spark_fn, oracle_sql) pair over the driver testdata tables.
+
+Two sources:
+
+* ``events`` — treated as a stream of span events (event_type = event
+  name, props JSON = int attrs, deterministic derived string attrs), so the
+  REAL enrich/route compilers (enrich.py / route.py) are value-hash-checked
+  against independently generated DuckDB SQL (sqlgen.py — both backends are
+  generated from the same config object, re-deriving the reference
+  semantics in two engines).
+* ``documents`` — deterministically derived webpages feed the REAL
+  mapInPandas parse stage and the full pipeline; the DuckDB oracle
+  re-derives expected outputs from pure integer arithmetic on doc_id plus
+  pure-Python-oracle-computed per-template literals (oracle.py computes
+  them at SQL-generation time).
+
+Plus the training-data operators (ops/) with hand-matched SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import (
+    DEFAULT_ROUTES,
+    AttributeMappings,
+    PipelineConfig,
+    SinkRoute,
+    route_event,
+)
+from .enrich import attrs_rendered, enrich_events
+from .generate import (
+    BASE_TS_NS,
+    EVENT_TEMPLATES,
+    RES_ATTRS,
+    SPAN_ID,
+    TRACE_ID,
+    ZIPF_THRESHOLDS,
+    event_for,
+)
+from .markers import SpanEvent
+from .oracle import populate_log_record, render_attrs
+from .ops import dedup, multimodal, similarity, textstats
+from .parse import page_texts, parse_events
+from .pipeline import build_pipeline
+from .route import with_sink
+from .sqlgen import (
+    attrs_str_sql,
+    body_sql,
+    severity_chain_sql,
+    sink_sql,
+    sql_str,
+)
+from .webpages import webpages_from_documents
+
+OBSERVED_TS_US = 1_755_000_000_000_000
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# 1. events-as-span-events view (Spark + SQL twins)
+# =========================================================================
+
+LVL_VALUES = (
+    "info", "WARNING", "err", "debug2", "bogus", "trace21", "warning3", "FATAL4",
+)
+
+EVENT_ROUTES: tuple[SinkRoute, ...] = (
+    SinkRoute("sink_errors", "contains_any", ("error",)),
+    SinkRoute("sink_commerce", "equals_any", ("purchase", "signup")),
+    SinkRoute("sink_engagement", "prefix_any", ("cl", "vi")),
+)
+
+EVENTS_SPAN_NAME = "evt-span"
+EVENTS_SPAN_KIND = "Internal"
+EVENTS_SPAN_ATTRS = {"http.method": "GET", "http.url": "https://example.com"}
+EVENTS_RES_ATTRS = {"service.name": "events-service"}
+
+
+def events_span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table re-shaped to the flattened span-event grain
+    (parse.EVENT_SCHEMA columns) with pure Column expressions."""
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    lvl = F.element_at(
+        F.array(*[F.lit(v) for v in LVL_VALUES]), (eid % 8 + 1).cast("int")
+    )
+    msg = F.when(
+        eid % 3 != 0,
+        F.concat(
+            F.lit("evt-"), F.col("event_type"), F.lit("-"), (eid % 100).cast("string")
+        ),
+    )
+    preset_level = F.when(eid % 4 == 0, F.lit("preset"))
+    attrs_s = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("lvl").alias("key"), lvl.alias("value")),
+                F.struct(F.lit("msg").alias("key"), msg.alias("value")),
+                F.struct(F.lit("level").alias("key"), preset_level.alias("value")),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    attrs_i = F.create_map(
+        F.lit("k"), F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    span_attrs = F.create_map(
+        *[F.lit(x) for kv in sorted(EVENTS_SPAN_ATTRS.items()) for x in kv]
+    )
+    res_attrs = F.create_map(
+        *[F.lit(x) for kv in sorted(EVENTS_RES_ATTRS.items()) for x in kv]
+    )
+    return ev.select(
+        eid.alias("event_id"),
+        F.concat(
+            F.lit("https://user"),
+            F.col("user_id").cast("string"),
+            F.lit(".example.com/e/"),
+            eid.cast("string"),
+        ).alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.col("event_type").alias("event_name"),
+        # parquet stores TIMESTAMP_NTZ; session tz is UTC so the cast is
+        # the identity DuckDB's epoch_ns applies to the same naive value
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.format_string("%032x", eid).alias("trace_id"),
+        F.format_string("%016x", F.col("user_id")).alias("span_id"),
+        F.lit(EVENTS_SPAN_NAME).alias("span_name"),
+        F.lit(EVENTS_SPAN_KIND).alias("span_kind"),
+        F.when(eid % 7 == 0, F.lit("st=1")).otherwise(F.lit("")).alias("trace_state"),
+        attrs_s.alias("event_attrs_s"),
+        attrs_i.alias("event_attrs_i"),
+        span_attrs.alias("span_attrs"),
+        res_attrs.alias("res_attrs"),
+    )
+
+
+def _lvl_case_sql() -> str:
+    branches = "".join(
+        f" WHEN {i} THEN {sql_str(v)}" for i, v in enumerate(LVL_VALUES)
+    )
+    return f"(CASE event_id % 8{branches} END)"
+
+
+EV_CTE = f"""
+SELECT event_id,
+  'https://user' || CAST(user_id AS VARCHAR) || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+  event_type AS event_name,
+  epoch_ns(ts) AS ts_ns,
+  printf('%032x', event_id) AS trace_id,
+  printf('%016x', user_id) AS span_id,
+  CASE WHEN event_id % 7 = 0 THEN 'st=1' ELSE '' END AS trace_state,
+  {_lvl_case_sql()} AS lvl,
+  CASE WHEN event_id % 3 <> 0
+       THEN 'evt-' || event_type || '-' || CAST(event_id % 100 AS VARCHAR) END AS msg,
+  CASE WHEN event_id % 4 = 0 THEN 'preset' END AS preset_level,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr_k
+FROM events
+"""
+
+
+def _ev_attr_s_sql(key: str) -> str:
+    return {"lvl": "lvl", "msg": "msg", "level": "preset_level"}.get(key, "NULL")
+
+
+def _ev_attr_i_sql(key: str) -> str:
+    return {"k": "attr_k"}.get(key, "NULL")
+
+
+def _events_attrs_entries(cfg: PipelineConfig, sev_text_sql: str):
+    """attrs_str entries (key, value_sql, present_sql) for the events view,
+    respecting the reference's write/overwrite order. 'level' is the only
+    key two writers can touch (event attrs then add_level); the merged
+    value is computed here at compile time."""
+    am = cfg.attribute_mappings
+    entries: list[tuple[str, str, str | None]] = []
+    level_val: str | None = None
+    if cfg.copies_from("event.attributes"):
+        entries.append(("k", "CAST(attr_k AS VARCHAR)", None))
+        entries.append(("lvl", "lvl", None))
+        entries.append(("msg", "msg", None))
+        level_val = "preset_level"
+    if am.event_name:
+        assert am.event_name not in {"k", "lvl", "msg", "level"}, (
+            "event_name target colliding with view attrs is not modeled in SQL"
+        )
+        entries.append((am.event_name, "event_name", None))
+    if cfg.add_level:
+        level_val = (
+            f"COALESCE({level_val}, {sev_text_sql})" if level_val else sev_text_sql
+        )
+    if level_val:
+        entries.append(("level", level_val, None))
+    if cfg.copies_from("span.attributes"):
+        for k, v in sorted(EVENTS_SPAN_ATTRS.items()):
+            entries.append((k, sql_str(v), None))
+    if cfg.include_span_context:
+        entries.append(("trace.state", "trace_state", "trace_state <> ''"))
+        entries.append(("span.name", sql_str(EVENTS_SPAN_NAME), None))
+        entries.append(("span.kind", sql_str(EVENTS_SPAN_KIND), None))
+    return entries
+
+
+def _events_records_spark(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig
+) -> DataFrame:
+    ev = events_span_view(spark, sf_dir)
+    rec = enrich_events(ev, cfg, OBSERVED_TS_US, passthrough=("event_id",))
+    rec = with_sink(rec, EVENT_ROUTES)
+    return rec.select(
+        "event_id",
+        "event_name",
+        "ts_ns",
+        "severity_number",
+        "severity_text",
+        "body",
+        attrs_rendered(F.col("attributes")).alias("attrs_str"),
+        attrs_rendered(F.col("resource_attributes")).alias("res_attrs_str"),
+        "trace_id",
+        "span_id",
+        "sink",
+    )
+
+
+def _events_records_sql(cfg: PipelineConfig) -> str:
+    num_sql, text_sql = severity_chain_sql(
+        cfg, "event_name", _ev_attr_i_sql, _ev_attr_s_sql
+    )
+    bod = body_sql(cfg, "event_name", _ev_attr_s_sql)
+    attrs = attrs_str_sql(_events_attrs_entries(cfg, "severity_text"))
+    if cfg.copies_from("resource.attributes"):
+        res = attrs_str_sql(
+            [(k, sql_str(v), None) for k, v in sorted(EVENTS_RES_ATTRS.items())]
+        )
+    else:
+        res = "''"
+    trace_id = "trace_id" if cfg.include_span_context else "''"
+    span_id = "span_id" if cfg.include_span_context else "''"
+    sink = sink_sql(EVENT_ROUTES, "event_name", "sink_default")
+    return f"""
+WITH ev AS ({EV_CTE}),
+pre AS (
+  SELECT *, {num_sql} AS severity_number, {text_sql} AS severity_text FROM ev
+)
+SELECT event_id, event_name, ts_ns, severity_number, severity_text,
+  {bod} AS body,
+  {attrs} AS attrs_str,
+  {res} AS res_attrs_str,
+  {trace_id} AS trace_id,
+  {span_id} AS span_id,
+  {sink} AS sink
+FROM pre
+"""
+
+
+# the configs exercised through the SQL-checked gate
+CFG_DEFAULT = PipelineConfig()
+CFG_KITCHEN = PipelineConfig(
+    log_attributes_from=(
+        "event.attributes",
+        "span.attributes",
+        "resource.attributes",
+    ),
+    add_level=True,
+    severity_attribute="lvl",
+    severity_by_event_name=(
+        ("error", "error"),
+        ("e", "trace2"),
+        ("i", "debug3"),
+        ("purchase", "fatal"),
+        ("chase", "warn3"),
+    ),
+)
+CFG_MAPPINGS = PipelineConfig(
+    attribute_mappings=AttributeMappings(
+        body="msg",
+        severity_number="k",
+        severity_text="lvl",
+        event_name="orig.event",
+    )
+)
+CFG_SEVATTR = PipelineConfig(severity_attribute="lvl")
+CFG_BYNAME = PipelineConfig(
+    severity_by_event_name=(
+        ("error", "error"),
+        ("e", "trace2"),
+        ("i", "debug3"),
+        ("purchase", "fatal"),
+        ("chase", "warn3"),
+    )
+)
+CFG_FILTER = PipelineConfig(include_event_names=("error", "purchase"))
+CFG_NOCTX = PipelineConfig(include_span_context=False, add_level=True)
+
+
+# =========================================================================
+# 2. documents-derived pipeline queries
+# =========================================================================
+
+FLAGSHIP_CFG = PipelineConfig(add_level=True)
+
+
+def _domain_case_sql(id_expr: str) -> str:
+    """Zipf domain index: identical integer arithmetic to generate.domain_index."""
+    r = f"(({id_expr} * 2654435761) % 4294967296) % 100000"
+    branches = "".join(
+        f" WHEN {r} < {t} THEN {d}" for d, t in enumerate(ZIPF_THRESHOLDS)
+    )
+    return f"(CASE{branches} END)"
+
+
+def _doc_url_sql() -> str:
+    return (
+        "'https://site' || CAST(" + _domain_case_sql("doc_id") + " AS VARCHAR)"
+        " || '.example.com/page/' || CAST(doc_id AS VARCHAR)"
+    )
+
+
+#: doc events CTE: one row per (doc, event j), template t = (doc_id + j) % 5
+DOC_EV_CTE = """
+SELECT doc_id, js.j AS j, (doc_id + js.j) % 5 AS t
+FROM documents CROSS JOIN (SELECT unnest(range(6)) AS j) js
+WHERE js.j < doc_id % 6
+"""
+
+
+def _template_records() -> list:
+    """Oracle-computed per-template log records (ts-independent fields)."""
+    out = []
+    for t in range(5):
+        ev = event_for(t, 0)  # template_index(t, 0) == t
+        rec = populate_log_record(FLAGSHIP_CFG, ev, "u", OBSERVED_TS_US)
+        out.append(rec)
+    return out
+
+
+def _tcase(values: list[str], quote: bool = True) -> str:
+    branches = "".join(
+        f" WHEN {t} THEN {sql_str(v) if quote else v}" for t, v in enumerate(values)
+    )
+    return f"(CASE t{branches} END)"
+
+
+def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    parsed = parse_events(webpages_from_documents(docs))
+    pages = page_texts(parsed)
+    return pages.select(
+        "url",
+        F.col("n_page_events").alias("n_events"),
+        F.md5(F.col("page_text")).alias("text_md5"),
+    )
+
+
+SQL_PARSE_ROUNDTRIP = f"""
+SELECT {_doc_url_sql()} AS url,
+       CAST(doc_id % 6 AS INTEGER) AS n_events,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_e2e_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    result = build_pipeline(
+        webpages_from_documents(docs), FLAGSHIP_CFG, observed_ts_us=OBSERVED_TS_US
+    )
+    return result.per_sink
+
+
+def _sql_e2e_sink_counts() -> str:
+    sinks = [route_event(EVENT_TEMPLATES[t][0]) for t in range(5)]
+    return f"""
+WITH ev AS ({DOC_EV_CTE})
+SELECT {_tcase(sinks)} AS sink, COUNT(*) AS records
+FROM ev GROUP BY 1
+"""
+
+
+def q_e2e_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    result = build_pipeline(
+        webpages_from_documents(docs), FLAGSHIP_CFG, observed_ts_us=OBSERVED_TS_US
+    )
+    return result.logs.select(
+        "url",
+        "event_name",
+        "ts_ns",
+        "severity_number",
+        "severity_text",
+        "body",
+        attrs_rendered(F.col("attributes")).alias("attrs_str"),
+        attrs_rendered(F.col("resource_attributes")).alias("res_attrs_str"),
+        "trace_id",
+        "span_id",
+        "sink",
+    )
+
+
+def _sql_e2e_records() -> str:
+    recs = _template_records()
+    return f"""
+WITH ev AS ({DOC_EV_CTE})
+SELECT {_doc_url_sql()} AS url,
+  {_tcase([r.event_name for r in recs])} AS event_name,
+  {BASE_TS_NS} + doc_id * 37000000000 + j * 1000000 AS ts_ns,
+  {_tcase([str(r.severity_number) for r in recs], quote=False)} AS severity_number,
+  {_tcase([r.severity_text for r in recs])} AS severity_text,
+  {_tcase([r.body for r in recs])} AS body,
+  {_tcase([render_attrs(r.attributes) for r in recs])} AS attrs_str,
+  {sql_str(render_attrs({k: str(v) for k, v in RES_ATTRS.items()}))} AS res_attrs_str,
+  {sql_str(TRACE_ID)} AS trace_id,
+  {sql_str(SPAN_ID)} AS span_id,
+  {_tcase([r.sink for r in recs])} AS sink
+FROM ev
+"""
+
+
+# =========================================================================
+# 3. text analysis / dedup / similarity / multimodal queries
+# =========================================================================
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+     + len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+_STOPLIST = "[" + ", ".join(sql_str(w) for w in textstats.STOPWORDS) + "]"
+_PUNCT_RE = sql_str(textstats.PUNCT_CLASS)  # same regex literal both engines
+
+SQL_QUALITY_STATS = f"""
+WITH pre AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS toks,
+    text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stopwords,
+  CAST(length(text) - length(regexp_replace(text, {_PUNCT_RE}, '', 'g')) AS BIGINT) AS n_punct,
+  CASE WHEN len(toks) > 0
+       THEN (CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 100) // len(toks)
+       ELSE 0 END AS mean_token_len_x100
+FROM pre
+"""
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(textstats.LANG_MARKERS.items())
+    hit_cols = []
+    for code, markers in langs:
+        lst = "[" + ", ".join(sql_str(w) for w in markers) + "]"
+        hit_cols.append(
+            f"CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_filter({_TOKS}, x -> list_contains({lst}, x))) END AS BIGINT)"
+            f" AS hits_{code}"
+        )
+    # argmax, lexicographically-first language wins ties
+    conds = []
+    codes = [c for c, _ in langs]
+    for i, code in enumerate(codes):
+        others = [f"hits_{code} >= hits_{c}" for c in codes[i + 1 :]]
+        cond = " AND ".join([f"hits_{code} > 0"] + others) or f"hits_{code} > 0"
+        conds.append(f"WHEN {cond} THEN {sql_str(code)}")
+    case = "(CASE " + " ".join(conds) + " ELSE 'und' END)"
+    hits_select = ",\n  ".join(hit_cols)
+    hits_names = ", ".join(f"hits_{c}" for c in codes)
+    return f"""
+WITH pre AS (SELECT doc_id, {hits_select} FROM documents)
+SELECT doc_id, {hits_names}, {case} AS lang_guess FROM pre
+"""
+
+
+SQL_FINGERPRINT = """
+WITH pre AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+  CAST(('0x' || substr(fingerprint, 1, 15)) AS BIGINT) AS fp60
+FROM pre
+"""
+
+SQL_DEDUP_EXACT = """
+WITH h AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+         doc_id
+  FROM documents
+)
+SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM h GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+#: shingle CTE shared by the minhash/jaccard oracles (word 3-grams)
+_SHINGLE_CTE = f"""
+w AS (SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w WHERE len(words) >= 3
+)
+"""
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5(shingle || '#{h}')) AS mh{h}" for h in range(dedup.N_MINHASH)
+)
+
+
+def _band_hash_sql(b: int) -> str:
+    rows = dedup.N_MINHASH // dedup.N_BANDS
+    cols = " || ".join(f"mh{b * rows + r}" for r in range(rows))
+    return f"md5({cols})"
+
+
+_SIG_CTE = f"""
+{_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig" for b in range(dedup.N_BANDS))}
+)
+"""
+
+SQL_MINHASH = f"WITH {_SIG_CTE} SELECT doc_id, band, band_hash FROM bands"
+
+SQL_LSH_PAIRS = f"""
+WITH {_SIG_CTE}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+SQL_JACCARD = f"""
+WITH {_SIG_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_intersect,
+       za.n + zb.n - i.n_intersect AS n_union
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+
+def _simhash_votes_sql() -> str:
+    """32 per-bit vote sums; bit b of the 32-bit word hash = bit (b%4) of
+    hex digit 8-(b//4) (1-based) of md5(word) — same arithmetic as the
+    Spark conv()-based implementation."""
+    aggs = []
+    for b in range(32):
+        digit_pos = 8 - b // 4
+        bit = b % 4
+        digit = f"(strpos('0123456789abcdef', substr(md5(word), {digit_pos}, 1)) - 1)"
+        aggs.append(
+            f"SUM(CASE WHEN ({digit} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    return ", ".join(aggs)
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+votes AS (SELECT doc_id, {_simhash_votes_sql()} FROM tok WHERE word <> '' GROUP BY doc_id)
+SELECT doc_id,
+  {" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32))} AS simhash
+FROM votes
+"""
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos_r6
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_r6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_r6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+SQL_NEARDUP_EMB = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r6
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+"""
+
+
+def _byte_from_sha_sql(expr: str, byte_idx: int) -> str:
+    """Byte value from a hex digest string (two hex chars per byte)."""
+    hi = f"(strpos('0123456789abcdef', substr({expr}, {2 * byte_idx + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({expr}, {2 * byte_idx + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _sql_multimodal_meta() -> str:
+    sha = "sha256(text)"  # DuckDB sha256 takes VARCHAR, hashes utf-8 bytes
+    mtype = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'image'"
+        " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+    )
+    b = _byte_from_sha_sql  # over the hex digest column
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, {mtype} AS media_type,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         {sha} AS content_sha
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes, content_sha,
+  CAST(CASE WHEN media_type = 'audio' THEN 0
+            WHEN media_type = 'image' THEN 16 + {b('content_sha', 0)} % 240
+            ELSE 16 + {b('content_sha', 2)} % 240 END AS INTEGER) AS width,
+  CAST(CASE WHEN media_type = 'audio' THEN 0
+            WHEN media_type = 'image' THEN 16 + {b('content_sha', 1)} % 240
+            ELSE 16 + {b('content_sha', 3)} % 240 END AS INTEGER) AS height,
+  CAST(CASE WHEN media_type = 'image' THEN 1
+            ELSE 1 + {b('content_sha', 4)} % 120 END AS INTEGER) AS n_frames
+FROM pre
+"""
+
+
+# =========================================================================
+# 4. catalog assembly
+# =========================================================================
+
+
+def _events_q(cfg: PipelineConfig):
+    return lambda spark, sf_dir: _events_records_spark(spark, sf_dir, cfg)
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _events_records_spark(spark, sf_dir, CFG_DEFAULT)
+    return rec.groupBy("sink").agg(F.count(F.lit(1)).alias("records"))
+
+
+SQL_ROUTE_COUNTS = f"""
+WITH ev AS ({EV_CTE})
+SELECT {sink_sql(EVENT_ROUTES, "event_name", "sink_default")} AS sink,
+       COUNT(*) AS records
+FROM ev GROUP BY 1
+"""
+
+
+def q_filter_include_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_span_view(spark, sf_dir)
+    ev = ev.where(F.col("event_name").isin(list(CFG_FILTER.include_event_names)))
+    rec = enrich_events(ev, CFG_FILTER, OBSERVED_TS_US)
+    return rec.groupBy("event_name").agg(
+        F.count(F.lit(1)).alias("records"),
+        F.max("severity_number").alias("max_sev"),
+    )
+
+
+SQL_FILTER_INCLUDE = f"""
+WITH ev AS ({EV_CTE})
+SELECT event_name, COUNT(*) AS records, CAST(9 AS INTEGER) AS max_sev
+FROM ev WHERE event_name IN ('error', 'purchase') GROUP BY 1
+"""
+
+
+def q_grouped_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _events_records_spark(spark, sf_dir, CFG_DEFAULT)
+    return rec.groupBy(F.col("span_id").alias("resource_key")).agg(
+        F.count(F.lit(1)).alias("records"),
+        F.countDistinct("event_name").alias("event_types"),
+    )
+
+
+SQL_GROUPED_EMISSION = f"""
+WITH ev AS ({EV_CTE})
+SELECT span_id AS resource_key, COUNT(*) AS records,
+       COUNT(DISTINCT event_name) AS event_types
+FROM ev GROUP BY 1
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    meta = multimodal.extract_media_metadata(
+        multimodal.media_from_documents(docs), fake=True
+    )
+    return meta.select(
+        "media_id", "media_type", "n_bytes", "content_sha",
+        "width", "height", "n_frames",
+    )
+
+
+def queries() -> dict:
+    """name -> callable(spark, sf_dir) -> DataFrame."""
+    docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
+    embs_q = lambda fn: (  # noqa: E731
+        lambda spark, sf_dir: fn(_read(spark, sf_dir, "embeddings"))
+    )
+
+    def ann_bf(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "query_vec"
+            ),
+        )
+        corpus = emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        out = similarity.brute_force_topk(corpus, q, k=5)
+        return out.withColumn("rank", F.col("rank").cast("int"))
+
+    def ann_lsh(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.lsh_topk(emb, q, k=5)
+
+    def neardup_emb(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
+
+    return {
+        # -- pipeline semantics over events (SQL-checked) --
+        "enrich_route_default": _events_q(CFG_DEFAULT),
+        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
+        "attr_mappings_full": _events_q(CFG_MAPPINGS),
+        "severity_attribute_parse": _events_q(CFG_SEVATTR),
+        "severity_by_event_name_longest": _events_q(CFG_BYNAME),
+        "no_span_context": _events_q(CFG_NOCTX),
+        "route_counts": q_route_counts,
+        "filter_include_names": q_filter_include_names,
+        "grouped_emission": q_grouped_emission,
+        # -- full pipeline over documents-derived webpages --
+        "parse_roundtrip": q_parse_roundtrip,
+        "e2e_sink_counts": q_e2e_sink_counts,
+        "e2e_records": q_e2e_records,
+        # -- text analysis --
+        "token_counts": docs(textstats.token_counts),
+        "quality_stats": docs(textstats.quality_stats),
+        "lang_id": docs(textstats.lang_id),
+        "fingerprint": docs(textstats.fingerprint),
+        # -- dedup --
+        "dedup_exact": docs(dedup.exact_duplicates),
+        "minhash_signatures": docs(dedup.minhash_signatures),
+        "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
+        "ngram_jaccard": lambda spark, sf_dir: dedup.jaccard_verify(
+            _read(spark, sf_dir, "documents"),
+            dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents")),
+        ),
+        "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
+        # -- similarity --
+        "ann_cosine_topk": ann_bf,
+        "ann_lsh_topk": ann_lsh,  # rows-only (approximate scale path)
+        "embedding_neardup": neardup_emb,
+        # -- multimodal --
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "enrich_route_default": _events_records_sql(CFG_DEFAULT),
+        "enrich_kitchen_sink": _events_records_sql(CFG_KITCHEN),
+        "attr_mappings_full": _events_records_sql(CFG_MAPPINGS),
+        "severity_attribute_parse": _events_records_sql(CFG_SEVATTR),
+        "severity_by_event_name_longest": _events_records_sql(CFG_BYNAME),
+        "no_span_context": _events_records_sql(CFG_NOCTX),
+        "route_counts": SQL_ROUTE_COUNTS,
+        "filter_include_names": SQL_FILTER_INCLUDE,
+        "grouped_emission": SQL_GROUPED_EMISSION,
+        "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
+        "e2e_sink_counts": _sql_e2e_sink_counts(),
+        "e2e_records": _sql_e2e_records(),
+        "token_counts": SQL_TOKEN_COUNTS,
+        "quality_stats": SQL_QUALITY_STATS,
+        "lang_id": _sql_lang_id(),
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": SQL_MINHASH,
+        "lsh_candidate_pairs": SQL_LSH_PAIRS,
+        "ngram_jaccard": SQL_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "ann_cosine_topk": SQL_ANN_TOPK,
+        # ann_lsh_topk: intentionally rows-only (sign-LSH float boundary)
+        "embedding_neardup": SQL_NEARDUP_EMB,
+        "multimodal_meta": _sql_multimodal_meta(),
+    }

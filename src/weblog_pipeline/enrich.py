@@ -141,7 +141,10 @@ def severity_columns(
 
 
 def enrich_events(
-    events: DataFrame, cfg: PipelineConfig, observed_ts_us: int
+    events: DataFrame,
+    cfg: PipelineConfig,
+    observed_ts_us: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Flattened event rows -> log-record rows (FIXTURES.md §6 schema).
 
@@ -209,6 +212,7 @@ def enrich_events(
     span_id = F.col("span_id") if cfg.include_span_context else F.lit("")
 
     return events.select(
+        *[F.col(c) for c in passthrough],
         F.col("url"),
         F.col("warc_ts"),
         F.col("lang"),

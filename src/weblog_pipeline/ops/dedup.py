@@ -1,0 +1,187 @@
+"""Deduplication operators over the documents table.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard — each expressed as
+built-in DataFrame operations (no Python UDFs), each scale-shaped:
+
+* exact:   hash-groupBy on a content digest; two-phase partial agg, the
+           only shuffle key is the digest (uniform by construction).
+* minhash: shingle explode -> 16 MIN(md5) aggregates in ONE pass (no
+           16-way crossjoin), banded into 4 LSH buckets; candidate pairs
+           come from an equi-join on (band, band_hash) — at 100 TB this is
+           the classic band-bucket join, shuffle keyed by band_hash which
+           is uniform unless true duplicates are pathological.
+* jaccard: exact verification ONLY for LSH candidates (never all-pairs).
+* simhash: 64-bit majority-vote fingerprint via explode + bit-position
+           aggregation; hamming distance via bit_count(xor).
+
+MinHash uses lexicographic MIN over md5 hex digests — a valid uniform
+min-hash family that both Spark and an independent SQL engine compute
+identically (no engine-specific 64-bit hash needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_K = 3
+
+
+def shingles_col(text_col="text"):
+    """Word 3-gram shingles of lowercased text (empty array when <3 words)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return F.when(
+        F.array_size(words) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(words) - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized, lowercased) docs."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        documents.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """doc_id, band, band_hash — one row per (doc, band).
+
+    One explode + one aggregation pass computes all 16 min-hashes
+    (16 MIN aggregates over the same exploded frame — map-side combine
+    collapses each partition to one row per doc before the shuffle).
+    Docs with <3 words produce no shingles and are excluded (cannot be
+    near-dup candidates by this measure).
+    """
+    exploded = documents.select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}")))).alias(f"mh{h}")
+        for h in range(N_MINHASH)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*aggs)
+
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("band_hash")
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """Unordered candidate pairs (doc_a < doc_b) sharing >= 1 LSH band."""
+    sigs = minhash_signatures(documents)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, as integer
+    (intersection, union) counts — float-free and hash-stable."""
+    sets = documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a_sets = sets.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sets = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle"))
+    inter = (
+        pairs.join(a_sets, "doc_a")
+        .join(b_sets, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
+        )
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """Majority-vote SimHash over word tokens.
+
+    Per token, a `bits`-wide hash is derived from its md5 hex digest; each
+    bit votes +1/-1; the fingerprint sets bits with positive vote sums.
+    Uses the first 8 hex chars (32 bits) so the per-bit extraction is
+    engine-portable integer arithmetic.
+    """
+    words = F.explode(
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    ).alias("word")
+    tok = documents.select("doc_id", words).where(F.col("word") != "")
+    h32 = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h32, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the high
+    16 bits (scale path: equi-join on the block key, not all-pairs)."""
+    fps = simhash(documents)
+    block = F.shiftright(F.col("simhash"), 16)
+    fps = fps.withColumn("block", block)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )

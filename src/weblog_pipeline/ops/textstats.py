@@ -1,0 +1,125 @@
+"""Text analysis over the documents table: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All integer/string outputs (no floats) so results are value-hash-stable
+against an independent SQL engine. Everything is built-in-function Catalyst
+expressions — no Python in the hot path; at 100 TB these run as a single
+whole-stage-codegen'd scan with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: small per-language marker-word sets for the n-gram/stopword language
+#: heuristic (shared with the SQL oracle generator).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "de", "los"),
+}
+
+#: stopwords for the quality heuristic (english-ish, fixed set).
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+TOKEN_SPLIT = r"\s+"
+PUNCT_CLASS = "[.,;:!?'\"()\\[\\]{}-]"
+
+
+def _tokens(col):
+    # split on whitespace; trim first so leading/trailing whitespace doesn't
+    # produce empty tokens (SQL twin does the same)
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """doc_id, n_tokens (whitespace), n_chars, n_pieces (BPE-ish: word/digit
+    runs kept whole + each other non-space char its own piece — expressed as
+    two regexp_extract_all counts so RE2-based engines compute identically)."""
+    text = F.col("text")
+    toks = _tokens(text)
+    n_word_runs = F.array_size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9_]+"), 0))
+    n_sym_chars = F.array_size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9_\s]"), 0)
+    )
+    return documents.select(
+        "doc_id",
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.array_size(toks))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars"),
+        (n_word_runs + n_sym_chars).cast("long").alias("n_pieces"),
+    )
+
+
+def quality_stats(documents: DataFrame) -> DataFrame:
+    """Integer quality-signal counts per doc: tokens, stopword hits,
+    punctuation chars, mean token length ×100 (int)."""
+    text = F.col("text")
+    toks = _tokens(F.lower(text))
+    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.array_size(toks))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    sum_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    # integer division (div) keeps the value exact and engine-portable
+    pre = documents.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(n_tokens > 0, n_stop).otherwise(F.lit(0)).cast("long").alias("n_stopwords"),
+        n_punct.cast("long").alias("n_punct"),
+        sum_tok_len.cast("long").alias("_sum_tok_len"),
+    )
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        "n_punct",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (_sum_tok_len * 100) div n_tokens ELSE 0 END"
+        ).alias("mean_token_len_x100"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: per-language hit counts + argmax
+    (ties broken by language code order, deterministic)."""
+    toks = _tokens(F.lower(F.col("text")))
+    cols = [F.col("doc_id")]
+    hit_cols = []
+    for lang_code, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.array_size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        hits = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(hits)
+        cols.append(hits.cast("long").alias(f"hits_{lang_code}"))
+        hit_cols.append((lang_code, f"hits_{lang_code}"))
+    out = documents.select(*cols)
+    return out.withColumn("lang_guess", _argmax_expr(hit_cols))
+
+
+def _argmax_expr(hit_cols):
+    """greatest-hits language; ties -> lexicographically first language."""
+    best = None
+    for lang_code, c in sorted(hit_cols):
+        cand = F.struct(F.col(c).alias("h"), F.lit(lang_code).alias("lang"))
+        best = cand if best is None else F.when(F.col(c) > best["h"], cand).otherwise(best)
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Stable document fingerprint: md5 of whitespace-normalized lowercase
+    text (plus a 64-bit rolling-hash-equivalent prefix as bigint)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm)
+    return documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )

@@ -93,6 +93,9 @@ def _rows_for_page(url, warc_ts, lang, html: bytes) -> Iterator[dict]:
         "url": url,
         "warc_ts": warc_ts,
         "lang": lang,
+        # page_text rides only on the page-grain row (event_idx <= 0);
+        # duplicating the full text onto every event row would triple the
+        # Arrow transfer and any downstream shuffle of event rows.
         "page_text": text,
         "n_page_events": len(events),
         "parse_error": err,
@@ -118,6 +121,8 @@ def _rows_for_page(url, warc_ts, lang, html: bytes) -> Iterator[dict]:
         attrs_s, attrs_i = _split_attrs(ev.attrs)
         span_s, _ = _split_attrs(ev.span_attrs)
         res_s, _ = _split_attrs(ev.res_attrs)
+        if idx == 1:
+            base = {**base, "page_text": None, "parse_error": None}
         yield {
             **base,
             "event_idx": idx,

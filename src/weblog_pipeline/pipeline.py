@@ -27,6 +27,7 @@ class PipelineResult:
     per_sink: DataFrame
     per_domain: DataFrame
     observed_ts_us: int
+    sink_names: tuple[str, ...] = ()
     metrics: dict = field(default_factory=dict)
 
 
@@ -62,6 +63,7 @@ def build_pipeline(
         per_sink=sink_counts(logs),
         per_domain=domain_counts(logs),
         observed_ts_us=observed_ts_us,
+        sink_names=tuple(r.sink for r in routes) + (default_sink,),
     )
 
 
@@ -71,15 +73,28 @@ def run_to_sinks(
     io,
     write_texts: bool = False,
 ) -> dict[str, int]:
-    """Materialize: one partitioned write fans records out to all sinks
-    (sink=<name> partition dirs == per-sink Iceberg tables), then the
-    per-sink aggregate. Returns {sink: records}."""
+    """Materialize: ONE partitioned write fans records out to all sinks
+    (sink=<name> partition dirs == per-sink Iceberg tables); per-sink
+    counts ride along as an Observation on the same pass (O23 counters)
+    instead of a second execution of the DAG. Returns {sink: records}."""
+    from pyspark.sql import Observation
+
     if write_texts:
         io.append(result.texts, "page_texts")
 
-    # single pass, partitioned by sink (O20 fan-out without N scans)
-    io.append(result.logs, "log_records", partition_by=["sink"])
+    # per-sink counts are algebraic count_if aggregates over the statically
+    # known sink set, so they ride the write as an Observation
+    obs = Observation("pipeline")
+    obs_exprs = [F.count(F.lit(1)).alias("records")] + [
+        F.count_if(F.col("sink") == s).alias(f"n_{s}") for s in result.sink_names
+    ]
+    observed = result.logs.observe(obs, *obs_exprs)
 
-    counts = {r["sink"]: r["records"] for r in result.per_sink.collect()}
+    # single pass, partitioned by sink (O20 fan-out without N scans)
+    io.append(observed, "log_records", partition_by=["sink"])
+
+    got = obs.get
+    counts = {s: got[f"n_{s}"] for s in result.sink_names if got[f"n_{s}"] > 0}
     result.metrics["per_sink_counts"] = counts
+    result.metrics["records"] = got["records"]
     return counts

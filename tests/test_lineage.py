@@ -1,0 +1,75 @@
+"""Checkpoint/resume: kill-and-rerun produces no duplicates and no missing
+rows; completed chunks are skipped on resume."""
+
+import os
+
+import pytest
+
+from weblog_pipeline.config import PipelineConfig
+from weblog_pipeline.driver_queries import OBSERVED_TS_US
+from weblog_pipeline.lineage import LineageStore, run_resumable
+from weblog_pipeline.pipeline import build_pipeline
+from weblog_pipeline.webpages import generate_webpages
+
+CFG = PipelineConfig()
+
+
+def _build_logs(webpages):
+    return build_pipeline(webpages, CFG, observed_ts_us=OBSERVED_TS_US).logs
+
+
+@pytest.fixture()
+def input_path(spark, tmp_path):
+    path = str(tmp_path / "webpages")
+    generate_webpages(spark, 120, partitions=4).write.parquet(path)
+    return path
+
+
+def expected_rows(spark, input_path):
+    return _build_logs(spark.read.parquet(input_path)).count()
+
+
+def read_output(spark, out):
+    return spark.read.option("basePath", out).parquet(out + "/run=r1/*")
+
+
+def test_full_run_then_noop_resume(spark, tmp_path, input_path):
+    out = str(tmp_path / "out")
+    ledger = LineageStore(spark, str(tmp_path / "ledger"))
+
+    s1 = run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+    assert s1["chunks_skipped"] == 0 and s1["units_total"] == 4
+    n = expected_rows(spark, input_path)
+    assert s1["rows_out"] == n
+    assert read_output(spark, out).count() == n
+
+    # resume with nothing pending: all chunks skipped, output unchanged
+    s2 = run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+    assert s2["chunks_skipped"] == s2["chunks_total"] == 2
+    assert s2["rows_out"] == 0
+    assert read_output(spark, out).count() == n
+
+
+def test_crash_mid_run_resumes_exactly(spark, tmp_path, input_path):
+    out = str(tmp_path / "out")
+    ledger = LineageStore(spark, str(tmp_path / "ledger"))
+
+    calls = {"n": 0}
+
+    def flaky_build(webpages):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor loss")
+        return _build_logs(webpages)
+
+    with pytest.raises(RuntimeError):
+        run_resumable(spark, input_path, out, "r1", flaky_build, ledger, unit_batch=2)
+
+    # chunk 0 committed, chunk 1 not: resume completes only chunk 1
+    s = run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+    assert s["chunks_skipped"] == 1
+
+    n = expected_rows(spark, input_path)
+    got = read_output(spark, out)
+    assert got.count() == n  # no dups, no gaps
+    assert got.select("url", "event_name", "ts_ns").distinct().count() == n

@@ -1,0 +1,190 @@
+"""Training-data operators on tiny planted fixtures: exact dedup, MinHash
+LSH, SimHash, Jaccard, text stats, ANN, multimodal plumbing."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weblog_pipeline.ops import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    # two exact duplicates (after whitespace/case normalization)
+    (0, "The quick brown fox jumps over the lazy dog", "en"),
+    (1, "the  quick   brown fox JUMPS over the lazy dog", "en"),
+    # a near-duplicate (one word changed)
+    (2, "the quick brown fox jumps over the sleepy dog", "en"),
+    # unrelated
+    (3, "der schnelle braune fuchs springt und der hund ist faul", "de"),
+    (4, "completely different content about spark pipelines and shuffles", "en"),
+    # degenerate
+    (5, "", "en"),
+    (6, "one two", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lg) for i, t, lg in DOCS]
+    )
+
+
+def test_exact_duplicates(spark, docs_df):
+    groups = dedup.exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 2 and g["keeper_doc_id"] == 0
+
+
+def _py_minhash_bands(text: str):
+    """Deterministic Python twin of dedup.minhash_signatures."""
+    words = text.strip().lower().split()
+    shingles = {
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    }
+    if not shingles:
+        return None
+    mh = [
+        min(hashlib.md5(f"{s}#{h}".encode()).hexdigest() for s in shingles)
+        for h in range(dedup.N_MINHASH)
+    ]
+    rows = dedup.N_MINHASH // dedup.N_BANDS
+    return [
+        hashlib.md5("".join(mh[b * rows : (b + 1) * rows]).encode()).hexdigest()
+        for b in range(dedup.N_BANDS)
+    ]
+
+
+def test_lsh_matches_python_oracle(spark, docs_df):
+    got = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs_df).collect()}
+    bands = {i: _py_minhash_bands(t) for i, t, _ in DOCS}
+    expected = set()
+    ids = sorted(bands)
+    for a in ids:
+        for b in ids:
+            if a < b and bands[a] and bands[b] and any(
+                x == y for x, y in zip(bands[a], bands[b])
+            ):
+                expected.add((a, b))
+    assert got == expected
+    assert (0, 1) in got  # exact dups always collide
+
+
+def test_jaccard_counts(spark, docs_df):
+    pairs = spark.createDataFrame([Row(doc_a=0, doc_b=1), Row(doc_a=0, doc_b=2)])
+    jac = {
+        (r["doc_a"], r["doc_b"]): (r["n_intersect"], r["n_union"])
+        for r in dedup.jaccard_verify(docs_df, pairs).collect()
+    }
+    inter, union = jac[(0, 1)]
+    assert inter == union  # identical shingle sets
+    inter, union = jac[(0, 2)]
+    assert 0 < inter < union  # one changed word -> partial overlap
+
+
+def test_simhash_identical_and_near(spark, docs_df):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    assert fps[0] == fps[1]  # same normalized token set
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_token_counts(spark, docs_df):
+    rows = {r["doc_id"]: r for r in textstats.token_counts(docs_df).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[5]["n_tokens"] == 0
+    assert rows[6]["n_tokens"] == 2
+    assert rows[0]["n_chars"] == len(DOCS[0][1])
+
+
+def test_quality_stats(spark, docs_df):
+    rows = {r["doc_id"]: r for r in textstats.quality_stats(docs_df).collect()}
+    # "the" appears twice in doc 0 + "over" not a stopword
+    assert rows[0]["n_stopwords"] == 2
+    assert rows[5]["n_tokens"] == 0 and rows[5]["mean_token_len_x100"] == 0
+    toks = DOCS[0][1].lower().split()
+    expected = sum(len(t) for t in toks) * 100 // len(toks)
+    assert rows[0]["mean_token_len_x100"] == expected
+
+
+def test_lang_id(spark, docs_df):
+    rows = {r["doc_id"]: r["lang_guess"] for r in textstats.lang_id(docs_df).collect()}
+    assert rows[0] == "en"
+    assert rows[3] == "de"
+    assert rows[5] == "und"
+
+
+def test_fingerprint_normalization(spark, docs_df):
+    rows = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs_df).collect()}
+    assert rows[0] == rows[1]  # whitespace/case-insensitive
+    assert rows[0] != rows[2]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    )
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.brute_force_topk(df, q, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    norms = np.linalg.norm(vecs, axis=1)
+    for qi in range(3):
+        sims = vecs @ vecs[qi] / (norms * norms[qi])
+        order = [
+            int(i)
+            for i in sorted(range(40), key=lambda i: (-round(sims[i], 6), i))
+            if i != qi
+        ][:4]
+        got_ids = [nid for _, nid in sorted(by_q[qi])]
+        assert got_ids == order
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 16).astype("float32")
+    # plant a near-identical neighbor of vector 0
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(30)]
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.lsh_topk(df, q, k=3).collect()
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got)
+
+
+def test_multimodal_metadata_plumbing(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    meta = {r["media_id"]: r for r in multimodal.extract_media_metadata(media).collect()}
+    assert len(meta) == len(DOCS)
+    for i, text, _ in DOCS:
+        blob = text.encode()
+        assert meta[i]["n_bytes"] == len(blob)
+        assert meta[i]["content_sha"] == hashlib.sha256(blob).hexdigest()
+        assert len(meta[i]["feature"]) == multimodal.FEATURE_DIM
+    assert meta[0]["media_type"] == "image" and meta[0]["n_frames"] == 1
+    assert meta[1]["media_type"] == "audio" and meta[1]["width"] == 0
+    assert meta[2]["media_type"] == "video" and meta[2]["n_frames"] >= 1
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...", fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_av(b"RIFF...", "audio", fake=False)
