@@ -758,6 +758,13 @@ def queries() -> dict:
         )
         return similarity.lsh_topk(emb, q, k=5)
 
+    def ann_ivf(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.ivf_topk(emb, q, k=5)
+
     def neardup_emb(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings").select(
             "vec_id",
@@ -799,6 +806,7 @@ def queries() -> dict:
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,  # rows-only (approximate scale path)
+        "ann_ivf_topk": ann_ivf,  # rows-only (approximate scale path)
         "embedding_neardup": neardup_emb,
         # -- multimodal --
         "multimodal_meta": q_multimodal_meta,

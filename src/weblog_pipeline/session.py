@@ -23,6 +23,7 @@ def build_session(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 1024,
+    files_max_partition_bytes: str | None = None,
 ) -> SparkSession:
     if master is None:
         cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -51,7 +52,14 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if files_max_partition_bytes:
+        # size scan splits so every core gets several tasks — at small local
+        # inputs the 128 MB default yields fewer partitions than cores and
+        # strands parallelism; production 100 TB inputs keep the default
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", files_max_partition_bytes
+        )
     return builder.getOrCreate()

@@ -169,6 +169,22 @@ def test_lsh_topk_recall(spark):
     assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got)
 
 
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(64, 12).astype("float32")
+    base[7] = base[3] + rng.randn(12).astype("float32") * 0.01  # planted neighbor
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(64)]
+    )
+    q = df.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.ivf_topk(df, q, k=3, n_cells=8, n_probe=3).collect()
+    assert any(r["neighbor_id"] == 7 and r["rank"] == 1 for r in got)
+
+
 def test_multimodal_metadata_plumbing(spark, docs_df):
     media = multimodal.media_from_documents(docs_df)
     meta = {r["media_id"]: r for r in multimodal.extract_media_metadata(media).collect()}
