@@ -180,12 +180,21 @@ def run_scaling(sf_dir: str) -> None:
     # larger input than the default per-round bench: amortizes the fixed
     # per-job driver overhead that otherwise dominates the faster runs
     scaling_pages = os.environ.get("WEBLOG_BENCH_PAGES", "4000000")
+    import shutil as _shutil
+
+    have_taskset = _shutil.which("taskset") is not None
     for cpus in (2, 8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
                    WEBLOG_BENCH_PAGES=scaling_pages)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if have_taskset:
+            # pin the whole process tree to exactly `cpus` CPUs: an
+            # unpinned local[N] lets JVM helper threads (GC, IO, codegen)
+            # spill onto idle cores, inflating the small-N baseline — a
+            # real N-core executor has no such free cores
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
+            cmd, env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -201,9 +210,11 @@ def run_scaling(sf_dir: str) -> None:
         fh.write(
             "# BENCH baseline — scaling evidence (N vs 4N cores)\n\n"
             f"Input: {results[8]['docs']} deterministic synthetic webpages "
-            "(seed=42), identical parquet input for all runs; timed unit = "
-            "full parse→enrich→route→aggregate job, steady-state (warm) "
-            "execution; cold numbers reported in the JSON below.\n\n"
+            "(seed=42), identical parquet input for all runs; each run is "
+            "CPU-pinned (taskset) to exactly its core budget, emulating an "
+            "N-core executor; timed unit = full parse→enrich→route→aggregate "
+            "job, steady-state (warm) execution; cold numbers in the JSON "
+            "below.\n\n"
             "| parallelism | e2e sec (warm) | docs/sec |\n|---|---|---|\n"
             + "".join(
                 f"| local[{c}] | {results[c]['queries']['e2e_pipeline']} | {dps(c)} |\n"
