@@ -497,6 +497,29 @@ SELECT doc_id, fingerprint,
 FROM pre
 """
 
+SQL_DEDUP_STATS = """
+WITH h AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT content_hash) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT content_hash) AS n_duplicate_rows
+FROM h
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(F.md5(norm).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("content_hash")).alias(
+            "n_duplicate_rows"
+        ),
+    )
+
+
 SQL_DEDUP_EXACT = """
 WITH h AS (
   SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
@@ -796,6 +819,7 @@ def queries() -> dict:
         "fingerprint": docs(textstats.fingerprint),
         # -- dedup --
         "dedup_exact": docs(dedup.exact_duplicates),
+        "dedup_stats": q_dedup_stats,
         "minhash_signatures": docs(dedup.minhash_signatures),
         "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
         "ngram_jaccard": lambda spark, sf_dir: dedup.jaccard_verify(
@@ -832,6 +856,7 @@ def oracle_sql() -> dict:
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_stats": SQL_DEDUP_STATS,
         "minhash_signatures": SQL_MINHASH,
         "lsh_candidate_pairs": SQL_LSH_PAIRS,
         "ngram_jaccard": SQL_JACCARD,

@@ -60,6 +60,17 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """CPU-heavy per-doc ops need partitions ~ cores even when the input is
+    byte-small (one tiny parquet file = one partition = one busy core).
+    Repartition only when the scan gives us fewer partitions than cores —
+    at real scale the input already has enough splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """doc_id, band, band_hash — one row per (doc, band).
 
@@ -69,7 +80,7 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     Docs with <3 words produce no shingles and are excluded (cannot be
     near-dup candidates by this measure).
     """
-    exploded = documents.select(
+    exploded = _fan_out(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(shingles_col()).alias("shingle")
     )
     aggs = [
@@ -150,7 +161,9 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     words = F.explode(
         F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     ).alias("word")
-    tok = documents.select("doc_id", words).where(F.col("word") != "")
+    tok = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", words
+    ).where(F.col("word") != "")
     h32 = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
     aggs = [
         F.sum(
