@@ -40,7 +40,18 @@ def main() -> None:
     cfg = PipelineConfig()
     if args.config:
         with open(args.config) as fh:
-            cfg = PipelineConfig.from_dict(json.load(fh))
+            raw = fh.read()
+        try:
+            parsed = json.loads(raw)
+        except json.JSONDecodeError:
+            try:
+                import yaml  # the reference configures via YAML; optional here
+            except ImportError as exc:
+                raise SystemExit(
+                    f"{args.config} is not JSON and pyyaml is unavailable"
+                ) from exc
+            parsed = yaml.safe_load(raw)
+        cfg = PipelineConfig.from_dict(parsed)
 
     spark = build_session(app_name="weblog-pipeline", parallelism=args.cpus)
     io = TableIO(spark, args.output)

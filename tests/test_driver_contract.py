@@ -1,0 +1,47 @@
+"""The __spark_entry__ driver contract: catalog consistency + flagship
+entry smoke (sf0.001)."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_oracle_has_a_query(entrymod):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only entries are the documented approximate ops only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"ann_lsh_topk", "ann_ivf_topk"}
+    assert len(qs) >= 25
+
+
+def test_entry_returns_sink_counts(spark, entrymod):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    sinks = {r["sink"] for r in rows}
+    assert sinks <= {"sink_errors", "sink_db", "sink_retries", "sink_default"}
+    assert sum(r["records"] for r in rows) > 0
+
+
+def test_queries_callable_signature(spark, entrymod):
+    qs = entrymod.queries()
+    # spot-check one cheap catalog entry end-to-end
+    df = qs["token_counts"](spark, "/root/testdata/sf0.001")
+    assert df.count() == 500
+    assert set(df.columns) == {"doc_id", "n_tokens", "n_chars", "n_pieces"}
