@@ -63,6 +63,10 @@ EVENT_SCHEMA = T.StructType(
 
 
 _FIELD_NAMES = [f.name for f in EVENT_SCHEMA.fields]
+_EVENT_FIELDS = [
+    "event_name", "ts_ns", "trace_id", "span_id", "span_name", "span_kind",
+    "trace_state", "event_attrs_s", "event_attrs_i", "span_attrs", "res_attrs",
+]
 
 
 def _split_attrs(attrs: dict) -> tuple[dict, dict]:
@@ -81,81 +85,65 @@ def _split_attrs(attrs: dict) -> tuple[dict, dict]:
     return s, i
 
 
-def _rows_for_page(url, warc_ts, lang, html: bytes) -> Iterator[dict]:
-    try:
-        text = extract_text(html)
-        events = parse_markers(html)
-        err = None
-    except Exception as exc:  # corrupt marker -> quarantine the page
-        text, events, err = None, [], f"{type(exc).__name__}: {exc}"
-
-    base = {
-        "url": url,
-        "warc_ts": warc_ts,
-        "lang": lang,
-        # page_text rides only on the page-grain row (event_idx <= 0);
-        # duplicating the full text onto every event row would triple the
-        # Arrow transfer and any downstream shuffle of event rows.
-        "page_text": text,
-        "n_page_events": len(events),
-        "parse_error": err,
-    }
-    if not events:
-        yield {
-            **base,
-            "event_idx": -1,
-            "event_name": None,
-            "ts_ns": None,
-            "trace_id": None,
-            "span_id": None,
-            "span_name": None,
-            "span_kind": None,
-            "trace_state": None,
-            "event_attrs_s": None,
-            "event_attrs_i": None,
-            "span_attrs": None,
-            "res_attrs": None,
-        }
-        return
-    for idx, ev in enumerate(events):
-        attrs_s, attrs_i = _split_attrs(ev.attrs)
-        span_s, _ = _split_attrs(ev.span_attrs)
-        res_s, _ = _split_attrs(ev.res_attrs)
-        if idx == 1:
-            base = {**base, "page_text": None, "parse_error": None}
-        yield {
-            **base,
-            "event_idx": idx,
-            "event_name": ev.name,
-            "ts_ns": ev.ts_ns,
-            "trace_id": ev.trace_id,
-            "span_id": ev.span_id,
-            "span_name": ev.span_name,
-            "span_kind": ev.span_kind,
-            "trace_state": ev.trace_state,
-            "event_attrs_s": attrs_s,
-            "event_attrs_i": attrs_i,
-            "span_attrs": span_s,
-            "res_attrs": res_s,
-        }
-
-
 def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Hot path: direct column assembly (no per-row dicts) + batch-scoped
+    memoization of repeated JSON payloads and their type-splits (span/
+    resource attrs repeat per span; event attr payloads repeat across
+    similar events)."""
     import pandas as pd
 
     for pdf in batches:
-        rows: list[dict] = []
+        json_cache: dict = {}
+        split_cache: dict = {}  # id(shared dict) -> (ref, (s, i)) — ref pins id
+
+        def split_cached(d: dict) -> tuple[dict, dict]:
+            hit = split_cache.get(id(d))
+            if hit is None:
+                hit = (d, _split_attrs(d))
+                split_cache[id(d)] = hit
+            return hit[1]
+
+        cols: dict[str, list] = {name: [] for name in _FIELD_NAMES}
+        ap = {name: cols[name].append for name in _FIELD_NAMES}
         for url, warc_ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
         ):
             blob = bytes(html) if html is not None else b""
-            rows.extend(_rows_for_page(url, warc_ts, lang, blob))
-        if rows:
-            # Column-wise construction with explicit nullable integer
-            # dtypes: mixed None/int rows would otherwise be inferred as
-            # float64 at DataFrame construction, whose 53-bit mantissa
-            # silently corrupts int64 nanosecond timestamps.
-            cols = {name: [r[name] for r in rows] for name in _FIELD_NAMES}
+            try:
+                text = extract_text(blob)
+                events = parse_markers(blob, json_cache)
+                err = None
+            except Exception as exc:  # corrupt marker -> quarantine page
+                text, events, err = None, [], f"{type(exc).__name__}: {exc}"
+
+            n = len(events)
+            if not events:
+                ap["url"](url); ap["warc_ts"](warc_ts); ap["lang"](lang)
+                ap["page_text"](text); ap["n_page_events"](0)
+                ap["parse_error"](err); ap["event_idx"](-1)
+                for name in _EVENT_FIELDS:
+                    ap[name](None)
+                continue
+            for idx, ev in enumerate(events):
+                attrs_s, attrs_i = split_cached(ev.attrs)
+                span_s, _ = split_cached(ev.span_attrs)
+                res_s, _ = split_cached(ev.res_attrs)
+                ap["url"](url); ap["warc_ts"](warc_ts); ap["lang"](lang)
+                # page_text rides only the first row per page (see above)
+                ap["page_text"](text if idx == 0 else None)
+                ap["n_page_events"](n)
+                ap["parse_error"](None)
+                ap["event_idx"](idx)
+                ap["event_name"](ev.name); ap["ts_ns"](ev.ts_ns)
+                ap["trace_id"](ev.trace_id); ap["span_id"](ev.span_id)
+                ap["span_name"](ev.span_name); ap["span_kind"](ev.span_kind)
+                ap["trace_state"](ev.trace_state)
+                ap["event_attrs_s"](attrs_s); ap["event_attrs_i"](attrs_i)
+                ap["span_attrs"](span_s); ap["res_attrs"](res_s)
+        if cols["url"]:
+            # explicit nullable integer dtypes: mixed None/int would be
+            # inferred float64, whose 53-bit mantissa silently corrupts
+            # int64 nanosecond timestamps
             cols["ts_ns"] = pd.array(cols["ts_ns"], dtype="Int64")
             cols["event_idx"] = pd.array(cols["event_idx"], dtype="Int32")
             cols["n_page_events"] = pd.array(cols["n_page_events"], dtype="Int32")
