@@ -59,9 +59,11 @@ def main() -> None:
     if args.generate:
         webpages = generate_webpages(spark, args.generate)
     elif args.input:
-        webpages = TableIO(spark, os.path.dirname(args.input) or ".").read(
-            os.path.basename(args.input)
-        )
+        if os.path.sep in args.input or args.input.endswith(".parquet"):
+            webpages = spark.read.parquet(args.input)
+        else:
+            # dotted name = Iceberg table (catalog must be configured)
+            webpages = spark.read.format("iceberg").load(args.input)
     else:
         ap.error("one of --input / --generate is required")
         return

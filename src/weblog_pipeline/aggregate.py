@@ -35,12 +35,14 @@ def salted_agg(
 
     partial_exprs = []
     final_exprs = []
+    value_cols: list[str] = []
     for out, spec in aggs.items():
         if spec == "count":
             partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
             final_exprs.append(F.sum(f"_p_{out}").alias(out))
         else:
             op, _, col = spec.partition(":")
+            value_cols.append(col)
             if op == "sum":
                 partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
                 final_exprs.append(F.sum(f"_p_{out}").alias(out))
@@ -53,7 +55,8 @@ def salted_agg(
             else:
                 raise ValueError(f"unsupported agg spec: {spec}")
 
-    partial = df.select(*keys, salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    pruned = df.select(*keys, *dict.fromkeys(value_cols), salt)
+    partial = pruned.groupBy(*keys, "_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
@@ -67,8 +70,10 @@ def domain_counts(
     records: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
 ) -> DataFrame:
     """Per-(sink, domain) counts, salt-protected against Zipf-head skew."""
+    # try_parse_url: under ANSI mode (Spark 4 default) parse_url THROWS on
+    # a malformed url and would fail the whole job; malformed -> NULL domain
     with_domain = records.withColumn(
-        "domain", F.parse_url(F.col("url"), F.lit("HOST"))
+        "domain", F.try_parse_url(F.col("url"), F.lit("HOST"))
     )
     return salted_agg(
         with_domain,

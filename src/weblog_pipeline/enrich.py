@@ -62,6 +62,16 @@ def severity_number_to_text_expr(num_col: Column) -> Column:
 EMPTY_STR_MAP = "cast(map() as map<string,string>)"
 
 
+def _wrap_int32(col: Column) -> Column:
+    """Two's-complement int64 -> int32 narrowing (Go int32(v) semantics),
+    ANSI-safe: ((v mod 2^32) + 2^32 + 2^31) mod 2^32 - 2^31."""
+    two32 = F.lit(4294967296)
+    return (
+        ((col % two32 + two32 + F.lit(2147483648)) % two32 - F.lit(2147483648))
+        .cast("int")
+    )
+
+
 def _empty_map() -> Column:
     return F.expr(EMPTY_STR_MAP)
 
@@ -120,15 +130,20 @@ def severity_columns(
             )
         name_num = ladder.otherwise(F.lit(None).cast("int"))
 
+    # Go narrows the attr to int32 with two's-complement wrap
+    # (plog.SeverityNumber(attrValue.Int()), connector.go:276); a plain
+    # cast would throw CAST_OVERFLOW under ANSI mode instead
+    n_attr_i32 = _wrap_int32(n_attr)
+
     number = (
-        F.when(n_attr.isNotNull(), n_attr.cast("int"))
+        F.when(n_attr.isNotNull(), n_attr_i32)
         .when(t_attr.isNotNull(), F.coalesce(parsed_t, F.lit(9)))
         .when(sa_parsed.isNotNull(), sa_parsed)
         .when(name_num.isNotNull(), name_num)
         .otherwise(F.lit(9))
     )
     text = (
-        F.when(n_attr.isNotNull(), F.coalesce(t_attr, severity_number_to_text_expr(n_attr)))
+        F.when(n_attr.isNotNull(), F.coalesce(t_attr, severity_number_to_text_expr(n_attr_i32)))
         .when(t_attr.isNotNull(), F.coalesce(canonical_text(parsed_t), t_attr))
         .when(sa_parsed.isNotNull(), canonical_text(sa_parsed))
         .when(name_num.isNotNull(), canonical_text(name_num))
@@ -217,7 +232,9 @@ def enrich_events(
         F.col("warc_ts"),
         F.col("lang"),
         name.alias("event_name"),
-        F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts"),
+        # integer div: `/` promotes to double (53-bit mantissa) and rounds
+        # current-epoch ns values off by 1us
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
         F.col("ts_ns"),
         F.timestamp_micros(F.lit(observed_ts_us)).alias("observed_ts"),
         sev_num.cast("int").alias("severity_number"),

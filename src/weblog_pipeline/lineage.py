@@ -42,14 +42,12 @@ def unit_id_for(input_file: str) -> str:
 
 
 def list_units(spark: SparkSession, input_path: str) -> list[tuple[str, str]]:
-    """(unit_id, input_file) for every data file of the input table."""
-    files = [
-        r["file"]
-        for r in spark.read.parquet(input_path)
-        .select(F.input_file_name().alias("file"))
-        .distinct()
-        .collect()
-    ]
+    """(unit_id, input_file) for every data file of the input table.
+
+    Enumerated from the file index (a metadata operation — Spark's
+    InMemoryFileIndex / Iceberg's files table), NOT by scanning rows:
+    resume planning must stay O(#files), not O(data)."""
+    files = list(spark.read.parquet(input_path).inputFiles())
     return sorted((unit_id_for(f), f) for f in files)
 
 
@@ -111,12 +109,18 @@ def run_resumable(
         files = [f for _, f in chunk]
         webpages = spark.read.parquet(*files)
         logs = build_logs(webpages)
-        rows_out = logs.count()
+        # rows_out rides the write as an Observation — a separate count()
+        # would execute the whole parse pipeline a second time per chunk
+        from pyspark.sql import Observation
+
+        obs = Observation(f"chunk_{chunk_no}")
+        observed = logs.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         # chunk-scoped overwrite: a re-run of this chunk replaces exactly
         # its own prior (possibly partial) output — no dups, no gaps
-        logs.write.mode("overwrite").partitionBy("sink").parquet(
+        observed.write.mode("overwrite").partitionBy("sink").parquet(
             os.path.join(output_path, f"run={run_id}", f"chunk={chunk_no:06d}")
         )
+        rows_out = obs.get["rows_out"]
         dur = int((time.time() - t0) * 1000)
         now_us = int(time.time() * 1_000_000)
         ledger.record(

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 from .config import DEFAULT_ROUTES, PipelineConfig, SinkRoute, route_event
 from .markers import SpanEvent, extract_text, parse_markers
-from .severity import map_severity, severity_number_to_text
+from .severity import map_severity, severity_number_to_text, wrap_int32
 
 SEVERITY_DEFAULT_NUMBER = 9
 SEVERITY_DEFAULT_TEXT = "info"
@@ -51,7 +51,7 @@ def resolve_severity(config: PipelineConfig, event: SpanEvent) -> tuple[int, str
         if am.severity_number:
             v = event.attrs.get(am.severity_number)
             if isinstance(v, int) and not isinstance(v, bool):
-                number = v
+                number = wrap_int32(v)  # Go int32 narrowing, connector.go:276
                 text = severity_number_to_text(number)
                 found = True
         if am.severity_text:

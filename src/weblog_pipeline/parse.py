@@ -85,6 +85,20 @@ def _split_attrs(attrs: dict) -> tuple[dict, dict]:
     return s, i
 
 
+def _stringify_attrs(attrs: dict) -> dict:
+    """All-values-as-strings rendering for span/resource attrs: the
+    reference copies these regardless of type (connector.go:233,382-385);
+    our map<string,string> columns carry ints in their canonical string
+    form (oracle._render_value twin)."""
+    out: dict[str, str] = {}
+    for k, v in attrs.items():
+        if isinstance(v, bool):
+            out[k] = "true" if v else "false"
+        else:
+            out[k] = str(v)
+    return out
+
+
 def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     """Hot path: direct column assembly (no per-row dicts) + batch-scoped
     memoization of repeated JSON payloads and their type-splits (span/
@@ -94,13 +108,21 @@ def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"
 
     for pdf in batches:
         json_cache: dict = {}
-        split_cache: dict = {}  # id(shared dict) -> (ref, (s, i)) — ref pins id
+        split_cache: dict = {}  # id(shared dict) -> (ref, result) — ref pins id
+        str_cache: dict = {}
 
         def split_cached(d: dict) -> tuple[dict, dict]:
             hit = split_cache.get(id(d))
             if hit is None:
                 hit = (d, _split_attrs(d))
                 split_cache[id(d)] = hit
+            return hit[1]
+
+        def stringify_cached(d: dict) -> dict:
+            hit = str_cache.get(id(d))
+            if hit is None:
+                hit = (d, _stringify_attrs(d))
+                str_cache[id(d)] = hit
             return hit[1]
 
         cols: dict[str, list] = {name: [] for name in _FIELD_NAMES}
@@ -126,8 +148,8 @@ def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"
                 continue
             for idx, ev in enumerate(events):
                 attrs_s, attrs_i = split_cached(ev.attrs)
-                span_s, _ = split_cached(ev.span_attrs)
-                res_s, _ = split_cached(ev.res_attrs)
+                span_s = stringify_cached(ev.span_attrs)
+                res_s = stringify_cached(ev.res_attrs)
                 ap["url"](url); ap["warc_ts"](warc_ts); ap["lang"](lang)
                 # page_text rides only the first row per page (see above)
                 ap["page_text"](text if idx == 0 else None)

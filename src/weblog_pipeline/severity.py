@@ -61,6 +61,13 @@ VALID_CONFIG_SEVERITIES: frozenset[str] = frozenset(
 )
 
 
+def wrap_int32(v: int) -> int:
+    """Two's-complement int64 -> int32 narrowing (Go int32(v) semantics);
+    the reference applies this to attribute-mapped severity numbers
+    (plog.SeverityNumber(attrValue.Int()), connector.go:276)."""
+    return ((v % 2**32) + 2**32 + 2**31) % 2**32 - 2**31
+
+
 def severity_number_to_text(number: int) -> str:
     """Canonical text for a severity number; unknown -> "info"."""
     return NUMBER_TO_TEXT.get(number, "info")

@@ -77,9 +77,15 @@ def severity_chain_sql(
     sa_parsed = map_severity_num_sql(sa) if cfg.severity_attribute else "NULL"
     name_num = name_match_num_sql(cfg, name_sql)
 
+    # Go int32 narrowing (two's complement) instead of a bare CAST, which
+    # would raise on out-of-range values in strict engines
+    n_attr_i32 = (
+        f"CAST((({n_attr} % 4294967296 + 4294967296 + 2147483648)"
+        f" % 4294967296 - 2147483648) AS INTEGER)"
+    )
     num = (
         "(CASE"
-        f" WHEN {n_attr} IS NOT NULL THEN CAST({n_attr} AS INTEGER)"
+        f" WHEN {n_attr} IS NOT NULL THEN {n_attr_i32}"
         f" WHEN {t_attr} IS NOT NULL THEN COALESCE({parsed_t}, 9)"
         f" WHEN {sa_parsed} IS NOT NULL THEN {sa_parsed}"
         f" WHEN {name_num} IS NOT NULL THEN {name_num}"
@@ -88,7 +94,7 @@ def severity_chain_sql(
     text = (
         "(CASE"
         f" WHEN {n_attr} IS NOT NULL THEN"
-        f"  COALESCE({t_attr}, {severity_number_to_text_sql(n_attr)})"
+        f"  COALESCE({t_attr}, COALESCE({canonical_text_sql(n_attr_i32)}, 'info'))"
         f" WHEN {t_attr} IS NOT NULL THEN"
         f"  COALESCE({canonical_text_sql(parsed_t)}, {t_attr})"
         f" WHEN {sa_parsed} IS NOT NULL THEN {canonical_text_sql(sa_parsed)}"

@@ -1,0 +1,114 @@
+"""Regression tests for review findings: int span/resource attrs, ns->us
+precision, ANSI-safe urls, salted_agg value columns, int32 severity wrap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weblog_pipeline.config import AttributeMappings, PipelineConfig
+from weblog_pipeline.enrich import attrs_rendered, enrich_events
+from weblog_pipeline.generate import gen_page
+from weblog_pipeline.markers import SpanEvent, render_marker
+from weblog_pipeline.oracle import populate_log_record, render_attrs
+from weblog_pipeline.parse import event_rows, parse_events
+from weblog_pipeline.pipeline import build_pipeline
+from weblog_pipeline.severity import wrap_int32
+from weblog_pipeline.webpages import WEBPAGES_SCHEMA
+
+OBS_US = 1_751_600_000_000_000
+
+
+def _page_df(spark, events, text="hello world"):
+    html = (
+        "".join(render_marker(e) for e in events) + f"<p>{text}</p>"
+    ).encode()
+    return spark.createDataFrame(
+        [("https://r.example.com/1", None, bytearray(html), text, "en")],
+        schema=WEBPAGES_SCHEMA,
+    )
+
+
+def _ev(**kw):
+    base = dict(
+        trace_id="0" * 32, span_id="0" * 16, span_name="s", span_kind="Server",
+        trace_state="", ts_ns=1_764_223_148_031_154_866, name="custom",
+        attrs={}, span_attrs={}, res_attrs={},
+    )
+    base.update(kw)
+    return SpanEvent(**base)
+
+
+def _run(spark, df, cfg):
+    logs = enrich_events(event_rows(parse_events(df)), cfg, OBS_US)
+    return logs.withColumn("attrs_str", attrs_rendered("attributes")).withColumn(
+        "res_str", attrs_rendered("resource_attributes")
+    ).collect()
+
+
+def test_int_span_and_resource_attrs_propagate(spark):
+    ev = _ev(
+        span_attrs={"retry.count": 3, "m": "GET"},
+        res_attrs={"r": 7},
+    )
+    cfg = PipelineConfig(
+        log_attributes_from=("span.attributes", "resource.attributes")
+    )
+    [row] = _run(spark, _page_df(spark, [ev]), cfg)
+    want = populate_log_record(cfg, ev, row["url"], OBS_US)
+    assert row["attrs_str"] == render_attrs(want.attributes)
+    assert "retry.count=3" in row["attrs_str"]
+    assert row["res_str"] == render_attrs(want.resource_attributes) == "r=7"
+
+
+def test_ts_ns_to_us_is_exact(spark):
+    # 1764223148031154866 ns: double division rounds to ...155 us
+    ev = _ev(ts_ns=1_764_223_148_031_154_866)
+    [row] = _run(spark, _page_df(spark, [ev]), PipelineConfig())
+    assert row["ts_ns"] == 1_764_223_148_031_154_866
+    # exact floor division (…154 us), not float rounding (…155 us)
+    assert row["ts"].microsecond == (1_764_223_148_031_154_866 // 1000) % 1_000_000
+
+
+def test_malformed_url_does_not_crash_domain_agg(spark):
+    page = gen_page(5)  # 5 events
+    df = spark.createDataFrame(
+        [("not a url%%", None, bytearray(page.html), page.text, "en")],
+        schema=WEBPAGES_SCHEMA,
+    )
+    result = build_pipeline(df, PipelineConfig(), observed_ts_us=OBS_US)
+    rows = result.per_domain.collect()  # must not raise under ANSI mode
+    assert sum(r["records"] for r in rows) == 5
+    assert all(r["domain"] is None for r in rows)
+
+
+def test_salted_agg_value_specs(spark):
+    from weblog_pipeline.aggregate import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1, "u1"), ("a", 5, "u2"), ("b", 2, "u3")], ["k", "v", "url"]
+    )
+    got = {
+        r["k"]: (r["total"], r["biggest"], r["smallest"])
+        for r in salted_agg(
+            df, ["k"], {"total": "sum:v", "biggest": "max:v", "smallest": "min:v"}
+        ).collect()
+    }
+    assert got == {"a": (6, 5, 1), "b": (2, 2, 2)}
+
+
+@pytest.mark.parametrize("raw,wrapped", [
+    (5_000_000_000, 705_032_704),
+    (2**31, -(2**31)),
+    (-5_000_000_000, -705_032_704),
+    (17, 17),
+])
+def test_severity_number_int32_wrap(spark, raw, wrapped):
+    assert wrap_int32(raw) == wrapped
+    ev = _ev(attrs={"sev": raw})
+    cfg = PipelineConfig(
+        attribute_mappings=AttributeMappings(severity_number="sev"),
+        log_attributes_from=("event.attributes",),
+    )
+    [row] = _run(spark, _page_df(spark, [ev]), cfg)
+    want = populate_log_record(cfg, ev, row["url"], OBS_US)
+    assert row["severity_number"] == want.severity_number == wrapped
+    assert row["severity_text"] == want.severity_text

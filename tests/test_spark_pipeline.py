@@ -133,6 +133,36 @@ def test_include_event_names_zero_output(spark):
     assert result.texts.count() == 60
 
 
+def test_corrupt_marker_quarantined(spark):
+    """A page with an unparseable marker must not fail the task: it yields
+    a parse_error row, contributes no events, and other pages are fine."""
+    from pyspark.sql import Row
+
+    good = gen_page(11)
+    bad_html = (
+        b"<p>fine</p><!--otel span_ctx=" + b"a" * 32 + b"/" + b"b" * 16
+        + b"/s/k ts=1 name=x attrs={not-json} span_attrs={} res_attrs={}-->"
+    )
+    from weblog_pipeline.webpages import WEBPAGES_SCHEMA
+
+    df = spark.createDataFrame(
+        [
+            (good.url, None, bytearray(good.html), good.text, "en"),
+            ("https://bad.example.com/x", None, bytearray(bad_html), "fine", "en"),
+        ],
+        schema=WEBPAGES_SCHEMA,
+    )
+    result = build_pipeline(df, PipelineConfig(), observed_ts_us=OBS_US)
+    texts = {r["url"]: r for r in result.texts.collect()}
+    bad = texts["https://bad.example.com/x"]
+    assert bad["parse_error"] is not None and "JSONDecodeError" in bad["parse_error"]
+    assert bad["page_text"] is None and bad["n_page_events"] == 0
+    # the good page still produced its records
+    logs = result.logs.collect()
+    assert {r["url"] for r in logs} == {good.url}
+    assert len(logs) == 5
+
+
 def test_domain_counts_salted(spark):
     cfg = PipelineConfig()
     webpages = generate_webpages(spark, N_PAGES, partitions=4)
