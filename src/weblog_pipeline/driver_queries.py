@@ -739,6 +739,28 @@ FROM ev GROUP BY 1
 """
 
 
+def q_windowed_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows x sink (batch twin of
+    streaming.windowed_sink_counts; window start as epoch seconds so the
+    hash compare is timezone-proof)."""
+    rec = _events_records_spark(spark, sf_dir, CFG_DEFAULT)
+    ts = F.timestamp_micros(F.expr("ts_ns div 1000"))
+    windowed = rec.withColumn("w", F.window(ts, "1 day"))
+    return windowed.groupBy(
+        (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long").alias("window_start_s"),
+        "sink",
+    ).agg(F.count(F.lit(1)).alias("records"))
+
+
+SQL_WINDOWED_SINK_COUNTS = f"""
+WITH ev AS ({EV_CTE})
+SELECT CAST(epoch(date_trunc('day', to_timestamp(ts_ns / 1e9))) AS BIGINT) AS window_start_s,
+       {sink_sql(EVENT_ROUTES, "event_name", "sink_default")} AS sink,
+       COUNT(*) AS records
+FROM ev GROUP BY 1, 2
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     meta = multimodal.extract_media_metadata(
@@ -808,6 +830,7 @@ def queries() -> dict:
         "route_counts": q_route_counts,
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
+        "windowed_sink_counts": q_windowed_sink_counts,
         # -- full pipeline over documents-derived webpages --
         "parse_roundtrip": q_parse_roundtrip,
         "e2e_sink_counts": q_e2e_sink_counts,
@@ -848,6 +871,7 @@ def oracle_sql() -> dict:
         "route_counts": SQL_ROUTE_COUNTS,
         "filter_include_names": SQL_FILTER_INCLUDE,
         "grouped_emission": SQL_GROUPED_EMISSION,
+        "windowed_sink_counts": SQL_WINDOWED_SINK_COUNTS,
         "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
         "e2e_sink_counts": _sql_e2e_sink_counts(),
         "e2e_records": _sql_e2e_records(),
