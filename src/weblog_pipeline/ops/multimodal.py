@@ -128,6 +128,59 @@ def extract_media_metadata(media: "DataFrame", fake: bool = True) -> "DataFrame"
     return pruned.mapInPandas(run, schema=META_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(
+    media: "DataFrame", every_n: int = 10, fake: bool = True
+) -> "DataFrame":
+    """Frame sampling for video payloads: one output row per sampled frame
+    (frames 0, every_n, 2*every_n, ... of the decoded stream).
+
+    STUB decode (as with decode_av): the frame content is a deterministic
+    function of (payload bytes, frame index). The Spark shape is the real
+    one — explode-like fan-out inside the UDF, bounded output rows per
+    input row, payload never re-emitted."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "video":
+                    continue
+                blob = bytes(payload) if payload is not None else b""
+                meta = decode_av(blob, "video", fake=fake)
+                for idx in range(0, meta["n_frames"], every_n):
+                    fd = hashlib.sha256(blob + idx.to_bytes(4, "big")).digest()
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": idx,
+                            "frame_sha": fd.hex(),
+                            "frame_feature": [fd[i] / 255.0 for i in range(FEATURE_DIM)],
+                        }
+                    )
+            if out:
+                o = pd.DataFrame(out)
+                o["media_id"] = o["media_id"].astype("Int64")
+                o["frame_idx"] = o["frame_idx"].astype("Int32")
+                yield o[[f.name for f in FRAME_SCHEMA.fields]]
+
+    pruned = media.select("media_id", "payload", "media_type")
+    return pruned.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_from_documents(documents: "DataFrame") -> "DataFrame":
     """Deterministic fake media table: each document's utf-8 bytes act as
     an opaque payload (media_type cycles by doc_id). Lets the multimodal

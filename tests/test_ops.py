@@ -199,6 +199,19 @@ def test_multimodal_metadata_plumbing(spark, docs_df):
     assert meta[2]["media_type"] == "video" and meta[2]["n_frames"] >= 1
 
 
+def test_frame_sampling(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    frames = multimodal.sample_frames(media, every_n=7).collect()
+    video_ids = {i for i, _, _ in DOCS if i % 3 == 2}
+    assert {r["media_id"] for r in frames} == video_ids
+    for r in frames:
+        assert r["frame_idx"] % 7 == 0
+        blob = dict((i, t) for i, t, _ in DOCS)[r["media_id"]].encode()
+        want = hashlib.sha256(blob + r["frame_idx"].to_bytes(4, "big")).hexdigest()
+        assert r["frame_sha"] == want
+        assert len(r["frame_feature"]) == multimodal.FEATURE_DIM
+
+
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...", fake=False)
