@@ -775,9 +775,6 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
-    embs_q = lambda fn: (  # noqa: E731
-        lambda spark, sf_dir: fn(_read(spark, sf_dir, "embeddings"))
-    )
 
     def ann_bf(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
