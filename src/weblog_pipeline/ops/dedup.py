@@ -71,7 +71,7 @@ def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
+def minhash_signatures(documents: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """doc_id, band, band_hash — one row per (doc, band).
 
     One explode + one aggregation pass computes all 16 min-hashes
@@ -79,33 +79,47 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     collapses each partition to one row per doc before the shuffle).
     Docs with <3 words produce no shingles and are excluded (cannot be
     near-dup candidates by this measure).
+
+    hash_fn: 'md5' (hex strings — reproducible by any SQL engine, used by
+    the oracle-checked queries) or 'xxhash64' (JVM-native 64-bit longs,
+    no string materialization — the 100 TB fast path; same LSH structure,
+    different hash family).
     """
     exploded = _fan_out(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(shingles_col()).alias("shingle")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}")))).alias(f"mh{h}")
-        for h in range(N_MINHASH)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{h}")))).alias(f"mh{h}")
+            for h in range(N_MINHASH)
+        ]
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"mh{h}")
+            for h in range(N_MINHASH)
+        ]
+    else:
+        raise ValueError(f"unsupported hash_fn: {hash_fn}")
     sigs = exploded.groupBy("doc_id").agg(*aggs)
 
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = (
+            F.md5(F.concat(*cols)) if hash_fn == "md5" else F.xxhash64(*cols).cast("string")
+        )
         band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("band_hash")
-            )
+            F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash"))
         )
     return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(documents: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """Unordered candidate pairs (doc_a < doc_b) sharing >= 1 LSH band."""
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents, hash_fn=hash_fn)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -73,6 +73,14 @@ def test_lsh_matches_python_oracle(spark, docs_df):
     assert (0, 1) in got  # exact dups always collide
 
 
+def test_lsh_xxhash_fast_path_finds_exact_dups(spark, docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs_df, hash_fn="xxhash64").collect()
+    }
+    assert (0, 1) in got  # identical shingle sets collide in any hash family
+
+
 def test_jaccard_counts(spark, docs_df):
     pairs = spark.createDataFrame([Row(doc_a=0, doc_b=1), Row(doc_a=0, doc_b=2)])
     jac = {
