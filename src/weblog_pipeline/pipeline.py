@@ -97,4 +97,14 @@ def run_to_sinks(
     counts = {s: got[f"n_{s}"] for s in result.sink_names if got[f"n_{s}"] > 0}
     result.metrics["per_sink_counts"] = counts
     result.metrics["records"] = got["records"]
+
+    # persist run-level counters (O23 observability; north rule: metrics
+    # checkpointed alongside lineage) — one row per (run, sink)
+    metrics_rows = [
+        (result.observed_ts_us, s, int(got[f"n_{s}"])) for s in result.sink_names
+    ]
+    metrics_df = spark.createDataFrame(
+        metrics_rows, "run_ts_us long, sink string, records long"
+    )
+    io.append(metrics_df.coalesce(1), "run_metrics")
     return counts
