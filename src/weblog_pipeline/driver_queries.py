@@ -639,14 +639,147 @@ FROM (
 WHERE rank <= 5
 """
 
-SQL_NEARDUP_EMB = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r6
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+
+def _lsh_proj_sql(band: int, plane: int) -> str:
+    """Integer projection of the quantized vector column `q` onto the
+    deterministic +-1 hyperplane (band, plane) — the exact SQL twin of
+    similarity.band_bucket_col's per-plane fold. q elements are
+    floor(x*1e6) (|.| <= ~5e5), so 64-term sums stay integer-exact in
+    double in ANY summation order — no float-boundary risk."""
+    signs = similarity.hyperplane_signs(band, plane)
+    pos = [str(i + 1) for i, s in enumerate(signs) if s == 1]
+    neg = [str(i + 1) for i, s in enumerate(signs) if s == -1]
+    pos_s = f"COALESCE(list_sum(list_select(q, [{', '.join(pos)}])), 0)" if pos else "0"
+    neg_s = f"COALESCE(list_sum(list_select(q, [{', '.join(neg)}])), 0)" if neg else "0"
+    return f"({pos_s} - {neg_s})"
+
+
+def _lsh_bucket_sql(band: int) -> str:
+    bits = [
+        f"CASE WHEN {_lsh_proj_sql(band, p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_bands_cte() -> str:
+    """CTEs `qv` (vec, quantized vec) and `bands` (vec_id, band, bucket) —
+    the SQL twin of similarity.with_band_buckets over the embeddings table."""
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_lsh_bucket_sql(b)} AS bucket FROM qv"
+        for b in range(similarity.N_LSH_BANDS)
+    )
+    return f"""
+qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {float(similarity.LSH_QUANT)})) AS q
+  FROM embeddings
+),
+bands AS ({per_band})
+"""
+
+
+def _sql_ann_lsh_topk(k: int = 5) -> str:
+    return f"""
+WITH {_lsh_bands_cte()},
+qb AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+  FROM bands b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q1.v, q2.v), 6) AS cos_r6
+  FROM cand c
+  JOIN qv q1 ON q1.vec_id = c.query_id
+  JOIN qv q2 ON q2.vec_id = c.neighbor_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_r6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_r6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def _sql_ann_ivf_topk(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
+    """SQL twin of similarity.ivf_topk: hash-sampled centroids (smallest
+    md5(vec_id), cell = rank in md5 order), integer-quantized dot-product
+    argmax assignment (quantized values <= ~530 so the 64-term dot is
+    integer-exact in double), n_probe nearest cells per query, exact
+    cosine re-rank on candidates."""
+    return f"""
+WITH qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY ord) - 1 AS cell, q AS cq
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS ord, q
+        FROM qv ORDER BY 1 LIMIT {n_cells})
+),
+dots AS (
+  SELECT qv.vec_id, cent.cell, list_dot_product(qv.q, cent.cq) AS dot
+  FROM qv CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rnk
+    FROM dots
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rnk
+    FROM dots WHERE vec_id % 50 = 0
+  ) WHERE rnk <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q1.v, q2.v), 6) AS cos_r6
+  FROM cand c
+  JOIN qv q1 ON q1.vec_id = c.query_id
+  JOIN qv q2 ON q2.vec_id = c.neighbor_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_r6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_r6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def _sql_neardup_emb(threshold: float = 0.5) -> str:
+    """SQL twin of the LSH-bucketed cosine_near_dup_pairs (candidates from
+    the band-bucket equi-join, exact cosine filter on candidates only)."""
+    return f"""
+WITH {_lsh_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(q1.v, q2.v), 6) AS cos_r6
+FROM cand c
+JOIN qv q1 ON q1.vec_id = c.id_a
+JOIN qv q2 ON q2.vec_id = c.id_b
+WHERE round(list_cosine_similarity(q1.v, q2.v), 6) >= {threshold}
 """
 
 
@@ -790,18 +923,27 @@ def queries() -> dict:
                 "embedding"
             ),
         )
-        out = similarity.brute_force_topk(corpus, q, k=5)
-        return out.withColumn("rank", F.col("rank").cast("int"))
+        return similarity.brute_force_topk(corpus, q, k=5)
+
+    def _emb_double(spark, sf_dir):
+        # double-cast once: the cosine re-rank must fold in double on both
+        # engines (float*float stays float in Spark otherwise)
+        return _read(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
 
     def ann_lsh(spark, sf_dir):
-        emb = _read(spark, sf_dir, "embeddings")
+        emb = _emb_double(spark, sf_dir)
         q = emb.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         return similarity.lsh_topk(emb, q, k=5)
 
     def ann_ivf(spark, sf_dir):
-        emb = _read(spark, sf_dir, "embeddings")
+        emb = _emb_double(spark, sf_dir)
         q = emb.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
@@ -814,7 +956,9 @@ def queries() -> dict:
                 "embedding"
             ),
         )
-        return similarity.cosine_near_dup_pairs(emb, threshold=0.5)
+        # 0.4 keeps the result non-empty at every driver SF (the candidate
+        # pairs are LSH band collisions; the exact filter runs on those only)
+        return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
     return {
         # -- pipeline semantics over events (SQL-checked) --
@@ -849,8 +993,8 @@ def queries() -> dict:
         "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
         # -- similarity --
         "ann_cosine_topk": ann_bf,
-        "ann_lsh_topk": ann_lsh,  # rows-only (approximate scale path)
-        "ann_ivf_topk": ann_ivf,  # rows-only (approximate scale path)
+        "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
         "embedding_neardup": neardup_emb,
         # -- multimodal --
         "multimodal_meta": q_multimodal_meta,
@@ -883,7 +1027,8 @@ def oracle_sql() -> dict:
         "ngram_jaccard": SQL_JACCARD,
         "simhash": SQL_SIMHASH,
         "ann_cosine_topk": SQL_ANN_TOPK,
-        # ann_lsh_topk: intentionally rows-only (sign-LSH float boundary)
-        "embedding_neardup": SQL_NEARDUP_EMB,
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
+        "embedding_neardup": _sql_neardup_emb(threshold=0.4),
         "multimodal_meta": _sql_multimodal_meta(),
     }

@@ -3,23 +3,29 @@
 * brute_force_topk — exact cosine top-k: broadcast the (small) query set
   against the full corpus; the dot product is a built-in `zip_with` +
   `aggregate` fold (JVM codegen, no Python). At 100 TB the corpus side
-  stays partition-parallel and nothing shuffles except the final
-  per-query top-k (tiny).
-* lsh_topk — sign-random-projection LSH: 16-bit bucket from deterministic
-  ±1 hyperplanes (derived from md5 bits of the dimension index, so every
-  engine derives the same planes); candidates = bucket equi-join, then
-  exact cosine re-rank. This is the scale path: the crossjoin shrinks by
-  the bucket selectivity (~2^-16 per probe band of 16 bits; we use 4
-  independent 8-bit bands for recall).
+  stays partition-parallel; the final rank is a TWO-PHASE top-k (partial
+  per-(query, salt) rank, then a final rank over <= k*salt_buckets rows)
+  so no single reducer ever receives the full corpus for one query.
+* lsh_topk — sign-random-projection LSH: 8-bit band buckets from
+  deterministic +-1 hyperplanes; candidates = bucket equi-join, then exact
+  cosine re-rank. The scale path: candidate volume shrinks by the bucket
+  selectivity (~2^-8 per band, 4 bands for recall).
+* ivf_topk — inverted-file: hash-sampled centroids, cell equi-join,
+  n_probe/n_cells pruning.
 
-Ranking is by (cosine rounded to 6 decimals DESC, neighbor id ASC) — the
-rounding + id tie-break makes the ordering reproducible across engines
-whose float summation order differs.
+Cross-engine exactness: bucket and cell decisions are made in INTEGER
+space — vectors are quantized with floor(x * QUANT) (a long), projections
+and centroid dot products are integer sums, so Spark and any SQL oracle
+agree bit-for-bit regardless of float summation order. Only the final
+cosine re-rank uses float math, protected by round(,6) + neighbor-id
+tie-break (the ordering is reproducible across engines whose float
+summation order differs).
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -27,6 +33,9 @@ from pyspark.sql import functions as F
 DIM = 64
 N_PLANES = 8  # bits per LSH band
 N_LSH_BANDS = 4
+LSH_QUANT = 1_000_000  # sign-projection quantizer: floor(x * 1e6) as long
+IVF_QUANT = 1_000  # centroid-assignment quantizer: floor(x * 1e3) as long
+TOPK_SALT_BUCKETS = 64
 
 
 def _dot(a, b):
@@ -45,6 +54,49 @@ def _norm(a):
 
 def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def quantized_col(vec_col, quant: int):
+    """floor(x * quant) per element, as long — integer-exact across engines
+    (float->double is exact, the double product is IEEE-identical everywhere,
+    floor is unambiguous)."""
+    return F.transform(vec_col, lambda x: F.floor(x * F.lit(float(quant))))
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase distributed top-k over (query_id, neighbor_id, cos_r6).
+
+    Phase 1 ranks within (query_id, salt) where salt = xxhash64(neighbor_id)
+    mod TOPK_SALT_BUCKETS: the shuffle key is uniform, every window
+    partition holds ~1/salt_buckets of one query's rows, and any global
+    top-k row is necessarily in its bucket's top-k. Phase 2 ranks the
+    surviving <= k*salt_buckets rows per query — tiny. This replaces the
+    single-reducer-per-query window that would ship the whole corpus for
+    one query to one task at scale.
+
+    Salting by a data hash (not spark_partition_id) keeps the result
+    deterministic under retries and input re-splits.
+    """
+    order = [F.col("cos_r6").desc(), F.col("neighbor_id").asc()]
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS))
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    partial = (
+        scored.withColumn("salt", salt)
+        .withColumn("pr", F.row_number().over(w1))
+        .where(F.col("pr") <= k)
+        .drop("salt", "pr")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "cos_r6",
+        )
+    )
 
 
 def brute_force_topk(
@@ -68,18 +120,11 @@ def brute_force_topk(
         "neighbor_id",
         F.round(cosine_col(F.col("query_vec"), F.col("vec")), 6).alias("cos_r6"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r6").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_r6")
-    )
+    return _topk_per_query(scored, k)
 
 
 def hyperplane_signs(band: int, plane: int, dim: int = DIM) -> list[int]:
-    """Deterministic ±1 hyperplane: sign of bit `plane` of
+    """Deterministic +-1 hyperplane: sign of bit `plane` of
     md5('lshplane-<band>-<plane>-<d>') per dimension d. Pure public-recipe
     derivation any engine can reproduce."""
     signs = []
@@ -89,22 +134,40 @@ def hyperplane_signs(band: int, plane: int, dim: int = DIM) -> list[int]:
     return signs
 
 
-def _band_bucket(vec_col, band: int):
-    """8-bit bucket id for one band: bit p = sign(dot(vec, plane_{band,p}))."""
+def band_bucket_col(qvec_col, band: int):
+    """8-bit bucket id for one band over a QUANTIZED (long-array) vector:
+    bit p = [integer projection onto plane_{band,p} is > 0]. Pure integer
+    arithmetic — bit-identical in Spark and any SQL engine."""
     bucket = F.lit(0)
     for p in range(N_PLANES):
         signs = hyperplane_signs(band, p)
         proj = F.aggregate(
             F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(s)) for s in signs]),
+                qvec_col,
+                F.array(*[F.lit(s).cast("long") for s in signs]),
                 lambda x, s: x * s,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def with_band_buckets(df: DataFrame, vec: str, id_col: str) -> DataFrame:
+    """(id_col, <vec>, band, bucket) — one row per (row, band)."""
+    qvec = quantized_col(F.col(vec), LSH_QUANT)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), band_bucket_col(qvec, b).alias("bucket")
+            )
+            for b in range(N_LSH_BANDS)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(vec), F.explode(bands).alias("bb")
+    ).select(id_col, vec, "bb.band", "bb.bucket")
 
 
 def lsh_topk(
@@ -113,45 +176,83 @@ def lsh_topk(
     k: int = 5,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 of 4 sign-LSH band buckets;
-    exact cosine re-rank on candidates only."""
-    def with_buckets(df, vec, id_alias):
-        bands = F.array(
-            *[
-                F.struct(F.lit(b).alias("band"), _band_bucket(F.col(vec), b).alias("bucket"))
-                for b in range(N_LSH_BANDS)
-            ]
-        )
-        return df.select(
-            F.col(df.columns[0]).alias(id_alias),
-            F.col(vec).alias(f"{id_alias}_vec"),
-            F.explode(bands).alias("bb"),
-        ).select(id_alias, f"{id_alias}_vec", "bb.band", "bb.bucket")
-
-    corpus_b = with_buckets(
-        embeddings.select("vec_id", "embedding"), "embedding", "neighbor_id"
+    exact cosine re-rank on candidates only; two-phase final rank."""
+    corpus_b = with_band_buckets(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("neighbor_vec"),
+        ),
+        "neighbor_vec",
+        "neighbor_id",
     )
-    queries_b = with_buckets(queries, "query_vec", "query_id")
+    queries_b = with_band_buckets(queries, "query_vec", "query_id")
 
     cands = (
         corpus_b.join(F.broadcast(queries_b), ["band", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
         .distinct()
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_col(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6).alias(
+        F.round(cosine_col(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
             "cos_r6"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r6").desc(), F.col("neighbor_id").asc()
+    return _topk_per_query(scored, k)
+
+
+def sample_centroids(embeddings: DataFrame, n_cells: int) -> list[list[float]]:
+    """n_cells deterministic centroids: the corpus vectors with the
+    lexicographically-smallest md5(vec_id) — a hash-ordered sample that
+    (a) any engine reproduces exactly, (b) needs ONE scan
+    (TakeOrderedAndProject pushes the limit into the scan — no count(),
+    no dense-id assumption), (c) collects only n_cells rows to the driver.
+    Centroid i is the i-th vector in md5 order."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_cells)
+        .collect()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_r6")
+    return [list(map(float, r["embedding"])) for r in rows]
+
+
+def quantize_centroid(c: list[float], quant: int = IVF_QUANT) -> list[int]:
+    """Driver-side twin of quantized_col — same floor(x * quant) rule."""
+    return [math.floor(x * quant) for x in c]
+
+
+def nearest_cells_col(vec_col, centroids: list[list[float]], top_n: int):
+    """Array of the top_n nearest centroid indices, by INTEGER dot product
+    of the quantized vector with the quantized centroid (ties -> lower cell
+    index). Exact in any engine; a codegen'd argmax over broadcast-literal
+    centroids — at 100 TB this is a narrow int computed in the scan stage."""
+    qv = quantized_col(vec_col, IVF_QUANT)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(
+                                *[F.lit(x).cast("long") for x in quantize_centroid(c)]
+                            ),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("negdot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, top_n
     )
 
 
@@ -164,49 +265,29 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: n_cells deterministic centroids (every (N//n_cells)-th
-    corpus vector by id order — seedless and reproducible). Each corpus
-    vector is assigned to its nearest centroid with a codegen'd argmin over
-    the broadcast centroid table; a query probes its n_probe nearest cells
-    and re-ranks exactly within them. At 100 TB the cell assignment is a
-    narrow int column computed in the scan stage, the probe join is an
-    equi-join on cell id (shuffle keyed by cell), and only ~n_probe/n_cells
-    of the corpus is scored per query.
+    Coarse quantizer: n_cells hash-sampled centroids (sample_centroids).
+    Each corpus vector is assigned to its nearest centroid with a codegen'd
+    integer argmax over the broadcast centroid table; a query probes its
+    n_probe nearest cells and re-ranks exactly within them. At 100 TB the
+    cell assignment is a narrow int column computed in the scan stage, the
+    probe join is an equi-join on cell id, and only ~n_probe/n_cells of the
+    corpus is scored per query.
     """
-    n = embeddings.count()
-    step = max(n // n_cells, 1)
-    centroids = [
-        list(map(float, r["embedding"]))
-        for r in embeddings.where(F.col("vec_id") % step == 0)
-        .orderBy("vec_id")
-        .limit(n_cells)
-        .collect()
-    ]
-
-    def nearest_cells(vec_col, top_n: int):
-        """Array of the top_n nearest centroid indices (exprs only)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (-_dot(vec_col, F.array(*[F.lit(x) for x in c]))).alias("negdot"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(
-            F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, top_n
-        )
+    centroids = sample_centroids(embeddings, n_cells)
 
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vec"),
-        F.element_at(nearest_cells(F.col("embedding"), 1), 1).alias("cell"),
+        F.element_at(nearest_cells_col(F.col("embedding"), centroids, 1), 1).alias(
+            "cell"
+        ),
     )
     probes = queries.select(
         "query_id",
         "query_vec",
-        F.explode(nearest_cells(F.col("query_vec"), n_probe)).alias("cell"),
+        F.explode(nearest_cells_col(F.col("query_vec"), centroids, n_probe)).alias(
+            "cell"
+        ),
     )
     cands = corpus.join(F.broadcast(probes), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -216,19 +297,50 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine_col(F.col("query_vec"), F.col("vec")), 6).alias("cos_r6"),
     ).distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r6").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_r6")
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
-    """Embedding near-duplicate pairs above a cosine threshold (doc_a<doc_b).
-    Brute-force baseline; the LSH band join above is the scale path."""
+    """Embedding near-duplicate pairs above a cosine threshold (id_a<id_b),
+    LSH-bucketed: candidates must share >= 1 of the 4 sign-LSH band buckets
+    (an equi-join on (band, bucket) — never all-pairs), then the exact
+    cosine filter runs on candidates only. Approximate by construction
+    (recall = P[>=1 band collision]); `cosine_near_dup_pairs_exact` is the
+    brute-force twin kept for recall measurement in tests."""
+    b = with_band_buckets(
+        embeddings.select(F.col("vec_id"), F.col("embedding")), "embedding", "vec_id"
+    )
+    a_side = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "band",
+        "bucket",
+    )
+    b_side = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "band",
+        "bucket",
+    )
+    cands = (
+        a_side.join(b_side, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos_r6"),
+        )
+        .where(F.col("cos_r6") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_exact(embeddings: DataFrame, threshold: float) -> DataFrame:
+    """Brute-force all-pairs twin of cosine_near_dup_pairs — O(N^2);
+    test-only recall oracle, never the cataloged scale path."""
     a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (

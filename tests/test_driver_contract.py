@@ -24,9 +24,9 @@ def test_every_oracle_has_a_query(entrymod):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only entries are the documented approximate ops only
+    # every cataloged query is value-oracled (no rows-only entries)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"ann_lsh_topk", "ann_ivf_topk"}
+    assert rows_only == set()
     assert len(qs) >= 25
 
 

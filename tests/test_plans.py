@@ -1,0 +1,111 @@
+"""Plan-shape guards for the scale-critical operators: these assert the
+PHYSICAL plan Catalyst picks, not just the results — a correct answer from
+a cartesian product or a single-reducer window would pass value checks yet
+die at 100x the data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weblog_pipeline.ops import similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 16).astype("float32")
+    vecs[9] = vecs[4] * 1.001  # planted near-dup pair (4, 9)
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_neardup_plan_has_no_cartesian_product(emb_df):
+    df = similarity.cosine_near_dup_pairs(emb_df, threshold=0.9)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates come from the band-bucket equi-join
+    assert "band" in plan and "bucket" in plan
+
+
+def test_neardup_bucketed_is_subset_of_exact_and_finds_planted_pair(emb_df):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_r6"]
+        for r in similarity.cosine_near_dup_pairs_exact(emb_df, 0.9).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos_r6"]
+        for r in similarity.cosine_near_dup_pairs(emb_df, 0.9).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]  # same exact re-rank math on candidates
+    # a ~parallel vector always collides in every band (same projections)
+    assert (4, 9) in bucketed
+
+
+def test_topk_uses_two_phase_window(emb_df):
+    q = emb_df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _physical(similarity.brute_force_topk(emb_df, q, k=3))
+    # phase 1 ranks within (query_id, salt); phase 2 over the survivors only
+    assert plan.count("Window") >= 2
+    assert "salt" in plan
+
+
+def test_topk_two_phase_equals_single_window(emb_df):
+    """The salted partial rank must be lossless: any global top-k row is in
+    its salt bucket's top-k."""
+    q = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb_df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(similarity.cosine_col(F.col("query_vec"), F.col("vec")), 6).alias(
+            "cos_r6"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r6").desc(), F.col("neighbor_id").asc()
+    )
+    single = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .collect()
+    }
+    two_phase = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity._topk_per_query(scored, 4).collect()
+    }
+    assert two_phase == single
+
+
+def test_ivf_bootstrap_single_scan(emb_df):
+    """sample_centroids must push the limit into the scan (one
+    TakeOrderedAndProject job), never count() + second filtered scan, and
+    must not assume dense ids."""
+    sparse = emb_df.where(F.col("vec_id") % 7 != 3)  # punch holes in the ids
+    cents = similarity.sample_centroids(sparse, 8)
+    assert len(cents) == 8
+    plan = _physical(
+        sparse.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(8)
+    )
+    assert "TakeOrderedAndProject" in plan
