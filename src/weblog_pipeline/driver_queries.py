@@ -530,9 +530,12 @@ SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
 FROM h GROUP BY 1 HAVING COUNT(*) > 1
 """
 
-#: shingle CTE shared by the minhash/jaccard oracles (word 3-grams)
-_SHINGLE_CTE = f"""
-w AS (SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text) <> ''),
+def _shingle_cte(src: str = "documents") -> str:
+    """Shingle CTE shared by the minhash/jaccard oracles (word 3-grams),
+    parameterized by the source relation (documents, or the exact-dedup
+    representatives in the fused dedup_pipeline oracle)."""
+    return f"""
+w AS (SELECT doc_id, {_TOKS} AS words FROM {src} WHERE trim(text) <> ''),
 sh AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(words) - 1),
@@ -540,6 +543,7 @@ sh AS (
   FROM w WHERE len(words) >= 3
 )
 """
+
 
 _MINHASH_AGGS = ", ".join(
     f"min(md5(shingle || '#{h}')) AS mh{h}" for h in range(dedup.N_MINHASH)
@@ -552,13 +556,17 @@ def _band_hash_sql(b: int) -> str:
     return f"md5({cols})"
 
 
-_SIG_CTE = f"""
-{_SHINGLE_CTE},
+def _sig_cte(src: str = "documents") -> str:
+    return f"""
+{_shingle_cte(src)},
 sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_hash_sql(b)} AS band_hash FROM sig" for b in range(dedup.N_BANDS))}
 )
 """
+
+
+_SIG_CTE = _sig_cte("documents")
 
 SQL_MINHASH = f"WITH {_SIG_CTE} SELECT doc_id, band, band_hash FROM bands"
 
@@ -590,6 +598,62 @@ SELECT i.doc_a, i.doc_b, i.n_intersect,
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+
+def _sql_dedup_pipeline(
+    jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
+) -> str:
+    """SQL twin of dedup.dedup_pipeline: exact dedup -> MinHash/LSH over the
+    representatives (with the band-bucket cap) -> integer Jaccard edges ->
+    single-hop drop list."""
+    return f"""
+WITH hsh AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
+  FROM hsh
+),
+exact_drops AS (
+  SELECT doc_id, keeper AS dup_of, 'exact' AS reason
+  FROM marked WHERE doc_id <> keeper
+),
+reps AS (SELECT doc_id, text FROM marked WHERE doc_id = keeper),
+{_sig_cte("reps")},
+capped AS (
+  SELECT doc_id, band, band_hash FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_hash) <= {bucket_cap}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_intersect * 100 >= {jaccard_pct} * (za.n + zb.n - i.n_intersect)
+),
+near_drops AS (
+  SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of, 'near' AS reason
+  FROM edges GROUP BY doc_b
+)
+SELECT * FROM exact_drops UNION ALL SELECT * FROM near_drops
 """
 
 
@@ -991,6 +1055,7 @@ def queries() -> dict:
             dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents")),
         ),
         "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
+        "dedup_pipeline": docs(dedup.dedup_pipeline),
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
@@ -1026,6 +1091,7 @@ def oracle_sql() -> dict:
         "lsh_candidate_pairs": SQL_LSH_PAIRS,
         "ngram_jaccard": SQL_JACCARD,
         "simhash": SQL_SIMHASH,
+        "dedup_pipeline": _sql_dedup_pipeline(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),

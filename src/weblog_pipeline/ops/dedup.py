@@ -21,12 +21,13 @@ identically (no engine-specific 64-bit hash needed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3
+DEFAULT_BUCKET_CAP = 64  # max docs per (band, band_hash) bucket in the pair join
 
 
 def shingles_col(text_col="text"):
@@ -46,11 +47,18 @@ def shingles_col(text_col="text"):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def content_hash_col(text_col="text"):
+    """md5 of the whitespace-normalized, lowercased text — the exact-dedup
+    grouping key (shared by exact_duplicates and dedup_pipeline)."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Groups of byte-identical (whitespace-normalized, lowercased) docs."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
-        documents.select(F.md5(norm).alias("content_hash"), "doc_id")
+        documents.select(content_hash_col().alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -117,9 +125,28 @@ def minhash_signatures(documents: DataFrame, hash_fn: str = "md5") -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(documents: DataFrame, hash_fn: str = "md5") -> DataFrame:
-    """Unordered candidate pairs (doc_a < doc_b) sharing >= 1 LSH band."""
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    hash_fn: str = "md5",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Unordered candidate pairs (doc_a < doc_b) sharing >= 1 LSH band.
+
+    bucket_cap guards the band-bucket self-join against quadratic blowup:
+    a (band, band_hash) bucket holding more than `bucket_cap` docs is
+    dropped entirely (its members are overwhelmingly exact duplicates —
+    dedupe those with exact_duplicates/dedup_pipeline FIRST; a capped
+    bucket of true near-dups is the documented recall tradeoff). The cap
+    is a window count over the same key the join shuffles on — no extra
+    shuffle. None = uncapped (the oracle-checked standalone query)."""
     sigs = minhash_signatures(documents, hash_fn=hash_fn)
+    if bucket_cap is not None:
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+        sigs = (
+            sigs.withColumn("bucket_n", bucket_n)
+            .where(F.col("bucket_n") <= bucket_cap)
+            .drop("bucket_n")
+        )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -192,12 +219,25 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on the high
-    16 bits (scale path: equi-join on the block key, not all-pairs)."""
+    16 bits (scale path: equi-join on the block key, not all-pairs).
+    bucket_cap drops blocks holding more than that many docs (identical
+    docs share a fingerprint, hence a block — exact-dedupe first)."""
     fps = simhash(documents)
     block = F.shiftright(F.col("simhash"), 16)
     fps = fps.withColumn("block", block)
+    if bucket_cap is not None:
+        block_n = F.count(F.lit(1)).over(Window.partitionBy("block"))
+        fps = (
+            fps.withColumn("block_n", block_n)
+            .where(F.col("block_n") <= bucket_cap)
+            .drop("block_n")
+        )
     a = fps.alias("a")
     b = fps.alias("b")
     ham = F.bit_count(
@@ -212,3 +252,51 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             ham.cast("int").alias("hamming"),
         )
     )
+
+
+def dedup_pipeline(
+    documents: DataFrame,
+    jaccard_pct: int = 80,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Fused corpus-cleaning pass: exact dedup -> MinHash/LSH on the
+    exact-dedup REPRESENTATIVES -> Jaccard verification -> drop list.
+
+    This is the composition a training-data pipeline actually runs, and
+    the ordering is the scale guard: collapsing exact duplicates FIRST
+    means no (band, band_hash) bucket can blow up on a large identical
+    cluster (its members enter MinHash as ONE representative); bucket_cap
+    backstops adversarial near-identical floods on top of that.
+
+    Output: one row per dropped doc —
+      doc_id   the document to remove
+      dup_of   the retained document it duplicates (lowest doc_id wins)
+      reason   'exact' (same normalized content hash) or
+               'near'  (LSH candidate with Jaccard >= jaccard_pct%)
+    Near-dup dropping is single-hop by design (a doc is dropped iff it has
+    a verified edge to a LOWER-id representative) — deterministic and
+    SQL-expressible; no transitive closure.
+    """
+    w = Window.partitionBy("content_hash")
+    marked = documents.select(
+        "doc_id", "text", content_hash_col().alias("content_hash")
+    ).withColumn("keeper", F.min("doc_id").over(w))
+    exact_drops = marked.where(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id", F.col("keeper").alias("dup_of"), F.lit("exact").alias("reason")
+    )
+    reps = marked.where(F.col("doc_id") == F.col("keeper")).select("doc_id", "text")
+
+    pairs = lsh_candidate_pairs(reps, bucket_cap=bucket_cap)
+    jac = jaccard_verify(reps, pairs)
+    # integer-only threshold test: intersect/union >= pct/100
+    near_edges = jac.where(
+        F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union")
+    )
+    near_drops = (
+        near_edges.groupBy("doc_b")
+        .agg(F.min("doc_a").alias("dup_of"))
+        .select(
+            F.col("doc_b").alias("doc_id"), "dup_of", F.lit("near").alias("reason")
+        )
+    )
+    return exact_drops.unionByName(near_drops)

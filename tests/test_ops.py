@@ -225,3 +225,66 @@ def test_multimodal_real_decode_is_stubbed():
         multimodal.decode_image(b"\x89PNG...", fake=False)
     with pytest.raises(NotImplementedError):
         multimodal.decode_av(b"RIFF...", "audio", fake=False)
+
+
+def test_dedup_pipeline_drop_list(spark):
+    from pyspark.sql import Row
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text="  ".join(base.split())),  # exact dup (normalized)
+            Row(doc_id=2, text=base.replace("tango", "zulu")),  # 17/19 Jaccard
+            Row(doc_id=3, text="completely different content about spark pipelines"),
+        ]
+    )
+    drops = {
+        r["doc_id"]: (r["dup_of"], r["reason"])
+        for r in dedup.dedup_pipeline(df, jaccard_pct=80).collect()
+    }
+    # doc 1 normalizes to doc 0's content -> exact drop; the near-dup is
+    # dropped against the REPRESENTATIVE (0), not the exact dup (1)
+    assert drops == {1: (0, "exact"), 2: (0, "near")}
+
+
+def test_dedup_pipeline_identical_flood_no_pair_explosion(spark):
+    """200 identical docs: exact dedup collapses them to ONE representative
+    before MinHash, so the LSH self-join sees singleton buckets — this
+    completes instantly instead of exploding into 200*199/2 pairs."""
+    from pyspark.sql import Row
+
+    flood = spark.createDataFrame(
+        [Row(doc_id=i, text="same words repeated here for everyone") for i in range(200)]
+        + [Row(doc_id=1000, text="a genuinely different document about other things")]
+    )
+    rows = dedup.dedup_pipeline(flood).collect()
+    assert len(rows) == 199
+    assert all(r["reason"] == "exact" and r["dup_of"] == 0 for r in rows)
+
+
+def test_lsh_bucket_cap_drops_flooded_buckets(spark):
+    """Raw lsh_candidate_pairs with a bucket_cap drops over-full buckets
+    (the documented guard when callers skip exact dedup)."""
+    from pyspark.sql import Row
+
+    flood = spark.createDataFrame(
+        [Row(doc_id=i, text="same words repeated here for everyone") for i in range(50)]
+    )
+    assert dedup.lsh_candidate_pairs(flood, bucket_cap=10).count() == 0
+    assert dedup.lsh_candidate_pairs(flood, bucket_cap=None).count() == 50 * 49 // 2
+
+
+def test_simhash_block_cap(spark):
+    from pyspark.sql import Row
+
+    flood = spark.createDataFrame(
+        [Row(doc_id=i, text="same words repeated here for everyone") for i in range(50)]
+    )
+    assert dedup.simhash_near_pairs(flood, bucket_cap=10).count() == 0
+    assert (
+        dedup.simhash_near_pairs(flood, bucket_cap=None).count() == 50 * 49 // 2
+    )
