@@ -969,6 +969,55 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: valid BMP payloads are generated from
+    doc_id, the Arrow UDF parses the actual header bytes (fake=False), and
+    the oracle recomputes the header fields from doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_bmp_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select("media_id", "n_bytes", "width", "height", "n_frames")
+
+
+SQL_MULTIMODAL_BMP = """
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+  FROM documents
+)
+SELECT media_id,
+  CAST(54 + ((w*3 + 3)//4)*4 * h AS BIGINT) AS n_bytes,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_frames
+FROM pre
+"""
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.media_from_documents(docs), every_n=10, fake=True
+    )
+    return frames.select("media_id", "frame_idx", "frame_sha")
+
+
+def _sql_frame_samples() -> str:
+    """The stub video decode is deterministic (sha256-derived), so the
+    frame stream is SQL-reproducible: n_frames from byte 4 of the payload
+    sha, frame hashes over payload || ascii(frame_idx)."""
+    b = _byte_from_sha_sql
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, text, sha256(text) AS content_sha
+  FROM documents WHERE doc_id % 3 = 2
+),
+nf AS (SELECT media_id, text, 1 + {b('content_sha', 4)} % 120 AS n_frames FROM pre)
+SELECT media_id, CAST(idx AS INTEGER) AS frame_idx,
+       sha256(text || CAST(idx AS VARCHAR)) AS frame_sha
+FROM nf, unnest(range(0, n_frames, 10)) AS u(idx)
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -1063,6 +1112,8 @@ def queries() -> dict:
         "embedding_neardup": neardup_emb,
         # -- multimodal --
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "frame_samples": q_frame_samples,
     }
 
 
@@ -1097,4 +1148,6 @@ def oracle_sql() -> dict:
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embedding_neardup": _sql_neardup_emb(threshold=0.4),
         "multimodal_meta": _sql_multimodal_meta(),
+        "multimodal_bmp_decode": SQL_MULTIMODAL_BMP,
+        "frame_samples": _sql_frame_samples(),
     }

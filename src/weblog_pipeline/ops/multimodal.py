@@ -18,6 +18,7 @@ so everything downstream shuffles kilobytes, not blobs.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -51,17 +52,100 @@ META_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
+BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_stride(width: int, bpp: int = 24) -> int:
+    """BMP rows are padded to 4-byte boundaries."""
+    return ((width * (bpp // 8) + 3) // 4) * 4
+
+
+def encode_bmp(width: int, height: int, pixel_byte: int) -> bytes:
+    """Minimal real 24-bit uncompressed BMP (stdlib-only): standard
+    file + info headers, rows padded to 4 bytes, solid pixel fill.
+    Fixture generator for the real-decode round trip."""
+    stride = bmp_stride(width)
+    data_size = stride * height
+    file_header = b"BM" + struct.pack(
+        "<IHHI", BMP_HEADER_BYTES + data_size, 0, 0, BMP_HEADER_BYTES
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes([pixel_byte % 256]) * data_size
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decoder for uncompressed BMP: parses the actual header bytes
+    (no image library needed — the format is a fixed-layout struct).
+    Feature = first FEATURE_DIM pixel-data bytes scaled to [0,1]."""
+    if payload[:2] != b"BM" or len(payload) < BMP_HEADER_BYTES:
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    pix = payload[data_offset : data_offset + FEATURE_DIM]
+    feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+    return {
+        "width": abs(width),
+        "height": abs(height),  # negative height = top-down row order
+        "n_frames": 1,
+        "feature": feature,
+        "bpp": bpp,
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decoder for binary PPM (P6): whitespace-separated ASCII header
+    `P6 <width> <height> <maxval>` then raw RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        fields.append(payload[start:i])
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    width, height = int(fields[0]), int(fields[1])
+    pix = payload[i + 1 : i + 1 + FEATURE_DIM]
+    feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+    return {"width": width, "height": height, "n_frames": 1, "feature": feature}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (width, height, feature vector).
 
-    STUB: real decoding needs PIL/libvips (absent here). With fake=True a
-    deterministic stand-in derives metadata purely from the bytes, keeping
-    the distributed plumbing exercisable end-to-end.
+    REAL for the two stdlib-parseable uncompressed formats (BMP, P6 PPM) —
+    those parse the actual bytes. Compressed formats (PNG/JPEG) need
+    PIL/libvips, absent in this environment: with fake=True a deterministic
+    stand-in derives metadata purely from the bytes, keeping the
+    distributed plumbing exercisable end-to-end; otherwise raise.
     """
     if not fake:
+        if payload[:2] == b"BM":
+            out = decode_bmp(payload)
+            out.pop("bpp", None)
+            return out
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
         raise NotImplementedError(
-            "image decoding requires PIL/libvips, not available in this environment"
+            "compressed image decoding requires PIL/libvips, "
+            "not available in this environment (BMP/P6 decode natively)"
         )
+    # fake=True: deterministic stand-in, even for payloads that happen to
+    # start with a real magic — keeps the fake family's semantics uniform
     digest = hashlib.sha256(payload).digest()
     return {
         "width": 16 + digest[0] % 240,
@@ -162,7 +246,9 @@ def sample_frames(
                 blob = bytes(payload) if payload is not None else b""
                 meta = decode_av(blob, "video", fake=fake)
                 for idx in range(0, meta["n_frames"], every_n):
-                    fd = hashlib.sha256(blob + idx.to_bytes(4, "big")).digest()
+                    # ascii index (not packed bytes): NUL-free, so any SQL
+                    # engine's varchar sha256 reproduces the frame hash
+                    fd = hashlib.sha256(blob + str(idx).encode()).digest()
                     out.append(
                         {
                             "media_id": int(mid),
@@ -179,6 +265,31 @@ def sample_frames(
 
     pruned = media.select("media_id", "payload", "media_type")
     return pruned.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_bmp_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format media table: one valid 24-bit BMP per doc,
+    dimensions derived from doc_id (width 1+id%64, height 1+id%48), solid
+    fill id%256. Exercises the real decode path end-to-end: the decoder
+    reads these actual header bytes, and an independent SQL oracle can
+    recompute width/height/n_bytes from doc_id arithmetic."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_bmp(1 + i % 64, 1 + i % 48, i % 256) for i in ids
+                    ],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def media_from_documents(documents: "DataFrame") -> "DataFrame":

@@ -215,16 +215,49 @@ def test_frame_sampling(spark, docs_df):
     for r in frames:
         assert r["frame_idx"] % 7 == 0
         blob = dict((i, t) for i, t, _ in DOCS)[r["media_id"]].encode()
-        want = hashlib.sha256(blob + r["frame_idx"].to_bytes(4, "big")).hexdigest()
+        want = hashlib.sha256(blob + str(r["frame_idx"]).encode()).hexdigest()
         assert r["frame_sha"] == want
         assert len(r["frame_feature"]) == multimodal.FEATURE_DIM
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_compressed_decode_is_stubbed():
+    # compressed formats still need a real image lib -> honest stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...", fake=False)
     with pytest.raises(NotImplementedError):
         multimodal.decode_av(b"RIFF...", "audio", fake=False)
+
+
+def test_bmp_roundtrip_real_decode():
+    payload = multimodal.encode_bmp(13, 7, 200)
+    meta = multimodal.decode_image(payload, fake=False)
+    assert meta["width"] == 13 and meta["height"] == 7 and meta["n_frames"] == 1
+    assert meta["feature"] == [200 / 255.0] * multimodal.FEATURE_DIM
+    # n_bytes accounting: header + 4-byte-padded rows
+    assert len(payload) == 54 + multimodal.bmp_stride(13) * 7
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"BMxx")  # truncated
+
+
+def test_ppm_real_decode():
+    payload = b"P6\n# a comment\n5 3\n255\n" + bytes(range(45))
+    meta = multimodal.decode_image(payload, fake=False)
+    assert meta["width"] == 5 and meta["height"] == 3
+    assert meta["feature"] == [b / 255.0 for b in range(multimodal.FEATURE_DIM)]
+
+
+def test_bmp_decode_through_spark(spark, docs_df):
+    media = multimodal.media_bmp_from_documents(docs_df)
+    meta = {
+        r["media_id"]: r
+        for r in multimodal.extract_media_metadata(media, fake=False).collect()
+    }
+    for i, _, _ in DOCS:
+        assert meta[i]["width"] == 1 + i % 64
+        assert meta[i]["height"] == 1 + i % 48
+        assert meta[i]["n_bytes"] == 54 + multimodal.bmp_stride(1 + i % 64) * (
+            1 + i % 48
+        )
 
 
 def test_dedup_pipeline_drop_list(spark):
