@@ -127,6 +127,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timed("ann_topk", ann)
 
+    # q7-q9: round-over-round keys for the composed/scale-path operators
+    # (same names as the CORRECTNESS queries so regressions line up)
+    timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs).count())
+    timed(
+        "embedding_neardup",
+        lambda: similarity.cosine_near_dup_pairs(embs, threshold=0.4).count(),
+    )
+
+    def ann_lsh():
+        q = embs.where(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.lsh_topk(embs, q, k=5).count()
+
+    timed("ann_lsh_topk", ann_lsh)
+
     spark.stop()
     e2e_sec = timings["e2e_pipeline"]
     return {

@@ -41,6 +41,16 @@ def unit_id_for(input_file: str) -> str:
     return hashlib.md5(input_file.encode()).hexdigest()[:16]
 
 
+#: sentinel unit_id for the run's frozen input manifest row
+MANIFEST_UNIT = "__manifest__"
+
+
+def manifest_digest(units: list[tuple[str, str]]) -> str:
+    """Digest of the sorted unit list — resume is only valid against the
+    exact same input file set (chunk numbering is positional)."""
+    return hashlib.md5("\n".join(u for u, _ in units).encode()).hexdigest()
+
+
 def list_units(spark: SparkSession, input_path: str) -> list[tuple[str, str]]:
     """(unit_id, input_file) for every data file of the input table.
 
@@ -67,6 +77,18 @@ class LineageStore:
         )
         return {r["unit_id"] for r in rows}
 
+    def manifest(self, run_id: str) -> str | None:
+        """The frozen input-list digest recorded on the run's first attempt."""
+        if not os.path.exists(self.path):
+            return None
+        rows = (
+            self.spark.read.parquet(self.path)
+            .where((F.col("run_id") == run_id) & (F.col("unit_id") == MANIFEST_UNIT))
+            .select("input_file")
+            .collect()
+        )
+        return rows[0]["input_file"] if rows else None
+
     def record(self, rows: list[dict]) -> None:
         df = self.spark.createDataFrame(
             [tuple(r[f.name] for f in LEDGER_SCHEMA.fields) for r in rows],
@@ -92,6 +114,33 @@ def run_resumable(
     Returns summary metrics.
     """
     units = list_units(spark, input_path)
+
+    # freeze the input file list on first attempt: chunk numbering is
+    # positional, so resuming against an input set that gained/lost files
+    # would mis-map ledger rows to on-disk chunk=N outputs (dups or gaps)
+    digest = manifest_digest(units)
+    prior = ledger.manifest(run_id)
+    if prior is None:
+        ledger.record(
+            [
+                {
+                    "run_id": run_id,
+                    "unit_id": MANIFEST_UNIT,
+                    "input_file": digest,
+                    "status": "manifest",
+                    "rows_in": len(units),
+                    "rows_out": -1,
+                    "duration_ms": -1,
+                    "finished_at_us": int(time.time() * 1_000_000),
+                }
+            ]
+        )
+    elif prior != digest:
+        raise ValueError(
+            f"run {run_id}: input file list changed since the first attempt "
+            f"(manifest {prior} != current {digest}); start a new run_id"
+        )
+
     done = ledger.completed_units(run_id)
 
     # deterministic fixed chunking over the FULL sorted unit list — chunk
@@ -108,11 +157,13 @@ def run_resumable(
         t0 = time.time()
         files = [f for _, f in chunk]
         webpages = spark.read.parquet(*files)
-        logs = build_logs(webpages)
-        # rows_out rides the write as an Observation — a separate count()
-        # would execute the whole parse pipeline a second time per chunk
+        # rows_in/rows_out ride the write as Observations — a separate
+        # count() would execute the whole parse pipeline a second time
         from pyspark.sql import Observation
 
+        obs_in = Observation(f"chunk_{chunk_no}_in")
+        webpages = webpages.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        logs = build_logs(webpages)
         obs = Observation(f"chunk_{chunk_no}")
         observed = logs.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         # chunk-scoped overwrite: a re-run of this chunk replaces exactly
@@ -121,6 +172,7 @@ def run_resumable(
             os.path.join(output_path, f"run={run_id}", f"chunk={chunk_no:06d}")
         )
         rows_out = obs.get["rows_out"]
+        rows_in = obs_in.get["rows_in"]
         dur = int((time.time() - t0) * 1000)
         now_us = int(time.time() * 1_000_000)
         ledger.record(
@@ -130,7 +182,7 @@ def run_resumable(
                     "unit_id": u,
                     "input_file": f,
                     "status": "done",
-                    "rows_in": -1,
+                    "rows_in": rows_in,
                     "rows_out": rows_out,
                     "duration_ms": dur,
                     "finished_at_us": now_us,

@@ -57,16 +57,45 @@ class SpanEvent:
     res_attrs: dict = field(default_factory=dict)
 
 
+_HEX32_RE = re.compile(r"[0-9a-f]{32}\Z")
+_HEX16_RE = re.compile(r"[0-9a-f]{16}\Z")
+
+
 def render_marker(ev: SpanEvent) -> str:
-    """Inverse of parse: one single-line HTML comment for a span event."""
+    """Inverse of parse: one single-line HTML comment for a span event.
+
+    Enforces the grammar assumptions documented above and raises ValueError
+    on a violating event — corruption must be loud at render time, not a
+    silent mis-parse on the round trip."""
 
     def j(d: dict) -> str:
         return json.dumps(d, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
 
+    if not _HEX32_RE.match(ev.trace_id):
+        raise ValueError(f"trace_id is not 32 lowercase hex chars: {ev.trace_id!r}")
+    if not _HEX16_RE.match(ev.span_id):
+        raise ValueError(f"span_id is not 16 lowercase hex chars: {ev.span_id!r}")
+    for fname, v in (("span_name", ev.span_name), ("span_kind", ev.span_kind)):
+        if "/" in v or " " in v or "-->" in v or "\n" in v:
+            raise ValueError(f"{fname} may not contain '/', ' ', '-->' or newline: {v!r}")
+    if not isinstance(ev.ts_ns, int) or ev.ts_ns < 0:
+        raise ValueError(f"ts_ns must be a non-negative int: {ev.ts_ns!r}")
+    if " attrs=" in ev.name or "-->" in ev.name or "\n" in ev.name:
+        raise ValueError(f"event name may not contain ' attrs=', '-->' or newline: {ev.name!r}")
+    payloads = []
+    for fname, d in (("attrs", ev.attrs), ("span_attrs", ev.span_attrs), ("res_attrs", ev.res_attrs)):
+        for k, v in d.items():
+            if not isinstance(v, (str, int)) or isinstance(v, bool):
+                raise ValueError(f"{fname}[{k!r}] must be str or int, got {type(v).__name__}")
+        payload = j(d)
+        if "-->" in payload or "} span_attrs=" in payload or "} res_attrs=" in payload or "\n" in payload:
+            raise ValueError(f"{fname} JSON collides with the marker grammar: {payload!r}")
+        payloads.append(payload)
+
     return (
         f"<!--otel span_ctx={ev.trace_id}/{ev.span_id}/{ev.span_name}/{ev.span_kind}"
-        f" ts={ev.ts_ns} name={ev.name} attrs={j(ev.attrs)}"
-        f" span_attrs={j(ev.span_attrs)} res_attrs={j(ev.res_attrs)}-->"
+        f" ts={ev.ts_ns} name={ev.name} attrs={payloads[0]}"
+        f" span_attrs={payloads[1]} res_attrs={payloads[2]}-->"
     )
 
 

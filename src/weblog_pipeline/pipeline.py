@@ -63,7 +63,11 @@ def build_pipeline(
         per_sink=sink_counts(logs),
         per_domain=domain_counts(logs),
         observed_ts_us=observed_ts_us,
-        sink_names=tuple(r.sink for r in routes) + (default_sink,),
+        # dedupe: a route reusing default_sink (or two routes sharing a
+        # sink) must not double-count in the Observation / run_metrics
+        sink_names=tuple(
+            dict.fromkeys(tuple(r.sink for r in routes) + (default_sink,))
+        ),
     )
 
 

@@ -28,12 +28,28 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 class TableIO:
     """Read/write seam. `location` is a catalog namespace (Iceberg) or a
-    base directory (parquet fallback)."""
+    base directory (parquet).
 
-    def __init__(self, spark: SparkSession, location: str):
+    The backend is EXPLICIT — `backend="parquet"` (default) or
+    `backend="iceberg"`, or the scheme prefix `iceberg:<namespace>` in the
+    location. No inference from path shape + classpath: a relative output
+    directory must never silently become catalog table writes."""
+
+    def __init__(self, spark: SparkSession, location: str, backend: str = "parquet"):
         self.spark = spark
+        if location.startswith("iceberg:"):
+            backend = "iceberg"
+            location = location[len("iceberg:"):]
+        if backend not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown TableIO backend: {backend!r}")
+        if backend == "iceberg" and not _iceberg_available(spark):
+            raise ValueError(
+                "iceberg backend requested but no Iceberg runtime on the "
+                "classpath (add --packages org.apache.iceberg:iceberg-spark-runtime)"
+            )
         self.location = location
-        self.use_iceberg = "://" not in location and _iceberg_available(spark) and not os.path.isabs(location)
+        self.backend = backend
+        self.use_iceberg = backend == "iceberg"
 
     def _target(self, table: str) -> str:
         if self.use_iceberg:

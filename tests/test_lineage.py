@@ -73,3 +73,32 @@ def test_crash_mid_run_resumes_exactly(spark, tmp_path, input_path):
     got = read_output(spark, out)
     assert got.count() == n  # no dups, no gaps
     assert got.select("url", "event_name", "ts_ns").distinct().count() == n
+
+def test_resume_refuses_changed_input_list(spark, tmp_path, input_path):
+    out = str(tmp_path / "out")
+    ledger = LineageStore(spark, str(tmp_path / "ledger"))
+    run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+
+    # add a file: chunk numbering would shift -> resume must refuse
+    extra = str(tmp_path / "webpages")
+    generate_webpages(spark, 30, partitions=1).write.mode("append").parquet(extra)
+    with pytest.raises(ValueError, match="input file list changed"):
+        run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+    # a fresh run_id accepts the new list
+    s = run_resumable(spark, input_path, out, "r2", _build_logs, ledger, unit_batch=2)
+    assert s["chunks_skipped"] == 0
+
+
+def test_ledger_records_real_rows_in(spark, tmp_path, input_path):
+    out = str(tmp_path / "out")
+    ledger = LineageStore(spark, str(tmp_path / "ledger"))
+    run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=4)
+    rows = (
+        spark.read.parquet(str(tmp_path / "ledger"))
+        .where("status = 'done'")
+        .collect()
+    )
+    assert rows and all(r["rows_in"] >= 0 for r in rows)
+    # chunk-level rows_in sums to the input row count (one chunk here)
+    per_chunk = {r["finished_at_us"]: r["rows_in"] for r in rows}
+    assert sum(per_chunk.values()) == 120

@@ -112,3 +112,34 @@ def test_severity_number_int32_wrap(spark, raw, wrapped):
     want = populate_log_record(cfg, ev, row["url"], OBS_US)
     assert row["severity_number"] == want.severity_number == wrapped
     assert row["severity_text"] == want.severity_text
+
+def test_render_marker_rejects_grammar_violations():
+    import pytest
+
+    from weblog_pipeline.markers import parse_markers
+
+    ok = SpanEvent(
+        trace_id="ab" * 16, span_id="cd" * 8, span_name="s", span_kind="client",
+        trace_state="", ts_ns=1, name="login attempt", attrs={"a": 1},
+        span_attrs={}, res_attrs={},
+    )
+    assert parse_markers(render_marker(ok).encode())[0].name == "login attempt"
+
+    import dataclasses
+
+    bad_cases = [
+        {"trace_id": "XY" * 16},                      # non-hex
+        {"span_id": "cd" * 7},                        # wrong length
+        {"span_name": "a/b"},                         # '/' splits span_ctx
+        {"span_kind": "has space"},                   # ' ' splits fields
+        {"name": "evil attrs={}"},                    # collides with ' attrs='
+        {"ts_ns": -5},
+        {"attrs": {"k": 1.5}},                        # float not in grammar
+        {"attrs": {"k": True}},                       # bool not in grammar
+        {"attrs": {"k": 'x"} span_attrs={"y": "z'}},  # payload collision
+        {"res_attrs": {"k": "sneaky-->"}},            # comment terminator
+    ]
+    for override in bad_cases:
+        ev = dataclasses.replace(ok, **override)
+        with pytest.raises(ValueError):
+            render_marker(ev)
