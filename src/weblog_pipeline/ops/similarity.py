@@ -56,13 +56,6 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def quantized_col(vec_col, quant: int):
-    """floor(x * quant) per element, as long — integer-exact across engines
-    (float->double is exact, the double product is IEEE-identical everywhere,
-    floor is unambiguous)."""
-    return F.transform(vec_col, lambda x: F.floor(x * F.lit(float(quant))))
-
-
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Two-phase distributed top-k over (query_id, neighbor_id, cos_r6).
 
@@ -134,46 +127,55 @@ def hyperplane_signs(band: int, plane: int, dim: int = DIM) -> list[int]:
     return signs
 
 
-def band_bucket_col(qvec_col, band: int):
-    """8-bit bucket id for one band over a QUANTIZED (long-array) vector:
-    bit p = [integer projection onto plane_{band,p} is > 0]. Pure integer
-    arithmetic — bit-identical in Spark and any SQL engine."""
-    bucket = F.lit(0)
+def band_bucket_sql(band: int, dim: int = DIM) -> str:
+    """8-bit bucket id for one band over per-dimension QUANTIZED scalar
+    columns _q0.._q{dim-1} and their total _t: bit p = [integer projection
+    onto plane_{band,p} is > 0]. Pure integer arithmetic — bit-identical in
+    Spark and any SQL engine.
+
+    Since signs are +-1, proj = sum(q[pos]) - sum(q[neg])
+    = 2*sum(q[pos]) - total(q): each plane is a FLAT half-size sum inside
+    whole-stage codegen. Built as ONE SQL string: the Column-algebra
+    formulation spent seconds per query on py4j round-trips (one JVM call
+    per operator node), and the earlier zip_with/aggregate lambdas fell
+    back to interpreted evaluation on top of that."""
+    bits = []
     for p in range(N_PLANES):
-        signs = hyperplane_signs(band, p)
-        proj = F.aggregate(
-            F.zip_with(
-                qvec_col,
-                F.array(*[F.lit(s).cast("long") for s in signs]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        signs = hyperplane_signs(band, p, dim)
+        pos = [f"_q{d}" for d, s in enumerate(signs) if s == 1]
+        possum = "(" + " + ".join(pos) + ")" if pos else "0L"
+        bits.append(f"(CASE WHEN 2 * {possum} - _t > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
-def with_band_buckets(df: DataFrame, vec: str, id_col: str) -> DataFrame:
+def with_band_buckets(
+    df: DataFrame, vec: str, id_col: str, dim: int = DIM
+) -> DataFrame:
     """(id_col, <vec>, band, bucket) — one row per (row, band)."""
-    qvec = quantized_col(F.col(vec), LSH_QUANT)
-    bands = F.array(
+    base = df.selectExpr(
+        f"`{id_col}`",
+        f"`{vec}`",
         *[
-            F.struct(
-                F.lit(b).alias("band"), band_bucket_col(qvec, b).alias("bucket")
-            )
-            for b in range(N_LSH_BANDS)
-        ]
+            f"floor(`{vec}`[{d}] * {float(LSH_QUANT)}D) AS _q{d}"
+            for d in range(dim)
+        ],
+    ).selectExpr(
+        "*", "(" + " + ".join(f"_q{d}" for d in range(dim)) + ") AS _t"
     )
-    return df.select(
-        F.col(id_col), F.col(vec), F.explode(bands).alias("bb")
-    ).select(id_col, vec, "bb.band", "bb.bucket")
+    bands = "array(" + ", ".join(
+        f"struct({b} AS band, {band_bucket_sql(b, dim)} AS bucket)"
+        for b in range(N_LSH_BANDS)
+    ) + ")"
+    return base.selectExpr(
+        f"`{id_col}`", f"`{vec}`", f"explode({bands}) AS bb"
+    ).selectExpr(f"`{id_col}`", f"`{vec}`", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    dim: int = DIM,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 of 4 sign-LSH band buckets;
     exact cosine re-rank on candidates only; two-phase final rank."""
@@ -184,8 +186,9 @@ def lsh_topk(
         ),
         "neighbor_vec",
         "neighbor_id",
+        dim,
     )
-    queries_b = with_band_buckets(queries, "query_vec", "query_id")
+    queries_b = with_band_buckets(queries, "query_vec", "query_id", dim)
 
     cands = (
         corpus_b.join(F.broadcast(queries_b), ["band", "bucket"])
@@ -220,40 +223,30 @@ def sample_centroids(embeddings: DataFrame, n_cells: int) -> list[list[float]]:
 
 
 def quantize_centroid(c: list[float], quant: int = IVF_QUANT) -> list[int]:
-    """Driver-side twin of quantized_col — same floor(x * quant) rule."""
+    """Driver-side twin of the SQL quantization rule floor(x * quant):
+    integer-exact across engines (float->double is exact, the double
+    product is IEEE-identical everywhere, floor is unambiguous)."""
     return [math.floor(x * quant) for x in c]
 
 
-def nearest_cells_col(vec_col, centroids: list[list[float]], top_n: int):
+def nearest_cells_col(vec_name: str, centroids: list[list[float]], top_n: int):
     """Array of the top_n nearest centroid indices, by INTEGER dot product
     of the quantized vector with the quantized centroid (ties -> lower cell
-    index). Exact in any engine; a codegen'd argmax over broadcast-literal
-    centroids — at 100 TB this is a narrow int computed in the scan stage."""
-    qv = quantized_col(vec_col, IVF_QUANT)
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -F.aggregate(
-                        F.zip_with(
-                            qv,
-                            F.array(
-                                *[F.lit(x).cast("long") for x in quantize_centroid(c)]
-                            ),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    )
-                ).alias("negdot"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(
-        F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, top_n
-    )
+    index). Exact in any engine; a flat codegen'd multiply-add over
+    broadcast-literal centroid components, built as one SQL string (a
+    single py4j call) — at 100 TB this is a narrow int computed in the
+    scan stage."""
+    structs = []
+    for i, c in enumerate(centroids):
+        qc = quantize_centroid(c)
+        terms = " + ".join(
+            f"floor(`{vec_name}`[{d}] * {float(IVF_QUANT)}D) * {x}L"
+            for d, x in enumerate(qc)
+            if x != 0
+        ) or "0L"
+        structs.append(f"struct(-({terms}) AS negdot, {i} AS cell)")
+    arr = "array(" + ", ".join(structs) + ")"
+    return F.expr(f"slice(transform(array_sort({arr}), s -> s.cell), 1, {top_n})")
 
 
 def ivf_topk(
@@ -278,16 +271,12 @@ def ivf_topk(
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vec"),
-        F.element_at(nearest_cells_col(F.col("embedding"), centroids, 1), 1).alias(
-            "cell"
-        ),
+        F.element_at(nearest_cells_col("embedding", centroids, 1), 1).alias("cell"),
     )
     probes = queries.select(
         "query_id",
         "query_vec",
-        F.explode(nearest_cells_col(F.col("query_vec"), centroids, n_probe)).alias(
-            "cell"
-        ),
+        F.explode(nearest_cells_col("query_vec", centroids, n_probe)).alias("cell"),
     )
     cands = corpus.join(F.broadcast(probes), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -300,7 +289,9 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
-def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float, dim: int = DIM
+) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold (id_a<id_b),
     LSH-bucketed: candidates must share >= 1 of the 4 sign-LSH band buckets
     (an equi-join on (band, bucket) — never all-pairs), then the exact
@@ -308,7 +299,10 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     (recall = P[>=1 band collision]); `cosine_near_dup_pairs_exact` is the
     brute-force twin kept for recall measurement in tests."""
     b = with_band_buckets(
-        embeddings.select(F.col("vec_id"), F.col("embedding")), "embedding", "vec_id"
+        embeddings.select(F.col("vec_id"), F.col("embedding")),
+        "embedding",
+        "vec_id",
+        dim,
     )
     a_side = b.select(
         F.col("vec_id").alias("id_a"),

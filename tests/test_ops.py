@@ -173,7 +173,7 @@ def test_lsh_topk_recall(spark):
     q = df.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    got = similarity.lsh_topk(df, q, k=3).collect()
+    got = similarity.lsh_topk(df, q, k=3, dim=16).collect()
     assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got)
 
 

@@ -26,7 +26,7 @@ def _physical(df) -> str:
 
 
 def test_neardup_plan_has_no_cartesian_product(emb_df):
-    df = similarity.cosine_near_dup_pairs(emb_df, threshold=0.9)
+    df = similarity.cosine_near_dup_pairs(emb_df, threshold=0.9, dim=16)
     plan = _physical(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -41,7 +41,7 @@ def test_neardup_bucketed_is_subset_of_exact_and_finds_planted_pair(emb_df):
     }
     bucketed = {
         (r["id_a"], r["id_b"]): r["cos_r6"]
-        for r in similarity.cosine_near_dup_pairs(emb_df, 0.9).collect()
+        for r in similarity.cosine_near_dup_pairs(emb_df, 0.9, dim=16).collect()
     }
     assert set(bucketed) <= set(exact)
     for pair, cos in bucketed.items():
