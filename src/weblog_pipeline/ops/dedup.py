@@ -68,13 +68,31 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _parse_size(s: str) -> int:
+    s = s.strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = {"k": 2**10, "m": 2**20, "g": 2**30}[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """CPU-heavy per-doc ops need partitions ~ cores even when the input is
     byte-small (one tiny parquet file = one partition = one busy core).
-    Repartition only when the scan gives us fewer partitions than cores —
-    at real scale the input already has enough splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    Repartition only when the optimizer's size estimate (a metadata lookup
+    off the file index — `.rdd` would spin up plan-execution machinery
+    just to ask a metadata question) says the scan cannot split into
+    >= cores partitions at maxPartitionBytes. At real scale
+    size/maxPartitionBytes >> cores and this is a no-op; unknown-size
+    sources report Long.Max and are likewise left alone."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    max_bytes = _parse_size(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    )
+    if size < target * max_bytes:
         return df.repartition(target, key)
     return df
 
