@@ -958,6 +958,26 @@ FROM ev GROUP BY 1, 2
 """
 
 
+def q_span_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.span_sessions_stateful (the
+    applyInPandasWithState sessionizer): per-span event count, first/last
+    event time, max severity. The streaming path is pinned to this exact
+    grain by test_streaming.py's micro-batch equivalence test."""
+    from .streaming import span_sessions
+
+    rec = _events_records_spark(spark, sf_dir, CFG_DEFAULT)
+    return span_sessions(rec)
+
+
+def _sql_span_sessions() -> str:
+    return f"""
+WITH rec AS ({_events_records_sql(CFG_DEFAULT)})
+SELECT span_id, COUNT(*) AS n_events, MIN(ts_ns) AS first_ts_ns,
+       MAX(ts_ns) AS last_ts_ns, CAST(MAX(severity_number) AS INTEGER) AS max_severity
+FROM rec GROUP BY 1
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     meta = multimodal.extract_media_metadata(
@@ -1085,6 +1105,7 @@ def queries() -> dict:
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
         "windowed_sink_counts": q_windowed_sink_counts,
+        "span_sessions": q_span_sessions,
         # -- full pipeline over documents-derived webpages --
         "parse_roundtrip": q_parse_roundtrip,
         "e2e_sink_counts": q_e2e_sink_counts,
@@ -1129,6 +1150,7 @@ def oracle_sql() -> dict:
         "filter_include_names": SQL_FILTER_INCLUDE,
         "grouped_emission": SQL_GROUPED_EMISSION,
         "windowed_sink_counts": SQL_WINDOWED_SINK_COUNTS,
+        "span_sessions": _sql_span_sessions(),
         "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
         "e2e_sink_counts": _sql_e2e_sink_counts(),
         "e2e_records": _sql_e2e_records(),

@@ -100,3 +100,77 @@ def start_counts_writer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: span sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "span_id string, n_events long, first_ts_ns long, last_ts_ns long, "
+    "max_severity int"
+)
+_SESSION_STATE_SCHEMA = "n long, first long, last long, maxsev int"
+
+
+def span_sessions_stateful(logs: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-span session summaries that
+    accumulate across micro-batches via applyInPandasWithState.
+
+    The reference has no cross-batch state (connector.go:120-144 is
+    stateless per ConsumeTraces call); this is a north-rule/brief addition:
+    a span's events may arrive over many micro-batches, and the session
+    row (event count, first/last event time, max severity) must reflect
+    ALL of them — exactly the thing a stateless map cannot do. Output mode
+    is `update`: every micro-batch emits the current summary for each span
+    it touched; the LAST update per span equals the batch groupBy twin
+    (`span_sessions`), which is how the equivalence test pins semantics.
+
+    At 100 TB-equivalent stream rates the state is one tiny fixed-width
+    row per live span, hash-partitioned by span_id (the groupBy key), and
+    Spark's HDFS-backed state store checkpoints it per batch.
+    """
+    import pandas as pd
+
+    def summarize(key, pdfs, state):
+        if state.exists:
+            n, first, last, maxsev = state.get
+        else:
+            n, first, last, maxsev = 0, None, None, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            lo = int(pdf["ts_ns"].min())
+            hi = int(pdf["ts_ns"].max())
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+            maxsev = max(maxsev, int(pdf["severity_number"].max()))
+        state.update((n, first, last, maxsev))
+        yield pd.DataFrame(
+            {
+                "span_id": [key[0]],
+                "n_events": [n],
+                "first_ts_ns": [first],
+                "last_ts_ns": [last],
+                "max_severity": [maxsev],
+            }
+        )
+
+    pruned = logs.select("span_id", "ts_ns", "severity_number")
+    return pruned.groupBy("span_id").applyInPandasWithState(
+        summarize,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def span_sessions(logs: DataFrame) -> DataFrame:
+    """Batch twin of span_sessions_stateful: one groupBy, map-side combine,
+    shuffle keyed by span_id only — the plan you want at any scale."""
+    return logs.groupBy("span_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ns").alias("first_ts_ns"),
+        F.max("ts_ns").alias("last_ts_ns"),
+        F.max("severity_number").cast("int").alias("max_severity"),
+    )

@@ -52,3 +52,55 @@ def test_streaming_matches_batch_and_is_exactly_once(spark, tmp_path):
         .withColumnRenamed("count", "n").collect()
     }
     assert got2 == got
+
+def test_stateful_sessions_accumulate_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: the LAST update per span (state carried
+    across micro-batches; maxFilesPerTrigger=1 forces several) must equal
+    the batch groupBy twin."""
+    from weblog_pipeline.streaming import span_sessions, span_sessions_stateful
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    generate_webpages(spark, N, partitions=3).write.parquet(inp)
+
+    logs = streaming_logs(spark, inp, CFG, OBSERVED_TS_US, max_files_per_trigger=1)
+    sessions = span_sessions_stateful(logs)
+
+    # update-mode rows land via foreachBatch (file sinks are append-only)
+    from pyspark.sql import functions as F
+
+    def sink_batch(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        sessions.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # the final state per span is its update from the latest batch (updates
+    # are monotone in n_events, so ordering by n_events is equivalent)
+    updates = spark.read.parquet(out)
+    final = {
+        r["span_id"]: (r["n_events"], r["first_ts_ns"], r["last_ts_ns"], r["max_severity"])
+        for r in updates.orderBy("batch_id").collect()  # later overwrites earlier
+    }
+
+    from weblog_pipeline.enrich import enrich_events
+    from weblog_pipeline.parse import event_rows, parse_events
+    from weblog_pipeline.route import with_sink
+
+    wp = spark.read.parquet(inp).where("html IS NOT NULL")
+    blogs = with_sink(enrich_events(event_rows(parse_events(wp)), CFG, OBSERVED_TS_US))
+    expected = {
+        r["span_id"]: (r["n_events"], r["first_ts_ns"], r["last_ts_ns"], r["max_severity"])
+        for r in span_sessions(blogs).collect()
+    }
+    assert final == expected
+    # state genuinely crossed micro-batches: some span saw >1 update
+    n_updates = updates.count()
+    assert n_updates > len(expected)
