@@ -183,29 +183,46 @@ def lsh_candidate_pairs(
 
 def jaccard_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, as integer
-    (intersection, union) counts — float-free and hash-stable."""
+    (intersection, union) counts — float-free and hash-stable.
+
+    Single derivation of the shingle-set frame: each pair explodes into
+    two role-tagged rows (a/doc_a, b/doc_b), ONE equi-join on doc_id pulls
+    both docs' shingles, and two aggregations produce sizes and
+    intersection together. The naive shape (separate a-join, b-join, and
+    sizes join) scans and re-explodes the corpus three times — at 100 TB
+    that is two full scans too many."""
     sets = documents.select(
         "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
     )
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    roles = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("role"), F.col("doc_a").alias("doc_id")),
+                F.struct(F.lit("b").alias("role"), F.col("doc_b").alias("doc_id")),
+            )
+        ).alias("r"),
+    ).select("doc_a", "doc_b", "r.role", "r.doc_id")
 
-    a_sets = sets.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sets = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle"))
-    inter = (
-        pairs.join(a_sets, "doc_a")
-        .join(b_sets, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    joined = roles.join(sets, "doc_id")
+    per_shingle = joined.groupBy("doc_a", "doc_b", "shingle").agg(
+        F.max(F.col("role") == "a").alias("in_a"),
+        F.max(F.col("role") == "b").alias("in_b"),
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_intersect",
-            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
-        )
+    agg = per_shingle.groupBy("doc_a", "doc_b").agg(
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("n_intersect"),
+        F.count_if("in_a").alias("n_a"),
+        F.count_if("in_b").alias("n_b"),
+    )
+    # pairs with an empty intersection are dropped — same semantics as the
+    # inner-join formulation (LSH candidates share a min-hash, hence >= 1
+    # shingle, so this is vacuous in practice) and as the SQL oracle
+    return agg.where(F.col("n_intersect") > 0).select(
+        "doc_a",
+        "doc_b",
+        "n_intersect",
+        (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias("n_union"),
     )
 
 
