@@ -143,6 +143,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timed("ann_lsh_topk", ann_lsh)
 
+    def ann_ivf():
+        q = embs.where(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.ivf_topk(embs, q, k=5).count()
+
+    timed("ann_ivf_topk", ann_ivf)
+
     spark.stop()
     e2e_sec = timings["e2e_pipeline"]
     return {
