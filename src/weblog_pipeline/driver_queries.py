@@ -1042,22 +1042,6 @@ def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
 
-    def ann_bf(spark, sf_dir):
-        emb = _read(spark, sf_dir, "embeddings")
-        q = emb.where(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-                "query_vec"
-            ),
-        )
-        corpus = emb.select(
-            "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-        )
-        return similarity.brute_force_topk(corpus, q, k=5)
-
     def _emb_double(spark, sf_dir):
         # double-cast once: the cosine re-rank must fold in double on both
         # engines (float*float stays float in Spark otherwise)
@@ -1067,6 +1051,13 @@ def queries() -> dict:
                 "embedding"
             ),
         )
+
+    def ann_bf(spark, sf_dir):
+        emb = _emb_double(spark, sf_dir)
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.brute_force_topk(emb, q, k=5)
 
     def ann_lsh(spark, sf_dir):
         emb = _emb_double(spark, sf_dir)

@@ -78,7 +78,7 @@ def render_marker(ev: SpanEvent) -> str:
     for fname, v in (("span_name", ev.span_name), ("span_kind", ev.span_kind)):
         if "/" in v or " " in v or "-->" in v or "\n" in v:
             raise ValueError(f"{fname} may not contain '/', ' ', '-->' or newline: {v!r}")
-    if not isinstance(ev.ts_ns, int) or ev.ts_ns < 0:
+    if not isinstance(ev.ts_ns, int) or isinstance(ev.ts_ns, bool) or ev.ts_ns < 0:
         raise ValueError(f"ts_ns must be a non-negative int: {ev.ts_ns!r}")
     if " attrs=" in ev.name or "-->" in ev.name or "\n" in ev.name:
         raise ValueError(f"event name may not contain ' attrs=', '-->' or newline: {ev.name!r}")

@@ -69,10 +69,11 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def _parse_size(s: str) -> int:
+    """Spark byte-conf string (accepts the full k/m/g/t/p suffix set)."""
     s = s.strip().lower().removesuffix("b")
     mult = 1
-    if s and s[-1] in "kmg":
-        mult = {"k": 2**10, "m": 2**20, "g": 2**30}[s[-1]]
+    if s and s[-1] in "kmgtp":
+        mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40, "p": 2**50}[s[-1]]
         s = s[:-1]
     return int(s) * mult
 
@@ -88,6 +89,10 @@ def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
     sources report Long.Max and are likewise left alone."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    if not df.inputFiles():
+        # non-file source (in-memory relation): stats report Long.Max, but
+        # such inputs are small by construction — always fan out
+        return df.repartition(target, key)
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     max_bytes = _parse_size(
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))

@@ -136,14 +136,21 @@ def span_sessions_stateful(logs: DataFrame) -> DataFrame:
         if state.exists:
             n, first, last, maxsev = state.get
         else:
-            n, first, last, maxsev = 0, None, None, 0
+            n, first, last, maxsev = 0, None, None, None
         for pdf in pdfs:
             n += len(pdf)
             lo = int(pdf["ts_ns"].min())
             hi = int(pdf["ts_ns"].max())
             first = lo if first is None else min(first, lo)
             last = hi if last is None else max(last, hi)
-            maxsev = max(maxsev, int(pdf["severity_number"].max()))
+            # NULL severities arrive as NaN through Arrow; like the batch
+            # twin's MAX, they are ignored (all-NULL span -> NULL), and
+            # negative severities (int32-wrap values) are preserved — a
+            # `max(0, ...)` floor would diverge from the groupBy twin
+            sv = pdf["severity_number"].dropna()
+            if len(sv):
+                batch_max = int(sv.max())
+                maxsev = batch_max if maxsev is None else max(maxsev, batch_max)
         state.update((n, first, last, maxsev))
         yield pd.DataFrame(
             {

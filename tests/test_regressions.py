@@ -134,6 +134,7 @@ def test_render_marker_rejects_grammar_violations():
         {"span_kind": "has space"},                   # ' ' splits fields
         {"name": "evil attrs={}"},                    # collides with ' attrs='
         {"ts_ns": -5},
+        {"ts_ns": True},  # bool is an int subclass but not grammar-valid
         {"attrs": {"k": 1.5}},                        # float not in grammar
         {"attrs": {"k": True}},                       # bool not in grammar
         {"attrs": {"k": 'x"} span_attrs={"y": "z'}},  # payload collision

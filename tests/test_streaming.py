@@ -104,3 +104,57 @@ def test_stateful_sessions_accumulate_across_microbatches(spark, tmp_path):
     # state genuinely crossed micro-batches: some span saw >1 update
     n_updates = updates.count()
     assert n_updates > len(expected)
+
+
+def test_stateful_sessions_null_and_negative_severity(spark, tmp_path):
+    """All-NULL-severity spans must not crash the stateful op (NaN through
+    Arrow) and negative (int32-wrap) severities must not be floored at 0 —
+    both must match the batch twin's MAX semantics."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from weblog_pipeline.streaming import span_sessions, span_sessions_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("span_id", T.StringType()),
+            T.StructField("ts_ns", T.LongType()),
+            T.StructField("severity_number", T.IntegerType()),
+        ]
+    )
+    rows = [
+        Row(span_id="allnull", ts_ns=10, severity_number=None),
+        Row(span_id="allnull", ts_ns=20, severity_number=None),
+        Row(span_id="negative", ts_ns=5, severity_number=-2),
+        Row(span_id="negative", ts_ns=7, severity_number=None),
+    ]
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        span_sessions_stateful(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["span_id"]: (r["n_events"], r["first_ts_ns"], r["last_ts_ns"], r["max_severity"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        r["span_id"]: (r["n_events"], r["first_ts_ns"], r["last_ts_ns"], r["max_severity"])
+        for r in span_sessions(batch_df).collect()
+    }
+    assert got == expected
+    assert got["allnull"] == (2, 10, 20, None)
+    assert got["negative"] == (2, 5, 7, -2)
