@@ -42,7 +42,7 @@ from .generate import (
 )
 from .markers import SpanEvent
 from .oracle import populate_log_record, render_attrs
-from .ops import dedup, multimodal, similarity, textstats
+from .ops import corpus, dedup, multimodal, similarity, textstats
 from .parse import page_texts, parse_events
 from .pipeline import build_pipeline
 from .route import with_sink
@@ -989,6 +989,51 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language sample percentages for the stratified_sample catalog query
+SAMPLE_RATES = {"en": 40, "de": 10}
+SAMPLE_DEFAULT_RATE = 5
+
+SQL_LATEST_PER_SOURCE = """
+SELECT source, MAX(doc_id) AS doc_id, arg_max(n_chars, doc_id) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+_SAMPLE_BUCKET_SQL = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100)"
+)
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = {sql_str(lg)} THEN {pct}"
+        for lg, pct in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} < (CASE {cases} ELSE {SAMPLE_DEFAULT_RATE} END)
+"""
+
+
+def _sql_clean_corpus(
+    keep_lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_pct: int = 3,
+) -> str:
+    """SQL twin of corpus.clean_corpus — the dedup/quality/lang-id oracles
+    composed exactly the way the Spark op composes their operators."""
+    return f"""
+SELECT d.doc_id, l.lang_guess, q.n_tokens
+FROM documents d
+JOIN ({SQL_QUALITY_STATS}) q USING (doc_id)
+JOIN ({_sql_lang_id()}) l USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ({_sql_dedup_pipeline()}) dr)
+  AND l.lang_guess = {sql_str(keep_lang)}
+  AND q.n_tokens >= {min_tokens} AND q.n_tokens <= {max_tokens}
+  AND q.n_stopwords * 100 >= {min_stopword_pct} * q.n_tokens
+"""
+
+
 def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: valid BMP payloads are generated from
     doc_id, the Arrow UDF parses the actual header bytes (fake=False), and
@@ -1117,6 +1162,14 @@ def queries() -> dict:
         ),
         "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
         "dedup_pipeline": docs(dedup.dedup_pipeline),
+        # -- corpus curation --
+        "latest_per_source": docs(corpus.latest_per_source),
+        "stratified_sample": docs(
+            lambda d: corpus.stratified_sample(
+                d, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+            )
+        ),
+        "clean_corpus": docs(corpus.clean_corpus),
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
@@ -1156,6 +1209,9 @@ def oracle_sql() -> dict:
         "ngram_jaccard": SQL_JACCARD,
         "simhash": SQL_SIMHASH,
         "dedup_pipeline": _sql_dedup_pipeline(),
+        "latest_per_source": SQL_LATEST_PER_SOURCE,
+        "stratified_sample": _sql_stratified_sample(),
+        "clean_corpus": _sql_clean_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),

@@ -321,3 +321,67 @@ def test_simhash_block_cap(spark):
     assert (
         dedup.simhash_near_pairs(flood, bucket_cap=None).count() == 50 * 49 // 2
     )
+
+
+def test_latest_per_source(spark):
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a", lang="en", source="s1", n_chars=10),
+            Row(doc_id=5, text="b", lang="en", source="s1", n_chars=20),
+            Row(doc_id=3, text="c", lang="de", source="s2", n_chars=30),
+        ]
+    )
+    got = {r["source"]: (r["doc_id"], r["n_chars"]) for r in corpus.latest_per_source(df).collect()}
+    assert got == {"s1": (5, 20), "s2": (3, 30)}
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    rows = [
+        Row(doc_id=i, text="t", lang=("en" if i % 2 == 0 else "de"), source="s", n_chars=1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    rates = {"en": 50, "de": 10}
+    got = {r["doc_id"] for r in corpus.stratified_sample(df, rates).collect()}
+    # python twin of the hash-bucket rule
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    expected = {
+        i for i in range(400)
+        if bucket(i) < rates["en" if i % 2 == 0 else "de"]
+    }
+    assert got == expected
+    # re-run identical (no RNG)
+    assert {r["doc_id"] for r in corpus.stratified_sample(df, rates).collect()} == got
+
+
+def test_clean_corpus_drops_dups_and_junk(spark):
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps while the fox runs away into the woods again and again"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=good, lang="en", source="s", n_chars=len(good)),
+            Row(doc_id=1, text=good.upper(), lang="en", source="s", n_chars=len(good)),  # exact dup
+            Row(doc_id=2, text="kurz und knapp ohne englische worte", lang="de", source="s", n_chars=35),
+            Row(doc_id=3, text="tiny", lang="en", source="s", n_chars=4),  # too few tokens
+        ]
+    )
+    kept = {r["doc_id"] for r in corpus.clean_corpus(df).collect()}
+    assert kept == {0}
