@@ -1034,6 +1034,20 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM ({_sql_dedup_pipeline()}) dr)
 """
 
 
+def _sql_dup_ngram_stats(df_threshold: int = 4) -> str:
+    return f"""
+WITH {_shingle_cte("documents")},
+sets AS (SELECT DISTINCT doc_id, shingle AS gram FROM sh),
+f AS (SELECT gram, COUNT(*) AS df FROM sets GROUP BY 1),
+j AS (SELECT s.doc_id, f.df FROM sets s JOIN f USING (gram))
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df > {df_threshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       (CAST(SUM(CASE WHEN df > {df_threshold} THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // COUNT(*) AS boiler_pct_x100
+FROM j GROUP BY 1
+"""
+
+
 def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: valid BMP payloads are generated from
     doc_id, the Arrow UDF parses the actual header bytes (fake=False), and
@@ -1170,6 +1184,7 @@ def queries() -> dict:
             )
         ),
         "clean_corpus": docs(corpus.clean_corpus),
+        "dup_ngram_stats": docs(corpus.dup_ngram_stats),
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
@@ -1212,6 +1227,7 @@ def oracle_sql() -> dict:
         "latest_per_source": SQL_LATEST_PER_SOURCE,
         "stratified_sample": _sql_stratified_sample(),
         "clean_corpus": _sql_clean_corpus(),
+        "dup_ngram_stats": _sql_dup_ngram_stats(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),

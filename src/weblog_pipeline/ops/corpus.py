@@ -87,3 +87,37 @@ def clean_corpus(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("n_stopwords") * 100 >= min_stopword_pct * F.col("n_tokens"))
     ).select("doc_id", "lang_guess", "n_tokens")
+
+
+def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
+    """Duplicate-n-gram quality signal (Gopher/Dolma-style boilerplate
+    detection): per document, how many of its distinct word 3-grams occur
+    in more than df_threshold documents corpus-wide.
+
+    Two derivations of the gram frame by construction (the doc-frequency
+    aggregate is corpus-grain, the hit-count is doc-grain); the join back
+    is an equi-join on the gram — AQE broadcasts it when the boilerplate
+    vocabulary is small. Docs with <3 words have no grams and are absent,
+    matching the MinHash family's convention.
+
+    Output: doc_id, n_grams (distinct), n_boiler, boiler_pct_x100
+    (integer basis points — float-free and hash-stable).
+    """
+    grams = documents.select(
+        "doc_id", F.explode(F.array_distinct(dedup.shingles_col())).alias("gram")
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_threshold)
+        .select("gram", F.lit(True).alias("is_boiler"))
+    )
+    joined = grams.join(boiler, "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("is_boiler")).alias("n_boiler"),
+        )
+        .withColumn("boiler_pct_x100", F.expr("n_boiler * 10000 div n_grams"))
+    )

@@ -385,3 +385,22 @@ def test_clean_corpus_drops_dups_and_junk(spark):
     )
     kept = {r["doc_id"] for r in corpus.clean_corpus(df).collect()}
     assert kept == {0}
+
+
+def test_dup_ngram_stats(spark):
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    common = "the quick brown fox"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{common} variant {i} here", lang="en", source="s", n_chars=1)
+         for i in range(6)]
+        + [Row(doc_id=99, text="totally unique words nothing shared", lang="en", source="s", n_chars=1)]
+    )
+    rows = {r["doc_id"]: r for r in corpus.dup_ngram_stats(df, df_threshold=4).collect()}
+    # 'the quick brown', 'quick brown fox', 'brown fox variant' appear in
+    # all 6 docs (> 4) -> boilerplate; 'fox variant {i}' / 'variant {i} here' unique
+    assert rows[0]["n_boiler"] == 3 and rows[0]["n_grams"] == 5
+    assert rows[0]["boiler_pct_x100"] == 3 * 10000 // 5
+    assert rows[99]["n_boiler"] == 0
