@@ -1072,6 +1072,31 @@ FROM pre
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end: the nearest-neighbor kernel reads actual BMP
+    pixel rows and re-emits a valid BMP at half dimensions; the oracle
+    recomputes the output header arithmetic from doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_bmp_from_documents(docs)
+    resized = multimodal.resize_images(media, target_w=None, target_h=None)
+    return resized.select("media_id", "width", "height", "n_bytes")
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH pre AS (
+  SELECT doc_id AS media_id,
+         greatest(1, (1 + doc_id % 64) // 2) AS w,
+         greatest(1, (1 + doc_id % 48) // 2) AS h
+  FROM documents
+)
+SELECT media_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(54 + ((w*3 + 3)//4)*4 * h AS BIGINT) AS n_bytes
+FROM pre
+"""
+
+
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     frames = multimodal.sample_frames(
@@ -1193,6 +1218,7 @@ def queries() -> dict:
         # -- multimodal --
         "multimodal_meta": q_multimodal_meta,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "multimodal_resize": q_multimodal_resize,
         "frame_samples": q_frame_samples,
     }
 
@@ -1234,5 +1260,6 @@ def oracle_sql() -> dict:
         "embedding_neardup": _sql_neardup_emb(threshold=0.4),
         "multimodal_meta": _sql_multimodal_meta(),
         "multimodal_bmp_decode": SQL_MULTIMODAL_BMP,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),
     }

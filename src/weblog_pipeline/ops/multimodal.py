@@ -308,3 +308,99 @@ def media_from_documents(documents: "DataFrame") -> "DataFrame":
         F.encode(F.col("text"), "utf-8").alias("payload"),
         mtype.alias("media_type"),
     )
+
+
+def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor resize for uncompressed 24-bit BMP payloads
+    (stdlib-only): parses the actual pixel rows, samples src pixels at
+    round-half-down grid positions, re-emits a valid BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    width, height = abs(width), abs(height)
+    src_stride = bmp_stride(width)
+    dst_stride = bmp_stride(target_w)
+    out = bytearray(dst_stride * target_h)
+    for y in range(target_h):
+        sy = y * height // target_h
+        src_row = data_offset + sy * src_stride
+        dst_row = y * dst_stride
+        for x in range(target_w):
+            sx = x * width // target_w
+            s = src_row + sx * 3
+            d = dst_row + x * 3
+            out[d : d + 3] = payload[s : s + 3]
+    data = bytes(out)
+    file_header = b"BM" + struct.pack(
+        "<IHHI", BMP_HEADER_BYTES + len(data), 0, 0, BMP_HEADER_BYTES
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: "DataFrame",
+    target_w: int | None = 8,
+    target_h: int | None = 8,
+) -> "DataFrame":
+    """Batch image resize over mapInPandas: one resized BMP per input image
+    row (non-image rows are dropped). target_w/target_h None = halve the
+    source dimensions (floor, min 1). The payload column is re-emitted here
+    by necessity — the resized image IS the product — but it is the SMALL
+    post-resize blob (target dims), so downstream stages shuffle thumbnails,
+    not originals."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image":
+                    continue
+                src = bytes(payload)
+                if target_w is None or target_h is None:
+                    hdr = decode_bmp(src)
+                    tw = max(1, hdr["width"] // 2)
+                    th = max(1, hdr["height"] // 2)
+                else:
+                    tw, th = target_w, target_h
+                blob = resize_bmp(src, tw, th)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": blob,
+                        "width": tw,
+                        "height": th,
+                        "n_bytes": len(blob),
+                    }
+                )
+            if out:
+                o = pd.DataFrame(out)
+                o["media_id"] = o["media_id"].astype("Int64")
+                o["width"] = o["width"].astype("Int32")
+                o["height"] = o["height"].astype("Int32")
+                o["n_bytes"] = o["n_bytes"].astype("Int64")
+                yield o[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    pruned = media.select("media_id", "payload", "media_type")
+    return pruned.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -404,3 +404,40 @@ def test_dup_ngram_stats(spark):
     assert rows[0]["n_boiler"] == 3 and rows[0]["n_grams"] == 5
     assert rows[0]["boiler_pct_x100"] == 3 * 10000 // 5
     assert rows[99]["n_boiler"] == 0
+
+
+def test_resize_bmp_nearest_neighbor_kernel():
+    # 4x2 gradient: pixel (x,y) = (v, v, v) with v = y*4 + x
+    w, h = 4, 2
+    stride = multimodal.bmp_stride(w)
+    import struct as _struct
+
+    data = bytearray(stride * h)
+    for y in range(h):
+        for x in range(w):
+            v = y * 4 + x
+            data[y * stride + x * 3 : y * stride + x * 3 + 3] = bytes([v] * 3)
+    payload = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + bytes(data)
+    )
+    out = multimodal.resize_bmp(payload, 2, 1)
+    meta = multimodal.decode_image(out, fake=False)
+    assert meta["width"] == 2 and meta["height"] == 1
+    # nearest-neighbor picks src pixels (0,0) and (2,0): values 0 and 2
+    pix = out[54:]
+    assert pix[0:3] == b"\x00\x00\x00" and pix[3:6] == b"\x02\x02\x02"
+
+
+def test_resize_images_through_spark(spark, docs_df):
+    media = multimodal.media_bmp_from_documents(docs_df)
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in multimodal.resize_images(media, None, None).collect()
+    }
+    for i, _, _ in DOCS:
+        tw = max(1, (1 + i % 64) // 2)
+        th = max(1, (1 + i % 48) // 2)
+        assert got[i] == (tw, th, 54 + multimodal.bmp_stride(tw) * th)
