@@ -601,14 +601,14 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
 
-def _sql_dedup_pipeline(
+def _dedup_edges_ctes(
     jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
 ) -> str:
-    """SQL twin of dedup.dedup_pipeline: exact dedup -> MinHash/LSH over the
-    representatives (with the band-bucket cap) -> integer Jaccard edges ->
-    single-hop drop list."""
+    """Shared CTE chain: exact-dup edges (doc -> content-hash keeper) and
+    verified near-dup edges among the representatives — the evidence base
+    for both dedup_pipeline (drop list) and dup_clusters (components)."""
     return f"""
-WITH hsh AS (
+hsh AS (
   SELECT doc_id, text,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
   FROM documents
@@ -618,9 +618,8 @@ marked AS (
          MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
   FROM hsh
 ),
-exact_drops AS (
-  SELECT doc_id, keeper AS dup_of, 'exact' AS reason
-  FROM marked WHERE doc_id <> keeper
+exact_edges AS (
+  SELECT keeper AS doc_a, doc_id AS doc_b FROM marked WHERE doc_id <> keeper
 ),
 reps AS (SELECT doc_id, text FROM marked WHERE doc_id = keeper),
 {_sig_cte("reps")},
@@ -642,18 +641,60 @@ inter AS (
   JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
   GROUP BY p.doc_a, p.doc_b
 ),
-edges AS (
+near_edges AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN sizes za ON za.doc_id = i.doc_a
   JOIN sizes zb ON zb.doc_id = i.doc_b
   WHERE i.n_intersect * 100 >= {jaccard_pct} * (za.n + zb.n - i.n_intersect)
+)
+"""
+
+
+def _sql_dedup_pipeline(
+    jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
+) -> str:
+    """SQL twin of dedup.dedup_pipeline: exact dedup -> MinHash/LSH over the
+    representatives (with the band-bucket cap) -> integer Jaccard edges ->
+    single-hop drop list."""
+    return f"""
+WITH {_dedup_edges_ctes(jaccard_pct, bucket_cap)},
+exact_drops AS (
+  SELECT doc_b AS doc_id, doc_a AS dup_of, 'exact' AS reason FROM exact_edges
 ),
 near_drops AS (
   SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of, 'near' AS reason
-  FROM edges GROUP BY doc_b
+  FROM near_edges GROUP BY doc_b
 )
 SELECT * FROM exact_drops UNION ALL SELECT * FROM near_drops
+"""
+
+
+def _sql_dup_clusters(
+    jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
+) -> str:
+    """SQL twin of dedup.duplicate_clusters: connected components over the
+    exact + near edges via a recursive CTE (label = min reachable doc_id —
+    the declarative fixpoint of the iterative min-label propagation the
+    Spark operator runs)."""
+    return f"""
+WITH RECURSIVE {_dedup_edges_ctes(jaccard_pct, bucket_cap)},
+alledges AS (
+  SELECT doc_a, doc_b FROM exact_edges
+  UNION
+  SELECT doc_a, doc_b FROM near_edges
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM alledges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM alledges
+),
+cc AS (
+  SELECT src AS doc_id, src AS label FROM und
+  UNION
+  SELECT u.dst AS doc_id, c.label FROM cc c JOIN und u ON u.src = c.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY 1
 """
 
 
@@ -1201,6 +1242,7 @@ def queries() -> dict:
         ),
         "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
         "dedup_pipeline": docs(dedup.dedup_pipeline),
+        "dup_clusters": docs(dedup.duplicate_clusters),
         # -- corpus curation --
         "latest_per_source": docs(corpus.latest_per_source),
         "stratified_sample": docs(
@@ -1250,6 +1292,7 @@ def oracle_sql() -> dict:
         "ngram_jaccard": SQL_JACCARD,
         "simhash": SQL_SIMHASH,
         "dedup_pipeline": _sql_dedup_pipeline(),
+        "dup_clusters": _sql_dup_clusters(),
         "latest_per_source": SQL_LATEST_PER_SOURCE,
         "stratified_sample": _sql_stratified_sample(),
         "clean_corpus": _sql_clean_corpus(),

@@ -340,3 +340,83 @@ def dedup_pipeline(
         )
     )
     return exact_drops.unionByName(near_drops)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list (doc_a, doc_b):
+    iterative min-label propagation — each round every vertex takes the
+    minimum label among itself and its neighbors, until a fixpoint.
+
+    This is the step that turns pairwise near-dup evidence into duplicate
+    CLUSTERS (keep one doc per component). Spark shape: per iteration one
+    equi-join (edges x labels) + one min-aggregate, labels localCheckpointed
+    to cut the growing lineage; convergence in O(component diameter)
+    rounds — near-dup clusters are shallow (stars/cliques), so typically
+    2-3 rounds. Deterministic: labels are doc_ids, min is total.
+
+    Output: (doc_id, cluster_id) for every vertex, cluster_id = the
+    component's minimum doc_id.
+    """
+    # materialize the edge list ONCE: it is re-joined every iteration, and
+    # without this the (possibly expensive) upstream edge derivation —
+    # MinHash, Jaccard, ... — would re-execute per round
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    documents: DataFrame,
+    jaccard_pct: int = 80,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Duplicate clusters over BOTH evidence kinds: exact-duplicate edges
+    (doc -> its content-hash keeper) and verified near-dup edges among the
+    exact-dedup representatives (same pipeline as dedup_pipeline). Output:
+    (doc_id, cluster_id) for every doc that belongs to a duplicate cluster
+    of size >= 2; cluster_id is the component's lowest doc_id."""
+    w = Window.partitionBy("content_hash")
+    marked = documents.select(
+        "doc_id", "text", content_hash_col().alias("content_hash")
+    ).withColumn("keeper", F.min("doc_id").over(w))
+    exact_edges = marked.where(F.col("doc_id") != F.col("keeper")).select(
+        F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    reps = marked.where(F.col("doc_id") == F.col("keeper")).select("doc_id", "text")
+    near_edges = (
+        jaccard_verify(reps, lsh_candidate_pairs(reps, bucket_cap=bucket_cap))
+        .where(F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union"))
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(exact_edges.unionByName(near_edges))

@@ -441,3 +441,32 @@ def test_resize_images_through_spark(spark, docs_df):
         tw = max(1, (1 + i % 64) // 2)
         th = max(1, (1 + i % 48) // 2)
         assert got[i] == (tw, th, 54 + multimodal.bmp_stride(tw) * th)
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=3, doc_b=4),
+         Row(doc_a=10, doc_b=11), Row(doc_a=20, doc_b=21), Row(doc_a=11, doc_b=12)]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_merges_exact_and_near(spark):
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text="  ".join(base.split())),       # exact dup of 0
+            Row(doc_id=2, text=base.replace("tango", "zulu")),  # near dup of 0
+            Row(doc_id=3, text=base.replace("tango", "zulu").upper()),  # exact dup of 2
+            Row(doc_id=9, text="unrelated words entirely different topic here"),
+        ]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(df).collect()}
+    # exact(0,1) + near(0,2) + exact(2,3) all merge into one component
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+    assert 9 not in got  # no duplicate evidence -> not in any cluster
