@@ -487,6 +487,38 @@ SELECT doc_id, {hits_names}, {case} AS lang_guess FROM pre
 """
 
 
+def _sql_vocab_topk(k: int = 100) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents WHERE trim(text) <> ''
+),
+c AS (
+  SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM tok WHERE token <> '' GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INTEGER) AS rank,
+       token, n_occurrences, n_docs
+FROM c ORDER BY n_occurrences DESC, token ASC LIMIT {k}
+"""
+
+
+def _sql_bpe_pair_counts(k: int = 50) -> str:
+    return f"""
+WITH w AS (
+  SELECT {_TOKS} AS words FROM documents WHERE trim(text) <> ''
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i+1])) AS pair
+  FROM w WHERE len(words) >= 2
+),
+c AS (SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank,
+       pair, n_occurrences
+FROM c ORDER BY n_occurrences DESC, pair ASC LIMIT {k}
+"""
+
+
 SQL_FINGERPRINT = """
 WITH pre AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -1231,6 +1263,8 @@ def queries() -> dict:
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
         "fingerprint": docs(textstats.fingerprint),
+        "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
+        "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
         # -- dedup --
         "dedup_exact": docs(dedup.exact_duplicates),
         "dedup_stats": q_dedup_stats,
@@ -1285,6 +1319,8 @@ def oracle_sql() -> dict:
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
+        "vocab_topk": _sql_vocab_topk(),
+        "bpe_pair_counts": _sql_bpe_pair_counts(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_stats": SQL_DEDUP_STATS,
         "minhash_signatures": SQL_MINHASH,

@@ -9,8 +9,10 @@ whole-stage-codegen'd scan with full column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .dedup import _fan_out
 
 #: small per-language marker-word sets for the n-gram/stopword language
 #: heuristic (shared with the SQL oracle generator).
@@ -122,4 +124,64 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp60"),
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-wide top-k token vocabulary with document frequencies — the
+    seed statistics for tokenizer/vocab construction. One explode + one
+    aggregate (map-side combine collapses each partition's token counts
+    before the shuffle); the final top-k is a TakeOrderedAndProject over
+    the aggregated token table, ordered (count desc, token asc) for a
+    deterministic cross-engine tie-break."""
+    ltoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(ltoks).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            ),
+        )
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k adjacent token pairs by corpus frequency — the statistic the
+    first BPE merge step maximizes. The pair stream is built with a
+    zip-shift over the token array (no self-join): transform over indices
+    1..n-1 pairs token[i] with token[i+1], then explode + count."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = _fan_out(documents.select("doc_id", "text")).select(
+        F.explode(pairs).alias("pair")
+    )
+    counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+            ),
+        )
+        .select("rank", "pair", "n_occurrences")
     )

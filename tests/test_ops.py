@@ -470,3 +470,18 @@ def test_duplicate_clusters_merges_exact_and_near(spark):
     # exact(0,1) + near(0,2) + exact(2,3) all merge into one component
     assert got == {0: 0, 1: 0, 2: 0, 3: 0}
     assert 9 not in got  # no duplicate evidence -> not in any cluster
+
+
+def test_vocab_topk_and_bpe_pairs(spark, docs_df):
+    vocab = textstats.vocab_topk(docs_df, k=5).collect()
+    assert vocab[0]["rank"] == 1
+    by_tok = {r["token"]: r for r in vocab}
+    # 'the' occurs 6x across docs 0,1,2 (2 each)
+    assert by_tok["the"]["n_occurrences"] == 6 and by_tok["the"]["n_docs"] == 3
+    # ranks strictly ordered by (count desc, token asc)
+    keys = [(-r["n_occurrences"], r["token"]) for r in vocab]
+    assert keys == sorted(keys)
+
+    pairs = textstats.bpe_pair_counts(docs_df, k=10).collect()
+    by_pair = {r["pair"]: r["n_occurrences"] for r in pairs}
+    assert by_pair["the quick"] == 3  # docs 0,1,2
