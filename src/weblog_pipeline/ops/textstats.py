@@ -142,6 +142,9 @@ def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+    # the unpartitioned rank window runs AFTER limit(k): it sees <= k
+    # rows (TakeOrderedAndProject did the distributed work), so the
+    # single-partition window is k rows, not the corpus
     return (
         counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
@@ -174,6 +177,7 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
         F.explode(pairs).alias("pair")
     )
     counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # unpartitioned rank over <= k post-limit rows (see vocab_topk)
     return (
         counts.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(k)
