@@ -487,6 +487,32 @@ SELECT doc_id, {hits_names}, {case} AS lang_guess FROM pre
 """
 
 
+def _sql_winnow_fingerprints(k: int = 8, window: int = 4) -> str:
+    """SQL twin of textstats.winnow_fingerprints (rolling k-gram hashes,
+    per-window minima). substr/length are char-based in both engines."""
+    return f"""
+WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(t) - {k - 1} AS p, i AS pos,
+         md5(substr(t, i, {k})) AS h
+  FROM nrm, unnest(range(1, len(t) - {k - 2})) AS u(i)
+  WHERE len(t) >= {k}
+),
+wm AS (
+  SELECT doc_id, p, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin
+  FROM g
+)
+SELECT doc_id, CAST(MAX(p) AS BIGINT) AS n_grams,
+       COUNT(DISTINCT wmin) AS n_fingerprints, MIN(wmin) AS min_fp
+FROM wm WHERE pos <= p - {window - 1} GROUP BY 1
+"""
+
+
 def _sql_vocab_topk(k: int = 100) -> str:
     return f"""
 WITH tok AS (
@@ -1264,6 +1290,7 @@ def queries() -> dict:
         "lang_id": docs(textstats.lang_id),
         "fingerprint": docs(textstats.fingerprint),
         "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
+        "winnow_fingerprints": docs(textstats.winnow_fingerprints),
         "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
         # -- dedup --
         "dedup_exact": docs(dedup.exact_duplicates),
@@ -1320,6 +1347,7 @@ def oracle_sql() -> dict:
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "vocab_topk": _sql_vocab_topk(),
+        "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_stats": SQL_DEDUP_STATS,

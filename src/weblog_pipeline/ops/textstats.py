@@ -189,3 +189,49 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
         )
         .select("rank", "pair", "n_occurrences")
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    the MOSS scheme): hash every character k-gram of the normalized text,
+    slide a window of `window` consecutive hashes, keep each window's
+    minimum; the distinct minima are the document's fingerprint set —
+    robust to insertions/reordering in a way a whole-document hash is not.
+
+    Spark shape: explode positions (one row per k-gram), per-doc ordered
+    window min over a bounded frame — partitioned by doc_id, so a doc's
+    gram stream never crosses executors. Docs shorter than k+window-1
+    chars have no complete window and are excluded (both engines agree).
+
+    Output: doc_id, n_grams, n_fingerprints (distinct minima), min_fp.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", norm.alias("t"))
+        .where(F.length("t") >= k)
+    )
+    grams = base.select(
+        "doc_id",
+        (F.length("t") - (k - 1)).alias("p"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id", "p", "pos", F.md5(F.expr(f"substr(t, pos, {k})")).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    winnowed = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("pos") <= F.col("p") - (window - 1))
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.max("p").alias("n_grams"),
+        F.countDistinct("wmin").alias("n_fingerprints"),
+        F.min("wmin").alias("min_fp"),
+    )

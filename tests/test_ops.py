@@ -485,3 +485,25 @@ def test_vocab_topk_and_bpe_pairs(spark, docs_df):
     pairs = textstats.bpe_pair_counts(docs_df, k=10).collect()
     by_pair = {r["pair"]: r["n_occurrences"] for r in pairs}
     assert by_pair["the quick"] == 3  # docs 0,1,2
+
+
+def test_winnow_fingerprints_robust_to_local_edit(spark):
+    import hashlib as _h
+
+    from pyspark.sql import Row
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = a.replace("tonight", "tonite")  # local edit near the end
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=a), Row(doc_id=1, text=b), Row(doc_id=2, text="tiny")]
+    )
+    rows = {r["doc_id"]: r for r in textstats.winnow_fingerprints(df).collect()}
+    # python twin for doc 0
+    k, window = 8, 4
+    grams = [_h.md5(a[i : i + k].encode()).hexdigest() for i in range(len(a) - k + 1)]
+    mins = {min(grams[i : i + window]) for i in range(len(grams) - window + 1)}
+    assert rows[0]["n_grams"] == len(grams)
+    assert rows[0]["n_fingerprints"] == len(mins)
+    assert rows[0]["min_fp"] == min(mins)
+    # doc 2 is shorter than k+window-1 -> no complete window -> absent
+    assert 2 not in rows
