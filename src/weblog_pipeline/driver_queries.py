@@ -513,6 +513,26 @@ FROM wm WHERE pos <= p - {window - 1} GROUP BY 1
 """
 
 
+SQL_BIGRAM_LOGPROB = f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text) <> ''
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w WHERE len(words) >= 2
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM s GROUP BY 1, 2),
+pc AS (SELECT w1, COUNT(*) AS c_prefix FROM s GROUP BY 1)
+SELECT s.doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(ln(CAST(bc.c_bigram AS DOUBLE)) - ln(CAST(pc.c_prefix AS DOUBLE))), 6)
+         AS avg_logprob_r6
+FROM s JOIN bc USING (w1, w2) JOIN pc USING (w1)
+GROUP BY 1
+"""
+
+
 def _sql_vocab_topk(k: int = 100) -> str:
     return f"""
 WITH tok AS (
@@ -1291,6 +1311,7 @@ def queries() -> dict:
         "fingerprint": docs(textstats.fingerprint),
         "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
         "winnow_fingerprints": docs(textstats.winnow_fingerprints),
+        "bigram_logprob": docs(textstats.bigram_logprob),
         "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
         # -- dedup --
         "dedup_exact": docs(dedup.exact_duplicates),
@@ -1348,6 +1369,7 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "vocab_topk": _sql_vocab_topk(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
+        "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_stats": SQL_DEDUP_STATS,

@@ -235,3 +235,51 @@ def winnow_fingerprints(
         F.countDistinct("wmin").alias("n_fingerprints"),
         F.min("wmin").alias("min_fp"),
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's own
+    bigram MLE model — the classic cheap LM-quality signal (low = unusual
+    token sequences; boilerplate scores high).
+
+    ln P(doc) / n = avg over bigrams (w1,w2) of ln( c(w1 w2) / c(w1 ·) ),
+    where c(w1 ·) counts w1 occurrences in PREFIX position. Corpus counts
+    are two aggregates keyed by bigram/prefix (map-side combine); per-doc
+    scoring joins the doc's bigram stream back (equi-joins, AQE broadcasts
+    the count tables when small) and averages. Float output guarded by
+    round(,6) — the only tolerance the cross-engine hash needs.
+
+    Output: doc_id, n_bigrams, avg_logprob_r6. Docs with <2 tokens have no
+    bigrams and are excluded.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    stream = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(pairs).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    bigram_c = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    prefix_c = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c_prefix"))
+
+    scored = (
+        stream.join(bigram_c, ["w1", "w2"])
+        .join(prefix_c, "w1")
+        .select(
+            "doc_id",
+            (F.log(F.col("c_bigram").cast("double"))
+             - F.log(F.col("c_prefix").cast("double"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob_r6"),
+    )

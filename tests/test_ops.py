@@ -507,3 +507,31 @@ def test_winnow_fingerprints_robust_to_local_edit(spark):
     assert rows[0]["min_fp"] == min(mins)
     # doc 2 is shorter than k+window-1 -> no complete window -> absent
     assert 2 not in rows
+
+
+def test_bigram_logprob_python_twin(spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    texts = {
+        0: "a b a b c",
+        1: "a b c",
+        2: "solo",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {r["doc_id"]: r for r in textstats.bigram_logprob(df).collect()}
+
+    streams = {i: list(zip(t.split(), t.split()[1:])) for i, t in texts.items()}
+    bc = Counter(bg for s in streams.values() for bg in s)
+    pc = Counter(bg[0] for s in streams.values() for bg in s)
+    for i, s in streams.items():
+        if not s:
+            assert i not in got
+            continue
+        lp = sum(math.log(bc[bg]) - math.log(pc[bg[0]]) for bg in s) / len(s)
+        assert got[i]["n_bigrams"] == len(s)
+        assert got[i]["avg_logprob_r6"] == round(lp, 6)
