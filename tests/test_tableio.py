@@ -67,3 +67,39 @@ def test_iceberg_prefix_strips_scheme(spark):
     if _iceberg_available(spark):
         io = TableIO(spark, "iceberg:warehouse.ns")
         assert io.use_iceberg and io.location == "warehouse.ns"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed by the join key into the same
+    bucket count -> the SortMergeJoin runs with NO Exchange on either side
+    (the 100 TB reason to bucket fact tables)."""
+    from pyspark.sql import functions as F
+
+    from weblog_pipeline.tableio import write_bucketed
+
+    df_a = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("va")
+    )
+    df_b = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 11).alias("vb")
+    )
+    try:
+        write_bucketed(df_a, "bkt_a", str(tmp_path / "a"), 4, "doc_id", "doc_id")
+        write_bucketed(df_b, "bkt_b", str(tmp_path / "b"), 4, "doc_id", "doc_id")
+        # merge hint: small test tables would otherwise broadcast, hiding
+        # the bucketing effect (at real fact-table sizes SMJ is the default)
+        joined = spark.table("bkt_a").hint("merge").join(
+            spark.table("bkt_b"), "doc_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+        # a plain (unbucketed) side needs its shuffle back
+        plan2 = (
+            spark.table("bkt_a").hint("merge").join(df_b, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" in plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
