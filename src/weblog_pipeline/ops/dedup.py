@@ -30,9 +30,16 @@ SHINGLE_K = 3
 DEFAULT_BUCKET_CAP = 64  # max docs per (band, band_hash) bucket in the pair join
 
 
+def lower_tokens_col(text_col="text"):
+    """Whitespace tokens of lowercased, trimmed text — THE tokenizer every
+    corpus-grain op shares with its SQL twin (driver_queries._TOKS); change
+    it here and the oracle expression together, nowhere else."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
 def shingles_col(text_col="text"):
     """Word 3-gram shingles of lowercased text (empty array when <3 words)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = lower_tokens_col(text_col)
     return F.when(
         F.array_size(words) >= SHINGLE_K,
         F.transform(
@@ -239,9 +246,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     Uses the first 8 hex chars (32 bits) so the per-bit extraction is
     engine-portable integer arithmetic.
     """
-    words = F.explode(
-        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-    ).alias("word")
+    words = F.explode(F.array_distinct(lower_tokens_col())).alias("word")
     tok = _fan_out(documents.select("doc_id", "text")).select(
         "doc_id", words
     ).where(F.col("word") != "")
@@ -315,22 +320,13 @@ def dedup_pipeline(
                'near'  (LSH candidate with Jaccard >= jaccard_pct%)
     Near-dup dropping is single-hop by design (a doc is dropped iff it has
     a verified edge to a LOWER-id representative) — deterministic and
-    SQL-expressible; no transitive closure.
+    SQL-expressible; no transitive closure (duplicate_clusters does that).
     """
-    w = Window.partitionBy("content_hash")
-    marked = documents.select(
-        "doc_id", "text", content_hash_col().alias("content_hash")
-    ).withColumn("keeper", F.min("doc_id").over(w))
-    exact_drops = marked.where(F.col("doc_id") != F.col("keeper")).select(
-        "doc_id", F.col("keeper").alias("dup_of"), F.lit("exact").alias("reason")
-    )
-    reps = marked.where(F.col("doc_id") == F.col("keeper")).select("doc_id", "text")
-
-    pairs = lsh_candidate_pairs(reps, bucket_cap=bucket_cap)
-    jac = jaccard_verify(reps, pairs)
-    # integer-only threshold test: intersect/union >= pct/100
-    near_edges = jac.where(
-        F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union")
+    exact_edges, near_edges = dedup_edges(documents, jaccard_pct, bucket_cap)
+    exact_drops = exact_edges.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("dup_of"),
+        F.lit("exact").alias("reason"),
     )
     near_drops = (
         near_edges.groupBy("doc_b")
@@ -340,6 +336,33 @@ def dedup_pipeline(
         )
     )
     return exact_drops.unionByName(near_drops)
+
+
+def dedup_edges(
+    documents: DataFrame,
+    jaccard_pct: int = 80,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared duplicate-evidence derivation (the Spark twin of the SQL
+    `_dedup_edges_ctes`): exact edges (content-hash keeper -> member) and
+    verified near-dup edges among the exact-dedup representatives. Used by
+    both dedup_pipeline (drop list) and duplicate_clusters (components) —
+    one definition, so the two can never silently diverge."""
+    w = Window.partitionBy("content_hash")
+    marked = documents.select(
+        "doc_id", "text", content_hash_col().alias("content_hash")
+    ).withColumn("keeper", F.min("doc_id").over(w))
+    exact_edges = marked.where(F.col("doc_id") != F.col("keeper")).select(
+        F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    reps = marked.where(F.col("doc_id") == F.col("keeper")).select("doc_id", "text")
+    near_edges = (
+        jaccard_verify(reps, lsh_candidate_pairs(reps, bucket_cap=bucket_cap))
+        # integer-only threshold test: intersect/union >= pct/100
+        .where(F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union"))
+        .select("doc_a", "doc_b")
+    )
+    return exact_edges, near_edges
 
 
 def connected_components(
@@ -393,6 +416,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # one-hop propagation converges in diameter rounds; returning the
+        # non-fixpoint labels would silently split real components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -406,17 +436,5 @@ def duplicate_clusters(
     exact-dedup representatives (same pipeline as dedup_pipeline). Output:
     (doc_id, cluster_id) for every doc that belongs to a duplicate cluster
     of size >= 2; cluster_id is the component's lowest doc_id."""
-    w = Window.partitionBy("content_hash")
-    marked = documents.select(
-        "doc_id", "text", content_hash_col().alias("content_hash")
-    ).withColumn("keeper", F.min("doc_id").over(w))
-    exact_edges = marked.where(F.col("doc_id") != F.col("keeper")).select(
-        F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
-    reps = marked.where(F.col("doc_id") == F.col("keeper")).select("doc_id", "text")
-    near_edges = (
-        jaccard_verify(reps, lsh_candidate_pairs(reps, bucket_cap=bucket_cap))
-        .where(F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union"))
-        .select("doc_a", "doc_b")
-    )
+    exact_edges, near_edges = dedup_edges(documents, jaccard_pct, bucket_cap)
     return connected_components(exact_edges.unionByName(near_edges))

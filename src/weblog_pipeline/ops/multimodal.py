@@ -319,8 +319,12 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24:
         raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    top_down = height < 0  # row order preserved; output header keeps the sign
     width, height = abs(width), abs(height)
     src_stride = bmp_stride(width)
     dst_stride = bmp_stride(target_w)
@@ -338,8 +342,9 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     file_header = b"BM" + struct.pack(
         "<IHHI", BMP_HEADER_BYTES + len(data), 0, 0, BMP_HEADER_BYTES
     )
+    out_h = -target_h if top_down else target_h
     info_header = struct.pack(
-        "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, target_w, out_h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return file_header + info_header + data
 
@@ -379,9 +384,11 @@ def resize_images(
                     continue
                 src = bytes(payload)
                 if target_w is None or target_h is None:
+                    # each None axis halves independently; a given axis is
+                    # honored as-is (fixed width + auto height is valid)
                     hdr = decode_bmp(src)
-                    tw = max(1, hdr["width"] // 2)
-                    th = max(1, hdr["height"] // 2)
+                    tw = target_w if target_w is not None else max(1, hdr["width"] // 2)
+                    th = target_h if target_h is not None else max(1, hdr["height"] // 2)
                 else:
                     tw, th = target_w, target_h
                 blob = resize_bmp(src, tw, th)

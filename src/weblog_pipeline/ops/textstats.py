@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _fan_out
+from .dedup import _fan_out, lower_tokens_col
 
 #: small per-language marker-word sets for the n-gram/stopword language
 #: heuristic (shared with the SQL oracle generator).
@@ -127,6 +127,18 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def _ranked_topk(counts: DataFrame, k: int, tie_col: str) -> DataFrame:
+    """Deterministic top-k of a count table: TakeOrderedAndProject does the
+    distributed cut on (count desc, tie asc); the unpartitioned rank window
+    then runs on the <= k post-limit rows only."""
+    order = [F.col("n_occurrences").desc(), F.col(tie_col).asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
 def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     """Corpus-wide top-k token vocabulary with document frequencies — the
     seed statistics for tokenizer/vocab construction. One explode + one
@@ -134,27 +146,15 @@ def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     before the shuffle); the final top-k is a TakeOrderedAndProject over
     the aggregated token table, ordered (count desc, token asc) for a
     deterministic cross-engine tie-break."""
-    ltoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     toks = _fan_out(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(ltoks).alias("token")
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    # the unpartitioned rank window runs AFTER limit(k): it sees <= k
-    # rows (TakeOrderedAndProject did the distributed work), so the
-    # single-partition window is k rows, not the corpus
-    return (
-        counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-            ),
-        )
-        .select("rank", "token", "n_occurrences", "n_docs")
+    return _ranked_topk(counts, k, "token").select(
+        "rank", "token", "n_occurrences", "n_docs"
     )
 
 
@@ -163,7 +163,7 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
     first BPE merge step maximizes. The pair stream is built with a
     zip-shift over the token array (no self-join): transform over indices
     1..n-1 pairs token[i] with token[i+1], then explode + count."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = lower_tokens_col()
     pairs = F.when(
         F.array_size(toks) >= 2,
         F.transform(
@@ -177,18 +177,7 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
         F.explode(pairs).alias("pair")
     )
     counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    # unpartitioned rank over <= k post-limit rows (see vocab_topk)
-    return (
-        counts.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
-            ),
-        )
-        .select("rank", "pair", "n_occurrences")
-    )
+    return _ranked_topk(counts, k, "pair").select("rank", "pair", "n_occurrences")
 
 
 def winnow_fingerprints(
@@ -244,15 +233,15 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
 
     ln P(doc) / n = avg over bigrams (w1,w2) of ln( c(w1 w2) / c(w1 ·) ),
     where c(w1 ·) counts w1 occurrences in PREFIX position. Corpus counts
-    are two aggregates keyed by bigram/prefix (map-side combine); per-doc
-    scoring joins the doc's bigram stream back (equi-joins, AQE broadcasts
-    the count tables when small) and averages. Float output guarded by
-    round(,6) — the only tolerance the cross-engine hash needs.
+    attach as window counts over the single bigram stream (two shuffles
+    keyed by bigram/prefix, one scan); the per-doc average follows. Float
+    output guarded by round(,6) — the only tolerance the cross-engine
+    hash needs.
 
     Output: doc_id, n_bigrams, avg_logprob_r6. Docs with <2 tokens have no
     bigrams and are excluded.
     """
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = lower_tokens_col()
     pairs = F.when(
         F.array_size(toks) >= 2,
         F.transform(
@@ -267,17 +256,14 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         "doc_id", F.explode(pairs).alias("bg")
     ).select("doc_id", "bg.w1", "bg.w2")
 
-    bigram_c = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
-    prefix_c = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c_prefix"))
-
-    scored = (
-        stream.join(bigram_c, ["w1", "w2"])
-        .join(prefix_c, "w1")
-        .select(
-            "doc_id",
-            (F.log(F.col("c_bigram").cast("double"))
-             - F.log(F.col("c_prefix").cast("double"))).alias("lp"),
-        )
+    # corpus counts as WINDOW counts over the one bigram stream — the
+    # aggregate-then-join-back shape re-derives the scan + explode three
+    # times; windows attach both counts in place (two shuffles, one scan)
+    c_bigram = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    c_prefix = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    scored = stream.select(
+        "doc_id",
+        (F.log(c_bigram.cast("double")) - F.log(c_prefix.cast("double"))).alias("lp"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -535,3 +535,44 @@ def test_bigram_logprob_python_twin(spark):
         lp = sum(math.log(bc[bg]) - math.log(pc[bg[0]]) for bg in s) / len(s)
         assert got[i]["n_bigrams"] == len(s)
         assert got[i]["avg_logprob_r6"] == round(lp, 6)
+
+
+def test_resize_mixed_axis_and_topdown(spark, docs_df):
+    import struct as _struct
+
+    # fixed width + auto height: the given axis is honored, None halves
+    media = multimodal.media_bmp_from_documents(docs_df)
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in multimodal.resize_images(media, target_w=4, target_h=None).collect()
+    }
+    for i, _, _ in DOCS:
+        assert got[i] == (4, max(1, (1 + i % 48) // 2))
+
+    # top-down (negative height) input keeps its row-order sign on output
+    src = bytearray(multimodal.encode_bmp(6, 4, 77))
+    _struct.pack_into("<i", src, 22, -4)
+    out = multimodal.resize_bmp(bytes(src), 3, 2)
+    assert _struct.unpack_from("<i", out, 22)[0] == -2
+    assert multimodal.decode_image(out, fake=False)["height"] == 2
+
+    # compressed BMPs are rejected like decode_bmp does
+    import pytest as _pytest
+
+    bad = bytearray(multimodal.encode_bmp(6, 4, 77))
+    _struct.pack_into("<I", bad, 30, 1)  # biCompression = RLE8
+    with _pytest.raises(ValueError, match="compressed BMP"):
+        multimodal.resize_bmp(bytes(bad), 3, 2)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from pyspark.sql import Row
+
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(6)]  # diameter 6
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    # enough rounds: converges to the single component
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0}
