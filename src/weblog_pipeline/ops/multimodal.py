@@ -170,12 +170,23 @@ def decode_av(payload: bytes, media_type: str, fake: bool = False) -> dict:
     }
 
 
-def extract_media_metadata(media: "DataFrame", fake: bool = True) -> "DataFrame":
+def extract_media_metadata(
+    media: "DataFrame", fake: bool = True, on_error: str = "raise"
+) -> "DataFrame":
     """media(media_id, payload, media_type) -> typed metadata + feature.
 
     Arrow-batched; one output row per input row; payload never leaves the
     UDF (downstream shuffles carry only metadata).
+
+    on_error: 'raise' (default — a corrupt payload fails the job loudly,
+    the oracle-checked semantics) or 'skip' (quarantine: corrupt payloads
+    are dropped, mirroring the parse stage's corrupt-page handling — the
+    right mode for a real crawl where a few truncated blobs must not kill
+    a 100 TB job). NotImplementedError (missing codec) always raises —
+    that is a configuration problem, not a data problem.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -186,10 +197,15 @@ def extract_media_metadata(media: "DataFrame", fake: bool = True) -> "DataFrame"
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
                 blob = bytes(payload) if payload is not None else b""
-                if mtype == "image":
-                    meta = decode_image(blob, fake=fake)
-                else:
-                    meta = decode_av(blob, mtype, fake=fake)
+                try:
+                    if mtype == "image":
+                        meta = decode_image(blob, fake=fake)
+                    else:
+                        meta = decode_av(blob, mtype, fake=fake)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
                 out.append(
                     {
                         "media_id": int(mid),
@@ -314,7 +330,7 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     """REAL nearest-neighbor resize for uncompressed 24-bit BMP payloads
     (stdlib-only): parses the actual pixel rows, samples src pixels at
     round-half-down grid positions, re-emits a valid BMP."""
-    if payload[:2] != b"BM":
+    if payload[:2] != b"BM" or len(payload) < BMP_HEADER_BYTES:
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
@@ -364,13 +380,17 @@ def resize_images(
     media: "DataFrame",
     target_w: int | None = 8,
     target_h: int | None = 8,
+    on_error: str = "raise",
 ) -> "DataFrame":
     """Batch image resize over mapInPandas: one resized BMP per input image
     row (non-image rows are dropped). target_w/target_h None = halve the
     source dimensions (floor, min 1). The payload column is re-emitted here
     by necessity — the resized image IS the product — but it is the SMALL
     post-resize blob (target dims), so downstream stages shuffle thumbnails,
-    not originals."""
+    not originals. on_error: as in extract_media_metadata ('skip' drops
+    undecodable payloads instead of failing the job)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -383,15 +403,28 @@ def resize_images(
                 if mtype != "image":
                     continue
                 src = bytes(payload)
-                if target_w is None or target_h is None:
-                    # each None axis halves independently; a given axis is
-                    # honored as-is (fixed width + auto height is valid)
-                    hdr = decode_bmp(src)
-                    tw = target_w if target_w is not None else max(1, hdr["width"] // 2)
-                    th = target_h if target_h is not None else max(1, hdr["height"] // 2)
-                else:
-                    tw, th = target_w, target_h
-                blob = resize_bmp(src, tw, th)
+                try:
+                    if target_w is None or target_h is None:
+                        # each None axis halves independently; a given axis
+                        # is honored as-is (fixed width + auto height)
+                        hdr = decode_bmp(src)
+                        tw = (
+                            target_w
+                            if target_w is not None
+                            else max(1, hdr["width"] // 2)
+                        )
+                        th = (
+                            target_h
+                            if target_h is not None
+                            else max(1, hdr["height"] // 2)
+                        )
+                    else:
+                        tw, th = target_w, target_h
+                    blob = resize_bmp(src, tw, th)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
                 out.append(
                     {
                         "media_id": int(mid),

@@ -576,3 +576,24 @@ def test_connected_components_raises_on_non_convergence(spark):
     # enough rounds: converges to the single component
     got = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(chain, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_media_quarantine_skip_mode(spark, docs_df):
+    from pyspark.sql import Row
+
+    # one valid BMP, one corrupt payload (truncated header)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=0, payload=bytearray(multimodal.encode_bmp(5, 4, 9)), media_type="image"),
+            Row(media_id=1, payload=bytearray(b"BMxx"), media_type="image"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    # raise mode: the corrupt payload fails the job
+    with pytest.raises(Exception):
+        multimodal.extract_media_metadata(media, fake=False).collect()
+    # skip mode: quarantine — the good row survives, the corrupt one drops
+    meta = multimodal.extract_media_metadata(media, fake=False, on_error="skip").collect()
+    assert [r["media_id"] for r in meta] == [0]
+    resized = multimodal.resize_images(media, 2, 2, on_error="skip").collect()
+    assert [r["media_id"] for r in resized] == [0]
