@@ -524,11 +524,16 @@ s AS (
   FROM w WHERE len(words) >= 2
 ),
 bc AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM s GROUP BY 1, 2),
-pc AS (SELECT w1, COUNT(*) AS c_prefix FROM s GROUP BY 1)
+pc AS (SELECT w1, COUNT(*) AS c_prefix FROM s GROUP BY 1),
+m AS (
+  SELECT w1, w2,
+         CAST(floor((ln(CAST(c_bigram AS DOUBLE)) - ln(CAST(c_prefix AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lp_micro
+  FROM bc JOIN pc USING (w1)
+)
 SELECT s.doc_id, COUNT(*) AS n_bigrams,
-       round(AVG(ln(CAST(bc.c_bigram AS DOUBLE)) - ln(CAST(pc.c_prefix AS DOUBLE))), 6)
-         AS avg_logprob_r6
-FROM s JOIN bc USING (w1, w2) JOIN pc USING (w1)
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+FROM s JOIN m USING (w1, w2)
 GROUP BY 1
 """
 

@@ -227,19 +227,33 @@ def winnow_fingerprints(
 
 
 def bigram_logprob(documents: DataFrame) -> DataFrame:
-    """Per-document average bigram log-probability under the corpus's own
-    bigram MLE model — the classic cheap LM-quality signal (low = unusual
-    token sequences; boilerplate scores high).
+    """Per-document bigram log-probability under the corpus's own bigram
+    MLE model — the classic cheap LM-quality signal (low = unusual token
+    sequences; boilerplate scores high).
 
-    ln P(doc) / n = avg over bigrams (w1,w2) of ln( c(w1 w2) / c(w1 ·) ),
-    where c(w1 ·) counts w1 occurrences in PREFIX position. Corpus counts
-    attach as window counts over the single bigram stream (two shuffles
-    keyed by bigram/prefix, one scan); the per-doc average follows. Float
-    output guarded by round(,6) — the only tolerance the cross-engine
-    hash needs.
+    sum_lp_micro = sum over bigrams (w1,w2) of
+        floor( 1e6 * ln( c(w1 w2) / c(w1 ·) ) )
+    where c(w1 ·) counts w1 occurrences in PREFIX position; the average
+    log-prob is sum_lp_micro / (1e6 * n_bigrams) for downstream consumers.
 
-    Output: doc_id, n_bigrams, avg_logprob_r6. Docs with <2 tokens have no
-    bigrams and are excluded.
+    Scale shape: natural-language bigram keys are Zipfian, so corpus counts
+    must NOT be window counts (`Window.partitionBy("w1")` funnels every
+    "the …" row to one task). Instead the counts are groupBy AGGREGATES —
+    map-side partial aggregation absorbs the skew before the shuffle — and
+    the model table joins back onto the bigram stream (an equi-join AQE
+    broadcasts when the model is small relative to the stream). Spark
+    reuses the (w1, w2) exchange between the bigram-count aggregate and the
+    join, so the extra derivations cost partial scans, not extra shuffles
+    of the full stream.
+
+    Numeric stability: each distinct bigram's log-prob is quantized ONCE to
+    integer micro-nats and the per-doc statistic is an integer SUM —
+    order-free exact across partitionings and engines, unlike a float
+    avg() whose summation order varies (the quantize-to-int trick the
+    LSH/IVF bucket oracles already rely on).
+
+    Output: doc_id, n_bigrams, sum_lp_micro (all integers). Docs with <2
+    tokens have no bigrams and are excluded.
     """
     toks = lower_tokens_col()
     pairs = F.when(
@@ -256,16 +270,25 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         "doc_id", F.explode(pairs).alias("bg")
     ).select("doc_id", "bg.w1", "bg.w2")
 
-    # corpus counts as WINDOW counts over the one bigram stream — the
-    # aggregate-then-join-back shape re-derives the scan + explode three
-    # times; windows attach both counts in place (two shuffles, one scan)
-    c_bigram = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
-    c_prefix = F.count(F.lit(1)).over(Window.partitionBy("w1"))
-    scored = stream.select(
-        "doc_id",
-        (F.log(c_bigram.cast("double")) - F.log(c_prefix.cast("double"))).alias("lp"),
+    bg_counts = stream.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bigram")
     )
+    pf_counts = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c_prefix"))
+    model = bg_counts.join(pf_counts, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            (
+                F.log(F.col("c_bigram").cast("double"))
+                - F.log(F.col("c_prefix").cast("double"))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    scored = stream.join(model, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob_r6"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
     )

@@ -532,9 +532,12 @@ def test_bigram_logprob_python_twin(spark):
         if not s:
             assert i not in got
             continue
-        lp = sum(math.log(bc[bg]) - math.log(pc[bg[0]]) for bg in s) / len(s)
+        sum_micro = sum(
+            math.floor((math.log(bc[bg]) - math.log(pc[bg[0]])) * 1_000_000)
+            for bg in s
+        )
         assert got[i]["n_bigrams"] == len(s)
-        assert got[i]["avg_logprob_r6"] == round(lp, 6)
+        assert got[i]["sum_lp_micro"] == sum_micro
 
 
 def test_resize_mixed_axis_and_topdown(spark, docs_df):

@@ -96,6 +96,24 @@ def test_topk_two_phase_equals_single_window(emb_df):
     assert two_phase == single
 
 
+def test_bigram_logprob_has_no_skewed_window(spark):
+    """Corpus bigram/prefix counts must be groupBy aggregates (map-side
+    combine absorbs Zipf skew), never unbounded windows partitioned by a
+    token-frequency key — Window.partitionBy("w1") funnels every "the …"
+    bigram to one task at scale."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="the quick brown fox " * 3) for i in range(4)]
+    )
+    plan = _physical(textstats.bigram_logprob(df))
+    assert "Window" not in plan
+    # counts arrive via partial-aggregate shuffles
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_ivf_bootstrap_single_scan(emb_df):
     """sample_centroids must push the limit into the scan (one
     TakeOrderedAndProject job), never count() + second filtered scan, and
