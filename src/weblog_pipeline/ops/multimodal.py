@@ -78,7 +78,11 @@ def encode_bmp(width: int, height: int, pixel_byte: int) -> bytes:
 def decode_bmp(payload: bytes) -> dict:
     """REAL decoder for uncompressed BMP: parses the actual header bytes
     (no image library needed — the format is a fixed-layout struct).
-    Feature = first FEATURE_DIM pixel-data bytes scaled to [0,1]."""
+    Feature = first FEATURE_DIM pixel-data bytes scaled to [0,1].
+
+    Raises ValueError for payloads whose pixel data is shorter than the
+    header's declared dimensions — a truncated blob is corrupt input and
+    must hit the quarantine path, not flow downstream half-read."""
     if payload[:2] != b"BM" or len(payload) < BMP_HEADER_BYTES:
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -87,6 +91,13 @@ def decode_bmp(payload: bytes) -> dict:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0:
         raise ValueError(f"compressed BMP (method {compression}) not supported")
+    if bpp % 8 == 0 and bpp > 0:
+        expected = data_offset + bmp_stride(abs(width), bpp) * abs(height)
+        if len(payload) < expected:
+            raise ValueError(
+                f"truncated BMP: header declares {abs(width)}x{abs(height)}@{bpp}bpp"
+                f" ({expected} bytes) but payload is {len(payload)} bytes"
+            )
     pix = payload[data_offset : data_offset + FEATURE_DIM]
     feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
     return {
@@ -327,9 +338,16 @@ def media_from_documents(documents: "DataFrame") -> "DataFrame":
 
 
 def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """REAL nearest-neighbor resize for uncompressed 24-bit BMP payloads
-    (stdlib-only): parses the actual pixel rows, samples src pixels at
-    round-half-down grid positions, re-emits a valid BMP."""
+    """REAL nearest-neighbor resize for uncompressed 24-bit BMP payloads:
+    samples src pixels at round-half-down grid positions and re-emits a
+    valid BMP. The kernel is a numpy gather (frombuffer → stride reshape →
+    fancy-index precomputed sy/sx grids) — one vectorized copy per image,
+    no per-pixel Python, so 224×224 crops over millions of images stay
+    Arrow-batch-bound rather than interpreter-bound.
+
+    Raises ValueError for truncated payloads (pixel data shorter than the
+    declared dimensions) so quarantine mode drops them instead of silently
+    emitting a short, internally inconsistent output."""
     if payload[:2] != b"BM" or len(payload) < BMP_HEADER_BYTES:
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -343,18 +361,25 @@ def resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     top_down = height < 0  # row order preserved; output header keeps the sign
     width, height = abs(width), abs(height)
     src_stride = bmp_stride(width)
+    if len(payload) < data_offset + src_stride * height:
+        raise ValueError(
+            f"truncated BMP: header declares {width}x{height} "
+            f"({data_offset + src_stride * height} bytes) but payload is "
+            f"{len(payload)} bytes"
+        )
     dst_stride = bmp_stride(target_w)
-    out = bytearray(dst_stride * target_h)
-    for y in range(target_h):
-        sy = y * height // target_h
-        src_row = data_offset + sy * src_stride
-        dst_row = y * dst_stride
-        for x in range(target_w):
-            sx = x * width // target_w
-            s = src_row + sx * 3
-            d = dst_row + x * 3
-            out[d : d + 3] = payload[s : s + 3]
-    data = bytes(out)
+    import numpy as np
+
+    src = np.frombuffer(
+        payload, dtype=np.uint8, count=src_stride * height, offset=data_offset
+    ).reshape(height, src_stride)
+    sy = (np.arange(target_h, dtype=np.int64) * height) // target_h
+    sx = (np.arange(target_w, dtype=np.int64) * width) // target_w
+    # byte columns of the sampled pixel triples, in row order
+    cols = (sx[:, None] * 3 + np.arange(3, dtype=np.int64)[None, :]).reshape(-1)
+    out = np.zeros((target_h, dst_stride), dtype=np.uint8)
+    out[:, : target_w * 3] = src[sy][:, cols]
+    data = out.tobytes()
     file_header = b"BM" + struct.pack(
         "<IHHI", BMP_HEADER_BYTES + len(data), 0, 0, BMP_HEADER_BYTES
     )

@@ -431,6 +431,74 @@ def test_resize_bmp_nearest_neighbor_kernel():
     assert pix[0:3] == b"\x00\x00\x00" and pix[3:6] == b"\x02\x02\x02"
 
 
+def test_resize_bmp_matches_per_pixel_reference():
+    """The numpy gather kernel must emit byte-identical output to the
+    per-pixel round-half-down reference loop (incl. padded strides,
+    non-divisible scale factors, up- and down-scaling)."""
+    import struct as _struct
+
+    def reference(payload, tw, th):
+        data_offset = _struct.unpack_from("<I", payload, 10)[0]
+        w, h = _struct.unpack_from("<ii", payload, 18)
+        w, h = abs(w), abs(h)
+        ss, ds = multimodal.bmp_stride(w), multimodal.bmp_stride(tw)
+        out = bytearray(ds * th)
+        for y in range(th):
+            sy = y * h // th
+            for x in range(tw):
+                sx = x * w // tw
+                s = data_offset + sy * ss + sx * 3
+                out[y * ds + x * 3 : y * ds + x * 3 + 3] = payload[s : s + 3]
+        return bytes(out)
+
+    import random
+
+    rng = random.Random(7)
+    for w, h, tw, th in [(5, 3, 2, 2), (3, 7, 8, 4), (6, 6, 6, 6), (1, 1, 4, 4)]:
+        stride = multimodal.bmp_stride(w)
+        data = bytes(rng.randrange(256) for _ in range(stride * h))
+        payload = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+            )
+            + data
+        )
+        assert multimodal.resize_bmp(payload, tw, th)[54:] == reference(
+            payload, tw, th
+        )
+
+
+def test_truncated_bmp_is_quarantined(spark):
+    """ADVICE regression: a BMP whose header declares 3x2 but whose pixel
+    data is truncated must raise (and be dropped in skip mode), never emit
+    a short, internally inconsistent output."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    w, h = 3, 2
+    full = multimodal.encode_bmp(w, h, 7)
+    truncated = full[: 54 + 15]  # 15 of the 24 declared data bytes
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.resize_bmp(truncated, 3, 2)
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(truncated)
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=0, payload=bytearray(full), media_type="image"),
+            Row(media_id=1, payload=bytearray(truncated), media_type="image"),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    meta = multimodal.extract_media_metadata(media, fake=False, on_error="skip").collect()
+    assert [r["media_id"] for r in meta] == [0]
+    resized = multimodal.resize_images(media, 2, 2, on_error="skip").collect()
+    assert [r["media_id"] for r in resized] == [0]
+
+
 def test_resize_images_through_spark(spark, docs_df):
     media = multimodal.media_bmp_from_documents(docs_df)
     got = {
