@@ -281,11 +281,15 @@ def ivf_topk(
     cands = corpus.join(F.broadcast(probes), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # no distinct: each corpus vector lives in exactly ONE cell and a
+    # query's n_probe cells are distinct, so (query, neighbor) pairs are
+    # unique by construction — a dedup here would only add a shuffle over
+    # the scored stream (lsh_topk's distinct IS needed: bands collide)
     scored = cands.select(
         "query_id",
         "neighbor_id",
         F.round(cosine_col(F.col("query_vec"), F.col("vec")), 6).alias("cos_r6"),
-    ).distinct()
+    )
     return _topk_per_query(scored, k)
 
 

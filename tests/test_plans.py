@@ -96,6 +96,37 @@ def test_topk_two_phase_equals_single_window(emb_df):
     assert two_phase == single
 
 
+def test_ivf_topk_has_no_distinct_exchange(emb_df):
+    """(query, neighbor) pairs are unique by construction in IVF (one cell
+    per corpus vector, distinct probe cells) — a distinct would add a
+    redundant shuffle of the whole scored stream."""
+    q = emb_df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _physical(similarity.ivf_topk(emb_df, q, k=3, n_cells=4, n_probe=2))
+    # a distinct would compile to a HashAggregate + an Exchange on
+    # (query_id, neighbor_id, cos_r6); without it the only shuffles left
+    # are the two-phase rank windows plus the probe broadcast
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ivf_equals_distinct_version(emb_df):
+    """Removing the distinct must not change results: pairs were already
+    unique, so top-k over the raw scored stream is identical."""
+    q = emb_df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = similarity.ivf_topk(emb_df, q, k=4, n_cells=8, n_probe=3).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # still no duplicate pairs
+    ranks = {}
+    for r in rows:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
 def test_bigram_logprob_has_no_skewed_window(spark):
     """Corpus bigram/prefix counts must be groupBy aggregates (map-side
     combine absorbs Zipf skew), never unbounded windows partitioned by a
