@@ -613,6 +613,46 @@ SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
 FROM h GROUP BY 1 HAVING COUNT(*) > 1
 """
 
+# -- planted-duplicate relation ------------------------------------------
+# The driver fixture contains no exact duplicates (dedup_stats: 0 dup
+# rows), which makes a green dedup_exact row vacuous (both engines agree
+# on the empty set). The planted relation unions `documents` with a
+# doc_id-remapped copy of a deterministic 1-in-PLANT_MOD slice so BOTH
+# engines see real duplicate groups and the exact edges of the fused
+# pipeline carry rows.
+
+PLANT_OFFSET = 100_000_000  # above any driver-SF doc_id
+PLANT_MOD = 20
+
+
+def _planted_docs(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    copies = base.where(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + F.lit(PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    return base.unionByName(copies)
+
+
+_PLANTED_CTE = f"""
+planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {PLANT_MOD} = 0
+)
+"""
+
+SQL_DEDUP_EXACT_PLANTED = f"""
+WITH {_PLANTED_CTE},
+h AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+         doc_id
+  FROM planted
+)
+SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM h GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
 def _shingle_cte(src: str = "documents") -> str:
     """Shingle CTE shared by the minhash/jaccard oracles (word 3-grams),
     parameterized by the source relation (documents, or the exact-dedup
@@ -685,16 +725,19 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 
 
 def _dedup_edges_ctes(
-    jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
+    jaccard_pct: int = 80,
+    bucket_cap: int = dedup.DEFAULT_BUCKET_CAP,
+    src: str = "documents",
 ) -> str:
     """Shared CTE chain: exact-dup edges (doc -> content-hash keeper) and
     verified near-dup edges among the representatives — the evidence base
-    for both dedup_pipeline (drop list) and dup_clusters (components)."""
+    for both dedup_pipeline (drop list) and dup_clusters (components).
+    `src` swaps the document relation (e.g. the planted-dup CTE)."""
     return f"""
 hsh AS (
   SELECT doc_id, text,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
-  FROM documents
+  FROM {src}
 ),
 marked AS (
   SELECT doc_id, text,
@@ -742,6 +785,25 @@ def _sql_dedup_pipeline(
     single-hop drop list."""
     return f"""
 WITH {_dedup_edges_ctes(jaccard_pct, bucket_cap)},
+exact_drops AS (
+  SELECT doc_b AS doc_id, doc_a AS dup_of, 'exact' AS reason FROM exact_edges
+),
+near_drops AS (
+  SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of, 'near' AS reason
+  FROM near_edges GROUP BY doc_b
+)
+SELECT * FROM exact_drops UNION ALL SELECT * FROM near_drops
+"""
+
+
+def _sql_dedup_pipeline_planted(
+    jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
+) -> str:
+    """dedup_pipeline over the planted-dup relation: exercises the fused
+    pipeline's EXACT edges with real groups (the raw fixture has none)."""
+    return f"""
+WITH {_PLANTED_CTE},
+{_dedup_edges_ctes(jaccard_pct, bucket_cap, src="planted")},
 exact_drops AS (
   SELECT doc_b AS doc_id, doc_a AS dup_of, 'exact' AS reason FROM exact_edges
 ),
@@ -1320,6 +1382,12 @@ def queries() -> dict:
         "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
         # -- dedup --
         "dedup_exact": docs(dedup.exact_duplicates),
+        "dedup_exact_planted": docs(
+            lambda d: dedup.exact_duplicates(_planted_docs(d))
+        ),
+        "dedup_pipeline_planted": docs(
+            lambda d: dedup.dedup_pipeline(_planted_docs(d))
+        ),
         "dedup_stats": q_dedup_stats,
         "minhash_signatures": docs(dedup.minhash_signatures),
         "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
@@ -1377,6 +1445,8 @@ def oracle_sql() -> dict:
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
+        "dedup_pipeline_planted": _sql_dedup_pipeline_planted(),
         "dedup_stats": SQL_DEDUP_STATS,
         "minhash_signatures": SQL_MINHASH,
         "lsh_candidate_pairs": SQL_LSH_PAIRS,
