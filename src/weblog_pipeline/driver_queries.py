@@ -956,6 +956,27 @@ WHERE rank <= {k}
 """
 
 
+def _sql_ann_recall(k: int = 5) -> str:
+    """SQL twin of ann_recall: the three ANN result sets as CTEs, hit
+    counts via equi-joins on (query_id, neighbor_id), recall in integer
+    basis points."""
+    return f"""
+WITH bf AS ({SQL_ANN_TOPK}),
+lshr AS ({_sql_ann_lsh_topk(k)}),
+ivfr AS ({_sql_ann_ivf_topk(k)})
+SELECT method, n_true, n_hits, n_hits * 10000 // n_true AS recall_bp
+FROM (
+  SELECT 'ivf' AS method,
+         (SELECT COUNT(*) FROM bf) AS n_true,
+         (SELECT COUNT(*) FROM bf JOIN ivfr USING (query_id, neighbor_id)) AS n_hits
+  UNION ALL
+  SELECT 'lsh' AS method,
+         (SELECT COUNT(*) FROM bf) AS n_true,
+         (SELECT COUNT(*) FROM bf JOIN lshr USING (query_id, neighbor_id)) AS n_hits
+)
+"""
+
+
 def _sql_ann_ivf_topk(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
     """SQL twin of similarity.ivf_topk: hash-sampled centroids (smallest
     md5(vec_id), cell = rank in md5 order), integer-quantized dot-product
@@ -1343,6 +1364,40 @@ def queries() -> dict:
         )
         return similarity.ivf_topk(emb, q, k=5)
 
+    def ann_recall(spark, sf_dir):
+        """recall@5 of the approximate ANN variants against brute force —
+        the tracked metric that turns a silent bucket/centroid regression
+        into a red CORRECTNESS row. Integer counts only (recall in basis
+        points via integer division) so the cross-engine hash is exact."""
+        emb = _emb_double(spark, sf_dir)
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        bf = similarity.brute_force_topk(emb, q, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        out = None
+        for name, ap_df in (
+            ("ivf", similarity.ivf_topk(emb, q, k=5)),
+            ("lsh", similarity.lsh_topk(emb, q, k=5)),
+        ):
+            ap = ap_df.select("query_id", "neighbor_id")
+            n_true = bf.agg(F.count(F.lit(1)).alias("n_true"))
+            n_hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(
+                F.count(F.lit(1)).alias("n_hits")
+            )
+            row = (
+                n_true.crossJoin(n_hits)
+                .select(
+                    F.lit(name).alias("method"),
+                    "n_true",
+                    "n_hits",
+                    F.expr("n_hits * 10000 div n_true").alias("recall_bp"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
     def neardup_emb(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings").select(
             "vec_id",
@@ -1411,6 +1466,7 @@ def queries() -> dict:
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "ann_recall": ann_recall,
         "embedding_neardup": neardup_emb,
         # -- multimodal --
         "multimodal_meta": q_multimodal_meta,
@@ -1461,6 +1517,7 @@ def oracle_sql() -> dict:
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
+        "ann_recall": _sql_ann_recall(),
         "embedding_neardup": _sql_neardup_emb(threshold=0.4),
         "multimodal_meta": _sql_multimodal_meta(),
         "multimodal_bmp_decode": SQL_MULTIMODAL_BMP,
