@@ -1279,6 +1279,89 @@ FROM pre
 """
 
 
+def _px_cols(meta: DataFrame) -> list:
+    """feature floats back to the FEATURE_DIM integer pixel/sample bytes
+    the decoder read — integer-exact across engines (float32(b/255)*255
+    rounds to b)."""
+    return [
+        F.round(F.element_at("feature", j + 1) * 255, 0)
+        .cast("int")
+        .alias(f"px{j}")
+        for j in range(multimodal.FEATURE_DIM)
+    ]
+
+
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: valid zlib-compressed PNGs (scanline
+    filters cycling through all five spec types) are generated from
+    doc_id; the Arrow UDF CRC-checks, inflates, and unfilters the actual
+    bytes; the oracle recomputes dimensions AND the decoded top-left pixel
+    bytes from doc_id arithmetic — a wrong unfilter mismatches values."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_png_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select(
+        "media_id", "width", "height", "n_frames", *_px_cols(meta)
+    )
+
+
+def _sql_multimodal_png() -> str:
+    px = []
+    for j in range(multimodal.FEATURE_DIM):
+        pj = j // 3  # pixel index of byte j (3 channels)
+        px.append(
+            f"CAST(CASE WHEN {j} < 3*w*h "
+            f"THEN (s + (({pj}) % w) + (({pj}) // w)) % 256 "
+            f"ELSE 0 END AS INTEGER) AS px{j}"
+        )
+    cols = ",\n  ".join(px)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h,
+         doc_id % 256 AS s
+  FROM documents
+)
+SELECT media_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_frames,
+  {cols}
+FROM pre
+"""
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV-PCM decode end-to-end: valid RIFF/WAVE payloads generated
+    from doc_id, chunk-walked by the Arrow UDF (fake=False); the oracle
+    recomputes byte size, frame count, and leading sample bytes from
+    doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_wav_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select(
+        "media_id", "n_bytes", "n_frames", *_px_cols(meta)
+    )
+
+
+def _sql_multimodal_wav() -> str:
+    px = ",\n  ".join(
+        f"CAST(CASE WHEN {j} < n THEN (s + {j}) % 256 ELSE 0 END AS INTEGER)"
+        f" AS px{j}"
+        for j in range(multimodal.FEATURE_DIM)
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 100 AS n, doc_id % 256 AS s
+  FROM documents
+)
+SELECT media_id,
+  CAST(44 + n AS BIGINT) AS n_bytes,
+  CAST(n AS INTEGER) AS n_frames,
+  {px}
+FROM pre
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize end-to-end: the nearest-neighbor kernel reads actual BMP
     pixel rows and re-emits a valid BMP at half dimensions; the oracle
@@ -1471,6 +1554,8 @@ def queries() -> dict:
         # -- multimodal --
         "multimodal_meta": q_multimodal_meta,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_samples": q_frame_samples,
     }
@@ -1521,6 +1606,8 @@ def oracle_sql() -> dict:
         "embedding_neardup": _sql_neardup_emb(threshold=0.4),
         "multimodal_meta": _sql_multimodal_meta(),
         "multimodal_bmp_decode": SQL_MULTIMODAL_BMP,
+        "multimodal_png_decode": _sql_multimodal_png(),
+        "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),
     }

@@ -135,14 +135,176 @@ def decode_ppm(payload: bytes) -> dict:
     return {"width": width, "height": height, "n_frames": 1, "feature": feature}
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import binascii
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", binascii.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, seed: int) -> bytes:
+    """Minimal real PNG (stdlib-only: struct + zlib + crc32): 8-bit RGB,
+    no interlace, pixel (x, y) = gray value (seed + x + y) % 256, each
+    scanline forward-filtered with type y % 5 — so a decoder must invert
+    every filter in the spec (None/Sub/Up/Average/Paeth) to reproduce the
+    gradient. Fixture generator for the real-decode round trip."""
+    import zlib
+
+    bpp = 3
+    raw_rows = []
+    for y in range(height):
+        raw_rows.append(
+            bytes(
+                (seed + x + y) % 256
+                for x in range(width)
+                for _ in range(bpp)
+            )
+        )
+    stream = bytearray()
+    prior = bytes(width * bpp)
+    for y, raw in enumerate(raw_rows):
+        ft = y % 5
+        stream.append(ft)
+        for i, v in enumerate(raw):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = (v - a) % 256
+            elif ft == 2:
+                f = (v - b) % 256
+            elif ft == 3:
+                f = (v - (a + b) // 2) % 256
+            else:
+                f = (v - _paeth(a, b, c)) % 256
+            stream.append(f)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decoder for non-interlaced 8-bit grayscale/RGB/RGBA PNG
+    (stdlib-only): parses the chunk stream, CRC-checks every chunk,
+    zlib-inflates the concatenated IDAT data, and inverts the five
+    scanline filters (None/Sub/Up/Average/Paeth). Feature = first
+    FEATURE_DIM unfiltered pixel bytes (top-left pixels) scaled to [0,1],
+    mirroring decode_bmp.
+
+    Raises ValueError for anything corrupt or unsupported: bad signature,
+    CRC mismatch, truncated chunks, interlaced images, palette color,
+    bit depths other than 8, or a pixel stream whose length contradicts
+    IHDR — all of which must hit the quarantine path."""
+    import binascii
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in (0, 2, 4, 6):  # gray, RGB, gray+A, RGBA
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    stride = width * channels
+    if len(stream) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel stream is {len(stream)} bytes, header implies "
+            f"{height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for y in range(height):
+        ft = stream[y * (1 + stride)]
+        row = bytearray(stream[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if ft == 1:
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) % 256
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) % 256
+        elif ft == 3:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + (a + prior[i]) // 2) % 256
+        elif ft == 4:
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                c = prior[i - channels] if i >= channels else 0
+                row[i] = (row[i] + _paeth(a, prior[i], c)) % 256
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prior = bytes(row)
+    pix = bytes(out[:FEATURE_DIM])
+    feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+    return {"width": width, "height": height, "n_frames": 1, "feature": feature}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (width, height, feature vector).
 
-    REAL for the two stdlib-parseable uncompressed formats (BMP, P6 PPM) —
-    those parse the actual bytes. Compressed formats (PNG/JPEG) need
-    PIL/libvips, absent in this environment: with fake=True a deterministic
-    stand-in derives metadata purely from the bytes, keeping the
-    distributed plumbing exercisable end-to-end; otherwise raise.
+    REAL for the three stdlib-parseable formats — BMP and P6 PPM
+    (uncompressed header parses) and PNG (zlib-inflated, CRC-checked,
+    filter-inverted) — those parse the actual bytes. JPEG needs a DCT
+    codec (PIL/libvips), absent in this environment: with fake=True a
+    deterministic stand-in derives metadata purely from the bytes, keeping
+    the distributed plumbing exercisable end-to-end; otherwise raise.
     """
     if not fake:
         if payload[:2] == b"BM":
@@ -151,9 +313,11 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             return out
         if payload[:2] == b"P6":
             return decode_ppm(payload)
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)
         raise NotImplementedError(
-            "compressed image decoding requires PIL/libvips, "
-            "not available in this environment (BMP/P6 decode natively)"
+            "JPEG decoding requires PIL/libvips, not available in this "
+            "environment (BMP/P6/PNG decode natively)"
         )
     # fake=True: deterministic stand-in, even for payloads that happen to
     # start with a real magic — keeps the fake family's semantics uniform
@@ -166,11 +330,93 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     }
 
 
+def encode_wav(
+    n_samples: int, seed: int, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Minimal real RIFF/WAVE file (stdlib-only): PCM format 1, 8-bit
+    unsigned samples, sample i of channel c = (seed + i + c) % 256.
+    Fixture generator for the real audio-decode round trip."""
+    data = bytes(
+        (seed + i + c) % 256 for i in range(n_samples) for c in range(n_channels)
+    )
+    block_align = n_channels  # 8-bit PCM: one byte per channel-sample
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decoder for RIFF/WAVE PCM audio (stdlib-only): walks the chunk
+    list, parses the fmt chunk (format/channels/rate/bits), sizes the data
+    chunk into a sample-frame count. Feature = first FEATURE_DIM data
+    bytes scaled to [0,1] (uniform with the image decoders); width=0,
+    height=0, n_frames = sample frames.
+
+    Raises ValueError for non-RIFF payloads, compressed (non-PCM) format
+    tags, missing fmt/data chunks, or a data chunk that overruns the
+    payload (truncated blob) — quarantine-path inputs."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + length > len(payload):
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            if length < 16:
+                raise ValueError("short WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif tag == b"data":
+            data = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"compressed WAV (format {audio_format}) not supported")
+    if bits % 8 != 0 or bits == 0 or n_channels == 0:
+        raise ValueError(f"invalid WAV layout ({bits} bits, {n_channels} ch)")
+    frame_bytes = n_channels * (bits // 8)
+    if block_align not in (0, frame_bytes):
+        raise ValueError("WAV block alignment contradicts fmt")
+    pix = data[:FEATURE_DIM]
+    feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+    return {
+        "width": 0,
+        "height": 0,
+        "n_frames": len(data) // frame_bytes,
+        "feature": feature,
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+    }
+
+
 def decode_av(payload: bytes, media_type: str, fake: bool = False) -> dict:
-    """STUB decoder for audio/video: frame/sample counts + pooled feature."""
+    """Decoder for audio/video payloads.
+
+    REAL for RIFF/WAVE PCM audio (stdlib chunk parse). Compressed audio
+    codecs and video containers need ffmpeg, absent in this environment:
+    with fake=True a deterministic stand-in derives metadata purely from
+    the bytes; otherwise raise."""
     if not fake:
+        if media_type == "audio" and payload[:4] == b"RIFF":
+            out = decode_wav(payload)
+            out.pop("sample_rate", None)
+            out.pop("n_channels", None)
+            return out
         raise NotImplementedError(
-            "audio/video decoding requires ffmpeg, not available in this environment"
+            "compressed audio / video decoding requires ffmpeg, not "
+            "available in this environment (WAV-PCM decodes natively)"
         )
     digest = hashlib.sha256(payload).digest()
     return {
@@ -313,6 +559,54 @@ def media_bmp_from_documents(documents: "DataFrame") -> "DataFrame":
                         encode_bmp(1 + i % 64, 1 + i % 48, i % 256) for i in ids
                     ],
                     "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_png_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format PNG media table: one valid 8-bit RGB PNG
+    per doc, dimensions from doc_id (width 1+id%32, height 1+id%24), pixel
+    (x,y) = (id + x + y) % 256, scanline filters cycling through all five
+    spec types. An independent SQL oracle recomputes width/height and the
+    top-left decoded pixel bytes from doc_id arithmetic — so a wrong
+    unfilter shows up as a value mismatch, not just a crash."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_png(1 + i % 32, 1 + i % 24, i % 256) for i in ids
+                    ],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_wav_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format WAV media table: one valid 8-bit PCM WAV
+    per doc, 1+id%100 mono samples at 8 kHz, sample i = (id + i) % 256.
+    The SQL oracle recomputes the frame count and leading sample bytes
+    from doc_id arithmetic."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [encode_wav(1 + i % 100, i % 256) for i in ids],
+                    "media_type": ["audio"] * len(ids),
                 }
             )
 

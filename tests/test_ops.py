@@ -221,11 +221,105 @@ def test_frame_sampling(spark, docs_df):
 
 
 def test_multimodal_compressed_decode_is_stubbed():
-    # compressed formats still need a real image lib -> honest stub
+    # JPEG / compressed audio / video still need real codecs -> honest stub
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...", fake=False)
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg...", fake=False)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_av(b"RIFF...", "audio", fake=False)
+        multimodal.decode_av(b"\xff\xfb mp3 frame", "audio", fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_av(b"\x00\x00\x00\x20ftypmp42", "video", fake=False)
+    # a RIFF container that is not WAVE is corrupt input, not a codec gap
+    with pytest.raises(ValueError):
+        multimodal.decode_av(b"RIFF\x04\x00\x00\x00AVI ", "audio", fake=False)
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles scanline filters 0-4 by row; a 7x6 image uses
+    every filter type, so a wrong unfilter corrupts the gradient."""
+    payload = multimodal.encode_png(7, 6, 200)
+    meta = multimodal.decode_image(payload, fake=False)
+    assert meta["width"] == 7 and meta["height"] == 6 and meta["n_frames"] == 1
+    # first 8 unfiltered bytes: pixels (0,0),(1,0),(2,0) at value 200+x+y
+    exp = [(200 + x) % 256 for x in range(3) for _ in range(3)][:8]
+    assert [round(f * 255) for f in meta["feature"]] == exp
+    # grayscale and RGBA color types decode too
+    import struct as _struct
+    import zlib as _zlib
+
+    def gray_png(w, h, v):
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        rows = b"".join(b"\x00" + bytes([v] * w) for _ in range(h))
+        return (
+            multimodal.PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", _zlib.compress(rows))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+
+    g = multimodal.decode_png(gray_png(4, 2, 99))
+    assert g["width"] == 4 and g["height"] == 2
+    assert [round(f * 255) for f in g["feature"]] == [99] * 8
+
+
+def test_png_corruption_is_quarantined():
+    payload = multimodal.encode_png(9, 5, 31)
+    flipped = bytearray(payload)
+    flipped[45] ^= 0xFF  # inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(flipped))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(payload[:-16])  # truncated chunk
+    # interlaced flag -> unsupported, ValueError (quarantine, not stub)
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _zlib.compress(b"\x00" * 14))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal.decode_png(bad)
+
+
+def test_wav_roundtrip_and_corruption():
+    payload = multimodal.encode_wav(25, 7, sample_rate=16000, n_channels=2)
+    meta = multimodal.decode_wav(payload)
+    assert meta["n_frames"] == 25 and meta["sample_rate"] == 16000
+    assert meta["n_channels"] == 2 and meta["width"] == 0
+    # sample i channel c = (7 + i + c) % 256, interleaved
+    assert [round(f * 255) for f in meta["feature"]] == [7, 8, 8, 9, 9, 10, 10, 11]
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(payload[:-9])  # truncated data chunk
+    # non-PCM format tag -> compressed, ValueError
+    import struct as _struct
+
+    mutated = bytearray(payload)
+    _struct.pack_into("<H", mutated, 20, 85)  # format 85 = MP3
+    with pytest.raises(ValueError, match="compressed WAV"):
+        multimodal.decode_wav(bytes(mutated))
+
+
+def test_png_wav_decode_through_spark(spark, docs_df):
+    png_meta = {
+        r["media_id"]: r
+        for r in multimodal.extract_media_metadata(
+            multimodal.media_png_from_documents(docs_df), fake=False
+        ).collect()
+    }
+    wav_meta = {
+        r["media_id"]: r
+        for r in multimodal.extract_media_metadata(
+            multimodal.media_wav_from_documents(docs_df), fake=False
+        ).collect()
+    }
+    for i, _, _ in DOCS:
+        assert png_meta[i]["width"] == 1 + i % 32
+        assert png_meta[i]["height"] == 1 + i % 24
+        assert wav_meta[i]["n_frames"] == 1 + i % 100
+        assert wav_meta[i]["n_bytes"] == 44 + (1 + i % 100)
 
 
 def test_bmp_roundtrip_real_decode():
