@@ -154,6 +154,57 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timed("ann_ivf_topk", ann_ivf)
 
+    # q10: skew stress — bigram LM counts over a deterministic Zipf-ish
+    # corpus (token rank log-uniform in [1, vocab): ~6% of all prefix
+    # positions are the single hottest token). A reintroduced unbounded
+    # window over w1 funnels that mass to ONE task and this number blows
+    # up; the aggregate+join-back shape absorbs it map-side.
+    zipf_path = os.path.join(CACHE_ROOT, "zipf_docs_500k")
+    if not os.path.exists(os.path.join(zipf_path, "_SUCCESS")):
+        toks = ", ".join(
+            f"concat('t', cast(floor(power(100000.0D, "
+            f"pmod(xxhash64(id * 37 + {j}), 1000000) / 1000000.0)) as long))"
+            for j in range(12)
+        )
+        spark.range(500_000, numPartitions=cpus).selectExpr(
+            "id as doc_id", f"concat_ws(' ', {toks}) as text"
+        ).write.mode("overwrite").parquet(zipf_path)
+    zipf_docs = spark.read.parquet(zipf_path)
+    timed("zipf_stress", lambda: textstats.bigram_logprob(zipf_docs).count())
+
+    # q11: image resize kernel — 64x48 -> 224x224 over 5k real BMPs; the
+    # numpy gather keeps this Arrow-bound (a per-pixel Python loop is
+    # ~250M interpreter iterations here and dominates the whole bench)
+    from weblog_pipeline.ops import multimodal
+
+    bmp_path = os.path.join(CACHE_ROOT, "bmp_64x48_5k")
+    if not os.path.exists(os.path.join(bmp_path, "_SUCCESS")):
+        def _gen_bmps(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = [int(i) for i in pdf["id"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.array(ids, dtype="Int64"),
+                        "payload": [
+                            multimodal.encode_bmp(64, 48, i % 256) for i in ids
+                        ],
+                        "media_type": ["image"] * len(ids),
+                    }
+                )
+
+        spark.range(5_000, numPartitions=cpus).mapInPandas(
+            _gen_bmps, schema=multimodal.MEDIA_SCHEMA
+        ).write.mode("overwrite").parquet(bmp_path)
+    bmps = spark.read.parquet(bmp_path)
+    timed(
+        "resize_images",
+        lambda: multimodal.resize_images(bmps, 224, 224)
+        .agg(F.sum("n_bytes"))
+        .collect(),
+    )
+
     spark.stop()
     e2e_sec = timings["e2e_pipeline"]
     return {
