@@ -45,6 +45,14 @@ def unit_id_for(input_file: str) -> str:
 MANIFEST_UNIT = "__manifest__"
 
 
+def chunk_unit_id(chunk_no: int) -> str:
+    """Sentinel unit_id of a chunk-grain ledger row (status 'chunk_done'):
+    rows_in/rows_out are observed per CHUNK (the execution unit), so they
+    live on one row per chunk — unit rows carry -1 there. Sum rows_in over
+    status='chunk_done' rows; use status='done' rows for resume planning."""
+    return f"__chunk__{chunk_no:06d}"
+
+
 def manifest_digest(units: list[tuple[str, str]]) -> str:
     """Digest of the sorted unit list — resume is only valid against the
     exact same input file set (chunk numbering is positional)."""
@@ -175,15 +183,31 @@ def run_resumable(
         rows_in = obs_in.get["rows_in"]
         dur = int((time.time() - t0) * 1000)
         now_us = int(time.time() * 1_000_000)
+        # rows_in/rows_out are CHUNK-grain observations (the chunk is the
+        # unit of execution), so they are recorded on ONE chunk-grain row —
+        # duplicating them onto each unit row would make a naive
+        # SUM(rows_in) over 'done' rows overcount by the chunk width
         ledger.record(
             [
+                {
+                    "run_id": run_id,
+                    "unit_id": chunk_unit_id(chunk_no),
+                    "input_file": f"chunk={chunk_no:06d}",
+                    "status": "chunk_done",
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "duration_ms": dur,
+                    "finished_at_us": now_us,
+                }
+            ]
+            + [
                 {
                     "run_id": run_id,
                     "unit_id": u,
                     "input_file": f,
                     "status": "done",
-                    "rows_in": rows_in,
-                    "rows_out": rows_out,
+                    "rows_in": -1,  # tracked at chunk grain, see above
+                    "rows_out": -1,
                     "duration_ms": dur,
                     "finished_at_us": now_us,
                 }

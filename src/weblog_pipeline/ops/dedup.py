@@ -374,21 +374,35 @@ def connected_components(
 
     This is the step that turns pairwise near-dup evidence into duplicate
     CLUSTERS (keep one doc per component). Spark shape: per iteration one
-    equi-join (edges x labels) + one min-aggregate, labels localCheckpointed
-    to cut the growing lineage; convergence in O(component diameter)
-    rounds — near-dup clusters are shallow (stars/cliques), so typically
-    2-3 rounds. Deterministic: labels are doc_ids, min is total.
+    equi-join (edges x labels) + one min-aggregate, labels checkpointed to
+    cut the growing lineage; convergence in O(component diameter) rounds —
+    near-dup clusters are shallow (stars/cliques), so typically 2-3
+    rounds. Deterministic: labels are doc_ids, min is total.
+
+    Checkpoint durability: if the session has a RELIABLE checkpoint dir
+    configured (`sparkContext.setCheckpointDir` — on HDFS/S3 for a real
+    cluster), per-iteration state uses `DataFrame.checkpoint()`, which
+    survives executor loss. Without one it falls back to
+    `localCheckpoint()`, whose blocks live on executors only: fine in
+    local mode and for short jobs, but on a 1000-executor run losing one
+    executor mid-iteration kills the job — production deployments should
+    set a checkpoint dir.
 
     Output: (doc_id, cluster_id) for every vertex, cluster_id = the
     component's minimum doc_id.
     """
+    sc = edges.sparkSession.sparkContext
+    reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     # materialize the edge list ONCE: it is re-joined every iteration, and
     # without this the (possibly expensive) upstream edge derivation —
     # MinHash, Jaccard, ... — would re-execute per round
-    und = (
+    und = _checkpoint(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
     )
     labels = (
         und.select(F.col("src").alias("doc_id"))
@@ -400,11 +414,10 @@ def connected_components(
             und.join(labels, und["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "label")
         )
-        new_labels = (
+        new_labels = _checkpoint(
             labels.unionByName(nbr_min)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

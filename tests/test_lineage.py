@@ -90,15 +90,19 @@ def test_resume_refuses_changed_input_list(spark, tmp_path, input_path):
 
 
 def test_ledger_records_real_rows_in(spark, tmp_path, input_path):
+    """rows_in/rows_out live on chunk-grain rows (status='chunk_done'),
+    one per chunk, so a plain SUM over them equals the input row count —
+    even with multiple units per chunk (unit_batch=2 -> 2 chunks of 2
+    units here, the multi-chunk case where grain duplication would
+    overcount)."""
     out = str(tmp_path / "out")
     ledger = LineageStore(spark, str(tmp_path / "ledger"))
-    run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=4)
-    rows = (
-        spark.read.parquet(str(tmp_path / "ledger"))
-        .where("status = 'done'")
-        .collect()
-    )
-    assert rows and all(r["rows_in"] >= 0 for r in rows)
-    # chunk-level rows_in sums to the input row count (one chunk here)
-    per_chunk = {r["finished_at_us"]: r["rows_in"] for r in rows}
-    assert sum(per_chunk.values()) == 120
+    run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+    ledger_df = spark.read.parquet(str(tmp_path / "ledger"))
+    chunk_rows = ledger_df.where("status = 'chunk_done'").collect()
+    assert chunk_rows and all(r["rows_in"] >= 0 for r in chunk_rows)
+    assert sum(r["rows_in"] for r in chunk_rows) == 120
+    # unit rows exist for resume planning and carry no counts (chunk grain)
+    unit_rows = ledger_df.where("status = 'done'").collect()
+    assert unit_rows and all(r["rows_in"] == -1 for r in unit_rows)
+    assert all(not r["unit_id"].startswith("__") for r in unit_rows)

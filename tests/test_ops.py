@@ -730,6 +730,32 @@ def test_resize_mixed_axis_and_topdown(spark, docs_df):
         multimodal.resize_bmp(bytes(bad), 3, 2)
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured (the production setup), the
+    per-iteration state must use RELIABLE checkpointing — files under the
+    dir — so executor loss mid-iteration cannot strand the labels."""
+    sc = spark.sparkContext
+    had_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    if not had_dir:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    if not had_dir:
+        import os as _os
+
+        ckpt_root = str(tmp_path / "ckpt")
+        files = [
+            f for root, _, fs in _os.walk(ckpt_root) for f in fs
+        ]
+        assert files, "no reliable checkpoint files were written"
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     from pyspark.sql import Row
 
