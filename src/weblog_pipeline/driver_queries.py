@@ -1241,6 +1241,166 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM ({_sql_dedup_pipeline()}) dr)
 """
 
 
+# -- PII / repetition / line-dedup (planted, both engines) ----------------
+# The fixture texts carry no emails/IPs/phones and few repeated lines, so
+# each query derives a planted relation (deterministic doc_id-keyed
+# suffixes) in BOTH engines — same lesson as the planted exact-dup oracle.
+
+_PII_SUFFIXES = (
+    (4, 0, " reach bob@example.com"),
+    (4, 1, " from 10.1.2.3"),
+    (4, 2, " call 555-123-4567 or +4915112345678"),
+)
+
+
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    suffix = F.lit("")
+    for mod, rem, s in _PII_SUFFIXES:
+        suffix = F.when(F.col("doc_id") % mod == rem, F.lit(s)).otherwise(suffix)
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+
+def _sql_pii_planted_cte() -> str:
+    cases = " ".join(
+        f"WHEN doc_id % {mod} = {rem} THEN {sql_str(s)}"
+        for mod, rem, s in _PII_SUFFIXES
+    )
+    return f"""
+p AS (
+  SELECT doc_id, text || CASE {cases} ELSE '' END AS text FROM documents
+)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.pii_scrub(_pii_planted(_read(spark, sf_dir, "documents")))
+
+
+def _sql_pii_scrub() -> str:
+    email, ipv4, phone = (
+        textstats.PII_EMAIL,
+        textstats.PII_IPV4,
+        textstats.PII_PHONE,
+    )
+    return f"""
+WITH {_sql_pii_planted_cte()},
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{ipv4}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t1, '{ipv4}', '[IP]', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS clean_text
+FROM s2
+"""
+
+
+def _rep_planted(docs: DataFrame) -> DataFrame:
+    suffix = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("\nREPEAT ME\nREPEAT ME")
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.repetition_stats(_rep_planted(_read(spark, sf_dir, "documents")))
+
+
+def _sql_repetition_stats() -> str:
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'REPEAT ME' || chr(10) || 'REPEAT ME'
+                 ELSE '' END AS text
+  FROM documents
+),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM p),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l WHERE line <> '' GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_lines
+  FROM lc GROUP BY 1
+),
+w AS (SELECT doc_id, {_TOKS} AS words FROM p WHERE trim(text) <> ''),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i+1])) AS g2
+  FROM w WHERE len(words) >= 2
+),
+gc AS (SELECT doc_id, g2, COUNT(*) AS c FROM g GROUP BY 1, 2),
+gs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         CAST(MAX(c) AS BIGINT) AS top_2gram_n
+  FROM gc GROUP BY 1
+)
+SELECT p.doc_id,
+  COALESCE(n_lines, 0) AS n_lines,
+  COALESCE(n_dup_lines, 0) AS n_dup_lines,
+  CASE WHEN COALESCE(n_lines, 0) > 0
+       THEN COALESCE(n_dup_lines, 0) * 10000 // n_lines ELSE 0 END AS dup_line_bp,
+  COALESCE(n_2grams, 0) AS n_2grams,
+  COALESCE(top_2gram_n, 0) AS top_2gram_n,
+  CASE WHEN COALESCE(n_2grams, 0) > 0
+       THEN COALESCE(top_2gram_n, 0) * 10000 // n_2grams ELSE 0 END AS top_2gram_bp
+FROM p LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+
+
+def _boiler_planted(docs: DataFrame) -> DataFrame:
+    suffix = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("\nCOOKIE BANNER — accept all?")
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.dedup_lines(
+        _boiler_planted(_read(spark, sf_dir, "documents")), max_df=3
+    )
+
+
+def _sql_dedup_lines(max_df: int = 3) -> str:
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'COOKIE BANNER — accept all?'
+                 ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ls) + 1), i -> ls[i])) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p)
+),
+bo AS (
+  SELECT md5(line) AS lh FROM l WHERE line <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > {max_df}
+),
+m AS (
+  SELECT doc_id, pos, line,
+         md5(line) IN (SELECT lh FROM bo) AS is_b
+  FROM l
+)
+SELECT doc_id, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                           ORDER BY pos), '') AS text
+FROM m GROUP BY 1
+"""
+
+
 def _sql_dup_ngram_stats(df_threshold: int = 4) -> str:
     return f"""
 WITH {_shingle_cte("documents")},
@@ -1545,6 +1705,9 @@ def queries() -> dict:
         ),
         "clean_corpus": docs(corpus.clean_corpus),
         "dup_ngram_stats": docs(corpus.dup_ngram_stats),
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "dedup_lines": q_dedup_lines,
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
@@ -1599,6 +1762,9 @@ def oracle_sql() -> dict:
         "stratified_sample": _sql_stratified_sample(),
         "clean_corpus": _sql_clean_corpus(),
         "dup_ngram_stats": _sql_dup_ngram_stats(),
+        "pii_scrub": _sql_pii_scrub(),
+        "repetition_stats": _sql_repetition_stats(),
+        "dedup_lines": _sql_dedup_lines(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),

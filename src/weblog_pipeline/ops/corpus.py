@@ -89,6 +89,135 @@ def clean_corpus(
     ).select("doc_id", "lang_guess", "n_tokens")
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals — the filter family
+    the Gopher/MassiveText curation rules apply before training:
+
+      n_lines / n_dup_lines / dup_line_bp  — fraction of newline-delimited
+          lines that are repeats of an earlier line in the SAME doc
+          (boilerplate nav/footer blocks repeat verbatim);
+      n_2grams / top_2gram_n / top_2gram_bp — occupancy of the single most
+          frequent word 2-gram ("click here click here ..." pages).
+
+    Spark shape: one explode per signal over the doc's own tokens, both
+    aggregated per (doc_id, item) then per doc_id — the shuffle key always
+    includes doc_id, so corpus-wide token skew cannot concentrate (unlike
+    corpus-frequency ops, this is per-doc by construction). Integer basis
+    points — float-free and hash-stable.
+
+    Empty docs report zero lines/grams; docs with <2 tokens have no
+    2-grams (top_2gram_bp = 0 by convention, both engines).
+    """
+    lines = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).where(F.col("line") != "")
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            (F.sum("c") - F.count(F.lit(1))).alias("n_dup_lines"),
+        )
+    )
+    toks = dedup.lower_tokens_col()
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = documents.select("doc_id", F.explode(pairs).alias("g"))
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_2grams"), F.max("c").alias("top_2gram_n"))
+    )
+    base = documents.select("doc_id")
+    out = (
+        base.join(line_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.coalesce("top_2gram_n", F.lit(0)).alias("top_2gram_n"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        F.expr(
+            "CASE WHEN n_lines > 0 THEN n_dup_lines * 10000 div n_lines ELSE 0 END"
+        ).alias("dup_line_bp"),
+        "n_2grams",
+        "top_2gram_n",
+        F.expr(
+            "CASE WHEN n_2grams > 0 THEN top_2gram_n * 10000 div n_2grams ELSE 0 END"
+        ).alias("top_2gram_bp"),
+    )
+
+
+def dedup_lines(documents: DataFrame, max_df: int = 3) -> DataFrame:
+    """Corpus-wide line-level dedup with text reassembly (the CCNet /
+    RefinedWeb paragraph-dedup step): any newline-delimited line occurring
+    in more than `max_df` documents is boilerplate (cookie banners, nav
+    bars, footers) and is removed from EVERY document; survivors are
+    re-joined in original order.
+
+    Spark shape: posexplode keeps each line's position; the line
+    document-frequency table is a (md5(line)) aggregate — map-side combine
+    absorbs the boilerplate skew exactly as dup_ngram_stats does — and
+    joins back onto the line stream (AQE broadcasts the small boilerplate
+    list); reassembly is a per-doc sort_array over (pos, line) structs,
+    shuffled by doc_id only. Docs whose every line is boilerplate come
+    back with empty text (kept, so the drop decision stays downstream).
+
+    Output: doc_id, n_lines, n_dropped, text (reassembled).
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    df_counts = (
+        lines.where(F.col("line") != "")
+        .groupBy(F.md5("line").alias("lh"))
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") > max_df)
+        .select("lh", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(
+        df_counts, F.md5(lines["line"]) == df_counts["lh"], "left"
+    ).select("doc_id", "pos", "line", "is_boiler")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("is_boiler")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("is_boiler"), F.lit(False)),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+
+
 def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
     """Duplicate-n-gram quality signal (Gopher/Dolma-style boilerplate
     detection): per document, how many of its distinct word 3-grams occur

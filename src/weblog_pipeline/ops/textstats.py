@@ -226,6 +226,52 @@ def winnow_fingerprints(
     )
 
 
+# PII patterns shared with the SQL oracle generator. Restricted to syntax
+# that Java regex (Spark) and RE2 (DuckDB) interpret identically: character
+# classes, bounded repetition, \b word boundaries, alternation — no
+# lookarounds, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"(\+\d{7,15}|\d{3}[-.]\d{3}[-.]\d{4})"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction — the scrub pass a web-scale training
+    pipeline runs before anything ships to a tokenizer: emails, IPv4
+    addresses, and phone numbers are counted and replaced with typed
+    placeholders.
+
+    Staged deterministically (emails first, then IPs, then phones), each
+    count taken on the PREVIOUS stage's output, so overlapping matches
+    resolve identically in any engine running the same stages. Pure
+    regexp_extract_all/regexp_replace — single codegen'd scan, no Python.
+
+    Output: doc_id, n_emails, n_ipv4, n_phones, clean_text.
+    """
+    t0 = F.col("text")
+    n_emails = F.array_size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    staged = documents.select(
+        "doc_id", n_emails.cast("long").alias("n_emails"), t1.alias("t1")
+    )
+    n_ipv4 = F.array_size(F.regexp_extract_all(F.col("t1"), F.lit(PII_IPV4), 0))
+    t2 = F.regexp_replace(F.col("t1"), PII_IPV4, "[IP]")
+    staged = staged.select(
+        "doc_id", "n_emails", n_ipv4.cast("long").alias("n_ipv4"), t2.alias("t2")
+    )
+    n_phones = F.array_size(
+        F.regexp_extract_all(F.col("t2"), F.lit(PII_PHONE), 0)
+    )
+    t3 = F.regexp_replace(F.col("t2"), PII_PHONE, "[PHONE]")
+    return staged.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        n_phones.cast("long").alias("n_phones"),
+        t3.alias("clean_text"),
+    )
+
+
 def bigram_logprob(documents: DataFrame) -> DataFrame:
     """Per-document bigram log-probability under the corpus's own bigram
     MLE model — the classic cheap LM-quality signal (low = unusual token

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from weblog_pipeline.ops import dedup, multimodal, similarity, textstats
+from weblog_pipeline.ops import corpus, dedup, multimodal, similarity, textstats
 
 DOCS = [
     # two exact duplicates (after whitespace/case normalization)
@@ -498,6 +498,66 @@ def test_dup_ngram_stats(spark):
     assert rows[0]["n_boiler"] == 3 and rows[0]["n_grams"] == 5
     assert rows[0]["boiler_pct_x100"] == 3 * 10000 // 5
     assert rows[99]["n_boiler"] == 0
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=0,
+                text="mail bob@example.com or alice@foo.org, ip 10.1.2.3, call 555-123-4567",
+            ),
+            Row(doc_id=1, text="+4915112345678 dialed 192.168.0.1 twice"),
+            Row(doc_id=2, text="no pii here"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in textstats.pii_scrub(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (2, 1, 1)
+    assert (
+        got[0]["clean_text"]
+        == "mail [EMAIL] or [EMAIL], ip [IP], call [PHONE]"
+    )
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (0, 1, 1)
+    assert got[1]["clean_text"] == "[PHONE] dialed [IP] twice"
+    assert got[2]["clean_text"] == "no pii here"
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b\nfoo\nfoo\na b"),
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="one two"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+    # doc 0: 4 non-empty lines, 2 distinct -> 2 dups; tokens a b foo foo a b
+    # -> 2-grams [a b, b foo, foo foo, foo a, a b]: top "a b" = 2 of 5
+    assert got[0]["n_lines"] == 4 and got[0]["n_dup_lines"] == 2
+    assert got[0]["dup_line_bp"] == 5000
+    assert got[0]["n_2grams"] == 5 and got[0]["top_2gram_n"] == 2
+    assert got[0]["top_2gram_bp"] == 4000
+    assert got[1]["n_lines"] == 0 and got[1]["top_2gram_bp"] == 0
+    assert got[2]["n_lines"] == 1 and got[2]["n_dup_lines"] == 0
+    assert got[2]["n_2grams"] == 1 and got[2]["top_2gram_bp"] == 10000
+
+
+def test_dedup_lines_reassembly(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="keep me\nFOOTER\nalso keep"),
+            Row(doc_id=1, text="other\nFOOTER"),
+            Row(doc_id=2, text="FOOTER"),
+            Row(doc_id=3, text="a\n\nb"),  # empty line preserved
+        ]
+    )
+    got = {r["doc_id"]: r for r in corpus.dedup_lines(df, max_df=1).collect()}
+    assert got[0]["text"] == "keep me\nalso keep" and got[0]["n_dropped"] == 1
+    assert got[0]["n_lines"] == 3
+    assert got[1]["text"] == "other"
+    assert got[2]["text"] == "" and got[2]["n_dropped"] == 1
+    assert got[3]["text"] == "a\n\nb" and got[3]["n_dropped"] == 0
 
 
 def test_resize_bmp_nearest_neighbor_kernel():
