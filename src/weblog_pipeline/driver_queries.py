@@ -1241,6 +1241,32 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM ({_sql_dedup_pipeline()}) dr)
 """
 
 
+def _sql_tfidf_topk(k: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * CAST(floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0)
+                      AS BIGINT) AS score_micro
+  FROM tf JOIN dfx USING (token) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, score_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, token ASC) AS rank
+  FROM s
+)
+WHERE rank <= {k}
+"""
+
+
 # -- PII / repetition / line-dedup (planted, both engines) ----------------
 # The fixture texts carry no emails/IPs/phones and few repeated lines, so
 # each query derives a planted relation (deterministic doc_id-keyed
@@ -1708,6 +1734,7 @@ def queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "dedup_lines": q_dedup_lines,
+        "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
@@ -1765,6 +1792,7 @@ def oracle_sql() -> dict:
         "pii_scrub": _sql_pii_scrub(),
         "repetition_stats": _sql_repetition_stats(),
         "dedup_lines": _sql_dedup_lines(),
+        "tfidf_topk": _sql_tfidf_topk(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),

@@ -226,6 +226,58 @@ def winnow_fingerprints(
     )
 
 
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    relevance-weighting statistic over the corpus's own document
+    frequencies: score(d, t) = tf(d, t) * ln((N + 1) / (df(t) + 1)).
+
+    Scale shape: tf and df are both groupBy aggregates (map-side combine;
+    df is derived from the tf frame, so the token stream is exploded
+    once); N attaches as a broadcast single-row cross join (no driver
+    count, one job); the final rank window partitions by doc_id — bounded
+    by per-document vocabulary, never by corpus-wide token skew.
+
+    Numeric stability: idf is quantized ONCE per token to integer
+    micro-nats; scores are integer products — order-free exact across
+    engines (same trick as bigram_logprob).
+
+    Output: doc_id, rank, token, tf, score_micro.
+    """
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "score_micro")
+    )
+
+
 # PII patterns shared with the SQL oracle generator. Restricted to syntax
 # that Java regex (Spark) and RE2 (DuckDB) interpret identically: character
 # classes, bounded repetition, \b word boundaries, alternation — no

@@ -500,6 +500,38 @@ def test_dup_ngram_stats(spark):
     assert rows[99]["n_boiler"] == 0
 
 
+def test_tfidf_topk_python_twin(spark):
+    import math
+
+    texts = {
+        0: "apple banana apple",
+        1: "banana cherry",
+        2: "apple cherry cherry date",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score_micro"])
+        for r in textstats.tfidf_topk(df, k=2).collect()
+    }
+    n = len(texts)
+    docs_tokens = {i: t.split() for i, t in texts.items()}
+    dfreq = {}
+    for toks in docs_tokens.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for i, toks in docs_tokens.items():
+        scored = []
+        for t in set(toks):
+            tf = toks.count(t)
+            idf_micro = math.floor(
+                math.log((n + 1) / (dfreq[t] + 1)) * 1_000_000
+            )
+            scored.append((-tf * idf_micro, t, tf, tf * idf_micro))
+        scored.sort()
+        for rank, (_, t, tf, score) in enumerate(scored[:2], start=1):
+            assert got[(i, rank)] == (t, tf, score), (i, rank)
+
+
 def test_pii_scrub(spark):
     df = spark.createDataFrame(
         [
