@@ -1516,6 +1516,46 @@ FROM pre
 """
 
 
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: valid LZW-coded GIF89a payloads
+    generated from doc_id; the Arrow UDF runs a full LZW decode and
+    palette map on the actual bytes; the oracle recomputes dimensions and
+    the decoded top-left RGB bytes from doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_gif_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select(
+        "media_id", "width", "height", "n_frames", *_px_cols(meta)
+    )
+
+
+def _sql_multimodal_gif() -> str:
+    # grayscale palette: decoded byte j belongs to pixel j//3, whose index
+    # (and thus each RGB channel) is (s + x + y) % 256
+    px = []
+    for j in range(multimodal.FEATURE_DIM):
+        pj = j // 3
+        px.append(
+            f"CAST(CASE WHEN {j} < 3*w*h "
+            f"THEN (s + (({pj}) % w) + (({pj}) // w)) % 256 "
+            f"ELSE 0 END AS INTEGER) AS px{j}"
+        )
+    cols = ",\n  ".join(px)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 40 AS w, 1 + doc_id % 30 AS h,
+         doc_id % 256 AS s
+  FROM documents
+)
+SELECT media_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_frames,
+  {cols}
+FROM pre
+"""
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV-PCM decode end-to-end: valid RIFF/WAVE payloads generated
     from doc_id, chunk-walked by the Arrow UDF (fake=False); the oracle
@@ -1745,6 +1785,7 @@ def queries() -> dict:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_samples": q_frame_samples,
@@ -1801,6 +1842,7 @@ def oracle_sql() -> dict:
         "multimodal_meta": _sql_multimodal_meta(),
         "multimodal_bmp_decode": SQL_MULTIMODAL_BMP,
         "multimodal_png_decode": _sql_multimodal_png(),
+        "multimodal_gif_decode": _sql_multimodal_gif(),
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),

@@ -296,12 +296,197 @@ def decode_png(payload: bytes) -> dict:
     return {"width": width, "height": height, "n_frames": 1, "feature": feature}
 
 
+def encode_gif(width: int, height: int, seed: int) -> bytes:
+    """Minimal real GIF89a (stdlib-only): 256-entry grayscale global
+    palette, one non-interlaced frame, pixel (x, y) = index
+    (seed + x + y) % 256, LZW-coded as literal codes with a clear code
+    every 254 symbols (the classic uncompressed-GIF trick — valid LZW any
+    conforming decoder must handle). Fixture generator for the real
+    decode round trip."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    for v in range(256):
+        out += bytes([v, v, v])  # grayscale palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW minimum code size
+    # literal-code LZW: 9-bit codes, clear(256) resets before the table
+    # can outgrow 9 bits; end(257) terminates
+    bits = bitpos = 0
+    coded = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bits, bitpos
+        bits |= code << bitpos
+        bitpos += 9
+        while bitpos >= 8:
+            coded.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+
+    emit(256)
+    for i in range(width * height):
+        if i and i % 254 == 0:
+            emit(256)
+        emit((seed + (i % width) + (i // width)) % 256)
+    emit(257)
+    if bitpos:
+        coded.append(bits & 0xFF)
+    for off in range(0, len(coded), 255):
+        chunk = coded[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """Full GIF-flavor LZW decode (variable code width, clear/end codes,
+    KwKwK case) — handles any conforming encoder, not just the literal
+    coder above."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table) and code != end:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF pixel stream is {len(out)} indices, header implies {n_pixels}"
+        )
+    return out[:n_pixels]
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL decoder for non-interlaced GIF87a/89a (stdlib-only): parses
+    the logical screen descriptor and palette, walks the block stream
+    (skipping extensions), LZW-decodes the FIRST image's index stream and
+    maps it through the active palette; counts every image descriptor so
+    animated GIFs report their real frame count. Feature = first
+    FEATURE_DIM palette-mapped RGB bytes, mirroring the other decoders.
+
+    Raises ValueError for truncated streams, interlaced images, missing
+    palettes, or invalid LZW codes — quarantine-path inputs."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    n_frames = 0
+    first: dict | None = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        fw, fh = struct.unpack_from("<HH", payload, pos + 5)
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            if len(pal) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            if pos + 1 + n > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1  # sub-block terminator
+        n_frames += 1
+        if first is None:
+            idx = _lzw_decode(bytes(data), min_code, fw * fh)
+            rgb = bytearray()
+            for i in idx[: (FEATURE_DIM + 2) // 3]:
+                if 3 * i + 3 > len(pal):
+                    raise ValueError("GIF pixel index outside palette")
+                rgb += pal[3 * i : 3 * i + 3]
+            first = {"fw": fw, "fh": fh, "rgb": bytes(rgb[:FEATURE_DIM])}
+    if first is None:
+        raise ValueError("GIF contains no image")
+    pix = first["rgb"]
+    feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "feature": feature,
+    }
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (width, height, feature vector).
 
-    REAL for the three stdlib-parseable formats — BMP and P6 PPM
-    (uncompressed header parses) and PNG (zlib-inflated, CRC-checked,
-    filter-inverted) — those parse the actual bytes. JPEG needs a DCT
+    REAL for the four stdlib-parseable formats — BMP and P6 PPM
+    (uncompressed header parses), PNG (zlib-inflated, CRC-checked,
+    filter-inverted), and GIF (full LZW decode, palette-mapped) — those
+    parse the actual bytes. JPEG needs a DCT
     codec (PIL/libvips), absent in this environment: with fake=True a
     deterministic stand-in derives metadata purely from the bytes, keeping
     the distributed plumbing exercisable end-to-end; otherwise raise.
@@ -315,9 +500,11 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             return decode_ppm(payload)
         if payload[:8] == PNG_SIG:
             return decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
         raise NotImplementedError(
             "JPEG decoding requires PIL/libvips, not available in this "
-            "environment (BMP/P6/PNG decode natively)"
+            "environment (BMP/P6/PNG/GIF decode natively)"
         )
     # fake=True: deterministic stand-in, even for payloads that happen to
     # start with a real magic — keeps the fake family's semantics uniform
@@ -583,6 +770,31 @@ def media_png_from_documents(documents: "DataFrame") -> "DataFrame":
                     "media_id": pd.array(ids, dtype="Int64"),
                     "payload": [
                         encode_png(1 + i % 32, 1 + i % 24, i % 256) for i in ids
+                    ],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_gif_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format GIF media table: one valid GIF89a per
+    doc (width 1+id%40, height 1+id%30, grayscale palette, pixel (x,y) =
+    (id + x + y) % 256, LZW-coded). The SQL oracle recomputes dimensions
+    and the decoded leading RGB bytes from doc_id arithmetic — a wrong
+    LZW decode or palette map mismatches values."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_gif(1 + i % 40, 1 + i % 30, i % 256) for i in ids
                     ],
                     "media_type": ["image"] * len(ids),
                 }

@@ -284,6 +284,83 @@ def test_png_corruption_is_quarantined():
         multimodal.decode_png(bad)
 
 
+def test_gif_roundtrip_and_animation_frames():
+    payload = multimodal.encode_gif(7, 5, 40)
+    meta = multimodal.decode_image(payload, fake=False)
+    assert meta["width"] == 7 and meta["height"] == 5 and meta["n_frames"] == 1
+    # grayscale palette: byte j of the feature = pixel (j//3)'s index
+    exp = [(40 + (j // 3) % 7 + (j // 3) // 7) % 256 for j in range(8)]
+    assert [round(f * 255) for f in meta["feature"]] == exp
+    # animated: a second image descriptor bumps n_frames (descriptor
+    # starts right after the 13-byte header + 768-byte global palette)
+    single = multimodal.encode_gif(3, 3, 9)
+    frame = single[13 + 768 : -1]  # descriptor..block terminator
+    assert frame[0] == 0x2C
+    animated = single[:-1] + frame + b"\x3b"
+    assert multimodal.decode_gif(animated)["n_frames"] == 2
+
+
+def test_gif_full_lzw_decode_table_building():
+    """The decoder must handle genuinely COMPRESSING LZW (table growth,
+    variable code widths, the KwKwK corner), not just the literal-coded
+    fixtures — verified against an independent reference encoder."""
+    import random
+
+    def lzw_encode(indices, mcs):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = end + 1, mcs + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(code, wd):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += wd
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear, width)
+        w = b""
+        for c in indices:
+            wc = w + bytes([c])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = bytes([c])
+        if w:
+            emit(table[w], width)
+        emit(end, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(11)
+    for mcs in (2, 4, 8):
+        idx = bytes(rng.randrange(1 << mcs) for _ in range(1500))
+        idx += idx[:700]  # repetition drives table growth + KwKwK
+        dec = multimodal._lzw_decode(lzw_encode(idx, mcs), mcs, len(idx))
+        assert bytes(dec) == idx
+
+
+def test_gif_corruption_is_quarantined():
+    payload = multimodal.encode_gif(6, 4, 9)
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(payload[:-6])  # truncated data
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"GIF89a" + payload[6:20])  # truncated GCT
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"NOTGIF" + payload[6:])
+
+
 def test_wav_roundtrip_and_corruption():
     payload = multimodal.encode_wav(25, 7, sample_rate=16000, n_channels=2)
     meta = multimodal.decode_wav(payload)
