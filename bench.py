@@ -97,14 +97,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # ±40% — best-of approximates steady-state capability; every run is
     # reported in the JSON)
     timed("e2e_pipeline_cold", e2e)
-    timed("e2e_pipeline_warm1", e2e)
-    timed("e2e_pipeline_warm2", e2e)
-    timed("e2e_pipeline_warm3", e2e)
-    timings["e2e_pipeline"] = min(
-        timings["e2e_pipeline_warm1"],
-        timings["e2e_pipeline_warm2"],
-        timings["e2e_pipeline_warm3"],
-    )
+    warm_keys = [f"e2e_pipeline_warm{i}" for i in range(1, 6)]
+    for k in warm_keys:
+        timed(k, e2e)
+    timings["e2e_pipeline"] = min(timings[k] for k in warm_keys)
 
     # q2: parse + text extraction only (UDF-bound stage)
     from weblog_pipeline.parse import page_texts, parse_events
