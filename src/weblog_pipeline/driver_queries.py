@@ -1241,6 +1241,57 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM ({_sql_dedup_pipeline()}) dr)
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a pretraining pipeline actually runs, as
+    ONE plan: boilerplate-line removal (dedup_lines) → PII redaction
+    (pii_scrub) → minimum-length gate on the scrubbed text. Both PII and
+    boilerplate evidence are planted (doc_id-keyed suffixes, both engines)
+    so every stage does real work."""
+    docs = _boiler_planted(_pii_planted(_read(spark, sf_dir, "documents")))
+    cleaned = corpus.dedup_lines(docs, max_df=3)
+    scrubbed = textstats.pii_scrub(cleaned.select("doc_id", "text"))
+    toks = F.split(F.trim(F.col("clean_text")), r"\s+")
+    n_tokens = (
+        F.when(F.trim(F.col("clean_text")) == "", F.lit(0))
+        .otherwise(F.array_size(toks))
+        .cast("long")
+    )
+    out = scrubbed.join(cleaned.select("doc_id", "n_dropped"), "doc_id").select(
+        "doc_id",
+        "n_dropped",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n_pii"),
+        n_tokens.alias("n_tokens"),
+        "clean_text",
+    )
+    return out.where(F.col("n_tokens") >= 5)
+
+
+def _sql_curate_corpus(max_df: int = 3, min_tokens: int = 5) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text || {_sql_pii_suffix_case()}
+              || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'COOKIE BANNER — accept all?'
+                 ELSE '' END AS text
+  FROM documents
+),
+{_sql_dedup_lines_body(max_df, "base")},
+cleaned AS (SELECT doc_id, n_dropped, text FROM dl),
+{_sql_pii_stages("cleaned")}
+SELECT * FROM (
+  SELECT p.doc_id, c.n_dropped,
+         n_emails + n_ipv4 + n_phones AS n_pii,
+         CASE WHEN trim(clean_text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(clean_text), '\\s+'))
+                        AS BIGINT) END AS n_tokens,
+         clean_text
+  FROM pii p JOIN cleaned c USING (doc_id)
+)
+WHERE n_tokens >= {min_tokens}
+"""
+
+
 def _sql_tfidf_topk(k: int = 3) -> str:
     return f"""
 WITH tok AS (
@@ -1286,14 +1337,18 @@ def _pii_planted(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
 
 
-def _sql_pii_planted_cte() -> str:
+def _sql_pii_suffix_case() -> str:
     cases = " ".join(
         f"WHEN doc_id % {mod} = {rem} THEN {sql_str(s)}"
         for mod, rem, s in _PII_SUFFIXES
     )
+    return f"CASE {cases} ELSE '' END"
+
+
+def _sql_pii_planted_cte() -> str:
     return f"""
 p AS (
-  SELECT doc_id, text || CASE {cases} ELSE '' END AS text FROM documents
+  SELECT doc_id, text || {_sql_pii_suffix_case()} AS text FROM documents
 )
 """
 
@@ -1302,30 +1357,42 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub(_pii_planted(_read(spark, sf_dir, "documents")))
 
 
-def _sql_pii_scrub() -> str:
+def _sql_pii_stages(src: str) -> str:
+    """CTE chain s1, s2, pii over relation `src(doc_id, text)`; `pii` ends
+    with (doc_id, n_emails, n_ipv4, n_phones, clean_text). Shared by the
+    standalone twin and curate_corpus."""
     email, ipv4, phone = (
         textstats.PII_EMAIL,
         textstats.PII_IPV4,
         textstats.PII_PHONE,
     )
     return f"""
-WITH {_sql_pii_planted_cte()},
 s1 AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
          regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t1
-  FROM p
+  FROM {src}
 ),
 s2 AS (
   SELECT doc_id, n_emails,
          CAST(len(regexp_extract_all(t1, '{ipv4}')) AS BIGINT) AS n_ipv4,
          regexp_replace(t1, '{ipv4}', '[IP]', 'g') AS t2
   FROM s1
+),
+pii AS (
+  SELECT doc_id, n_emails, n_ipv4,
+         CAST(len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_phones,
+         regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS clean_text
+  FROM s2
 )
-SELECT doc_id, n_emails, n_ipv4,
-       CAST(len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_phones,
-       regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS clean_text
-FROM s2
+"""
+
+
+def _sql_pii_scrub() -> str:
+    return f"""
+WITH {_sql_pii_planted_cte()},
+{_sql_pii_stages("p")}
+SELECT doc_id, n_emails, n_ipv4, n_phones, clean_text FROM pii
 """
 
 
@@ -1395,20 +1462,25 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dedup_lines(max_df: int = 3) -> str:
-    return f"""
-WITH p AS (
+_SQL_BOILER_PLANT = """
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 = 0
                  THEN chr(10) || 'COOKIE BANNER — accept all?'
                  ELSE '' END AS text
   FROM documents
-),
+"""
+
+
+def _sql_dedup_lines_body(max_df: int, src: str) -> str:
+    """line-dedup CTE chain + final SELECT over relation `src(doc_id,
+    text)` — shared by the standalone twin and the composed curate_corpus
+    twin (one definition, the two can never diverge)."""
+    return f"""
 l AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(ls) + 1), i -> ls[i])) AS line,
          unnest(range(1, len(ls) + 1)) AS pos
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {src})
 ),
 bo AS (
   SELECT md5(line) AS lh FROM l WHERE line <> ''
@@ -1418,12 +1490,22 @@ m AS (
   SELECT doc_id, pos, line,
          md5(line) IN (SELECT lh FROM bo) AS is_b
   FROM l
+),
+dl AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                             ORDER BY pos), '') AS text
+  FROM m GROUP BY 1
 )
-SELECT doc_id, COUNT(*) AS n_lines,
-       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
-                           ORDER BY pos), '') AS text
-FROM m GROUP BY 1
+"""
+
+
+def _sql_dedup_lines(max_df: int = 3) -> str:
+    return f"""
+WITH p AS ({_SQL_BOILER_PLANT}),
+{_sql_dedup_lines_body(max_df, "p")}
+SELECT doc_id, n_lines, n_dropped, text FROM dl
 """
 
 
@@ -1775,6 +1857,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "dedup_lines": q_dedup_lines,
         "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
+        "curate_corpus": q_curate_corpus,
         # -- similarity --
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
@@ -1834,6 +1917,7 @@ def oracle_sql() -> dict:
         "repetition_stats": _sql_repetition_stats(),
         "dedup_lines": _sql_dedup_lines(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
