@@ -227,6 +227,7 @@ def decode_png(payload: bytes) -> dict:
     pos = 8
     width = height = None
     channels = 0
+    saw_iend = False
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -253,10 +254,13 @@ def decode_png(payload: bytes) -> dict:
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if not saw_iend:
+        raise ValueError("PNG missing IEND chunk (truncated stream)")
     try:
         stream = zlib.decompress(bytes(idat))
     except zlib.error as e:

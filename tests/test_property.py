@@ -99,3 +99,69 @@ def test_severity_number_to_text_total(n):
 def test_router_total(name):
     sink = route_event(name, DEFAULT_ROUTES)
     assert sink in {"sink_errors", "sink_db", "sink_retries", "sink_default"}
+
+# ---- media codec round-trips (pure Python, no Spark) ---------------------
+
+from weblog_pipeline.ops import multimodal as _mm
+
+_dims = st.integers(min_value=1, max_value=40)
+_seeds = st.integers(min_value=0, max_value=255)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_dims, _dims, _seeds)
+def test_png_roundtrip_property(w, h, seed):
+    meta = _mm.decode_png(_mm.encode_png(w, h, seed))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+    exp = [
+        (seed + (j // 3) % w + (j // 3) // w) % 256 if j < 3 * w * h else 0
+        for j in range(_mm.FEATURE_DIM)
+    ]
+    assert [round(f * 255) for f in meta["feature"]] == exp
+
+
+@settings(max_examples=80, deadline=None)
+@given(_dims, _dims, _seeds)
+def test_gif_roundtrip_property(w, h, seed):
+    meta = _mm.decode_gif(_mm.encode_gif(w, h, seed))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+    exp = [
+        (seed + (j // 3) % w + (j // 3) // w) % 256 if j < 3 * w * h else 0
+        for j in range(_mm.FEATURE_DIM)
+    ]
+    assert [round(f * 255) for f in meta["feature"]] == exp
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=500),
+    _seeds,
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=2),
+)
+def test_wav_roundtrip_property(n, seed, rate, ch):
+    meta = _mm.decode_wav(_mm.encode_wav(n, seed, rate, ch))
+    assert meta["n_frames"] == n
+    assert meta["sample_rate"] == rate and meta["n_channels"] == ch
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dims, _dims, _dims, _dims, _seeds)
+def test_bmp_resize_dims_property(w, h, tw, th, seed):
+    out = _mm.resize_bmp(_mm.encode_bmp(w, h, seed), tw, th)
+    meta = _mm.decode_bmp(out)
+    assert (meta["width"], meta["height"]) == (tw, th)
+    assert len(out) == 54 + _mm.bmp_stride(tw) * th
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dims, _dims, _seeds, st.integers(min_value=1, max_value=60))
+def test_png_truncation_always_quarantined(w, h, seed, cut):
+    payload = _mm.encode_png(w, h, seed)
+    if cut >= len(payload) - 8:
+        return
+    try:
+        _mm.decode_png(payload[:-cut])
+    except ValueError:
+        return
+    raise AssertionError("truncated PNG decoded without error")
