@@ -102,6 +102,30 @@ def start_counts_writer(
     return writer.start()
 
 
+def dedup_stream(
+    pages: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each
+    normalized content hash, dropping any later duplicate whose event time
+    falls within the watermark horizon (dropDuplicatesWithinWatermark —
+    the streaming twin of `ops.dedup.exact_duplicates`).
+
+    The watermark is what makes this viable at 100 TB-equivalent rates:
+    state holds one (hash, ts) entry per document seen in the horizon and
+    Spark evicts entries older than the watermark every batch — unbounded
+    `dropDuplicates` state would grow with the full corpus and OOM the
+    state store. Crawl revisits cluster in time, so a horizon of hours
+    catches the duplicate mass; corpus-wide history dedup remains the
+    batch pipeline's job (`dedup_pipeline`).
+    """
+    from .ops.dedup import content_hash_col
+
+    hashed = pages.withColumn("content_hash", content_hash_col("text"))
+    return hashed.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["content_hash"])
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: span sessionization (applyInPandasWithState)
 # ---------------------------------------------------------------------------

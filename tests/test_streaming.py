@@ -158,3 +158,60 @@ def test_stateful_sessions_null_and_negative_severity(spark, tmp_path):
     assert got == expected
     assert got["allnull"] == (2, 10, 20, None)
     assert got["negative"] == (2, 5, 7, -2)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup must drop duplicates even when the copy
+    arrives in a LATER micro-batch (cross-batch state), keeping exactly
+    one row per normalized content hash."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from weblog_pipeline.streaming import dedup_stream
+    from weblog_pipeline.webpages import WEBPAGES_SCHEMA
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = __import__("datetime").datetime(2025, 7, 4)
+
+    def page(i, text):
+        return Row(
+            url=f"https://ex.com/{i}",
+            warc_ts=base + __import__("datetime").timedelta(seconds=i),
+            html=bytearray(f"<p>{text}</p>".encode()),
+            text=text,
+            lang="en",
+        )
+
+    # file 1: docs A, B; file 2: duplicate of A (different url/ts) + C
+    spark.createDataFrame(
+        [page(0, "alpha beta"), page(1, "gamma")], WEBPAGES_SCHEMA
+    ).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(
+        [page(2, "Alpha  beta"), page(3, "delta")], WEBPAGES_SCHEMA
+    ).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(WEBPAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        dedup_stream(stream)
+        .select("url", "content_hash")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    # "Alpha  beta" normalizes to the same hash as "alpha beta" -> dropped
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == 3
+    kept_urls = {r["url"] for r in rows}
+    assert "https://ex.com/2" not in kept_urls
