@@ -145,6 +145,26 @@ def test_bigram_logprob_has_no_skewed_window(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_parse_scan_prunes_columns_and_pushes_null_filter(spark, tmp_path):
+    """The e2e scan must read ONLY the four columns the parse UDF consumes
+    (never the redundant input `text`) and push `html IS NOT NULL` into the
+    parquet scan — at 100 TB, reading `text` alongside `html` nearly
+    doubles scan bytes."""
+    from weblog_pipeline.parse import parse_events
+    from weblog_pipeline.webpages import generate_webpages
+
+    path = str(tmp_path / "pages")
+    generate_webpages(spark, 50, partitions=2).write.parquet(path)
+    pages = spark.read.parquet(path).where(F.col("html").isNotNull())
+    plan = _physical(parse_events(pages))
+    scan = plan[plan.index("FileScan") :].split("\n")[0]
+    assert "ReadSchema" in scan
+    read_schema = scan[scan.index("ReadSchema") :]
+    assert "html" in read_schema and "url" in read_schema
+    assert "text" not in read_schema  # pruned: UDF never consumes it
+    assert "IsNotNull(html)" in plan  # pushed to the scan
+
+
 def test_ivf_bootstrap_single_scan(emb_df):
     """sample_centroids must push the limit into the scan (one
     TakeOrderedAndProject job), never count() + second filtered scan, and
