@@ -1638,6 +1638,27 @@ FROM pre
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: the Arrow UDF Huffman-decodes
+    and IDCTs the actual entropy stream (fake=False). The oracle pins the
+    SOF header fields, which are exact; reconstructed pixels are lossy by
+    nature and pinned by pytest tolerance instead of the cross-engine
+    hash."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_jpeg_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select("media_id", "width", "height", "n_frames")
+
+
+SQL_MULTIMODAL_JPEG = """
+SELECT doc_id AS media_id,
+  CAST(8 + doc_id % 56 AS INTEGER) AS width,
+  CAST(8 + doc_id % 40 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV-PCM decode end-to-end: valid RIFF/WAVE payloads generated
     from doc_id, chunk-walked by the Arrow UDF (fake=False); the oracle
@@ -1869,6 +1890,7 @@ def queries() -> dict:
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_samples": q_frame_samples,
@@ -1927,6 +1949,7 @@ def oracle_sql() -> dict:
         "multimodal_bmp_decode": SQL_MULTIMODAL_BMP,
         "multimodal_png_decode": _sql_multimodal_png(),
         "multimodal_gif_decode": _sql_multimodal_gif(),
+        "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG,
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),

@@ -18,6 +18,7 @@ so everything downstream shuffles kilobytes, not blobs.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
@@ -484,6 +485,435 @@ def decode_gif(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (grayscale): real DCT + Huffman codec, stdlib + numpy only
+# ---------------------------------------------------------------------------
+
+#: JPEG spec Annex K.1 luminance quantization table (zigzag order applied
+#: at (de)quantize time; stored here in natural row-major order).
+JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.3 luminance DC Huffman spec: (bits-per-length counts, symbols).
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+#: Annex K.5 luminance AC Huffman spec.
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: zigzag scan order: index i of the scan -> position in the 8x8 block.
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huffman_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical code construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = 8
+    m = np.zeros((n, n))
+    for k in range(n):
+        c = math.sqrt(1.0 / n) if k == 0 else math.sqrt(2.0 / n)
+        for x in range(n):
+            m[k, x] = c * math.cos((2 * x + 1) * k * math.pi / (2 * n))
+    return m
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, category-bit pattern)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def encode_jpeg(width: int, height: int, seed: int) -> bytes:
+    """Minimal REAL baseline grayscale JPEG (stdlib + numpy): pixel (x, y)
+    = (seed + x + y) % 256, 8x8 forward DCT, Annex-K quantization and
+    Huffman tables, proper byte stuffing. Lossy by nature — decode
+    fidelity is pinned by tolerance in tests, while the header fields
+    (dimensions) stay exact for the SQL oracle."""
+    import numpy as np
+
+    img = np.fromfunction(
+        lambda y, x: (seed + x + y) % 256, (height, width), dtype=np.int64
+    ).astype(np.float64)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.empty((bh * 8, bw * 8))
+    padded[:height, :width] = img
+    padded[height:, :width] = img[height - 1 : height, :]  # edge-replicate
+    padded[:, width:] = padded[:, width - 1 : width]
+    m = _dct_matrix()
+    q = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_tab = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_tab = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw_out = _BitWriter()
+    prev_dc = 0
+    zz = JPEG_ZIGZAG
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = m @ block @ m.T
+            quant = np.round(coef / q).astype(np.int64)
+            flat = quant.reshape(64)
+            seq = [int(flat[zz[i]]) for i in range(64)]
+            diff = seq[0] - prev_dc
+            prev_dc = seq[0]
+            size, bits_v = _magnitude(diff)
+            code, ln = dc_tab[size]
+            bw_out.write(code, ln)
+            if size:
+                bw_out.write(bits_v, size)
+            run = 0
+            for i in range(1, 64):
+                v = seq[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw_out.write(code, ln)
+                    run -= 16
+                size, bits_v = _magnitude(v)
+                code, ln = ac_tab[(run << 4) | size]
+                bw_out.write(code, ln)
+                bw_out.write(bits_v, size)
+                run = 0
+            if run:
+                code, ln = ac_tab[0x00]  # EOB
+                bw_out.write(code, ln)
+    bw_out.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # DQT stores the table in zigzag order: entry k of the segment is the
+    # quantizer for zigzag position k
+    qt_zz = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + qt_zz)  # DQT, table 0, 8-bit
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    out += seg(
+        0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+    )  # DHT DC table 0
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: 1 comp, tables 0/0
+    out += bw_out.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise _RestartMarker(nxt)
+                else:
+                    raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _huff_read(reader: "_BitReader", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL decoder for baseline sequential GRAYSCALE JPEG (stdlib +
+    numpy): parses DQT/SOF0/DHT/SOS segments, Huffman-decodes the entropy
+    stream (byte unstuffing, restart markers), dequantizes, inverse
+    zigzags, and runs the 8x8 inverse DCT. Width/height come from the
+    actual SOF0 bytes; feature = first FEATURE_DIM reconstructed pixels
+    of the top row scaled to [0,1] (lossy — pixel fidelity is pinned by
+    tolerance in tests, exact header fields by the SQL oracle).
+
+    Raises ValueError for corrupt streams; NotImplementedError for the
+    honest gaps (progressive SOF2, color/multi-component scans — the full
+    chroma pipeline needs a real codec library)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comp_q = 0
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                n = 64 * (2 if pq else 1)
+                raw = body[i + 1 : i + 1 + n]
+                if len(raw) < n:
+                    raise ValueError("truncated JPEG DQT")
+                if pq:
+                    vals = [v for (v,) in struct.iter_unpack(">H", raw)]
+                else:
+                    vals = list(raw)
+                # segment stores zigzag order -> natural order table
+                nat = [0] * 64
+                for k in range(64):
+                    nat[JPEG_ZIGZAG[k]] = vals[k]
+                qtables[tq] = nat
+                i += 1 + n
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                if len(vals) < nvals:
+                    raise ValueError("truncated JPEG DHT")
+                tab = _huffman_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tab
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "color JPEG decode (chroma pipeline) requires a codec "
+                    "library; grayscale baseline decodes natively"
+                )
+            # per-component tail: id(1) sampling(1) qtable(1)
+            if len(body) < 9:
+                raise ValueError("truncated JPEG SOF0")
+            comp_q = body[8]
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:
+            ncomp_s = body[0]
+            if ncomp_s != 1:
+                raise NotImplementedError("multi-component JPEG scan")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + length
+            return _decode_jpeg_scan(
+                payload, scan_start, width, height,
+                qtables.get(comp_q), dc_tables.get(td), ac_tables.get(ta),
+                restart_interval,
+            )
+        pos += 2 + length
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_jpeg_scan(
+    payload: bytes, scan_start: int, width, height, qt, dc_tab, ac_tab,
+    restart_interval: int,
+) -> dict:
+    import numpy as np
+
+    if width is None or qt is None or dc_tab is None or ac_tab is None:
+        raise ValueError("JPEG scan before SOF/DQT/DHT")
+    # entropy data runs until EOI (0xffd9); restart markers handled inline
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("JPEG missing EOI (truncated stream)")
+    reader = _BitReader(payload[scan_start:end])
+    m = _dct_matrix()
+    qarr = np.array(qt, dtype=np.float64).reshape(8, 8)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    zz = JPEG_ZIGZAG
+    n_since_restart = 0
+    for bi in range(bh * bw):
+        if restart_interval and n_since_restart == restart_interval:
+            # byte-align and consume the RST marker
+            reader.n = 0
+            try:
+                reader.read_bit()
+            except _RestartMarker:
+                reader.pos += 1
+                reader.n = 0
+                prev_dc = 0
+                n_since_restart = 0
+            else:
+                raise ValueError("expected JPEG restart marker")
+        try:
+            size = _huff_read(reader, dc_tab)
+            diff = _extend(reader.read_bits(size), size)
+            dc = prev_dc + diff
+            prev_dc = dc
+            seq = [0] * 64
+            seq[0] = dc
+            k = 1
+            while k < 64:
+                sym = _huff_read(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("JPEG AC run overflows block")
+                seq[k] = _extend(reader.read_bits(size), size)
+                k += 1
+        except _RestartMarker as rm:
+            raise ValueError("unexpected JPEG restart marker") from rm
+        block = np.zeros(64, dtype=np.float64)
+        for i in range(64):
+            block[zz[i]] = seq[i]
+        coef = block.reshape(8, 8) * qarr
+        pix = m.T @ coef @ m + 128.0
+        by, bx = divmod(bi, bw)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        n_since_restart += 1
+    img = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    pix_bytes = img[0, : FEATURE_DIM].tolist()
+    feature = [b / 255.0 for b in pix_bytes] + [0.0] * (
+        FEATURE_DIM - len(pix_bytes)
+    )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "feature": feature,
+        "pixels": img,
+    }
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (width, height, feature vector).
 
@@ -506,9 +936,13 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             return decode_png(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            out = decode_jpeg(payload)
+            out.pop("pixels", None)
+            return out
         raise NotImplementedError(
-            "JPEG decoding requires PIL/libvips, not available in this "
-            "environment (BMP/P6/PNG/GIF decode natively)"
+            "image format not recognized (BMP/P6/PNG/GIF/grayscale-JPEG "
+            "decode natively; exotic formats need PIL/libvips)"
         )
     # fake=True: deterministic stand-in, even for payloads that happen to
     # start with a real magic — keeps the fake family's semantics uniform
@@ -799,6 +1233,31 @@ def media_gif_from_documents(documents: "DataFrame") -> "DataFrame":
                     "media_id": pd.array(ids, dtype="Int64"),
                     "payload": [
                         encode_gif(1 + i % 40, 1 + i % 30, i % 256) for i in ids
+                    ],
+                    "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format JPEG media table: one valid baseline
+    grayscale JPEG per doc (width 8+id%56, height 8+id%40, gradient
+    (id + x + y) % 256). The SQL oracle pins the header fields (exact by
+    construction); pixel fidelity of the lossy path is pinned by pytest
+    tolerance, not the cross-engine hash."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_jpeg(8 + i % 56, 8 + i % 40, i % 256) for i in ids
                     ],
                     "media_type": ["image"] * len(ids),
                 }

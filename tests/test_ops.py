@@ -221,9 +221,25 @@ def test_frame_sampling(spark, docs_df):
 
 
 def test_multimodal_compressed_decode_is_stubbed():
-    # JPEG / compressed audio / video still need real codecs -> honest stub
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg...", fake=False)
+    # the remaining honest stubs: color/progressive JPEG, compressed
+    # audio codecs, video containers
+    import struct as _struct
+
+    color_sof = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _struct.pack(">H", 17)
+        + _struct.pack(">BHHB", 8, 4, 4, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    with pytest.raises(NotImplementedError, match="color"):
+        multimodal.decode_jpeg(color_sof)
+    prog_sof = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + _struct.pack(">H", 11)
+        + _struct.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        multimodal.decode_jpeg(prog_sof)
     with pytest.raises(NotImplementedError):
         multimodal.decode_av(b"\xff\xfb mp3 frame", "audio", fake=False)
     with pytest.raises(NotImplementedError):
@@ -231,6 +247,44 @@ def test_multimodal_compressed_decode_is_stubbed():
     # a RIFF container that is not WAVE is corrupt input, not a codec gap
     with pytest.raises(ValueError):
         multimodal.decode_av(b"RIFF\x04\x00\x00\x00AVI ", "audio", fake=False)
+    # exotic image magic -> stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"II*\x00 tiff...", fake=False)
+
+
+def test_jpeg_roundtrip_fidelity():
+    """The full baseline pipeline (DCT -> quantize -> Huffman -> unstuff ->
+    dequantize -> IDCT) reconstructs a smooth gradient within quantization
+    error; header fields are exact."""
+    import numpy as np
+
+    for w, h, seed in [(8, 8, 0), (16, 8, 10), (5, 3, 100), (33, 17, 200)]:
+        payload = multimodal.encode_jpeg(w, h, seed)
+        meta = multimodal.decode_jpeg(payload)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+        src = np.fromfunction(
+            lambda y, x: (seed + x + y) % 256, (h, w)
+        ).astype(np.int64)
+        err = np.abs(meta["pixels"].astype(np.int64) - src)
+        assert err.max() <= 3, (w, h, seed, err.max())
+    # dispatcher strips the pixel plane for the metadata path
+    d = multimodal.decode_image(multimodal.encode_jpeg(8, 8, 50), fake=False)
+    assert "pixels" not in d and len(d["feature"]) == multimodal.FEATURE_DIM
+    # feature = top-row pixels: gradient 50..57 within quantization error
+    got = [round(f * 255) for f in d["feature"]]
+    assert all(abs(g - (50 + i)) <= 3 for i, g in enumerate(got))
+
+
+def test_jpeg_corruption_is_quarantined():
+    payload = multimodal.encode_jpeg(16, 16, 77)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(payload[:-4])  # EOI clipped
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(payload[:20])  # truncated segment
+    mutated = bytearray(payload)
+    mutated[3] = 0x99  # corrupt the DQT marker length path
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(bytes(mutated))
 
 
 def test_png_roundtrip_all_filters():
