@@ -502,9 +502,42 @@ JPEG_QTABLE = [
     72, 92, 95, 98, 112, 100, 103, 99,
 ]
 
+#: Annex K.2 chrominance quantization table (natural row-major order).
+JPEG_QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
 #: Annex K.3 luminance DC Huffman spec: (bits-per-length counts, symbols).
 JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 JPEG_DC_VALS = list(range(12))
+#: Annex K.4 chrominance DC Huffman spec.
+JPEG_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+JPEG_DC_CHROMA_VALS = list(range(12))
+#: Annex K.6 chrominance AC Huffman spec.
+JPEG_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+JPEG_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
 #: Annex K.5 luminance AC Huffman spec.
 JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 JPEG_AC_VALS = [
@@ -603,6 +636,143 @@ class _BitWriter:
     def flush(self) -> None:
         while self.n:
             self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _encode_block(
+    bw_out: "_BitWriter", seq: list[int], prev_dc: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    """Huffman-encode one zigzag coefficient sequence; returns the new DC
+    predictor."""
+    diff = seq[0] - prev_dc
+    size, bits_v = _magnitude(diff)
+    code, ln = dc_tab[size]
+    bw_out.write(code, ln)
+    if size:
+        bw_out.write(bits_v, size)
+    run = 0
+    for i in range(1, 64):
+        v = seq[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw_out.write(code, ln)
+            run -= 16
+        size, bits_v = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | size]
+        bw_out.write(code, ln)
+        bw_out.write(bits_v, size)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        bw_out.write(code, ln)
+    return seq[0]
+
+
+def _quantized_zigzag(block, m, q, zz) -> list[int]:
+    import numpy as np
+
+    coef = m @ (block - 128.0) @ m.T
+    flat = np.round(coef / q).astype(np.int64).reshape(64)
+    return [int(flat[zz[i]]) for i in range(64)]
+
+
+def _pad_to_blocks(img, bh8: int, bw8: int):
+    """Edge-replicate pad a 2D plane to (bh8, bw8)."""
+    import numpy as np
+
+    h, w = img.shape
+    out = np.empty((bh8, bw8))
+    out[:h, :w] = img
+    out[h:, :w] = img[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg_color(
+    width: int, height: int, seed: int, subsample: bool = False
+) -> bytes:
+    """Minimal REAL baseline COLOR JPEG (stdlib + numpy): RGB gradient
+    pixel (x, y) = (R, G, B) = ((seed+x)%256, (seed+y)%256, (seed+x+y)%256),
+    YCbCr conversion, Annex-K luma/chroma quant + Huffman tables,
+    interleaved MCUs — 4:4:4 by default, 4:2:0 (2x2-averaged chroma) with
+    subsample=True."""
+    import numpy as np
+
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = ((seed + x) % 256) + 0.0 * y
+    g = ((seed + y) % 256) + 0.0 * x
+    b = (seed + x + y) % 256 + 0.0
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    hs = vs = 2 if subsample else 1
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux = (width + mcu_w - 1) // mcu_w
+    mcuy = (height + mcu_h - 1) // mcu_h
+    ypad = _pad_to_blocks(yy, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        # pad chroma to even dims, then 2x2 box-average
+        cpadw, cpadh = mcux * 8 * 2, mcuy * 8 * 2
+        cbp = _pad_to_blocks(cb, cpadh, cpadw)
+        crp = _pad_to_blocks(cr, cpadh, cpadw)
+        cbs = cbp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+        crs = crp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+    else:
+        cbs = _pad_to_blocks(cb, mcuy * 8, mcux * 8)
+        crs = _pad_to_blocks(cr, mcuy * 8, mcux * 8)
+    m = _dct_matrix()
+    zz = JPEG_ZIGZAG
+    ql = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    dc_l = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_l = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_c = _huffman_encode_table(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+    ac_c = _huffman_encode_table(JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)
+    bw_out = _BitWriter()
+    preds = [0, 0, 0]
+    for mi in range(mcuy * mcux):
+        my, mx = divmod(mi, mcux)
+        for v in range(vs):
+            for hblk in range(hs):
+                y0, x0 = (my * vs + v) * 8, (mx * hs + hblk) * 8
+                seq = _quantized_zigzag(
+                    ypad[y0 : y0 + 8, x0 : x0 + 8], m, ql, zz
+                )
+                preds[0] = _encode_block(bw_out, seq, preds[0], dc_l, ac_l)
+        for ci, plane in ((1, cbs), (2, crs)):
+            y0, x0 = my * 8, mx * 8
+            seq = _quantized_zigzag(plane[y0 : y0 + 8, x0 : x0 + 8], m, qc, zz)
+            preds[ci] = _encode_block(bw_out, seq, preds[ci], dc_c, ac_c)
+    bw_out.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_l = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    qt_c = bytes(JPEG_QTABLE_CHROMA[zz[k]] for k in range(64))
+    samp = 0x22 if subsample else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt_l + b"\x01" + qt_c)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(
+        0xC4, b"\x01" + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+    )
+    out += seg(
+        0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
+    )
+    out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    out += bw_out.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(width: int, height: int, seed: int) -> bytes:
@@ -739,18 +909,45 @@ def _extend(v: int, size: int) -> int:
     return v
 
 
-def decode_jpeg(payload: bytes) -> dict:
-    """REAL decoder for baseline sequential GRAYSCALE JPEG (stdlib +
-    numpy): parses DQT/SOF0/DHT/SOS segments, Huffman-decodes the entropy
-    stream (byte unstuffing, restart markers), dequantizes, inverse
-    zigzags, and runs the 8x8 inverse DCT. Width/height come from the
-    actual SOF0 bytes; feature = first FEATURE_DIM reconstructed pixels
-    of the top row scaled to [0,1] (lossy — pixel fidelity is pinned by
-    tolerance in tests, exact header fields by the SQL oracle).
+def _decode_block(reader: "_BitReader", dc_tab: dict, ac_tab: dict,
+                  prev_dc: int) -> tuple[list[int], int]:
+    """One 8x8 block's zigzag coefficient sequence + updated DC predictor."""
+    size = _huff_read(reader, dc_tab)
+    diff = _extend(reader.read_bits(size), size)
+    dc = prev_dc + diff
+    seq = [0] * 64
+    seq[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_read(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, sz = sym >> 4, sym & 0x0F
+        if sz == 0:
+            if run != 15:
+                raise ValueError("invalid JPEG AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k >= 64:
+            raise ValueError("JPEG AC run overflows block")
+        seq[k] = _extend(reader.read_bits(sz), sz)
+        k += 1
+    return seq, dc
 
-    Raises ValueError for corrupt streams; NotImplementedError for the
-    honest gaps (progressive SOF2, color/multi-component scans — the full
-    chroma pipeline needs a real codec library)."""
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL decoder for baseline sequential JPEG (stdlib + numpy):
+    grayscale AND interleaved color — 4:4:4 and subsampled (4:2:0/4:2:2)
+    MCU layouts with per-component quant/Huffman tables, byte unstuffing,
+    restart markers, chroma upsampling, and YCbCr→RGB. Width/height come
+    from the actual SOF0 bytes; feature = first FEATURE_DIM reconstructed
+    top-row bytes (gray values, or interleaved RGB for color) scaled to
+    [0,1]. Lossy — pixel fidelity is pinned by tolerance in tests, exact
+    header fields by the SQL oracle.
+
+    Raises ValueError for corrupt streams; NotImplementedError for
+    progressive (SOF2) and non-interleaved multi-scan files."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -760,7 +957,7 @@ def decode_jpeg(payload: bytes) -> dict:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_q = 0
+    components: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -806,103 +1003,143 @@ def decode_jpeg(payload: bytes) -> dict:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "color JPEG decode (chroma pipeline) requires a codec "
-                    "library; grayscale baseline decodes natively"
-                )
-            # per-component tail: id(1) sampling(1) qtable(1)
-            if len(body) < 9:
+            if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated JPEG SOF0")
-            comp_q = body[8]
+            components = [
+                (
+                    body[6 + 3 * c],
+                    body[7 + 3 * c] >> 4,
+                    body[7 + 3 * c] & 0x0F,
+                    body[8 + 3 * c],
+                )
+                for c in range(ncomp)
+            ]
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG not supported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body)
         elif marker == 0xDA:
             ncomp_s = body[0]
-            if ncomp_s != 1:
-                raise NotImplementedError("multi-component JPEG scan")
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            if ncomp_s != len(components):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG not supported"
+                )
+            scan_tabs = {}
+            for c in range(ncomp_s):
+                cid = body[1 + 2 * c]
+                scan_tabs[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
             scan_start = pos + 2 + length
             return _decode_jpeg_scan(
-                payload, scan_start, width, height,
-                qtables.get(comp_q), dc_tables.get(td), ac_tables.get(ta),
-                restart_interval,
+                payload, scan_start, width, height, components, scan_tabs,
+                qtables, dc_tables, ac_tables, restart_interval,
             )
         pos += 2 + length
     raise ValueError("JPEG missing SOS scan")
 
 
 def _decode_jpeg_scan(
-    payload: bytes, scan_start: int, width, height, qt, dc_tab, ac_tab,
-    restart_interval: int,
+    payload: bytes, scan_start: int, width, height, components, scan_tabs,
+    qtables, dc_tables, ac_tables, restart_interval: int,
 ) -> dict:
     import numpy as np
 
-    if width is None or qt is None or dc_tab is None or ac_tab is None:
-        raise ValueError("JPEG scan before SOF/DQT/DHT")
-    # entropy data runs until EOI (0xffd9); restart markers handled inline
+    if width is None or not components:
+        raise ValueError("JPEG scan before SOF")
+    hmax = max(hs for _, hs, _, _ in components)
+    vmax = max(vs for _, _, vs, _ in components)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise NotImplementedError(f"JPEG sampling {hmax}x{vmax} not supported")
+    single = len(components) == 1
+    if single:
+        # non-interleaved single-component scan: MCU = one block
+        mcux = (width + 7) // 8
+        mcuy = (height + 7) // 8
+    else:
+        mcux = (width + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI (truncated stream)")
     reader = _BitReader(payload[scan_start:end])
     m = _dct_matrix()
-    qarr = np.array(qt, dtype=np.float64).reshape(8, 8)
-    bh, bw = (height + 7) // 8, (width + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
     zz = JPEG_ZIGZAG
+    planes = []
+    per_comp = []
+    for cid, hs, vs, tq in components:
+        if single:
+            hs = vs = 1  # sampling factors ignored in single-component scans
+        qt = qtables.get(tq)
+        if cid not in scan_tabs:
+            raise ValueError("JPEG scan references unknown component")
+        td, ta = scan_tabs[cid]
+        dc_tab, ac_tab = dc_tables.get(td), ac_tables.get(ta)
+        if qt is None or dc_tab is None or ac_tab is None:
+            raise ValueError("JPEG scan before DQT/DHT")
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64))
+        per_comp.append(
+            {
+                "hs": hs,
+                "vs": vs,
+                "q": np.array(qt, dtype=np.float64).reshape(8, 8),
+                "dc_tab": dc_tab,
+                "ac_tab": ac_tab,
+                "pred": 0,
+            }
+        )
     n_since_restart = 0
-    for bi in range(bh * bw):
+    for mi in range(mcuy * mcux):
         if restart_interval and n_since_restart == restart_interval:
-            # byte-align and consume the RST marker
             reader.n = 0
             try:
                 reader.read_bit()
             except _RestartMarker:
                 reader.pos += 1
                 reader.n = 0
-                prev_dc = 0
+                for pc in per_comp:
+                    pc["pred"] = 0
                 n_since_restart = 0
             else:
                 raise ValueError("expected JPEG restart marker")
+        my, mx = divmod(mi, mcux)
         try:
-            size = _huff_read(reader, dc_tab)
-            diff = _extend(reader.read_bits(size), size)
-            dc = prev_dc + diff
-            prev_dc = dc
-            seq = [0] * 64
-            seq[0] = dc
-            k = 1
-            while k < 64:
-                sym = _huff_read(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("JPEG AC run overflows block")
-                seq[k] = _extend(reader.read_bits(size), size)
-                k += 1
+            for ci, pc in enumerate(per_comp):
+                for v in range(pc["vs"]):
+                    for hblk in range(pc["hs"]):
+                        seq, pc["pred"] = _decode_block(
+                            reader, pc["dc_tab"], pc["ac_tab"], pc["pred"]
+                        )
+                        block = np.zeros(64, dtype=np.float64)
+                        for i in range(64):
+                            block[zz[i]] = seq[i]
+                        pix = (
+                            m.T @ (block.reshape(8, 8) * pc["q"]) @ m + 128.0
+                        )
+                        y0 = (my * pc["vs"] + v) * 8
+                        x0 = (mx * pc["hs"] + hblk) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
         except _RestartMarker as rm:
             raise ValueError("unexpected JPEG restart marker") from rm
-        block = np.zeros(64, dtype=np.float64)
-        for i in range(64):
-            block[zz[i]] = seq[i]
-        coef = block.reshape(8, 8) * qarr
-        pix = m.T @ coef @ m + 128.0
-        by, bx = divmod(bi, bw)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
         n_since_restart += 1
-    img = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
-    pix_bytes = img[0, : FEATURE_DIM].tolist()
-    feature = [b / 255.0 for b in pix_bytes] + [0.0] * (
+    # upsample each plane to full resolution by replication, crop
+    full = []
+    for pc, plane in zip(per_comp, planes):
+        ry, rx = vmax // pc["vs"], hmax // pc["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:height, :width])
+    if len(full) == 1:
+        img = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        pix_bytes = img[0, :FEATURE_DIM].tolist()
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        img = np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+        pix_bytes = img[0].reshape(-1)[:FEATURE_DIM].tolist()
+    feature = [v / 255.0 for v in pix_bytes] + [0.0] * (
         FEATURE_DIM - len(pix_bytes)
     )
     return {
@@ -1242,23 +1479,28 @@ def media_gif_from_documents(documents: "DataFrame") -> "DataFrame":
 
 
 def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
-    """Deterministic REAL-format JPEG media table: one valid baseline
-    grayscale JPEG per doc (width 8+id%56, height 8+id%40, gradient
-    (id + x + y) % 256). The SQL oracle pins the header fields (exact by
-    construction); pixel fidelity of the lossy path is pinned by pytest
-    tolerance, not the cross-engine hash."""
+    """Deterministic REAL-format JPEG media table: one valid baseline JPEG
+    per doc (width 8+id%56, height 8+id%40, seed id%256), cycling the
+    three real layouts by doc_id — grayscale, 4:4:4 color, 4:2:0 color —
+    so every decode path runs through Spark. The SQL oracle pins the
+    header fields (exact by construction); pixel fidelity of the lossy
+    path is pinned by pytest tolerance, not the cross-engine hash."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+
+        def pick(i: int) -> bytes:
+            w, h, s = 8 + i % 56, 8 + i % 40, i % 256
+            if i % 3 == 0:
+                return encode_jpeg(w, h, s)
+            return encode_jpeg_color(w, h, s, subsample=(i % 3 == 2))
 
         for pdf in batches:
             ids = [int(i) for i in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="Int64"),
-                    "payload": [
-                        encode_jpeg(8 + i % 56, 8 + i % 40, i % 256) for i in ids
-                    ],
+                    "payload": [pick(i) for i in ids],
                     "media_type": ["image"] * len(ids),
                 }
             )

@@ -225,14 +225,18 @@ def test_multimodal_compressed_decode_is_stubbed():
     # audio codecs, video containers
     import struct as _struct
 
-    color_sof = (
+    # 4x (or higher) chroma subsampling is beyond the 2x2 decoder
+    wild_sof = (
         b"\xff\xd8"
         + b"\xff\xc0" + _struct.pack(">H", 17)
         + _struct.pack(">BHHB", 8, 4, 4, 3)
-        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        + b"\x01\x41\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xda" + _struct.pack(">H", 12)
+        + b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+        + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="color"):
-        multimodal.decode_jpeg(color_sof)
+    with pytest.raises(NotImplementedError, match="sampling"):
+        multimodal.decode_jpeg(wild_sof)
     prog_sof = (
         b"\xff\xd8"
         + b"\xff\xc2" + _struct.pack(">H", 11)
@@ -273,6 +277,37 @@ def test_jpeg_roundtrip_fidelity():
     # feature = top-row pixels: gradient 50..57 within quantization error
     got = [round(f * 255) for f in d["feature"]]
     assert all(abs(g - (50 + i)) <= 3 for i, g in enumerate(got))
+
+
+def test_jpeg_color_roundtrip_444_and_420():
+    """Color decode: interleaved MCUs, per-component tables, chroma
+    upsampling, YCbCr→RGB — both 4:4:4 and 4:2:0 reconstruct the RGB
+    gradient within quantization error."""
+    import numpy as np
+
+    def src_rgb(w, h, seed):
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        r = np.broadcast_to((seed + x) % 256, (h, w))
+        g = np.broadcast_to((seed + y) % 256, (h, w))
+        b = (seed + x + y) % 256
+        return np.stack([r, g, b], axis=-1).astype(np.int64)
+
+    for sub in (False, True):
+        for w, h, seed in [(8, 8, 0), (16, 16, 30), (5, 3, 100), (33, 17, 60)]:
+            payload = multimodal.encode_jpeg_color(w, h, seed, subsample=sub)
+            meta = multimodal.decode_jpeg(payload)
+            assert (meta["width"], meta["height"]) == (w, h)
+            assert meta["pixels"].shape == (h, w, 3)
+            err = np.abs(meta["pixels"].astype(np.int64) - src_rgb(w, h, seed))
+            assert err.max() <= 8, (sub, w, h, seed, err.max())
+    # feature of a color image = interleaved RGB of the top-left pixels
+    d = multimodal.decode_image(
+        multimodal.encode_jpeg_color(8, 8, 10), fake=False
+    )
+    got = [round(f * 255) for f in d["feature"]]
+    exp = [10, 10, 10, 11, 10, 11, 12, 10]  # (R,G,B) of pixels (0..2, 0)
+    assert all(abs(a - b) <= 8 for a, b in zip(got, exp))
 
 
 def test_jpeg_corruption_is_quarantined():
