@@ -1154,13 +1154,15 @@ def _decode_jpeg_scan(
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (width, height, feature vector).
 
-    REAL for the four stdlib-parseable formats — BMP and P6 PPM
+    REAL for the five natively-decoded formats — BMP and P6 PPM
     (uncompressed header parses), PNG (zlib-inflated, CRC-checked,
-    filter-inverted), and GIF (full LZW decode, palette-mapped) — those
-    parse the actual bytes. JPEG needs a DCT
-    codec (PIL/libvips), absent in this environment: with fake=True a
-    deterministic stand-in derives metadata purely from the bytes, keeping
-    the distributed plumbing exercisable end-to-end; otherwise raise.
+    filter-inverted), GIF (full LZW decode, palette-mapped), and baseline
+    JPEG (grayscale + interleaved color at 4:4:4/4:2:0: Huffman entropy
+    decode, dequantize, IDCT, YCbCr→RGB) — those parse the actual bytes.
+    Progressive JPEG and exotic formats remain honest stubs: with
+    fake=True a deterministic stand-in derives metadata purely from the
+    bytes, keeping the distributed plumbing exercisable end-to-end;
+    otherwise raise.
     """
     if not fake:
         if payload[:2] == b"BM":
