@@ -201,6 +201,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         .collect(),
     )
 
+    # q12-q13: round-3 text-pipeline operators over the documents table
+    from weblog_pipeline.ops import corpus as corpus_ops
+
+    timed(
+        "dedup_lines",
+        lambda: corpus_ops.dedup_lines(docs)
+        .agg(F.sum("n_dropped"), F.sum(F.length("text")))
+        .collect(),
+    )
+    timed(
+        "tfidf_topk",
+        lambda: textstats.tfidf_topk(docs, k=3).count(),
+    )
+
     spark.stop()
     e2e_sec = timings["e2e_pipeline"]
     return {
