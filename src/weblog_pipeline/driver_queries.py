@@ -956,6 +956,90 @@ WHERE rank <= {k}
 """
 
 
+def _sql_ann_ivf_refined_topk(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """SQL twin of similarity.ivf_topk_refined (n_iter=1 unrolled): the
+    hash-sampled seed centroids, one integer-exact Lloyd step (per-(cell,
+    dim) floor(sum/count) over the quantized components; empty cells keep
+    their seed), then the probe chain against the refined centroids."""
+    dim = similarity.DIM
+    return f"""
+WITH qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
+  FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY ord) - 1 AS cell, q AS cq
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS ord, q
+        FROM qv ORDER BY 1 LIMIT {n_cells})
+),
+dots0 AS (
+  SELECT qv.vec_id, cent0.cell, list_dot_product(qv.q, cent0.cq) AS dot
+  FROM qv CROSS JOIN cent0
+),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rnk
+    FROM dots0
+  ) WHERE rnk = 1
+),
+dimstats AS (
+  SELECT a.cell, t.d AS dim,
+         CAST(floor(SUM(qv.q[t.d]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS val
+  FROM assign0 a JOIN qv USING (vec_id), unnest(range(1, {dim + 1})) AS t(d)
+  GROUP BY 1, 2
+),
+cent1 AS (
+  SELECT c0.cell,
+         COALESCE(r.cq1, c0.cq) AS cq
+  FROM cent0 c0
+  LEFT JOIN (SELECT cell, list(CAST(val AS DOUBLE) ORDER BY dim) AS cq1
+             FROM dimstats GROUP BY 1) r USING (cell)
+),
+dots1 AS (
+  SELECT qv.vec_id, cent1.cell, list_dot_product(qv.q, cent1.cq) AS dot
+  FROM qv CROSS JOIN cent1
+),
+assign1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rnk
+    FROM dots1
+  ) WHERE rnk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rnk
+    FROM dots1 WHERE vec_id % 50 = 0
+  ) WHERE rnk <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign1 a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q1.v, q2.v), 6) AS cos_r6
+  FROM cand c
+  JOIN qv q1 ON q1.vec_id = c.query_id
+  JOIN qv q2 ON q2.vec_id = c.neighbor_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_r6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_r6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
 def _sql_ann_recall(k: int = 5) -> str:
     """SQL twin of ann_recall: the three ANN result sets as CTEs, hit
     counts via equi-joins on (query_id, neighbor_id), recall in integer
@@ -963,12 +1047,17 @@ def _sql_ann_recall(k: int = 5) -> str:
     return f"""
 WITH bf AS ({SQL_ANN_TOPK}),
 lshr AS ({_sql_ann_lsh_topk(k)}),
-ivfr AS ({_sql_ann_ivf_topk(k)})
+ivfr AS ({_sql_ann_ivf_topk(k)}),
+ivfr2 AS ({_sql_ann_ivf_refined_topk(k)})
 SELECT method, n_true, n_hits, n_hits * 10000 // n_true AS recall_bp
 FROM (
   SELECT 'ivf' AS method,
          (SELECT COUNT(*) FROM bf) AS n_true,
          (SELECT COUNT(*) FROM bf JOIN ivfr USING (query_id, neighbor_id)) AS n_hits
+  UNION ALL
+  SELECT 'ivf_r' AS method,
+         (SELECT COUNT(*) FROM bf) AS n_true,
+         (SELECT COUNT(*) FROM bf JOIN ivfr2 USING (query_id, neighbor_id)) AS n_hits
   UNION ALL
   SELECT 'lsh' AS method,
          (SELECT COUNT(*) FROM bf) AS n_true,
@@ -1776,6 +1865,13 @@ def queries() -> dict:
         )
         return similarity.ivf_topk(emb, q, k=5)
 
+    def ann_ivf_refined(spark, sf_dir):
+        emb = _emb_double(spark, sf_dir)
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.ivf_topk_refined(emb, q, k=5, n_iter=1)
+
     def ann_recall(spark, sf_dir):
         """recall@5 of the approximate ANN variants against brute force —
         the tracked metric that turns a silent bucket/centroid regression
@@ -1791,6 +1887,7 @@ def queries() -> dict:
         out = None
         for name, ap_df in (
             ("ivf", similarity.ivf_topk(emb, q, k=5)),
+            ("ivf_r", similarity.ivf_topk_refined(emb, q, k=5, n_iter=1)),
             ("lsh", similarity.lsh_topk(emb, q, k=5)),
         ):
             ap = ap_df.select("query_id", "neighbor_id")
@@ -1883,6 +1980,7 @@ def queries() -> dict:
         "ann_cosine_topk": ann_bf,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "ann_ivf_refined_topk": ann_ivf_refined,
         "ann_recall": ann_recall,
         "embedding_neardup": neardup_emb,
         # -- multimodal --
@@ -1943,6 +2041,7 @@ def oracle_sql() -> dict:
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
+        "ann_ivf_refined_topk": _sql_ann_ivf_refined_topk(),
         "ann_recall": _sql_ann_recall(),
         "embedding_neardup": _sql_neardup_emb(threshold=0.4),
         "multimodal_meta": _sql_multimodal_meta(),

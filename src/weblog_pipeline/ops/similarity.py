@@ -229,16 +229,17 @@ def quantize_centroid(c: list[float], quant: int = IVF_QUANT) -> list[int]:
     return [math.floor(x * quant) for x in c]
 
 
-def nearest_cells_col(vec_name: str, centroids: list[list[float]], top_n: int):
+def nearest_cells_from_quantized(
+    vec_name: str, qcents: list[list[int]], top_n: int
+):
     """Array of the top_n nearest centroid indices, by INTEGER dot product
-    of the quantized vector with the quantized centroid (ties -> lower cell
-    index). Exact in any engine; a flat codegen'd multiply-add over
-    broadcast-literal centroid components, built as one SQL string (a
-    single py4j call) — at 100 TB this is a narrow int computed in the
-    scan stage."""
+    of the quantized vector with PRE-QUANTIZED integer centroid components
+    (ties -> lower cell index). Exact in any engine; a flat codegen'd
+    multiply-add over broadcast-literal centroid components, built as one
+    SQL string (a single py4j call) — at 100 TB this is a narrow int
+    computed in the scan stage."""
     structs = []
-    for i, c in enumerate(centroids):
-        qc = quantize_centroid(c)
+    for i, qc in enumerate(qcents):
         terms = " + ".join(
             f"floor(`{vec_name}`[{d}] * {float(IVF_QUANT)}D) * {x}L"
             for d, x in enumerate(qc)
@@ -247,6 +248,13 @@ def nearest_cells_col(vec_name: str, centroids: list[list[float]], top_n: int):
         structs.append(f"struct(-({terms}) AS negdot, {i} AS cell)")
     arr = "array(" + ", ".join(structs) + ")"
     return F.expr(f"slice(transform(array_sort({arr}), s -> s.cell), 1, {top_n})")
+
+
+def nearest_cells_col(vec_name: str, centroids: list[list[float]], top_n: int):
+    """nearest_cells_from_quantized over float centroids (quantized here)."""
+    return nearest_cells_from_quantized(
+        vec_name, [quantize_centroid(c) for c in centroids], top_n
+    )
 
 
 def ivf_topk(
@@ -267,16 +275,95 @@ def ivf_topk(
     corpus is scored per query.
     """
     centroids = sample_centroids(embeddings, n_cells)
+    qcents = [quantize_centroid(c) for c in centroids]
+    return _ivf_rank(embeddings, queries, qcents, k, n_probe)
 
+
+def lloyd_step(embeddings: DataFrame, qcents: list[list[int]]) -> list[list[int]]:
+    """One Lloyd (k-means) iteration in QUANTIZED integer space: assign
+    every corpus vector to its nearest centroid (integer dot argmax), then
+    new centroid component d = floor(sum(q_d) / count) per cell.
+
+    Cross-engine exact: the per-(cell, dim) sums are integer aggregates
+    (order-free), and floor(int / CAST(int AS DOUBLE)) cannot straddle an
+    integer boundary — a non-integer rational p/n sits >= 1/n away from
+    any integer, dwarfing the division's half-ulp error — so Spark, the
+    SQL twin, and this driver-side reduction agree bit-for-bit. Cells that
+    attract no vectors keep their previous centroid (same rule in the SQL
+    twin).
+
+    Spark shape: one pass over the corpus (assignment is a codegen'd
+    literal expression in the scan stage), posexplode to (cell, dim)
+    grain, map-side-combined aggregate; only n_cells x DIM tiny rows reach
+    the driver."""
+    quant_expr = (
+        f"transform(embedding, x -> cast(floor(x * {float(IVF_QUANT)}D) as long))"
+    )
+    assigned = embeddings.select(
+        F.element_at(
+            nearest_cells_from_quantized("embedding", qcents, 1), 1
+        ).alias("cell"),
+        F.expr(quant_expr).alias("q"),
+    )
+    stats = (
+        assigned.select("cell", F.posexplode("q").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in stats:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = math.floor(r["s"] / r["n"])
+    return [
+        [by_cell[i].get(d, qc[d]) for d in range(len(qc))]
+        if i in by_cell
+        else list(qc)
+        for i, qc in enumerate(qcents)
+    ]
+
+
+def ivf_topk_refined(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 1,
+) -> DataFrame:
+    """IVF top-k with k-means-refined centroids: the hash-sampled seeds of
+    `ivf_topk` are improved by `n_iter` integer-exact Lloyd iterations
+    (lloyd_step) before the cell join — tighter cells, higher recall at
+    the same n_probe. Training costs n_iter extra corpus passes; at 100 TB
+    you train on a hash-sampled slice and apply to the full table (the
+    assignment expression is identical either way)."""
+    qcents = [quantize_centroid(c) for c in sample_centroids(embeddings, n_cells)]
+    for _ in range(n_iter):
+        qcents = lloyd_step(embeddings, qcents)
+    return _ivf_rank(embeddings, queries, qcents, k, n_probe)
+
+
+def _ivf_rank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    qcents: list[list[int]],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF probe chain: cell assignment (scan-stage literal
+    expression), broadcast probe equi-join, exact cosine re-rank."""
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vec"),
-        F.element_at(nearest_cells_col("embedding", centroids, 1), 1).alias("cell"),
+        F.element_at(
+            nearest_cells_from_quantized("embedding", qcents, 1), 1
+        ).alias("cell"),
     )
     probes = queries.select(
         "query_id",
         "query_vec",
-        F.explode(nearest_cells_col("query_vec", centroids, n_probe)).alias("cell"),
+        F.explode(
+            nearest_cells_from_quantized("query_vec", qcents, n_probe)
+        ).alias("cell"),
     )
     cands = corpus.join(F.broadcast(probes), "cell").where(
         F.col("neighbor_id") != F.col("query_id")

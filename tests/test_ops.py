@@ -193,6 +193,64 @@ def test_ivf_topk_recall(spark):
     assert any(r["neighbor_id"] == 7 and r["rank"] == 1 for r in got)
 
 
+def test_lloyd_step_python_twin(spark):
+    """lloyd_step must equal the numpy reference: assign by integer dot
+    argmax (ties -> lower cell), new component = floor(sum/count); empty
+    cells keep their seed."""
+    import math as _math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(40, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    )
+    seeds = [similarity.quantize_centroid([float(x) for x in vecs[i]])
+             for i in (3, 11, 27)]
+    got = similarity.lloyd_step(emb, seeds)
+
+    q = np.array([[_math.floor(float(x) * similarity.IVF_QUANT) for x in v]
+                  for v in vecs], dtype=np.int64)
+    s = np.array(seeds, dtype=np.int64)
+    dots = q @ s.T
+    assign = np.argmax(dots, axis=1)  # argmax takes the first (lowest cell) on ties
+    want = []
+    for c in range(len(seeds)):
+        members = q[assign == c]
+        if len(members) == 0:
+            want.append(list(seeds[c]))
+        else:
+            want.append(
+                [_math.floor(members[:, d].sum() / len(members))
+                 for d in range(16)]
+            )
+    assert got == want
+
+
+def test_ivf_refined_is_valid_topk(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(80, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(80)]
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = similarity.ivf_topk_refined(emb, q, k=4, n_cells=6, n_probe=2).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_multimodal_metadata_plumbing(spark, docs_df):
     media = multimodal.media_from_documents(docs_df)
     meta = {r["media_id"]: r for r in multimodal.extract_media_metadata(media).collect()}
