@@ -93,7 +93,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return per_sink
 
     # first execution pays JIT/codegen warmup; the headline is the best of
-    # two warm runs (host noise on this shared box swings single runs by
+    # FIVE warm runs (host noise on this shared box swings single runs by
     # ±40% — best-of approximates steady-state capability; every run is
     # reported in the JSON)
     timed("e2e_pipeline_cold", e2e)

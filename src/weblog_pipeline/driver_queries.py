@@ -1881,9 +1881,15 @@ def queries() -> dict:
         q = emb.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        bf = similarity.brute_force_topk(emb, q, k=5).select(
-            "query_id", "neighbor_id"
+        # materialize brute force ONCE: it is the most expensive result set
+        # and appears in every method's semi-join + the shared n_true —
+        # without this the unioned plan re-executes it per reference
+        bf = (
+            similarity.brute_force_topk(emb, q, k=5)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint()
         )
+        n_true = bf.agg(F.count(F.lit(1)).alias("n_true"))
         out = None
         for name, ap_df in (
             ("ivf", similarity.ivf_topk(emb, q, k=5)),
@@ -1891,7 +1897,6 @@ def queries() -> dict:
             ("lsh", similarity.lsh_topk(emb, q, k=5)),
         ):
             ap = ap_df.select("query_id", "neighbor_id")
-            n_true = bf.agg(F.count(F.lit(1)).alias("n_true"))
             n_hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(
                 F.count(F.lit(1)).alias("n_hits")
             )

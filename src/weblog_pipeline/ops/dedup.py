@@ -386,7 +386,10 @@ def connected_components(
     `localCheckpoint()`, whose blocks live on executors only: fine in
     local mode and for short jobs, but on a 1000-executor run losing one
     executor mid-iteration kills the job — production deployments should
-    set a checkpoint dir.
+    set a checkpoint dir. Each iteration writes one labels snapshot to
+    that dir; set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    (build_session does) so snapshots are reaped when their RDD is GC'd
+    rather than accumulating until application exit.
 
     Output: (doc_id, cluster_id) for every vertex, cluster_id = the
     component's minimum doc_id.

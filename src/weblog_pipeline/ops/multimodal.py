@@ -240,6 +240,8 @@ def decode_png(payload: bytes) -> dict:
         if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"PNG IHDR must be 13 bytes, got {len(body)}")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -787,10 +789,7 @@ def encode_jpeg(width: int, height: int, seed: int) -> bytes:
         lambda y, x: (seed + x + y) % 256, (height, width), dtype=np.int64
     ).astype(np.float64)
     bh, bw = (height + 7) // 8, (width + 7) // 8
-    padded = np.empty((bh * 8, bw * 8))
-    padded[:height, :width] = img
-    padded[height:, :width] = img[height - 1 : height, :]  # edge-replicate
-    padded[:, width:] = padded[:, width - 1 : width]
+    padded = _pad_to_blocks(img, bh * 8, bw * 8)
     m = _dct_matrix()
     q = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     dc_tab = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
@@ -800,36 +799,10 @@ def encode_jpeg(width: int, height: int, seed: int) -> bytes:
     zz = JPEG_ZIGZAG
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = m @ block @ m.T
-            quant = np.round(coef / q).astype(np.int64)
-            flat = quant.reshape(64)
-            seq = [int(flat[zz[i]]) for i in range(64)]
-            diff = seq[0] - prev_dc
-            prev_dc = seq[0]
-            size, bits_v = _magnitude(diff)
-            code, ln = dc_tab[size]
-            bw_out.write(code, ln)
-            if size:
-                bw_out.write(bits_v, size)
-            run = 0
-            for i in range(1, 64):
-                v = seq[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]  # ZRL
-                    bw_out.write(code, ln)
-                    run -= 16
-                size, bits_v = _magnitude(v)
-                code, ln = ac_tab[(run << 4) | size]
-                bw_out.write(code, ln)
-                bw_out.write(bits_v, size)
-                run = 0
-            if run:
-                code, ln = ac_tab[0x00]  # EOB
-                bw_out.write(code, ln)
+            seq = _quantized_zigzag(
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, q, zz
+            )
+            prev_dc = _encode_block(bw_out, seq, prev_dc, dc_tab, ac_tab)
     bw_out.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -992,6 +965,8 @@ def decode_jpeg(payload: bytes) -> dict:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated JPEG DHT bit-count table")
                 nvals = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nvals])
                 if len(vals) < nvals:
@@ -1000,6 +975,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
                 i += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF0")
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -1017,9 +994,15 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG not supported")
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI")
             (restart_interval,) = struct.unpack_from(">H", body)
         elif marker == 0xDA:
+            if not body:
+                raise ValueError("truncated JPEG SOS")
             ncomp_s = body[0]
+            if len(body) < 1 + 2 * ncomp_s + 3:
+                raise ValueError("truncated JPEG SOS component list")
             if ncomp_s != len(components):
                 raise NotImplementedError(
                     "non-interleaved multi-scan JPEG not supported"
@@ -1323,7 +1306,12 @@ def extract_media_metadata(
                         meta = decode_image(blob, fake=fake)
                     else:
                         meta = decode_av(blob, mtype, fake=fake)
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
+                    # decoders raise ValueError for everything they can
+                    # anticipate; struct/Index errors from an UNTRUSTED
+                    # blob are the same corrupt-input condition and must
+                    # not escape the quarantine (NotImplementedError — a
+                    # missing codec — still propagates: config problem)
                     if on_error == "raise":
                         raise
                     continue
@@ -1659,7 +1647,8 @@ def resize_images(
                     else:
                         tw, th = target_w, target_h
                     blob = resize_bmp(src, tw, th)
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
+                    # same quarantine contract as extract_media_metadata
                     if on_error == "raise":
                         raise
                     continue

@@ -52,6 +52,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # reliable checkpoints (connected_components iterations, when a
+        # checkpoint dir is set) are deleted once their RDD is GC'd instead
+        # of accumulating one labels snapshot per iteration until app exit
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -337,6 +337,50 @@ def test_jpeg_roundtrip_fidelity():
     assert all(abs(g - (50 + i)) <= 3 for i, g in enumerate(got))
 
 
+def test_malformed_headers_raise_valueerror_not_struct_error(spark):
+    """Review regression: corrupt segment headers must raise ValueError
+    (the quarantine trigger), never struct.error/IndexError — and even if
+    an unanticipated shape slips through, the UDF quarantine catches it."""
+    import struct as _struct
+
+    # JPEG SOF with declared length < 8 (body shorter than the header read)
+    bad_sof = b"\xff\xd8\xff\xc0" + _struct.pack(">H", 4) + b"\x08\x00"
+    # JPEG DHT whose declared length truncates the 16 bit-count bytes
+    bad_dht = b"\xff\xd8\xff\xc4" + _struct.pack(">H", 5) + b"\x00\x01\x02"
+    # JPEG SOS body shorter than its component list
+    bad_sos = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _struct.pack(">H", 11)
+        + _struct.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00"
+        + b"\xff\xda" + _struct.pack(">H", 4) + b"\x03\x01"
+    )
+    for payload in (bad_sof, bad_dht, bad_sos):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg(payload)
+    # CRC-valid PNG whose IHDR length != 13
+    bad_ihdr = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", b"\x00\x00\x00\x01")
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bad_ihdr)
+    # skip mode drops all of them instead of failing the job
+    media = spark.createDataFrame(
+        [
+            Row(media_id=i, payload=bytearray(p), media_type="image")
+            for i, p in enumerate((bad_sof, bad_dht, bad_sos, bad_ihdr))
+        ]
+        + [Row(media_id=9, payload=bytearray(multimodal.encode_bmp(2, 2, 5)),
+               media_type="image")],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    kept = multimodal.extract_media_metadata(
+        media, fake=False, on_error="skip"
+    ).collect()
+    assert [r["media_id"] for r in kept] == [9]
+
+
 def test_jpeg_color_roundtrip_444_and_420():
     """Color decode: interleaved MCUs, per-component tables, chroma
     upsampling, YCbCr→RGB — both 4:4:4 and 4:2:0 reconstruct the RGB
@@ -1046,14 +1090,26 @@ def test_resize_mixed_axis_and_topdown(spark, docs_df):
         multimodal.resize_bmp(bytes(bad), 3, 2)
 
 
-def test_connected_components_reliable_checkpoint(spark, tmp_path):
+def test_connected_components_reliable_checkpoint(spark):
     """With a checkpoint dir configured (the production setup), the
     per-iteration state must use RELIABLE checkpointing — files under the
-    dir — so executor loss mid-iteration cannot strand the labels."""
+    dir — so executor loss mid-iteration cannot strand the labels.
+
+    NOTE: SparkContext offers no way to UNSET a checkpoint dir, so this
+    test intentionally uses a stable session-lifetime directory (not a
+    per-test tmp_path that pytest may reap): every later CC call in this
+    session simply keeps writing reliable checkpoints there, which is
+    behaviorally identical, just a touch slower."""
+    import os as _os
+    import tempfile as _tempfile
+
     sc = spark.sparkContext
     had_dir = sc._jsc.sc().getCheckpointDir().isDefined()
     if not had_dir:
-        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        ckpt_root = _tempfile.mkdtemp(prefix="weblog_cc_ckpt_")
+        sc.setCheckpointDir(ckpt_root)
+    else:
+        ckpt_root = None
     edges = spark.createDataFrame(
         [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
     )
@@ -1062,13 +1118,8 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in dedup.connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
-    if not had_dir:
-        import os as _os
-
-        ckpt_root = str(tmp_path / "ckpt")
-        files = [
-            f for root, _, fs in _os.walk(ckpt_root) for f in fs
-        ]
+    if ckpt_root is not None:
+        files = [f for _, _, fs in _os.walk(ckpt_root) for f in fs]
         assert files, "no reliable checkpoint files were written"
 
 
