@@ -1381,6 +1381,61 @@ WHERE n_tokens >= {min_tokens}
 """
 
 
+# The fixture corpus is perplexity-uniform (every doc ~ -3.4 nats ->
+# tail), so the bucket query plants one exact-head doc (all bigrams
+# repeat: lp = 0) and one exact-middle doc (fan-out prefix: 8 x ln(1/8)
+# over 15 bigrams = -1.109 nats) — both from tokens absent from the
+# corpus — so all three CASE arms are exercised in both engines.
+_PPL_HEAD_TEXT = " ".join(["zzhead"] * 21)
+_PPL_MID_TEXT = " ".join(
+    t for i in range(1, 9) for t in ("zzmm", f"zz{i}")
+)
+
+
+def _ppl_planted(docs: DataFrame) -> DataFrame:
+    spark = docs.sparkSession
+    extra = spark.createDataFrame(
+        [
+            (PLANT_OFFSET + 1, _PPL_HEAD_TEXT),
+            (PLANT_OFFSET + 2, _PPL_MID_TEXT),
+        ],
+        "doc_id long, text string",
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.perplexity_buckets(
+        _ppl_planted(_read(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_perplexity_buckets() -> str:
+    head, mid = textstats.PPL_HEAD_MICRO, textstats.PPL_MID_MICRO
+    lp_sql = SQL_BIGRAM_LOGPROB.replace(
+        "FROM documents", "FROM ppl_planted"
+    )
+    return f"""
+WITH ppl_planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {PLANT_OFFSET} + 1, {sql_str(_PPL_HEAD_TEXT)}
+  UNION ALL
+  SELECT {PLANT_OFFSET} + 2, {sql_str(_PPL_MID_TEXT)}
+),
+lp AS ({lp_sql})
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+FROM (
+  SELECT CASE WHEN sum_lp_micro >= -{head} * n_bigrams THEN 'head'
+              WHEN sum_lp_micro >= -{mid} * n_bigrams THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_bigrams
+  FROM lp
+)
+GROUP BY 1
+"""
+
+
 def _sql_tfidf_topk(k: int = 3) -> str:
     return f"""
 WITH tok AS (
@@ -1980,6 +2035,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "dedup_lines": q_dedup_lines,
         "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
+        "perplexity_buckets": q_perplexity_buckets,
         "curate_corpus": q_curate_corpus,
         # -- similarity --
         "ann_cosine_topk": ann_bf,
@@ -2042,6 +2098,7 @@ def oracle_sql() -> dict:
         "repetition_stats": _sql_repetition_stats(),
         "dedup_lines": _sql_dedup_lines(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh_topk(),

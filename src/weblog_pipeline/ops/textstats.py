@@ -226,6 +226,49 @@ def winnow_fingerprints(
     )
 
 
+#: perplexity-bucket thresholds in integer micro-nats of average bigram
+#: log-prob (CCNet-style head/middle/tail quality split). A doc lands in
+#: 'head' when avg lp >= -HEAD, 'middle' when >= -MIDDLE, else 'tail'.
+PPL_HEAD_MICRO = 1_000_000  # avg >= -1.0 nats
+PPL_MID_MICRO = 2_000_000  # avg >= -2.0 nats
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style quality bucketing: assign every document to a
+    head/middle/tail bucket by its average bigram log-probability under
+    the corpus's own LM (bigram_logprob), then report per-bucket volumes —
+    the statistic a pretraining pipeline uses to decide sampling weights.
+
+    The bucket decision is a pure INTEGER inequality —
+    sum_lp_micro >= -threshold_micro * n_bigrams — so no division, no
+    floats, and the cross-engine hash is exact. One extra aggregate on top
+    of bigram_logprob's plan; the groupBy key has exactly 3 values, which
+    map-side combine collapses before the (tiny) shuffle.
+
+    Output: bucket, n_docs, sum_bigrams.
+    """
+    lp = bigram_logprob(documents)
+    bucket = (
+        F.when(
+            F.col("sum_lp_micro") >= F.lit(-PPL_HEAD_MICRO) * F.col("n_bigrams"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("sum_lp_micro") >= F.lit(-PPL_MID_MICRO) * F.col("n_bigrams"),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        lp.select(bucket.alias("bucket"), "n_bigrams")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+        )
+    )
+
+
 def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k TF-IDF terms — the classic keyword-extraction /
     relevance-weighting statistic over the corpus's own document

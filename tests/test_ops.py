@@ -800,6 +800,29 @@ def test_tfidf_topk_python_twin(spark):
             assert got[(i, rank)] == (t, tf, score), (i, rank)
 
 
+def test_perplexity_buckets_integer_thresholds(spark):
+    """Bucket decision is the integer inequality sum_lp_micro >= -T * n.
+    Corpus built so each doc's average bigram lp is exactly computable:
+
+      doc 0 "a a a a a a": every bigram (a,a) has c=5 = c(a,.) -> lp 0
+            -> head (avg 0 >= -1).
+      doc 1 "p b p c ... p i": 8 bigrams (p,X) at ln(1/9) = -2.197 and 7
+            (X,p) at ln(1/1) = 0 -> avg -1.172 -> middle.
+      doc 2 "p z": single bigram at ln(1/9) = -2.197 -> tail.
+      doc 3 "x": no bigrams -> excluded entirely.
+    """
+    texts = {
+        0: "a a a a a a",
+        1: "p b p c p d p e p f p g p h p i",
+        2: "p z",
+        3: "x",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {r["bucket"]: (r["n_docs"], r["sum_bigrams"])
+           for r in textstats.perplexity_buckets(df).collect()}
+    assert got == {"head": (1, 5), "middle": (1, 15), "tail": (1, 1)}
+
+
 def test_pii_scrub(spark):
     df = spark.createDataFrame(
         [
