@@ -513,9 +513,13 @@ FROM wm WHERE pos <= p - {window - 1} GROUP BY 1
 """
 
 
-SQL_BIGRAM_LOGPROB = f"""
+def _sql_bigram_logprob(src: str = "documents") -> str:
+    """Bigram-LM oracle over relation `src(doc_id, text)` — parameterized
+    so composing twins (perplexity_buckets' planted relation) reuse the
+    one definition instead of text-surgery on a fixed string."""
+    return f"""
 WITH w AS (
-  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, {_TOKS} AS words FROM {src} WHERE trim(text) <> ''
 ),
 s AS (
   SELECT doc_id,
@@ -1412,9 +1416,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_perplexity_buckets() -> str:
     head, mid = textstats.PPL_HEAD_MICRO, textstats.PPL_MID_MICRO
-    lp_sql = SQL_BIGRAM_LOGPROB.replace(
-        "FROM documents", "FROM ppl_planted"
-    )
+    lp_sql = _sql_bigram_logprob("ppl_planted")
     return f"""
 WITH ppl_planted AS (
   SELECT doc_id, text FROM documents
@@ -2078,7 +2080,7 @@ def oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "vocab_topk": _sql_vocab_topk(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
-        "bigram_logprob": SQL_BIGRAM_LOGPROB,
+        "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,

@@ -457,6 +457,10 @@ def decode_gif(payload: bytes) -> dict:
         if pos >= len(payload):
             raise ValueError("truncated GIF image data")
         min_code = payload[pos]
+        if not 1 <= min_code <= 11:
+            # spec bounds this to <= 11 (12-bit max code width); a corrupt
+            # byte here would otherwise drive an unbounded table build
+            raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
         pos += 1
         data = bytearray()
         while pos < len(payload) and payload[pos] != 0:
@@ -1003,6 +1007,8 @@ def decode_jpeg(payload: bytes) -> dict:
             ncomp_s = body[0]
             if len(body) < 1 + 2 * ncomp_s + 3:
                 raise ValueError("truncated JPEG SOS component list")
+            if not components:
+                raise ValueError("JPEG SOS before SOF")
             if ncomp_s != len(components):
                 raise NotImplementedError(
                     "non-interleaved multi-scan JPEG not supported"
@@ -1030,7 +1036,10 @@ def _decode_jpeg_scan(
         raise ValueError("JPEG scan before SOF")
     hmax = max(hs for _, hs, _, _ in components)
     vmax = max(vs for _, _, vs, _ in components)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+    if hmax < 1 or vmax < 1:
+        # a zero sampling factor is never valid — corrupt header
+        raise ValueError(f"invalid JPEG sampling factor {hmax}x{vmax}")
+    if hmax > 2 or vmax > 2:
         raise NotImplementedError(f"JPEG sampling {hmax}x{vmax} not supported")
     single = len(components) == 1
     if single:
@@ -1162,9 +1171,14 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             out = decode_jpeg(payload)
             out.pop("pixels", None)
             return out
-        raise NotImplementedError(
-            "image format not recognized (BMP/P6/PNG/GIF/grayscale-JPEG "
-            "decode natively; exotic formats need PIL/libvips)"
+        # unrecognized magic on an UNTRUSTED blob is indistinguishable
+        # from corruption (a bit-flipped BMP header lands here), so it is
+        # a quarantine condition — ValueError, not NotImplementedError;
+        # genuine codec gaps with VALID headers (progressive JPEG) still
+        # raise NotImplementedError from their decoders
+        raise ValueError(
+            "unrecognized image magic (BMP/P6/PNG/GIF/baseline-JPEG "
+            "decode natively)"
         )
     # fake=True: deterministic stand-in, even for payloads that happen to
     # start with a real magic — keeps the fake family's semantics uniform
@@ -1628,7 +1642,7 @@ def resize_images(
             ):
                 if mtype != "image":
                     continue
-                src = bytes(payload)
+                src = bytes(payload) if payload is not None else b""
                 try:
                     if target_w is None or target_h is None:
                         # each None axis halves independently; a given axis

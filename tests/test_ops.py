@@ -309,9 +309,12 @@ def test_multimodal_compressed_decode_is_stubbed():
     # a RIFF container that is not WAVE is corrupt input, not a codec gap
     with pytest.raises(ValueError):
         multimodal.decode_av(b"RIFF\x04\x00\x00\x00AVI ", "audio", fake=False)
-    # exotic image magic -> stub
-    with pytest.raises(NotImplementedError):
+    # exotic/corrupt image magic is indistinguishable from corruption on
+    # an untrusted blob -> quarantined as ValueError (NOT a codec stub)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"II*\x00 tiff...", fake=False)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"XM bitflipped bmp", fake=False)
 
 
 def test_jpeg_roundtrip_fidelity():
@@ -976,6 +979,26 @@ def test_truncated_bmp_is_quarantined(spark):
     assert [r["media_id"] for r in resized] == [0]
 
 
+def test_null_payload_is_quarantined_in_both_udfs(spark):
+    """Review regression: a NULL payload must be quarantined (skip) or
+    raise ValueError (raise) in BOTH media UDFs — never a TypeError from
+    bytes(None) outside the try block."""
+    media = spark.createDataFrame(
+        [
+            Row(media_id=0, payload=bytearray(multimodal.encode_bmp(2, 2, 1)),
+                media_type="image"),
+            Row(media_id=1, payload=None, media_type="image"),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    kept_meta = multimodal.extract_media_metadata(
+        media, fake=False, on_error="skip"
+    ).collect()
+    assert [r["media_id"] for r in kept_meta] == [0]
+    kept_resized = multimodal.resize_images(media, 2, 2, on_error="skip").collect()
+    assert [r["media_id"] for r in kept_resized] == [0]
+
+
 def test_resize_images_through_spark(spark, docs_df):
     media = multimodal.media_bmp_from_documents(docs_df)
     got = {
@@ -1136,14 +1159,16 @@ def test_connected_components_reliable_checkpoint(spark):
     edges = spark.createDataFrame(
         [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
     )
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in dedup.connected_components(edges).collect()
-    }
+    # keep the result DataFrame referenced until after the file check:
+    # cleanCheckpoints=true (build_session) lets the ContextCleaner reap
+    # snapshots once their RDD is GC'd, which could race os.walk
+    result = dedup.connected_components(edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in result.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     if ckpt_root is not None:
         files = [f for _, _, fs in _os.walk(ckpt_root) for f in fs]
         assert files, "no reliable checkpoint files were written"
+    del result
 
 
 def test_connected_components_raises_on_non_convergence(spark):
