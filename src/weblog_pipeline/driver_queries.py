@@ -1805,6 +1805,42 @@ FROM documents
 """
 
 
+def q_multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: AVI/MJPEG payloads generated from
+    doc_id, RIFF-walked and first-frame-JPEG-decoded by the Arrow UDF
+    (fake=False); the oracle recomputes dimensions and frame counts from
+    doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_avi_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select("media_id", "width", "height", "n_frames")
+
+
+SQL_MULTIMODAL_AVI = """
+SELECT doc_id AS media_id,
+  CAST(8 + doc_id % 24 AS INTEGER) AS width,
+  CAST(8 + doc_id % 16 AS INTEGER) AS height,
+  CAST(1 + doc_id % 5 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: every 2nd frame of each AVI is individually
+    JPEG-decoded; the oracle reproduces the sampled (media_id, frame_idx)
+    fan-out from the frame-count arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_avi_from_documents(docs)
+    frames = multimodal.sample_frames(media, every_n=2, fake=False)
+    return frames.select("media_id", "frame_idx")
+
+
+SQL_AVI_FRAME_SAMPLES = """
+SELECT doc_id AS media_id, CAST(u.f AS INTEGER) AS frame_idx
+FROM documents, unnest(range(0, 1 + doc_id % 5, 2)) AS u(f)
+"""
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV-PCM decode end-to-end: valid RIFF/WAVE payloads generated
     from doc_id, chunk-walked by the Arrow UDF (fake=False); the oracle
@@ -2052,6 +2088,8 @@ def queries() -> dict:
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_avi_decode": q_multimodal_avi_decode,
+        "avi_frame_samples": q_avi_frame_samples,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_samples": q_frame_samples,
@@ -2113,6 +2151,8 @@ def oracle_sql() -> dict:
         "multimodal_png_decode": _sql_multimodal_png(),
         "multimodal_gif_decode": _sql_multimodal_gif(),
         "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG,
+        "multimodal_avi_decode": SQL_MULTIMODAL_AVI,
+        "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),

@@ -1262,22 +1262,109 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def encode_avi(
+    width: int, height: int, n_frames: int, seed: int
+) -> bytes:
+    """Minimal real AVI/MJPEG video (stdlib + the in-repo JPEG encoder):
+    RIFF 'AVI ' container with an avih main header, one 'vids'/MJPG
+    stream, and a movi list of '00dc' chunks each holding one baseline
+    grayscale JPEG frame (frame f uses gradient seed+f). Fixture
+    generator for the real video-decode round trip."""
+    frames = [encode_jpeg(width, height, (seed + f) % 256) for f in range(n_frames)]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        40000,  # microseconds per frame (25 fps)
+        0, 0, 0x10,  # max bytes/sec, padding, flags (HASINDEX off, ok)
+        n_frames, 0, 1, 0,  # total frames, initial, streams, buffer
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> dict:
+    """REAL decoder for AVI/MJPEG video: walks the RIFF chunk tree, finds
+    the 'movi' list, collects every '00dc'/'00db' frame chunk, counts them
+    (real frame count), and fully decodes the FIRST frame through the
+    baseline JPEG pipeline for dimensions + feature.
+
+    Raises ValueError for truncated/corrupt containers; NotImplementedError
+    when the frames are not MJPEG (other codecs need a real library)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            if pos + 8 + length > end:
+                raise ValueError(f"truncated AVI chunk {tag!r}")
+            if tag == b"LIST":
+                ltype = buf[pos + 8 : pos + 12]
+                if ltype in (b"movi", b"rec "):
+                    walk(buf, pos + 12, pos + 8 + length)
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(buf[pos + 8 : pos + 8 + length])
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    first = frames[0]
+    if first[:2] != b"\xff\xd8":
+        raise NotImplementedError(
+            "non-MJPEG AVI codec requires ffmpeg (MJPEG decodes natively)"
+        )
+    meta = decode_jpeg(first)
+    return {
+        "width": meta["width"],
+        "height": meta["height"],
+        "n_frames": len(frames),
+        "feature": meta["feature"],
+        "frames": frames,
+    }
+
+
 def decode_av(payload: bytes, media_type: str, fake: bool = False) -> dict:
     """Decoder for audio/video payloads.
 
-    REAL for RIFF/WAVE PCM audio (stdlib chunk parse). Compressed audio
-    codecs and video containers need ffmpeg, absent in this environment:
-    with fake=True a deterministic stand-in derives metadata purely from
-    the bytes; otherwise raise."""
+    REAL for RIFF/WAVE PCM audio (stdlib chunk parse) and RIFF/AVI MJPEG
+    video (container walk + per-frame baseline JPEG decode). Compressed
+    audio codecs and non-MJPEG video need ffmpeg, absent in this
+    environment: with fake=True a deterministic stand-in derives metadata
+    purely from the bytes; otherwise raise."""
     if not fake:
         if media_type == "audio" and payload[:4] == b"RIFF":
             out = decode_wav(payload)
             out.pop("sample_rate", None)
             out.pop("n_channels", None)
             return out
+        if media_type == "video" and payload[:4] == b"RIFF":
+            out = decode_avi(payload)
+            out.pop("frames", None)
+            return out
         raise NotImplementedError(
-            "compressed audio / video decoding requires ffmpeg, not "
-            "available in this environment (WAV-PCM decodes natively)"
+            "compressed audio / non-MJPEG video decoding requires ffmpeg "
+            "(WAV-PCM and AVI-MJPEG decode natively)"
         )
     digest = hashlib.sha256(payload).digest()
     return {
@@ -1367,10 +1454,18 @@ def sample_frames(
     """Frame sampling for video payloads: one output row per sampled frame
     (frames 0, every_n, 2*every_n, ... of the decoded stream).
 
-    STUB decode (as with decode_av): the frame content is a deterministic
-    function of (payload bytes, frame index). The Spark shape is the real
-    one — explode-like fan-out inside the UDF, bounded output rows per
-    input row, payload never re-emitted."""
+    fake=True (default): stub decode, frame content a deterministic
+    function of (payload bytes, frame index) — ascii-index hashing so an
+    independent SQL engine reproduces the hashes.
+    fake=False: REAL decode for AVI/MJPEG payloads — each sampled frame's
+    sha is taken over the frame's actual JPEG bytes and its feature from
+    the fully decoded pixels (decode_jpeg per sampled frame). Decode
+    errors propagate (run metadata extraction with quarantine first to
+    drop corrupt payloads).
+
+    Either way the Spark shape is the same: explode-like fan-out inside
+    the UDF, bounded output rows per input row, payload never re-emitted.
+    """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1383,17 +1478,32 @@ def sample_frames(
                 if mtype != "video":
                     continue
                 blob = bytes(payload) if payload is not None else b""
-                meta = decode_av(blob, "video", fake=fake)
-                for idx in range(0, meta["n_frames"], every_n):
-                    # ascii index (not packed bytes): NUL-free, so any SQL
-                    # engine's varchar sha256 reproduces the frame hash
-                    fd = hashlib.sha256(blob + str(idx).encode()).digest()
+                if fake:
+                    meta = decode_av(blob, "video", fake=True)
+                    for idx in range(0, meta["n_frames"], every_n):
+                        # ascii index (not packed bytes): NUL-free, so any
+                        # SQL engine's varchar sha256 reproduces the hash
+                        fd = hashlib.sha256(blob + str(idx).encode()).digest()
+                        out.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_idx": idx,
+                                "frame_sha": fd.hex(),
+                                "frame_feature": [
+                                    fd[i] / 255.0 for i in range(FEATURE_DIM)
+                                ],
+                            }
+                        )
+                    continue
+                frames = decode_avi(blob)["frames"]
+                for idx in range(0, len(frames), every_n):
+                    fmeta = decode_jpeg(frames[idx])
                     out.append(
                         {
                             "media_id": int(mid),
                             "frame_idx": idx,
-                            "frame_sha": fd.hex(),
-                            "frame_feature": [fd[i] / 255.0 for i in range(FEATURE_DIM)],
+                            "frame_sha": hashlib.sha256(frames[idx]).hexdigest(),
+                            "frame_feature": fmeta["feature"],
                         }
                     )
             if out:
@@ -1506,6 +1616,32 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
                     "media_id": pd.array(ids, dtype="Int64"),
                     "payload": [pick(i) for i in ids],
                     "media_type": ["image"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_avi_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format video media table: one valid AVI/MJPEG
+    clip per doc (1+id%5 frames of 8+id%24 x 8+id%16 grayscale JPEG,
+    frame f seeded id%200+f). The SQL oracle pins the container-level
+    facts (dimensions, frame count, sampled frame indices) from doc_id
+    arithmetic; per-frame pixel fidelity is pinned by pytest tolerance."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_avi(8 + i % 24, 8 + i % 16, 1 + i % 5, i % 200)
+                        for i in ids
+                    ],
+                    "media_type": ["video"] * len(ids),
                 }
             )
 

@@ -555,6 +555,43 @@ def test_gif_corruption_is_quarantined():
         multimodal.decode_gif(b"NOTGIF" + payload[6:])
 
 
+def test_avi_mjpeg_roundtrip_and_corruption():
+    """Real video: RIFF/AVI container walk + per-frame baseline JPEG."""
+    payload = multimodal.encode_avi(12, 10, 4, 30)
+    meta = multimodal.decode_avi(payload)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (12, 10, 4)
+    assert len(meta["frames"]) == 4
+    # frame f is a standalone JPEG seeded 30+f
+    f2 = multimodal.decode_jpeg(meta["frames"][2])
+    got = [round(v * 255) for v in f2["feature"]]
+    assert all(abs(g - (32 + j)) <= 3 for j, g in enumerate(got))
+    # dispatcher: decode_av strips the frame list
+    d = multimodal.decode_av(payload, "video", fake=False)
+    assert "frames" not in d and d["n_frames"] == 4
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(payload[:-10])
+    bad = bytearray(payload)
+    bad[payload.index(b"\xff\xd8")] = 0x00  # first frame not JPEG
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_avi(bytes(bad))
+
+
+def test_real_frame_sampling_through_spark(spark, docs_df):
+    media = multimodal.media_avi_from_documents(docs_df)
+    rows = multimodal.sample_frames(media, every_n=2, fake=False).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for i, _, _ in DOCS:
+        nf = 1 + i % 5
+        assert sorted(got[i]) == list(range(0, nf, 2))
+    # frame hash is over the frame's actual JPEG bytes
+    p = multimodal.encode_avi(8 + 0 % 24, 8 + 0 % 16, 1 + 0 % 5, 0 % 200)
+    frames = multimodal.decode_avi(p)["frames"]
+    r0 = next(r for r in rows if r["media_id"] == 0 and r["frame_idx"] == 0)
+    assert r0["frame_sha"] == hashlib.sha256(frames[0]).hexdigest()
+
+
 def test_wav_roundtrip_and_corruption():
     payload = multimodal.encode_wav(25, 7, sample_rate=16000, n_channels=2)
     meta = multimodal.decode_wav(payload)
