@@ -1854,6 +1854,47 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law decode end-to-end: format-7 WAVs generated from
+    doc_id, each companded byte expanded through the integer mu-law curve
+    (fake=False); the oracle recomputes the expanded 16-bit samples from
+    doc_id arithmetic — the (x+32768)/65536 feature mapping is exact in
+    float32, so the recovered integers match bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_mulaw_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    samples = [
+        (F.round(F.element_at("feature", j + 1) * 65536, 0) - 32768)
+        .cast("int")
+        .alias(f"s{j}")
+        for j in range(multimodal.FEATURE_DIM)
+    ]
+    return meta.select("media_id", "n_frames", *samples)
+
+
+def _sql_multimodal_mulaw() -> str:
+    cols = []
+    for j in range(multimodal.FEATURE_DIM):
+        u = f"(255 - ((s + {j}) % 256))"
+        mag = f"((({u} % 16) * 8 + 132) << (({u} // 16) % 8)) - 132"
+        val = f"CASE WHEN {u} >= 128 THEN -({mag}) ELSE ({mag}) END"
+        cols.append(
+            f"CAST(CASE WHEN {j} < n THEN {val} ELSE -32768 END AS INTEGER)"
+            f" AS s{j}"
+        )
+    body = ",\n  ".join(cols)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 100 AS n, doc_id % 256 AS s
+  FROM documents
+)
+SELECT media_id,
+  CAST(n AS INTEGER) AS n_frames,
+  {body}
+FROM pre
+"""
+
+
 def _sql_multimodal_wav() -> str:
     px = ",\n  ".join(
         f"CAST(CASE WHEN {j} < n THEN (s + {j}) % 256 ELSE 0 END AS INTEGER)"
@@ -2091,6 +2132,7 @@ def queries() -> dict:
         "multimodal_avi_decode": q_multimodal_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_samples": q_frame_samples,
     }
@@ -2154,6 +2196,7 @@ def oracle_sql() -> dict:
         "multimodal_avi_decode": SQL_MULTIMODAL_AVI,
         "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
         "multimodal_wav_decode": _sql_multimodal_wav(),
+        "multimodal_mulaw_decode": _sql_multimodal_mulaw(),
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),
     }

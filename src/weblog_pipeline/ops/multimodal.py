@@ -1191,19 +1191,37 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     }
 
 
+def mulaw_expand(b: int) -> int:
+    """ITU-T G.711 mu-law expansion: one companded byte -> linear 16-bit
+    sample in [-32124, 32124]. Pure integer — any engine reproduces it."""
+    u = ~b & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if u & 0x80 else mag
+
+
 def encode_wav(
-    n_samples: int, seed: int, sample_rate: int = 8000, n_channels: int = 1
+    n_samples: int,
+    seed: int,
+    sample_rate: int = 8000,
+    n_channels: int = 1,
+    audio_format: int = 1,
 ) -> bytes:
-    """Minimal real RIFF/WAVE file (stdlib-only): PCM format 1, 8-bit
-    unsigned samples, sample i of channel c = (seed + i + c) % 256.
-    Fixture generator for the real audio-decode round trip."""
+    """Minimal real RIFF/WAVE file (stdlib-only): 8-bit samples, sample i
+    of channel c = (seed + i + c) % 256 — interpreted as unsigned PCM
+    (audio_format=1, the default) or as G.711 mu-law codes
+    (audio_format=7; every byte is a valid mu-law code). Fixture generator
+    for the real audio-decode round trip."""
+    if audio_format not in (1, 7):
+        raise ValueError("encode_wav supports PCM (1) and mu-law (7)")
     data = bytes(
         (seed + i + c) % 256 for i in range(n_samples) for c in range(n_channels)
     )
-    block_align = n_channels  # 8-bit PCM: one byte per channel-sample
+    block_align = n_channels  # 8-bit samples: one byte per channel-sample
     fmt = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
-        block_align, 8,
+        "<HHIIHH", audio_format, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
     )
     body = (
         b"WAVE"
@@ -1214,13 +1232,16 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> dict:
-    """REAL decoder for RIFF/WAVE PCM audio (stdlib-only): walks the chunk
+    """REAL decoder for RIFF/WAVE audio (stdlib-only): walks the chunk
     list, parses the fmt chunk (format/channels/rate/bits), sizes the data
-    chunk into a sample-frame count. Feature = first FEATURE_DIM data
-    bytes scaled to [0,1] (uniform with the image decoders); width=0,
-    height=0, n_frames = sample frames.
+    chunk into a sample-frame count. Handles linear PCM (format 1) AND
+    G.711 mu-law (format 7): each companded byte runs through the integer
+    mu-law expansion curve. Feature: PCM -> first FEATURE_DIM data bytes
+    scaled to [0,1]; mu-law -> first FEATURE_DIM EXPANDED samples mapped
+    (x + 32768) / 65536 (exact in float32, so an oracle recovers the
+    integer sample bit-for-bit). width=0, height=0, n_frames = frames.
 
-    Raises ValueError for non-RIFF payloads, compressed (non-PCM) format
+    Raises ValueError for non-RIFF payloads, other compressed format
     tags, missing fmt/data chunks, or a data chunk that overruns the
     payload (truncated blob) — quarantine-path inputs."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1243,15 +1264,21 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 7):
         raise ValueError(f"compressed WAV (format {audio_format}) not supported")
+    if audio_format == 7 and bits != 8:
+        raise ValueError(f"mu-law WAV must be 8-bit, got {bits}")
     if bits % 8 != 0 or bits == 0 or n_channels == 0:
         raise ValueError(f"invalid WAV layout ({bits} bits, {n_channels} ch)")
     frame_bytes = n_channels * (bits // 8)
     if block_align not in (0, frame_bytes):
         raise ValueError("WAV block alignment contradicts fmt")
     pix = data[:FEATURE_DIM]
-    feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+    if audio_format == 7:
+        feature = [(mulaw_expand(b) + 32768) / 65536.0 for b in pix]
+        feature += [0.0] * (FEATURE_DIM - len(pix))
+    else:
+        feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
     return {
         "width": 0,
         "height": 0,
@@ -1663,6 +1690,31 @@ def media_wav_from_documents(documents: "DataFrame") -> "DataFrame":
                 {
                     "media_id": pd.array(ids, dtype="Int64"),
                     "payload": [encode_wav(1 + i % 100, i % 256) for i in ids],
+                    "media_type": ["audio"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_mulaw_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format G.711 mu-law media table: one valid
+    format-7 WAV per doc, 1+id%100 mono companded samples, code i =
+    (id + i) % 256. The SQL oracle reproduces the integer mu-law
+    expansion of every leading sample from doc_id arithmetic."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_wav(1 + i % 100, i % 256, audio_format=7)
+                        for i in ids
+                    ],
                     "media_type": ["audio"] * len(ids),
                 }
             )

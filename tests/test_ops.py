@@ -555,6 +555,26 @@ def test_gif_corruption_is_quarantined():
         multimodal.decode_gif(b"NOTGIF" + payload[6:])
 
 
+def test_mulaw_wav_decode():
+    """G.711 mu-law expansion: spec corner values + feature mapping that
+    recovers the exact integer sample through float32."""
+    assert multimodal.mulaw_expand(0xFF) == 0
+    assert multimodal.mulaw_expand(0x00) == -32124
+    assert multimodal.mulaw_expand(0x80) == 32124
+    payload = multimodal.encode_wav(12, 40, audio_format=7)
+    meta = multimodal.decode_wav(payload)
+    assert meta["n_frames"] == 12
+    got = [round(f * 65536) - 32768 for f in meta["feature"]]
+    assert got == [multimodal.mulaw_expand((40 + i) % 256) for i in range(8)]
+    # 16-bit mu-law is contradictory -> quarantined
+    mutated = bytearray(payload)
+    import struct as _struct
+
+    _struct.pack_into("<H", mutated, 34, 16)  # bits-per-sample field
+    with pytest.raises(ValueError, match="mu-law"):
+        multimodal.decode_wav(bytes(mutated))
+
+
 def test_avi_mjpeg_roundtrip_and_corruption():
     """Real video: RIFF/AVI container walk + per-frame baseline JPEG."""
     payload = multimodal.encode_avi(12, 10, 4, 30)
