@@ -1034,6 +1034,14 @@ def _decode_jpeg_scan(
 
     if width is None or not components:
         raise ValueError("JPEG scan before SOF")
+    # the pixel planes are allocated from the DECLARED dimensions before
+    # any entropy decoding, so a corrupt header must not drive a huge
+    # allocation (65535x65535 -> 34 GB) — cap at 2^26 pixels (64 MP,
+    # beyond any plausible crawl image) and quarantine the rest
+    if width * height > (1 << 26):
+        raise ValueError(
+            f"implausible JPEG dimensions {width}x{height} (corrupt header?)"
+        )
     hmax = max(hs for _, hs, _, _ in components)
     vmax = max(vs for _, _, vs, _ in components)
     if hmax < 1 or vmax < 1:
