@@ -201,7 +201,50 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         .collect(),
     )
 
-    # q12-q13: round-3 text-pipeline operators over the documents table
+    # q12: mixed-format media decode throughput — 4k real payloads cycling
+    # BMP/PNG/GIF/JPEG/WAV/AVI through the fake=False decode path
+    media_path = os.path.join(CACHE_ROOT, "media_mixed_4k")
+    if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
+        def _gen_media(batches):
+            import pandas as pd
+
+            def pick(i):
+                k = i % 6
+                if k == 0:
+                    return multimodal.encode_bmp(32, 24, i % 256), "image"
+                if k == 1:
+                    return multimodal.encode_png(24, 18, i % 256), "image"
+                if k == 2:
+                    return multimodal.encode_gif(24, 18, i % 256), "image"
+                if k == 3:
+                    return multimodal.encode_jpeg_color(24, 16, i % 200), "image"
+                if k == 4:
+                    return multimodal.encode_wav(64, i % 256, audio_format=7), "audio"
+                return multimodal.encode_avi(16, 12, 2, i % 200), "video"
+
+            for pdf in batches:
+                ids = [int(i) for i in pdf["id"]]
+                payloads, types = zip(*(pick(i) for i in ids))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.array(ids, dtype="Int64"),
+                        "payload": list(payloads),
+                        "media_type": list(types),
+                    }
+                )
+
+        spark.range(4_000, numPartitions=cpus).mapInPandas(
+            _gen_media, schema=multimodal.MEDIA_SCHEMA
+        ).write.mode("overwrite").parquet(media_path)
+    mixed = spark.read.parquet(media_path)
+    timed(
+        "media_decode",
+        lambda: multimodal.extract_media_metadata(mixed, fake=False)
+        .agg(F.sum("n_bytes"), F.sum("n_frames"))
+        .collect(),
+    )
+
+    # q13-q14: round-3 text-pipeline operators over the documents table
     from weblog_pipeline.ops import corpus as corpus_ops
 
     timed(
