@@ -30,6 +30,7 @@ from .config import (
     SinkRoute,
     route_event,
 )
+from .aggregate import domain_counts
 from .enrich import attrs_rendered, enrich_events
 from .generate import (
     BASE_TS_NS,
@@ -420,6 +421,32 @@ SELECT {_doc_url_sql()} AS url,
   {sql_str(SPAN_ID)} AS span_id,
   {_tcase([r.sink for r in recs])} AS sink
 FROM ev
+"""
+
+
+def q_domain_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sink, domain) record counts over the full pipeline — the
+    SQL-checked twin of ``aggregate.domain_counts`` (SURVEY §2 addition
+    (c)). Domains are Zipf(a=1.3)-distributed (the head domain owns ~20%
+    of all pages), so the Spark side runs the two-phase salted aggregate;
+    the oracle recomputes identical counts from doc_id integer arithmetic
+    plus the exported ZIPF_THRESHOLDS ladder."""
+    docs = _read(spark, sf_dir, "documents")
+    result = build_pipeline(
+        webpages_from_documents(docs), FLAGSHIP_CFG, observed_ts_us=OBSERVED_TS_US
+    )
+    return domain_counts(result.logs)
+
+
+def _sql_domain_route_counts() -> str:
+    sinks = [route_event(EVENT_TEMPLATES[t][0]) for t in range(5)]
+    return f"""
+WITH ev AS ({DOC_EV_CTE})
+SELECT {_tcase(sinks)} AS sink,
+       'site' || CAST({_domain_case_sql("doc_id")} AS VARCHAR)
+              || '.example.com' AS domain,
+       COUNT(*) AS records
+FROM ev GROUP BY 1, 2
 """
 
 
@@ -2074,6 +2101,7 @@ def queries() -> dict:
         "parse_roundtrip": q_parse_roundtrip,
         "e2e_sink_counts": q_e2e_sink_counts,
         "e2e_records": q_e2e_records,
+        "domain_route_counts": q_domain_route_counts,
         # -- text analysis --
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
@@ -2154,6 +2182,7 @@ def oracle_sql() -> dict:
         "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
         "e2e_sink_counts": _sql_e2e_sink_counts(),
         "e2e_records": _sql_e2e_records(),
+        "domain_route_counts": _sql_domain_route_counts(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),
