@@ -450,6 +450,37 @@ FROM ev GROUP BY 1, 2
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear quality scorer (fastText-style) with a
+    deterministic weight table riding the broadcast side of the join."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.quality_classifier(docs, textstats.classifier_weights(spark))
+
+
+def _sql_quality_classifier() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT)
+           % {textstats.CLS_BUCKETS} AS bucket
+  FROM toks WHERE token <> ''
+),
+w AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         (b * {textstats._CLS_MULT}) % 4294967296 % {textstats.CLS_W_MOD}
+           - 1000 AS weight
+  FROM (SELECT unnest(range({textstats.CLS_BUCKETS})) AS b)
+)
+SELECT doc_id, COUNT(*) AS n_scored, SUM(weight) AS score,
+       CASE WHEN SUM(weight) >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM bucketed JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
+
 # =========================================================================
 # 3. text analysis / dedup / similarity / multimodal queries
 # =========================================================================
@@ -2103,6 +2134,7 @@ def queries() -> dict:
         "e2e_records": q_e2e_records,
         "domain_route_counts": q_domain_route_counts,
         # -- text analysis --
+        "quality_classifier": q_quality_classifier,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2183,6 +2215,7 @@ def oracle_sql() -> dict:
         "e2e_sink_counts": _sql_e2e_sink_counts(),
         "e2e_records": _sql_e2e_records(),
         "domain_route_counts": _sql_domain_route_counts(),
+        "quality_classifier": _sql_quality_classifier(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

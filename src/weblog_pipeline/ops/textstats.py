@@ -367,6 +367,69 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+#: feature-hashing classifier geometry (fastText-style linear model over
+#: hashed bag-of-words; Weinberger et al. 2009 feature hashing). Shared with
+#: the SQL oracle generator — change together.
+CLS_BUCKETS = 512
+CLS_W_MOD = 2001  # weights span [-1000, 1000] after the -1000 shift
+_CLS_MULT = 2654435761  # Knuth multiplicative hash (same family as generate)
+
+
+def classifier_weights(spark) -> DataFrame:
+    """Deterministic per-bucket integer weight table standing in for a
+    trained linear model: weight(b) = ((b * Knuth) mod 2^32) mod 2001 -
+    1000. The table is CLS_BUCKETS rows — at any corpus scale it rides the
+    broadcast side of the scoring join, exactly where a real trained
+    weight vector would sit."""
+    b = F.col("id")
+    w = (b * _CLS_MULT) % F.lit(2**32) % F.lit(CLS_W_MOD) - F.lit(1000)
+    return spark.range(CLS_BUCKETS).select(
+        b.cast("long").alias("bucket"), w.cast("long").alias("weight")
+    )
+
+
+def quality_classifier(documents: DataFrame, weights: DataFrame) -> DataFrame:
+    """Hashed bag-of-words linear scorer — the model-based quality filter
+    of a pretraining pipeline (fastText-style), with feature hashing so
+    the model is a fixed-width vector regardless of vocabulary size.
+
+    Token -> bucket via the first 16 bits of md5 (the engine's portable
+    hash idiom, identical in the SQL twin); score(doc) = sum of the
+    bucket weights; label = 'keep' iff score >= 0.
+
+    Scale shape: one explode of the token stream, integer bucket in the
+    scan stage, BROADCAST hash join against the CLS_BUCKETS-row weight
+    table (no shuffle of the stream by bucket), then a doc_id groupBy
+    whose map-side combine collapses each partition's per-doc sums before
+    the only shuffle. Integer weights => order-free exact sums.
+
+    Output: doc_id, n_scored, score, label. Docs with no tokens have no
+    rows (both engines agree).
+    """
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    bucketed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long")
+            % CLS_BUCKETS
+        ).alias("bucket"),
+    )
+    scored = bucketed.join(F.broadcast(weights), "bucket")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("weight").alias("score"),
+    ).select(
+        "doc_id",
+        "n_scored",
+        "score",
+        F.when(F.col("score") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
 def bigram_logprob(documents: DataFrame) -> DataFrame:
     """Per-document bigram log-probability under the corpus's own bigram
     MLE model — the classic cheap LM-quality signal (low = unusual token

@@ -1294,3 +1294,37 @@ def test_media_quarantine_skip_mode(spark, docs_df):
     assert [r["media_id"] for r in meta] == [0]
     resized = multimodal.resize_images(media, 2, 2, on_error="skip").collect()
     assert [r["media_id"] for r in resized] == [0]
+
+
+def test_quality_classifier_python_twin(spark):
+    import hashlib
+
+    texts = {0: "apple banana apple", 1: "zero", 2: "  ", 3: "Cherry date"}
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    weights = textstats.classifier_weights(spark)
+    got = {
+        r["doc_id"]: (r["n_scored"], r["score"], r["label"])
+        for r in textstats.quality_classifier(df, weights).collect()
+    }
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % textstats.CLS_BUCKETS
+        return (b * textstats._CLS_MULT) % 2**32 % textstats.CLS_W_MOD - 1000
+
+    for i, t in texts.items():
+        toks = t.strip().lower().split()
+        if not toks:
+            assert i not in got  # token-less docs emit no row
+            continue
+        score = sum(w(tok) for tok in toks)
+        assert got[i] == (len(toks), score, "keep" if score >= 0 else "drop"), i
+
+
+def test_quality_classifier_broadcasts_weights(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    plan = textstats.quality_classifier(
+        df, textstats.classifier_weights(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the token stream must not be shuffled by bucket to meet the weights
+    assert "hashpartitioning(bucket" not in plan
