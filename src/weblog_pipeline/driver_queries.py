@@ -481,6 +481,42 @@ GROUP BY doc_id
 """
 
 
+#: pack_sequences driver parameters (smaller than production so the sf
+#: fixtures produce multi-shard strata)
+PACK_BUDGET = 256
+PACK_STRATUM = 100
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing into fixed context windows."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.pack_sequences(
+        docs, budget=PACK_BUDGET, stratum_docs=PACK_STRATUM
+    )
+
+
+def _sql_pack_sequences() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id // {PACK_STRATUM} AS stratum,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, stratum, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY stratum ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM base
+)
+SELECT doc_id, stratum, n_tokens,
+       o // {PACK_BUDGET} AS shard, o % {PACK_BUDGET} AS offset_in_shard
+FROM off
+"""
+
+
 # =========================================================================
 # 3. text analysis / dedup / similarity / multimodal queries
 # =========================================================================
@@ -2135,6 +2171,7 @@ def queries() -> dict:
         "domain_route_counts": q_domain_route_counts,
         # -- text analysis --
         "quality_classifier": q_quality_classifier,
+        "pack_sequences": q_pack_sequences,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2216,6 +2253,7 @@ def oracle_sql() -> dict:
         "e2e_records": _sql_e2e_records(),
         "domain_route_counts": _sql_domain_route_counts(),
         "quality_classifier": _sql_quality_classifier(),
+        "pack_sequences": _sql_pack_sequences(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

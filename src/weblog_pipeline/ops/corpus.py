@@ -250,3 +250,63 @@ def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
         )
         .withColumn("boiler_pct_x100", F.expr("n_boiler * 10000 div n_grams"))
     )
+
+
+#: docs per packing stratum. Strata are FIXED-SIZE id ranges, so the packing
+#: window is bounded by construction: at any corpus scale a partition holds
+#: <= PACK_STRATUM_DOCS rows, and stratum count grows with the data instead
+#: of stratum size (the global-running-sum alternative is a single-reducer
+#: sort at 100 TB).
+PACK_STRATUM_DOCS = 1000
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+    stratum_docs: int = PACK_STRATUM_DOCS,
+) -> DataFrame:
+    """Token-budget sequence packing — the layout step that turns a
+    cleaned corpus into fixed-width pretraining context windows: documents
+    are concatenated end-to-end in doc_id order and cut every `budget`
+    tokens (GPT-style packing; a doc may span a cut).
+
+    Each stratum of `stratum_docs` consecutive doc_ids packs
+    independently, so the running-sum window partitions on `stratum` and
+    never sees more than `stratum_docs` rows — scale grows the NUMBER of
+    strata, not the window. Shards are identified by (stratum, shard);
+    `offset_in_shard` is where the doc's first token lands.
+
+    Output: doc_id, stratum, n_tokens, shard, offset_in_shard. Pure
+    integer arithmetic — exact in any engine.
+    """
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    n_tok = (
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.array_size(textstats._tokens(text)))
+        .cast("long")
+    )
+    base = documents.select(
+        "doc_id",
+        F.expr(f"doc_id div {stratum_docs}").alias("stratum"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        offset.alias("_off"),
+    ).select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        F.expr(f"_off div {budget}").alias("shard"),
+        (F.col("_off") % budget).alias("offset_in_shard"),
+    )

@@ -1328,3 +1328,39 @@ def test_quality_classifier_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in plan
     # the token stream must not be shuffled by bucket to meet the weights
     assert "hashpartitioning(bucket" not in plan
+
+
+def test_pack_sequences_python_twin(spark):
+    texts = {
+        0: "a b c",            # 3 tokens
+        1: "d e",              # 2
+        2: "",                 # 0 (blank)
+        3: "f g h i",          # 4
+        10: "j k",             # 2 -> new stratum with stratum_docs=10
+        11: "l",               # 1
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {
+        r["doc_id"]: (r["stratum"], r["n_tokens"], r["shard"], r["offset_in_shard"])
+        for r in corpus.pack_sequences(df, budget=4, stratum_docs=10).collect()
+    }
+    expect = {}
+    running = {}
+    for i in sorted(texts):
+        s = i // 10
+        n = len(texts[i].split())
+        off = running.get(s, 0)
+        expect[i] = (s, n, off // 4, off % 4)
+        running[s] = off + n
+    assert got == expect
+    # doc 3 starts at offset 5 -> shard 1 of stratum 0; doc 10 restarts at 0
+    assert got[3] == (0, 4, 1, 1)
+    assert got[10] == (1, 2, 0, 0)
+
+
+def test_pack_sequences_window_is_stratum_bounded(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text="x y") for i in range(30)])
+    plan = corpus.pack_sequences(df, budget=4, stratum_docs=10)._jdf.queryExecution().executedPlan().toString()
+    # the running sum must partition by stratum (bounded), never run globally
+    assert "partitionspec=[stratum" in plan.lower().replace(" ", "") or "stratum" in plan
+    assert "SinglePartition" not in plan
