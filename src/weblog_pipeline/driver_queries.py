@@ -44,6 +44,7 @@ from .generate import (
 from .markers import SpanEvent
 from .oracle import populate_log_record, render_attrs
 from .ops import corpus, dedup, multimodal, similarity, textstats
+from . import otlp
 from .parse import page_texts, parse_events
 from .pipeline import build_pipeline
 from .route import with_sink
@@ -478,6 +479,40 @@ SELECT doc_id, COUNT(*) AS n_scored, SUM(weight) AS score,
        CASE WHEN SUM(weight) >= 0 THEN 'keep' ELSE 'drop' END AS label
 FROM bucketed JOIN w USING (bucket)
 GROUP BY doc_id
+"""
+
+
+def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span events encoded to canonical OTLP/JSON (the reference's wire
+    format, proto3 JSON mapping) and parsed back with from_json + triple
+    explode — field-level value equality against the raw events proves the
+    file source/sink mapping is lossless."""
+    ev = events_span_view(spark, sf_dir)
+    rt = otlp.decode_otlp(otlp.encode_otlp(ev))
+    return rt.select(
+        F.conv(F.col("trace_id"), 16, 10).cast("long").alias("event_id"),
+        "event_name",
+        "ts_ns",
+        "trace_id",
+        "span_id",
+        "span_name",
+        "span_kind",
+        "trace_state",
+        F.col("event_attrs_s")["lvl"].alias("lvl"),
+        F.col("event_attrs_s")["msg"].alias("msg"),
+        F.col("event_attrs_s")["level"].alias("level"),
+        F.col("event_attrs_i")["k"].alias("k"),
+    )
+
+
+def _sql_otlp_roundtrip() -> str:
+    return f"""
+WITH ev AS ({EV_CTE})
+SELECT event_id, event_name, ts_ns, trace_id, span_id,
+       {sql_str(EVENTS_SPAN_NAME)} AS span_name,
+       {sql_str(EVENTS_SPAN_KIND)} AS span_kind,
+       trace_state, lvl, msg, preset_level AS level, attr_k AS k
+FROM ev
 """
 
 
@@ -2169,6 +2204,7 @@ def queries() -> dict:
         "e2e_sink_counts": q_e2e_sink_counts,
         "e2e_records": q_e2e_records,
         "domain_route_counts": q_domain_route_counts,
+        "otlp_roundtrip": q_otlp_roundtrip,
         # -- text analysis --
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
@@ -2252,6 +2288,7 @@ def oracle_sql() -> dict:
         "e2e_sink_counts": _sql_e2e_sink_counts(),
         "e2e_records": _sql_e2e_records(),
         "domain_route_counts": _sql_domain_route_counts(),
+        "otlp_roundtrip": _sql_otlp_roundtrip(),
         "quality_classifier": _sql_quality_classifier(),
         "pack_sequences": _sql_pack_sequences(),
         "token_counts": SQL_TOKEN_COUNTS,
