@@ -43,7 +43,7 @@ from .generate import (
 )
 from .markers import SpanEvent
 from .oracle import populate_log_record, render_attrs
-from .ops import corpus, dedup, multimodal, similarity, textstats
+from .ops import corpus, dedup, htmlstats, multimodal, similarity, textstats
 from . import otlp
 from .parse import page_texts, parse_events
 from .pipeline import build_pipeline
@@ -479,6 +479,49 @@ SELECT doc_id, COUNT(*) AS n_scored, SUM(weight) AS score,
        CASE WHEN SUM(weight) >= 0 THEN 'keep' ELSE 'drop' END AS label
 FROM bucketed JOIN w USING (bucket)
 GROUP BY doc_id
+"""
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural HTML census over the raw byte column (single codegen'd
+    scan). The oracle re-derives every count — including the exact html
+    byte size — from documents-table arithmetic: marker byte lengths are
+    template constants (the 19-digit ts field makes every marker of a
+    template the same width), paragraphs come from the text's newline
+    count, and the fixed scaffolding is re-assembled as SQL string
+    lengths."""
+    docs = _read(spark, sf_dir, "documents")
+    return htmlstats.html_meta(webpages_from_documents(docs))
+
+
+def _sql_html_meta() -> str:
+    from .markers import render_marker
+
+    marker_lens = [
+        str(len(render_marker(event_for(t, 0)))) for t in range(5)
+    ]
+    n_par = "len(regexp_split_to_array(text, '\\n'))"
+    return f"""
+WITH ev AS ({DOC_EV_CTE}),
+mb AS (
+  SELECT doc_id, SUM({_tcase(marker_lens, quote=False)}) AS marker_bytes
+  FROM ev GROUP BY doc_id
+)
+SELECT {_doc_url_sql()} AS url,
+  'page ' || CAST(doc_id AS VARCHAR) AS title,
+  CAST({n_par} AS BIGINT) AS n_paragraphs,
+  CAST(doc_id % 6 AS BIGINT) AS n_markers,
+  CAST(1 AS BIGINT) AS header_url_ok,
+  CAST(
+    length('<html><head><title>page ' || CAST(doc_id AS VARCHAR)
+        || '</title></head><body><div class="hdr" data-url="'
+        || {_doc_url_sql()} || '">filler ' || CAST(doc_id % 97 AS VARCHAR)
+        || '</div></body></html>')
+    + strlen(text) - ({n_par} - 1)
+    + 7 * {n_par}
+    + COALESCE(marker_bytes, 0)
+  AS BIGINT) AS html_bytes
+FROM documents LEFT JOIN mb USING (doc_id)
 """
 
 
@@ -2205,6 +2248,7 @@ def queries() -> dict:
         "e2e_records": q_e2e_records,
         "domain_route_counts": q_domain_route_counts,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "html_meta": q_html_meta,
         # -- text analysis --
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
@@ -2289,6 +2333,7 @@ def oracle_sql() -> dict:
         "e2e_records": _sql_e2e_records(),
         "domain_route_counts": _sql_domain_route_counts(),
         "otlp_roundtrip": _sql_otlp_roundtrip(),
+        "html_meta": _sql_html_meta(),
         "quality_classifier": _sql_quality_classifier(),
         "pack_sequences": _sql_pack_sequences(),
         "token_counts": SQL_TOKEN_COUNTS,

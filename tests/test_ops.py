@@ -1364,3 +1364,29 @@ def test_pack_sequences_window_is_stratum_bounded(spark):
     # the running sum must partition by stratum (bounded), never run globally
     assert "partitionspec=[stratum" in plan.lower().replace(" ", "") or "stratum" in plan
     assert "SinglePartition" not in plan
+
+
+def test_html_meta_python_twin(spark):
+    from weblog_pipeline.generate import gen_page
+    from weblog_pipeline.ops import htmlstats
+    from weblog_pipeline.webpages import generate_webpages
+
+    pages = generate_webpages(spark, 12)
+    got = {r["url"]: r for r in htmlstats.html_meta(pages).collect()}
+    for i in range(12):
+        p = gen_page(i)
+        r = got[p.url]
+        html = p.html.decode()
+        assert r["title"] == f"page {i}"
+        assert r["n_paragraphs"] == html.count("<p>")
+        assert r["n_markers"] == i % 6
+        assert r["header_url_ok"] == 1
+        assert r["html_bytes"] == len(p.html)
+
+
+def test_html_meta_is_single_stage(spark):
+    from weblog_pipeline.ops import htmlstats
+    from weblog_pipeline.webpages import generate_webpages
+
+    plan = htmlstats.html_meta(generate_webpages(spark, 4))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-bound: no shuffle anywhere
