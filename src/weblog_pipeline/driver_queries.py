@@ -559,6 +559,71 @@ FROM ev
 """
 
 
+_CDC_STREAM_SQL = f"""
+base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+b2 AS (SELECT doc_id, t, length(t) AS n FROM base WHERE length(t) >= 1),
+pos AS (
+  SELECT doc_id, t, n, CAST(u.p AS BIGINT) AS p
+  FROM b2, unnest(range(1, n + 1)) AS u(p)
+),
+flagged AS (
+  SELECT doc_id, p,
+    CASE WHEN p >= 2 AND p <= n - {dedup.CDC_K - 1}
+          AND CAST(('0x' || substr(md5(substr(t, CAST(p AS INTEGER), {dedup.CDC_K})), 1, 4)) AS BIGINT)
+              % {dedup.CDC_MODULUS} = 0
+    THEN 1 ELSE 0 END AS cut
+  FROM pos
+),
+numbered AS (
+  SELECT doc_id, p,
+         SUM(cut) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_id
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, chunk_id, MIN(p) AS start, COUNT(*) AS chunk_len
+  FROM numbered GROUP BY doc_id, chunk_id
+),
+chunks AS (
+  SELECT s.doc_id, chunk_id, start, chunk_len,
+         md5(substr(t, CAST(start AS INTEGER), CAST(chunk_len AS INTEGER))) AS chunk_hash
+  FROM spans s JOIN b2 USING (doc_id)
+)"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk stream (substring-grain dedup units)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.cdc_chunks(docs)
+
+
+def _sql_cdc_chunks() -> str:
+    return f"""
+WITH {_CDC_STREAM_SQL}
+SELECT doc_id, chunk_id, start, chunk_len, chunk_hash FROM chunks
+"""
+
+
+def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc substring-duplication profile over CDC chunks."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.cdc_dup_stats(docs)
+
+
+def _sql_cdc_dup_stats() -> str:
+    return f"""
+WITH {_CDC_STREAM_SQL},
+occ AS (SELECT chunk_hash, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_hash)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes
+FROM chunks JOIN occ USING (chunk_hash)
+GROUP BY doc_id
+"""
+
+
 #: pack_sequences driver parameters (smaller than production so the sf
 #: fixtures produce multi-shard strata)
 PACK_BUDGET = 256
@@ -2252,6 +2317,8 @@ def queries() -> dict:
         # -- text analysis --
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dup_stats": q_cdc_dup_stats,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2336,6 +2403,8 @@ def oracle_sql() -> dict:
         "html_meta": _sql_html_meta(),
         "quality_classifier": _sql_quality_classifier(),
         "pack_sequences": _sql_pack_sequences(),
+        "cdc_chunks": _sql_cdc_chunks(),
+        "cdc_dup_stats": _sql_cdc_dup_stats(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

@@ -454,3 +454,99 @@ def duplicate_clusters(
     of size >= 2; cluster_id is the component's lowest doc_id."""
     exact_edges, near_edges = dedup_edges(documents, jaccard_pct, bucket_cap)
     return connected_components(exact_edges.unionByName(near_edges))
+
+
+# -- content-defined chunking (substring-grain dedup) -------------------------
+
+#: CDC geometry: k-gram rolling-hash cut decision, expected chunk length =
+#: CDC_MODULUS chars. Shared with the SQL oracle — change together.
+CDC_K = 8
+CDC_MODULUS = 16
+
+
+def cdc_chunks(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODULUS) -> DataFrame:
+    """Content-defined chunks of the normalized text: a cut falls BEFORE
+    position p whenever the k-gram starting at p hashes to 0 mod
+    `modulus`, so chunk boundaries track CONTENT, not offsets — insert one
+    word at the top of a page and every later chunk still hashes the same
+    (the property that makes substring-grain dedup robust where whole-doc
+    hashing is not; cf. LBFS/rsync chunking and exact-substring training-
+    data dedup).
+
+    Scale shape: one explode to the character-position stream, the cut
+    flag from an md5 prefix (the engine's portable hash idiom), a
+    per-doc ORDERED running sum to number chunks — partitioned by doc_id,
+    bounded by document length, never corpus-wide — then one aggregate to
+    (start, len) and one equi-join back to the text to hash each chunk's
+    bytes. No window ever crosses a document.
+
+    Output: doc_id, chunk_id, start, chunk_len, chunk_hash.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", norm.alias("t"))
+        .where(F.length("t") >= 1)
+    )
+    L = F.length("t")
+    pos = base.select(
+        "doc_id",
+        "t",
+        L.alias("n"),
+        F.explode(F.sequence(F.lit(1), L)).alias("p"),
+    )
+    gram_ok = (F.col("p") >= 2) & (F.col("p") <= F.col("n") - (k - 1))
+    cut_hash = (
+        F.conv(
+            F.substring(F.md5(F.expr(f"substr(t, p, {k})")), 1, 4), 16, 10
+        ).cast("long")
+        % modulus
+    )
+    flagged = pos.select(
+        "doc_id",
+        "p",
+        F.when(gram_ok & (cut_hash == 0), F.lit(1)).otherwise(F.lit(0)).alias("cut"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.select(
+        "doc_id", "p", F.sum("cut").over(w).alias("chunk_id")
+    )
+    spans = numbered.groupBy("doc_id", "chunk_id").agg(
+        F.min("p").alias("start"), F.count(F.lit(1)).alias("chunk_len")
+    )
+    return spans.join(base, "doc_id").select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        "chunk_len",
+        F.md5(F.expr("substr(t, start, chunk_len)")).alias("chunk_hash"),
+    )
+
+
+def cdc_dup_stats(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODULUS) -> DataFrame:
+    """Per-document substring-duplication profile over the CDC chunk
+    stream: how many of a doc's chunks (and how many of its bytes) also
+    appear elsewhere in the corpus. The chunk-frequency table is a
+    map-side-combined aggregate joined back onto the chunk stream (AQE
+    broadcasts it when small) — the dup_ngram_stats pattern, never a
+    hot-key window.
+
+    Output: doc_id, n_chunks, n_dup_chunks, dup_bytes (integers).
+    """
+    chunks = cdc_chunks(documents, k=k, modulus=modulus)
+    occ = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    joined = chunks.join(occ, "chunk_hash")
+    dup = F.col("n_occ") > 1
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(dup).alias("n_dup_chunks"),
+        F.sum(F.when(dup, F.col("chunk_len")).otherwise(F.lit(0))).alias(
+            "dup_bytes"
+        ),
+    )

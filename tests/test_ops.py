@@ -1390,3 +1390,72 @@ def test_html_meta_is_single_stage(spark):
 
     plan = htmlstats.html_meta(generate_webpages(spark, 4))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scan-bound: no shuffle anywhere
+
+
+def test_cdc_chunks_python_twin(spark):
+    import hashlib
+    import re
+
+    texts = {0: "The quick brown fox jumps over the lazy dog again and again",
+             1: "tiny", 2: ""}
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {}
+    for r in dedup.cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start"], r["chunk_len"], r["chunk_hash"])
+        )
+
+    def twin(text):
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        if not t:
+            return None
+        cuts = [0] * (len(t) + 1)
+        for p in range(2, len(t) - dedup.CDC_K + 2):
+            h = int(hashlib.md5(t[p - 1:p - 1 + dedup.CDC_K].encode()).hexdigest()[:4], 16)
+            if h % dedup.CDC_MODULUS == 0:
+                cuts[p] = 1
+        out, cid = {}, 0
+        for p in range(1, len(t) + 1):
+            cid += cuts[p]
+            out.setdefault(cid, []).append(p)
+        return [
+            (cid, ps[0], len(ps),
+             hashlib.md5(t[ps[0] - 1:ps[0] - 1 + len(ps)].encode()).hexdigest())
+            for cid, ps in sorted(out.items())
+        ]
+
+    for i, t in texts.items():
+        want = twin(t)
+        if want is None:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == want, i
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    # THE content-defined property: prepending words shifts offsets but
+    # leaves the tail chunks' hashes identical (offset-based chunking loses
+    # every chunk after the edit point)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=base), Row(doc_id=1, text="NEW WORDS " + base)]
+    )
+    by_doc = {0: set(), 1: set()}
+    for r in dedup.cdc_chunks(df).collect():
+        by_doc[r["doc_id"]].add(r["chunk_hash"])
+    shared = by_doc[0] & by_doc[1]
+    assert len(shared) >= len(by_doc[0]) // 2  # most chunks re-align
+
+
+def test_cdc_dup_stats_flags_planted_substring(spark):
+    shared = "the exact same boilerplate sentence repeated verbatim here"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"unique opening words {shared}"),
+            Row(doc_id=1, text=f"{shared} different closing words"),
+            Row(doc_id=2, text="completely unrelated text with nothing shared"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in dedup.cdc_dup_stats(df).collect()}
+    assert got[0]["n_dup_chunks"] > 0 and got[1]["n_dup_chunks"] > 0
+    assert got[2]["n_dup_chunks"] == 0
