@@ -258,6 +258,25 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         lambda: textstats.tfidf_topk(docs, k=3).count(),
     )
 
+    # q15-q16: substring-grain CDC dedup + hashed linear classifier over
+    # the 500k-doc zipf corpus (the position explode makes cdc the widest
+    # text op in the suite: ~30M per-character rows through a per-doc
+    # bounded window)
+    timed(
+        "cdc_dedup",
+        lambda: dedup.cdc_dup_stats(zipf_docs)
+        .agg(F.sum("n_dup_chunks"), F.sum("dup_bytes"))
+        .collect(),
+    )
+    timed(
+        "quality_classifier",
+        lambda: textstats.quality_classifier(
+            zipf_docs, textstats.classifier_weights(spark)
+        )
+        .agg(F.sum("score"), F.count_if(F.col("label") == "keep"))
+        .collect(),
+    )
+
     spark.stop()
     e2e_sec = timings["e2e_pipeline"]
     return {

@@ -205,3 +205,54 @@ def span_sessions(logs: DataFrame) -> DataFrame:
         F.max("ts_ns").alias("last_ts_ns"),
         F.max("severity_number").cast("int").alias("max_severity"),
     )
+
+
+def streaming_otlp_events(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Continuous OTLP/JSON-lines ingest — span events from the
+    reference's own wire format (otlp.py) as an unbounded stream. The
+    decode is the SAME from_json + explode plan as batch: stateless, so
+    micro-batch output ≡ batch output on identical files.
+
+    This is the streaming twin of the collector's trace receiver: drop
+    OTLP export files into a directory and every span event flows through
+    enrich/route exactly once (file-source manifest + sink checkpoint).
+    """
+    from .otlp import decode_otlp
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(input_path)
+    )
+    return decode_otlp(stream, json_col="value")
+
+
+def streaming_otlp_logs(
+    spark: SparkSession,
+    input_path: str,
+    cfg: PipelineConfig,
+    observed_ts_us: int,
+    routes: tuple[SinkRoute, ...] = DEFAULT_ROUTES,
+    default_sink: str = DEFAULT_SINK,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Routed log records from a streaming OTLP/JSON directory: the full
+    enrich -> route pipeline over the OTLP source (all stateless)."""
+    events = streaming_otlp_events(spark, input_path, max_files_per_trigger)
+    # OTLP carries no web-crawl provenance; the page-grain columns the
+    # enrich projection expects are NULL for wire-ingested events
+    events = (
+        events.withColumn("url", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+    if cfg.include_event_names:
+        events = events.where(
+            F.col("event_name").isin(list(cfg.include_event_names))
+        )
+    logs = enrich_events(events, cfg, observed_ts_us)
+    return with_sink(logs, routes, default_sink)

@@ -215,3 +215,63 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert len(hashes) == len(set(hashes)) == 3
     kept_urls = {r["url"] for r in rows}
     assert "https://ex.com/2" not in kept_urls
+
+
+def test_streaming_otlp_ingest_equals_batch(spark, tmp_path):
+    """OTLP/JSON files streamed through enrich->route produce exactly the
+    rows the batch pipeline derives from the same span events."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from weblog_pipeline import otlp
+    from weblog_pipeline.enrich import enrich_events
+    from weblog_pipeline.route import with_sink
+    from weblog_pipeline.streaming import streaming_otlp_logs
+
+    events = [
+        Row(
+            event_name=name,
+            ts_ns=1_751_587_200_000_000_000 + i,
+            trace_id=f"{i:032x}",
+            span_id=f"{i:016x}",
+            span_name="s",
+            span_kind="Server",
+            trace_state="",
+            event_attrs_s={"lvl": "info"},
+            event_attrs_i={"k": i},
+            span_attrs={"http.method": "GET"},
+            res_attrs={"service.name": "svc"},
+        )
+        for i, name in enumerate(
+            ["exception", "retry", "backend.db.write", "custom"]
+        )
+    ]
+    df = spark.createDataFrame(events)
+    inp = str(tmp_path / "otlp_in")
+    otlp.write_otlp_jsonl(df, inp)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    logs = streaming_otlp_logs(spark, inp, CFG, OBSERVED_TS_US, max_files_per_trigger=1)
+    (
+        logs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+
+    batch_events = (
+        otlp.decode_otlp(otlp.encode_otlp(df))
+        .withColumn("url", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+    want = with_sink(enrich_events(batch_events, CFG, OBSERVED_TS_US))
+    w_rows = {tuple(str(v) for v in r) for r in want.collect()}
+    g_rows = {tuple(str(v) for v in r) for r in got.select(*want.columns).collect()}
+    assert g_rows == w_rows and len(g_rows) == 4
+    sinks = {r["sink"] for r in got.collect()}
+    assert "sink_errors" in sinks and "sink_retries" in sinks
