@@ -262,9 +262,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # the 500k-doc zipf corpus (the position explode makes cdc the widest
     # text op in the suite: ~30M per-character rows through a per-doc
     # bounded window)
+    # 100k-doc slice: the per-character position explode makes CDC ~10x
+    # wider per doc than the token ops; 100k docs (~6M window rows) is
+    # enough signal without dominating the pinned low-core scaling runs
     timed(
         "cdc_dedup",
-        lambda: dedup.cdc_dup_stats(zipf_docs)
+        lambda: dedup.cdc_dup_stats(zipf_docs.where(F.col("doc_id") % 5 == 0))
         .agg(F.sum("n_dup_chunks"), F.sum("dup_bytes"))
         .collect(),
     )

@@ -559,6 +559,40 @@ FROM ev
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.length_histogram(docs)
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(length(bin(strlen(text))) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe url decomposition over the derived webpages."""
+    docs = _read(spark, sf_dir, "documents")
+    return htmlstats.url_components(webpages_from_documents(docs))
+
+
+def _sql_url_components() -> str:
+    host = (
+        "'site' || CAST(" + _domain_case_sql("doc_id") + " AS VARCHAR)"
+        " || '.example.com'"
+    )
+    return f"""
+SELECT {_doc_url_sql()} AS url,
+       'https' AS proto,
+       {host} AS host,
+       '/page/' || CAST(doc_id AS VARCHAR) AS path
+FROM documents
+"""
+
+
 _CDC_STREAM_SQL = f"""
 base AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -2319,6 +2353,8 @@ def queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
+        "length_histogram": q_length_histogram,
+        "url_components": q_url_components,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2405,6 +2441,8 @@ def oracle_sql() -> dict:
         "pack_sequences": _sql_pack_sequences(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
+        "length_histogram": SQL_LENGTH_HISTOGRAM,
+        "url_components": _sql_url_components(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

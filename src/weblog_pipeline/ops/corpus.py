@@ -252,6 +252,28 @@ def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
     )
 
 
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Log2-bucketed document-length histogram — the size-distribution
+    profile every corpus report starts with. The bucket is the bit-width
+    of n_chars (floor(log2)+1, bucket 1 holds empty docs), computed with
+    integer-exact bin-string length so any engine reproduces it; the
+    groupBy key space is ~40 buckets, collapsed map-side.
+
+    Output: bucket, n_docs, sum_chars.
+    """
+    bucket = F.length(F.bin(F.length("text").cast("long"))).cast("long")
+    return (
+        documents.select(
+            bucket.alias("bucket"), F.length("text").cast("long").alias("n")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_chars"),
+        )
+    )
+
+
 #: docs per packing stratum. Strata are FIXED-SIZE id ranges, so the packing
 #: window is bounded by construction: at any corpus scale a partition holds
 #: <= PACK_STRATUM_DOCS rows, and stratum count grows with the data instead

@@ -37,3 +37,17 @@ def html_meta(pages: DataFrame) -> DataFrame:
         (header_url == F.col("url")).cast("long").alias("header_url_ok"),
         F.length(F.col("html")).cast("long").alias("html_bytes"),
     )
+
+
+def url_components(pages: DataFrame) -> DataFrame:
+    """Decompose each page url into protocol/host/path with
+    ``try_parse_url`` (NULL on malformed input instead of an ANSI-mode
+    throw — one bad crawl row must not fail a 100 TB job). Single
+    codegen'd scan, no shuffle."""
+    u = F.col("url")
+    return pages.select(
+        "url",
+        F.try_parse_url(u, F.lit("PROTOCOL")).alias("proto"),
+        F.try_parse_url(u, F.lit("HOST")).alias("host"),
+        F.try_parse_url(u, F.lit("PATH")).alias("path"),
+    )
