@@ -82,3 +82,32 @@ def domain_counts(
         salt_col="url",
         salt_buckets=salt_buckets,
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: str,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join for when `key` is Zipf-heavy in `fact` and
+    `dim` is too large to broadcast: the fact side gets a deterministic
+    row salt (hash of `salt_col`), the dim side is replicated once per
+    salt value, and the join runs on (key, salt) — the head key's rows
+    spread across `salt_buckets` reducers instead of one. Dim inflation
+    costs |dim|·S rows, the price of removing the straggler. AQE's skew
+    split stays on as a runtime net; the salt makes the plan skew-proof
+    by construction (same contract as salted_agg).
+    """
+    fsalt = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+    )
+    dsalt = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))
+        ),
+    )
+    return fsalt.join(dsalt, [key, "_salt"], how).drop("_salt")

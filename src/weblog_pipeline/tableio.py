@@ -111,3 +111,52 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction for a parquet output directory — the
+    maintenance pass every long-running 100 TB pipeline needs: streaming
+    micro-batches and per-sink fan-out writes accumulate thousands of
+    KB-scale files whose per-file open/footer cost eventually dominates
+    scans. Rewrite the directory into ceil(bytes / target) files
+    (range-clustered when order_cols is given, so downstream range scans
+    prune), then atomically swap directories. Iceberg's equivalent is the
+    rewrite_data_files procedure; this is the parquet-seam twin.
+
+    Returns the new file count.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = 0
+    for f in df.inputFiles():
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            total = 0
+            break
+    if total <= 0:
+        # non-local or unstat-able storage: fall back to Spark's estimate
+        total = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out = (
+        df.repartitionByRange(n_files, *order_cols)
+        if order_cols
+        else df.repartition(n_files)
+    )
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

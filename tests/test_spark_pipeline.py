@@ -175,3 +175,25 @@ def test_domain_counts_salted(spark):
         (r.sink, r.url.split("/")[2]) for r in oracle
     )
     assert got == dict(expected)
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from weblog_pipeline.aggregate import salted_skew_join
+
+    # heavy-tail key: 80% of fact rows share key 0
+    fact = spark.range(1000).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 0 ELSE id % 7 END AS k",
+        "id AS row_id",
+    )
+    dim = spark.range(7).selectExpr("id AS k", "concat('d', id) AS label")
+    got = salted_skew_join(fact, dim, key="k", salt_col="row_id", salt_buckets=8)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count() == 1000
+    g = {(r["row_id"], r["label"]) for r in got.collect()}
+    w = {(r["row_id"], r["label"]) for r in want.collect()}
+    assert g == w
+    # plan: the shuffle key must include the salt so the head key spreads
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan

@@ -103,3 +103,20 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
+    from weblog_pipeline.tableio import compact
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(64).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) >= 32
+    n_files = compact(spark, path, target_file_bytes=10**9)
+    assert n_files == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 9999 * 10_000
+    assert not glob.glob(path + "._compact_*")  # tmp dirs cleaned up
