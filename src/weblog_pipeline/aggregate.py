@@ -111,3 +111,39 @@ def salted_skew_join(
         ),
     )
     return fsalt.join(dsalt, [key, "_salt"], how).drop("_salt")
+
+
+def trace_rollup(events: DataFrame, key: str = "trace_id") -> DataFrame:
+    """Per-trace (or per-span) summary — the rollup a telemetry store
+    serves ("how many events, when, which kinds") re-expressed as one
+    aggregate: event order inside a group is recovered with sort_array
+    over (ts_ns, name) structs, NOT a per-key window — the groupBy absorbs
+    skewed traces map-side, and the digest is order-stable so any engine
+    reproduces it.
+
+    Output: <key>, n_events, first_ts_ns, last_ts_ns, names_md5.
+    """
+    return (
+        events.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ns").alias("first_ts_ns"),
+            F.max("ts_ns").alias("last_ts_ns"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("ts_ns").alias("t"),
+                                    F.col("event_name").alias("n"),
+                                )
+                            )
+                        ),
+                        lambda s: s["n"],
+                    ),
+                )
+            ).alias("names_md5"),
+        )
+    )

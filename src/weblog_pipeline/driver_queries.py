@@ -30,7 +30,7 @@ from .config import (
     SinkRoute,
     route_event,
 )
-from .aggregate import domain_counts
+from .aggregate import domain_counts, trace_rollup
 from .enrich import attrs_rendered, enrich_events
 from .generate import (
     BASE_TS_NS,
@@ -556,6 +556,37 @@ SELECT event_id, event_name, ts_ns, trace_id, span_id,
        {sql_str(EVENTS_SPAN_KIND)} AS span_kind,
        trace_state, lvl, msg, preset_level AS level, attr_k AS k
 FROM ev
+"""
+
+
+def q_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain event rollup (counts, time bounds, order-stable event-
+    name digest) — one aggregate, no per-key window."""
+    ev = events_span_view(spark, sf_dir)
+    return trace_rollup(ev, key="span_id")
+
+
+SQL_SPAN_ROLLUP = f"""
+WITH ev AS ({EV_CTE})
+SELECT span_id, COUNT(*) AS n_events,
+       MIN(ts_ns) AS first_ts_ns, MAX(ts_ns) AS last_ts_ns,
+       md5(string_agg(event_name, chr(31) ORDER BY ts_ns, event_name)) AS names_md5
+FROM ev GROUP BY span_id
+"""
+
+
+def q_lang_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length distribution (integer-exact median)."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.lang_length_stats(docs)
+
+
+SQL_LANG_LENGTH_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(MIN(strlen(text)) AS BIGINT) AS min_chars,
+       CAST(MAX(strlen(text)) AS BIGINT) AS max_chars,
+       CAST(floor(median(strlen(text)) * 100) AS BIGINT) AS median_chars_x100
+FROM documents GROUP BY lang
 """
 
 
@@ -2355,6 +2386,8 @@ def queries() -> dict:
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
         "url_components": q_url_components,
+        "span_rollup": q_span_rollup,
+        "lang_length_stats": q_lang_length_stats,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2443,6 +2476,8 @@ def oracle_sql() -> dict:
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,
         "url_components": _sql_url_components(),
+        "span_rollup": SQL_SPAN_ROLLUP,
+        "lang_length_stats": SQL_LANG_LENGTH_STATS,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

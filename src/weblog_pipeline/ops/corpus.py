@@ -332,3 +332,28 @@ def pack_sequences(
         F.expr(f"_off div {budget}").alias("shard"),
         (F.col("_off") % budget).alias("offset_in_shard"),
     )
+
+
+def lang_length_stats(documents: DataFrame) -> DataFrame:
+    """Per-language length distribution: count, min/max, and EXACT median
+    (x100 integer — the interpolated midpoint of two integers is always a
+    multiple of 0.5, so flooring the x100 value is engine-exact, unlike a
+    float hash). Spark's percentile aggregate counts distinct values
+    per group (bounded by the length domain, not row count), so no
+    per-group sort materializes at scale.
+
+    Output: lang, n_docs, min_chars, max_chars, median_chars_x100.
+    """
+    n = F.length("text").cast("long")
+    return (
+        documents.select(F.col("lang"), n.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").alias("min_chars"),
+            F.max("n").alias("max_chars"),
+            F.floor(F.percentile("n", F.lit(0.5)) * 100)
+            .cast("long")
+            .alias("median_chars_x100"),
+        )
+    )
