@@ -81,6 +81,29 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._target(table))
 
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Backfill semantics: replace ONLY the partitions present in
+        `df`, leaving every other partition untouched — re-running one
+        day's extraction must not truncate the table. Iceberg gives this
+        natively (overwritePartitions); the parquet seam uses Spark's
+        dynamic partitionOverwriteMode scoped to this one write."""
+        if self.use_iceberg:
+            df.writeTo(self._target(table)).overwritePartitions()
+            return
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(self._target(table))
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def exists(self, table: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(self._target(table))

@@ -120,3 +120,18 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
     assert back.count() == 10_000
     assert back.selectExpr("sum(v)").collect()[0][0] == 9999 * 10_000
     assert not glob.glob(path + "._compact_*")  # tmp dirs cleaned up
+
+
+def test_overwrite_partitions_is_surgical(spark, tmp_path):
+    from weblog_pipeline.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, sink string")
+    io.overwrite_partitions(d1, "t", ["sink"])
+    # backfill ONLY sink=a with new content; sink=b must survive
+    d2 = spark.createDataFrame([(9, "a")], "id int, sink string")
+    io.overwrite_partitions(d2, "t", ["sink"])
+    rows = {(r["id"], r["sink"]) for r in io.read("t").collect()}
+    assert rows == {(9, "a"), (2, "b")}
+    # and the session conf is restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
