@@ -590,6 +590,27 @@ FROM documents GROUP BY lang
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact mean-pooled centroid per embedding label."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)
+
+
+def _sql_label_centroids() -> str:
+    q = float(similarity.LSH_QUANT)
+    return f"""
+WITH comps AS (
+  SELECT label, CAST(u.d - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[CAST(u.d AS INTEGER)] AS DOUBLE) * {q})
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(floor(SUM(qv) / COUNT(*)) AS BIGINT) AS centroid_q
+FROM comps GROUP BY label, dim
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -2388,6 +2409,7 @@ def queries() -> dict:
         "url_components": q_url_components,
         "span_rollup": q_span_rollup,
         "lang_length_stats": q_lang_length_stats,
+        "label_centroids": q_label_centroids,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2478,6 +2500,7 @@ def oracle_sql() -> dict:
         "url_components": _sql_url_components(),
         "span_rollup": SQL_SPAN_ROLLUP,
         "lang_length_stats": SQL_LANG_LENGTH_STATS,
+        "label_centroids": _sql_label_centroids(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

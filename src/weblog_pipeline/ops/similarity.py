@@ -438,3 +438,35 @@ def cosine_near_dup_pairs_exact(embeddings: DataFrame, threshold: float) -> Data
         )
         .where(F.col("cos_r6") >= threshold)
     )
+
+
+def label_centroids(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFrame:
+    """Mean-pool a centroid per label — the class-prototype / cluster-
+    summary statistic (e.g. per-topic or per-source embedding prototypes
+    for nearest-prototype classification or drift monitoring).
+
+    Numeric discipline: each component is quantized floor(x * quant) to a
+    long FIRST, then summed — integer sums are order-free exact, unlike a
+    float mean whose value depends on partitioning — and the centroid
+    component is the integer division floor(sum / n). One posexplode +
+    one (label, dim) aggregate; map-side combine collapses each partition
+    to |labels|·|dims| rows before the shuffle.
+
+    Output: label, dim, n_vecs, centroid_q (all integers).
+    """
+    q = F.expr(
+        f"transform(embedding, x -> cast(floor(x * {float(quant)}D) as long))"
+    )
+    comps = embeddings.select(
+        "label", F.posexplode(q).alias("dim", "qv")
+    )
+    # floor(int / double-int) rather than `div`: div truncates toward zero
+    # and would disagree with SQL floor-division on negative sums; the
+    # double quotient cannot straddle an integer here (denominator <= n,
+    # same argument as lloyd_step)
+    return comps.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.floor(F.sum("qv") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("centroid_q"),
+    )

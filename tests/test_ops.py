@@ -1459,3 +1459,28 @@ def test_cdc_dup_stats_flags_planted_substring(spark):
     got = {r["doc_id"]: r for r in dedup.cdc_dup_stats(df).collect()}
     assert got[0]["n_dup_chunks"] > 0 and got[1]["n_dup_chunks"] > 0
     assert got[2]["n_dup_chunks"] == 0
+
+
+def test_label_centroids_python_twin_with_negatives(spark):
+    import math
+
+    vecs = [
+        (0, [0.5, -0.3], 1),
+        (1, [0.1, -0.9], 1),
+        (2, [1.0, 0.25], 2),
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=e, label=lb) for i, e, lb in vecs]
+    )
+    got = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["centroid_q"])
+        for r in similarity.label_centroids(df).collect()
+    }
+    by_label = {}
+    for _, e, lb in vecs:
+        by_label.setdefault(lb, []).append(e)
+    for lb, es in by_label.items():
+        for d in range(2):
+            qs = [math.floor(v[d] * 1_000_000) for v in es]
+            want = math.floor(sum(qs) / len(qs))  # floor, NOT truncate
+            assert got[(lb, d)] == (len(es), want), (lb, d)
