@@ -611,6 +611,43 @@ FROM comps GROUP BY label, dim
 """
 
 
+def q_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-prototype label assignment cross-tab (integer-exact L2)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.prototype_confusion(emb)
+
+
+def _sql_prototype_confusion() -> str:
+    q = float(similarity.LSH_QUANT)
+    return f"""
+WITH comps AS (
+  SELECT vec_id, label, CAST(u.d - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[CAST(u.d AS INTEGER)] AS DOUBLE) * {q})
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+),
+cents AS (
+  SELECT label AS cand, dim,
+         CAST(floor(SUM(qv) / COUNT(*)) AS BIGINT) AS centroid_q
+  FROM comps GROUP BY label, dim
+),
+dists AS (
+  SELECT vec_id, label, cand,
+         SUM((qv - centroid_q) * (qv - centroid_q)) AS d2
+  FROM comps JOIN cents USING (dim)
+  GROUP BY vec_id, label, cand
+),
+best AS (SELECT vec_id, label, MIN(d2) AS dmin FROM dists GROUP BY 1, 2),
+assigned AS (
+  SELECT d.vec_id, d.label, MIN(d.cand) AS assigned_label
+  FROM dists d JOIN best b ON d.vec_id = b.vec_id AND d.d2 = b.dmin
+  GROUP BY 1, 2
+)
+SELECT label, assigned_label, COUNT(*) AS n_vecs
+FROM assigned GROUP BY label, assigned_label
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -2410,6 +2447,7 @@ def queries() -> dict:
         "span_rollup": q_span_rollup,
         "lang_length_stats": q_lang_length_stats,
         "label_centroids": q_label_centroids,
+        "prototype_confusion": q_prototype_confusion,
         "token_counts": docs(textstats.token_counts),
         "quality_stats": docs(textstats.quality_stats),
         "lang_id": docs(textstats.lang_id),
@@ -2501,6 +2539,7 @@ def oracle_sql() -> dict:
         "span_rollup": SQL_SPAN_ROLLUP,
         "lang_length_stats": SQL_LANG_LENGTH_STATS,
         "label_centroids": _sql_label_centroids(),
+        "prototype_confusion": _sql_prototype_confusion(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_stats": SQL_QUALITY_STATS,
         "lang_id": _sql_lang_id(),

@@ -470,3 +470,45 @@ def label_centroids(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFrame:
         .cast("long")
         .alias("centroid_q"),
     )
+
+
+def prototype_confusion(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFrame:
+    """Nearest-prototype evaluation: assign every vector to the closest
+    label centroid (squared L2 in the quantized integer space — exact,
+    order-free) and cross-tabulate true label vs assigned label. The
+    statistic a pipeline tracks to see embedding/label drift.
+
+    Scale shape: the centroid table is |labels|·|dims| rows and rides the
+    broadcast side of the component join; per-vector distances are one
+    (vec, label) aggregate; the argmin is a max_by over a struct (no
+    window); the confusion matrix is a tiny final groupBy.
+
+    Output: label, assigned_label, n_vecs (integers).
+    """
+    cents = label_centroids(embeddings, quant=quant)
+    q = F.expr(
+        f"transform(embedding, x -> cast(floor(x * {float(quant)}D) as long))"
+    )
+    comps = embeddings.select(
+        "vec_id", "label", F.posexplode(q).alias("dim", "qv")
+    )
+    dists = (
+        comps.join(F.broadcast(cents.withColumnRenamed("label", "cand")), "dim")
+        .groupBy("vec_id", "label", "cand")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("centroid_q"))
+                * (F.col("qv") - F.col("centroid_q"))
+            ).alias("d2")
+        )
+    )
+    # argmin distance, ties -> lowest candidate label (min_by on a struct
+    # orders lexicographically: (d2, cand))
+    assigned = dists.groupBy("vec_id", "label").agg(
+        F.min(F.struct(F.col("d2"), F.col("cand"))).alias("best")
+    )
+    return (
+        assigned.select("label", F.col("best.cand").alias("assigned_label"))
+        .groupBy("label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
