@@ -682,6 +682,43 @@ FROM documents
 """
 
 
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data export path as ONE plan: curate (line dedup
+    → PII scrub → length gate) → pack the curated token counts into
+    context-window shards → per-shard manifest (the file-level metadata a
+    downstream trainer consumes)."""
+    cur = q_curate_corpus(spark, sf_dir).select("doc_id", "n_tokens")
+    packed = corpus.pack_rows(cur, budget=PACK_BUDGET, stratum_docs=PACK_STRATUM)
+    return packed.groupBy("stratum", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+def _sql_export_manifest() -> str:
+    return f"""
+WITH cur AS (
+  SELECT doc_id, n_tokens FROM ({_sql_curate_corpus()})
+),
+base AS (
+  SELECT doc_id, doc_id // {PACK_STRATUM} AS stratum,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM cur
+),
+off AS (
+  SELECT doc_id, stratum, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY stratum ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM base
+)
+SELECT stratum, o // {PACK_BUDGET} AS shard, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens, MIN(doc_id) AS first_doc_id
+FROM off GROUP BY 1, 2
+"""
+
+
 _CDC_STREAM_SQL = f"""
 base AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -2440,6 +2477,7 @@ def queries() -> dict:
         # -- text analysis --
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
+        "export_manifest": q_export_manifest,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2532,6 +2570,7 @@ def oracle_sql() -> dict:
         "html_meta": _sql_html_meta(),
         "quality_classifier": _sql_quality_classifier(),
         "pack_sequences": _sql_pack_sequences(),
+        "export_manifest": _sql_export_manifest(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,

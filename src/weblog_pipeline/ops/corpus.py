@@ -301,18 +301,33 @@ def pack_sequences(
     Output: doc_id, stratum, n_tokens, shard, offset_in_shard. Pure
     integer arithmetic — exact in any engine.
     """
-    from pyspark.sql import Window
-
     text = F.col("text")
     n_tok = (
         F.when(F.trim(text) == "", F.lit(0))
         .otherwise(F.array_size(textstats._tokens(text)))
         .cast("long")
     )
-    base = documents.select(
+    return pack_rows(
+        documents.select("doc_id", n_tok.alias("n_tokens")),
+        budget=budget,
+        stratum_docs=stratum_docs,
+    )
+
+
+def pack_rows(
+    rows: DataFrame,
+    budget: int = 2048,
+    stratum_docs: int = PACK_STRATUM_DOCS,
+) -> DataFrame:
+    """Packing core over precomputed (doc_id, n_tokens) rows — lets a
+    composed pipeline pack its CURATED token counts without re-deriving
+    them from text. Same bounded-stratum window as pack_sequences."""
+    from pyspark.sql import Window
+
+    base = rows.select(
         "doc_id",
         F.expr(f"doc_id div {stratum_docs}").alias("stratum"),
-        n_tok.alias("n_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("stratum")

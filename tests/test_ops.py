@@ -1484,3 +1484,21 @@ def test_label_centroids_python_twin_with_negatives(spark):
             qs = [math.floor(v[d] * 1_000_000) for v in es]
             want = math.floor(sum(qs) / len(qs))  # floor, NOT truncate
             assert got[(lb, d)] == (len(es), want), (lb, d)
+
+
+def test_pack_rows_matches_pack_sequences(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (i % 7))) for i in range(40)]
+    )
+    via_text = corpus.pack_sequences(docs, budget=8, stratum_docs=10)
+    n_tok = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.array_size(F.split(F.trim("text"), r"\s+"))
+    )
+    via_rows = corpus.pack_rows(
+        docs.select("doc_id", n_tok.alias("n_tokens")), budget=8, stratum_docs=10
+    )
+    assert sorted(map(tuple, via_text.collect())) == sorted(
+        map(tuple, via_rows.collect())
+    )
