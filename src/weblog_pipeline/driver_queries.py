@@ -682,6 +682,53 @@ FROM documents
 """
 
 
+def q_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine accounting for corrupt telemetry markers: pages whose
+    marker grammar matches but whose attrs JSON is invalid must be
+    quarantined (parse_error set, ZERO event rows emitted) without
+    failing the job. Corruption is planted deterministically (doc_id % 5
+    == 2 pages get '{#' attrs), so the oracle re-derives the census from
+    arithmetic. Output: error_kind (NULL for clean pages), n_pages,
+    n_events."""
+    docs = _read(spark, sf_dir, "documents")
+    pages = webpages_from_documents(docs)
+    doc_id = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("long")
+    s = F.decode(F.col("html"), "UTF-8")
+    tampered = F.encode(
+        F.regexp_replace(s, r" attrs=\{", " attrs={#"), "UTF-8"
+    )
+    pages = pages.withColumn(
+        "html", F.when(doc_id % 5 == 2, tampered).otherwise(F.col("html"))
+    )
+    parsed = parse_events(pages)
+    page_rows = page_texts(parsed).select(
+        F.substring_index(F.col("parse_error"), ":", 1).alias("error_kind"),
+        F.col("n_page_events"),
+    )
+    # quarantined pages report n_page_events = 0, so the event total rides
+    # the same aggregate — no NULL-keyed join
+    return page_rows.groupBy("error_kind").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_page_events").cast("long").alias("n_events"),
+    )
+
+
+def _sql_parse_quarantine() -> str:
+    return """
+WITH pages AS (
+  SELECT doc_id, doc_id % 6 AS n_ev,
+         CASE WHEN doc_id % 5 = 2 AND doc_id % 6 > 0
+              THEN 'JSONDecodeError' END AS error_kind
+  FROM documents
+)
+SELECT error_kind, COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN error_kind IS NULL THEN n_ev ELSE 0 END) AS BIGINT)
+         AS n_events
+FROM pages GROUP BY error_kind
+"""
+# (quarantined pages emit zero events in Spark; the CASE mirrors that)
+
+
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data export path as ONE plan: curate (line dedup
     → PII scrub → length gate) → pack the curated token counts into
@@ -2478,6 +2525,7 @@ def queries() -> dict:
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
         "export_manifest": q_export_manifest,
+        "parse_quarantine": q_parse_quarantine,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2571,6 +2619,7 @@ def oracle_sql() -> dict:
         "quality_classifier": _sql_quality_classifier(),
         "pack_sequences": _sql_pack_sequences(),
         "export_manifest": _sql_export_manifest(),
+        "parse_quarantine": _sql_parse_quarantine(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,
