@@ -369,6 +369,24 @@ FROM documents
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webpages shipped through the WARC container (per-record deflate,
+    Content-Length framing) and back, then through the REAL parse stage —
+    byte-identical text and event counts prove the crawl-format
+    source/sink is lossless."""
+    from . import warc
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = webpages_from_documents(docs)
+    thru = warc.decode_warc_records(warc.encode_warc(pages, compress=True))
+    parsed = parse_events(thru.withColumn("lang", F.lit("xx")))
+    return page_texts(parsed).select(
+        "url",
+        F.col("n_page_events").alias("n_events"),
+        F.md5(F.col("page_text")).alias("text_md5"),
+    )
+
+
 def q_e2e_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     result = build_pipeline(
@@ -2516,6 +2534,7 @@ def queries() -> dict:
         "span_sessions": q_span_sessions,
         # -- full pipeline over documents-derived webpages --
         "parse_roundtrip": q_parse_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "e2e_sink_counts": q_e2e_sink_counts,
         "e2e_records": q_e2e_records,
         "domain_route_counts": q_domain_route_counts,
@@ -2611,6 +2630,7 @@ def oracle_sql() -> dict:
         "windowed_sink_counts": SQL_WINDOWED_SINK_COUNTS,
         "span_sessions": _sql_span_sessions(),
         "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
+        "warc_roundtrip": SQL_PARSE_ROUNDTRIP,
         "e2e_sink_counts": _sql_e2e_sink_counts(),
         "e2e_records": _sql_e2e_records(),
         "domain_route_counts": _sql_domain_route_counts(),
