@@ -917,14 +917,18 @@ def decode_jpeg(payload: bytes) -> dict:
     """REAL decoder for baseline sequential JPEG (stdlib + numpy):
     grayscale AND interleaved color — 4:4:4 and subsampled (4:2:0/4:2:2)
     MCU layouts with per-component quant/Huffman tables, byte unstuffing,
-    restart markers, chroma upsampling, and YCbCr→RGB. Width/height come
-    from the actual SOF0 bytes; feature = first FEATURE_DIM reconstructed
-    top-row bytes (gray values, or interleaved RGB for color) scaled to
-    [0,1]. Lossy — pixel fidelity is pinned by tolerance in tests, exact
-    header fields by the SQL oracle.
+    restart markers, chroma upsampling, and YCbCr→RGB — plus PROGRESSIVE
+    (SOF2) grayscale with spectral selection: multi-scan coefficient
+    accumulation (DC scan + AC band scans with EOB-run semantics),
+    reconstructed in one final IDCT pass. Width/height come from the
+    actual SOF bytes; feature = first FEATURE_DIM reconstructed top-row
+    bytes (gray values, or interleaved RGB for color) scaled to [0,1].
+    Lossy — pixel fidelity is pinned by tolerance in tests, exact header
+    fields by the SQL oracle.
 
-    Raises ValueError for corrupt streams; NotImplementedError for
-    progressive (SOF2) and non-interleaved multi-scan files."""
+    Raises ValueError for corrupt streams; NotImplementedError for the
+    remaining honest gaps: progressive color, successive-approximation
+    scans (Ah/Al != 0), and non-interleaved multi-scan sequential files."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -936,12 +940,24 @@ def decode_jpeg(payload: bytes) -> dict:
     width = height = None
     components: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    progressive = False
+    coef_store = None  # progressive: per-block zigzag coefficient arrays
+    pred = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte before a marker (legal padding)
+            continue
         if marker == 0xD9:
+            if progressive and coef_store is not None:
+                return _reconstruct_progressive(
+                    coef_store, width, height, components, qtables
+                )
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if len(body) != length - 2:
@@ -978,14 +994,14 @@ def decode_jpeg(payload: bytes) -> dict:
                 tab = _huffman_decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
                 i += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             if len(body) < 6:
-                raise ValueError("truncated JPEG SOF0")
+                raise ValueError("truncated JPEG SOF")
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated JPEG SOF0")
+                raise ValueError("truncated JPEG SOF")
             components = [
                 (
                     body[6 + 3 * c],
@@ -995,8 +1011,17 @@ def decode_jpeg(payload: bytes) -> dict:
                 )
                 for c in range(ncomp)
             ]
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            if marker == 0xC2:
+                progressive = True
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "progressive color JPEG not supported"
+                    )
+                if width * height > (1 << 26):
+                    raise ValueError(
+                        f"implausible JPEG dimensions {width}x{height}"
+                        " (corrupt header?)"
+                    )
         elif marker == 0xDD:
             if len(body) < 2:
                 raise ValueError("truncated JPEG DRI")
@@ -1009,6 +1034,83 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("truncated JPEG SOS component list")
             if not components:
                 raise ValueError("JPEG SOS before SOF")
+            scan_start = pos + 2 + length
+            if progressive:
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart markers in progressive JPEG not supported"
+                    )
+                if ncomp_s != 1:
+                    raise NotImplementedError(
+                        "progressive color JPEG not supported"
+                    )
+                td, ta = body[2] >> 4, body[2] & 0x0F
+                ss, se = body[1 + 2 * ncomp_s], body[2 + 2 * ncomp_s]
+                ahal = body[3 + 2 * ncomp_s]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if ah or al:
+                    raise NotImplementedError(
+                        "successive-approximation progressive JPEG"
+                        " not supported (spectral selection only)"
+                    )
+                import numpy as np
+
+                bh = (height + 7) // 8
+                bwid = (width + 7) // 8
+                if coef_store is None:
+                    coef_store = np.zeros((bh * bwid, 64), dtype=np.int64)
+                reader = _BitReader(payload[scan_start:])
+                try:
+                    if ss == 0:
+                        if se != 0:
+                            raise ValueError(
+                                "progressive DC scan must have Se=0"
+                            )
+                        dc_tab = dc_tables.get(td)
+                        if dc_tab is None:
+                            raise ValueError("JPEG DC scan before DHT")
+                        for bi in range(bh * bwid):
+                            size = _huff_read(reader, dc_tab)
+                            pred += _extend(reader.read_bits(size), size)
+                            coef_store[bi, 0] = pred
+                    else:
+                        if se < ss or se > 63:
+                            raise ValueError("invalid progressive band")
+                        ac_tab = ac_tables.get(ta)
+                        if ac_tab is None:
+                            raise ValueError("JPEG AC scan before DHT")
+                        eobrun = 0
+                        for bi in range(bh * bwid):
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = _huff_read(reader, ac_tab)
+                                run, sz = sym >> 4, sym & 0x0F
+                                if sz == 0:
+                                    if run == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    eobrun = (1 << run) - 1
+                                    if run:
+                                        eobrun += reader.read_bits(run)
+                                    break
+                                k += run
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC run overflows band"
+                                    )
+                                coef_store[bi, k] = _extend(
+                                    reader.read_bits(sz), sz
+                                )
+                                k += 1
+                except _RestartMarker as rm:
+                    raise ValueError(
+                        "unexpected JPEG restart marker"
+                    ) from rm
+                pos = scan_start + reader.pos
+                continue
             if ncomp_s != len(components):
                 raise NotImplementedError(
                     "non-interleaved multi-scan JPEG not supported"
@@ -1017,13 +1119,16 @@ def decode_jpeg(payload: bytes) -> dict:
             for c in range(ncomp_s):
                 cid = body[1 + 2 * c]
                 scan_tabs[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
-            scan_start = pos + 2 + length
             return _decode_jpeg_scan(
                 payload, scan_start, width, height, components, scan_tabs,
                 qtables, dc_tables, ac_tables, restart_interval,
             )
         pos += 2 + length
-    raise ValueError("JPEG missing SOS scan")
+    raise ValueError(
+        "JPEG missing EOI (truncated stream)"
+        if progressive and coef_store is not None
+        else "JPEG missing SOS scan"
+    )
 
 
 def _decode_jpeg_scan(
@@ -1151,18 +1256,145 @@ def _decode_jpeg_scan(
     }
 
 
+def _reconstruct_progressive(coef_store, width, height, components, qtables):
+    """Final IDCT pass for a spectral-selection progressive JPEG: all
+    scans have accumulated into the per-block zigzag coefficient store;
+    dequantize + IDCT each block, assemble, crop."""
+    import numpy as np
+
+    _, _, _, tq = components[0]
+    qt = qtables.get(tq)
+    if qt is None:
+        raise ValueError("progressive JPEG missing DQT")
+    q = np.array(qt, dtype=np.float64).reshape(8, 8)
+    m = _dct_matrix()
+    zz = JPEG_ZIGZAG
+    bh = (height + 7) // 8
+    bwid = (width + 7) // 8
+    plane = np.zeros((bh * 8, bwid * 8), dtype=np.float64)
+    for bi in range(bh * bwid):
+        by, bx = divmod(bi, bwid)
+        block = np.zeros(64, dtype=np.float64)
+        seq = coef_store[bi]
+        for i in range(64):
+            block[zz[i]] = seq[i]
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            m.T @ (block.reshape(8, 8) * q) @ m + 128.0
+        )
+    img = np.clip(np.round(plane[:height, :width]), 0, 255).astype(np.uint8)
+    pix_bytes = img[0, :FEATURE_DIM].tolist()
+    feature = [v / 255.0 for v in pix_bytes] + [0.0] * (
+        FEATURE_DIM - len(pix_bytes)
+    )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "feature": feature,
+        "pixels": img,
+    }
+
+
+#: progressive scan script: DC, then AC split into two spectral bands —
+#: the classic coarse-to-fine layout (spectral selection, Ah=Al=0)
+PROGRESSIVE_BANDS = ((1, 5), (6, 63))
+
+
+def encode_jpeg_progressive(width: int, height: int, seed: int) -> bytes:
+    """Minimal REAL progressive grayscale JPEG (SOF2, spectral selection):
+    the same quantized coefficients as encode_jpeg, shipped as a DC scan
+    followed by AC band scans (Ss..Se), each a separate entropy segment
+    with per-block EOB. Decoding MUST reproduce encode_jpeg's pixels
+    bit-for-bit (same coefficients, same IDCT) — pinned in tests."""
+    import numpy as np
+
+    img = np.fromfunction(
+        lambda y, x: (seed + x + y) % 256, (height, width), dtype=np.int64
+    ).astype(np.float64)
+    bh, bwid = (height + 7) // 8, (width + 7) // 8
+    padded = _pad_to_blocks(img, bh * 8, bwid * 8)
+    m = _dct_matrix()
+    q = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    zz = JPEG_ZIGZAG
+    blocks = [
+        _quantized_zigzag(
+            padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, q, zz
+        )
+        for by in range(bh)
+        for bx in range(bwid)
+    ]
+    dc_tab = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_tab = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss: int, se: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x00]))
+
+    qt_zz = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt_zz)
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+
+    # scan 1: DC
+    bw_out = _BitWriter()
+    prev = 0
+    for seq in blocks:
+        diff = seq[0] - prev
+        size, bits_v = _magnitude(diff)
+        code, ln = dc_tab[size]
+        bw_out.write(code, ln)
+        if size:
+            bw_out.write(bits_v, size)
+        prev = seq[0]
+    bw_out.flush()
+    out += sos(0, 0) + bw_out.out
+
+    # AC band scans (per-block EOB = EOB-run of 1, always legal)
+    for ss, se in PROGRESSIVE_BANDS:
+        bw_out = _BitWriter()
+        for seq in blocks:
+            run = 0
+            for i in range(ss, se + 1):
+                v = seq[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bw_out.write(code, ln)
+                    run -= 16
+                size, bits_v = _magnitude(v)
+                code, ln = ac_tab[(run << 4) | size]
+                bw_out.write(code, ln)
+                bw_out.write(bits_v, size)
+                run = 0
+            if run:
+                code, ln = ac_tab[0x00]
+                bw_out.write(code, ln)
+        bw_out.flush()
+        out += sos(ss, se) + bw_out.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode an image payload to (width, height, feature vector).
 
     REAL for the five natively-decoded formats — BMP and P6 PPM
     (uncompressed header parses), PNG (zlib-inflated, CRC-checked,
-    filter-inverted), GIF (full LZW decode, palette-mapped), and baseline
-    JPEG (grayscale + interleaved color at 4:4:4/4:2:0: Huffman entropy
-    decode, dequantize, IDCT, YCbCr→RGB) — those parse the actual bytes.
-    Progressive JPEG and exotic formats remain honest stubs: with
-    fake=True a deterministic stand-in derives metadata purely from the
-    bytes, keeping the distributed plumbing exercisable end-to-end;
-    otherwise raise.
+    filter-inverted), GIF (full LZW decode, palette-mapped), and JPEG
+    (baseline grayscale + interleaved color at 4:4:4/4:2:0, and
+    progressive grayscale via spectral selection: Huffman entropy decode,
+    dequantize, IDCT, YCbCr→RGB) — those parse the actual bytes.
+    Progressive color / successive-approximation JPEG and exotic formats
+    remain honest stubs: with fake=True a deterministic stand-in derives
+    metadata purely from the bytes, keeping the distributed plumbing
+    exercisable end-to-end; otherwise raise.
     """
     if not fake:
         if payload[:2] == b"BM":
@@ -1682,21 +1914,25 @@ def media_gif_from_documents(documents: "DataFrame") -> "DataFrame":
 
 
 def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
-    """Deterministic REAL-format JPEG media table: one valid baseline JPEG
-    per doc (width 8+id%56, height 8+id%40, seed id%256), cycling the
-    three real layouts by doc_id — grayscale, 4:4:4 color, 4:2:0 color —
-    so every decode path runs through Spark. The SQL oracle pins the
-    header fields (exact by construction); pixel fidelity of the lossy
-    path is pinned by pytest tolerance, not the cross-engine hash."""
+    """Deterministic REAL-format JPEG media table: one valid JPEG per doc
+    (width 8+id%56, height 8+id%40, seed id%256), cycling the four real
+    layouts by doc_id — baseline grayscale, 4:4:4 color, 4:2:0 color, and
+    progressive (SOF2 spectral selection) — so every decode path runs
+    through Spark. The SQL oracle pins the header fields (exact by
+    construction); pixel fidelity of the lossy path is pinned by pytest
+    tolerance, not the cross-engine hash."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def pick(i: int) -> bytes:
             w, h, s = 8 + i % 56, 8 + i % 40, i % 256
-            if i % 3 == 0:
+            k = i % 4
+            if k == 0:
                 return encode_jpeg(w, h, s)
-            return encode_jpeg_color(w, h, s, subsample=(i % 3 == 2))
+            if k == 3:
+                return encode_jpeg_progressive(w, h, s)
+            return encode_jpeg_color(w, h, s, subsample=(k == 2))
 
         for pdf in batches:
             ids = [int(i) for i in pdf["doc_id"]]

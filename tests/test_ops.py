@@ -295,13 +295,26 @@ def test_multimodal_compressed_decode_is_stubbed():
     )
     with pytest.raises(NotImplementedError, match="sampling"):
         multimodal.decode_jpeg(wild_sof)
+    # progressive COLOR stays a stub (grayscale progressive is real now)
     prog_sof = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + _struct.pack(">H", 17)
+        + _struct.pack(">BHHB", 8, 4, 4, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    with pytest.raises(NotImplementedError, match="progressive color"):
+        multimodal.decode_jpeg(prog_sof)
+    # successive approximation (Ah/Al != 0) stays a stub
+    sa_scan = (
         b"\xff\xd8"
         + b"\xff\xc2" + _struct.pack(">H", 11)
         + _struct.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00"
+        + b"\xff\xda" + _struct.pack(">H", 8)
+        + b"\x01\x01\x00" + bytes([1, 5, 0x12])
+        + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        multimodal.decode_jpeg(prog_sof)
+    with pytest.raises(NotImplementedError, match="successive"):
+        multimodal.decode_jpeg(sa_scan)
     with pytest.raises(NotImplementedError):
         multimodal.decode_av(b"\xff\xfb mp3 frame", "audio", fake=False)
     with pytest.raises(NotImplementedError):
@@ -1502,3 +1515,23 @@ def test_pack_rows_matches_pack_sequences(spark):
     assert sorted(map(tuple, via_text.collect())) == sorted(
         map(tuple, via_rows.collect())
     )
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    import numpy as np
+
+    # same quantized coefficients -> bit-identical reconstruction
+    for (w, h, seed) in [(8, 8, 0), (17, 9, 100), (56, 40, 255), (33, 21, 160)]:
+        base = multimodal.decode_jpeg(multimodal.encode_jpeg(w, h, seed))
+        prog = multimodal.decode_jpeg(
+            multimodal.encode_jpeg_progressive(w, h, seed)
+        )
+        assert (prog["width"], prog["height"]) == (w, h)
+        assert np.array_equal(base["pixels"], prog["pixels"]), (w, h, seed)
+
+
+def test_jpeg_progressive_truncation_quarantined():
+    payload = multimodal.encode_jpeg_progressive(24, 16, 77)
+    for cut in (len(payload) // 3, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg(payload[:cut])
