@@ -2,12 +2,17 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 `mapInPandas`.
 
-The decode/feature-extraction kernels are STUBBED (this container ships no
-image/audio libraries): `decode_image` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder (derived purely
-from the bytes) stands in. The Spark-side plumbing — schema, batch shape,
-partitioning, UDF signature — is real and tested; swapping in PIL/ffmpeg
-later changes only the kernel body.
+The decode kernels are REAL, hand-written against the public format specs
+with stdlib + numpy only (this container ships no PIL/ffmpeg): BMP, P6
+PPM, PNG (zlib inflate, CRC check, all five scanline filters), GIF (full
+variable-width LZW), JPEG (baseline grayscale + interleaved color at
+4:4:4/4:2:0, progressive grayscale via spectral selection), WAV (linear
+PCM + G.711 mu-law), and MJPEG-AVI video (RIFF chunk walk, per-frame
+JPEG). Remaining codec gaps (progressive-color / successive-approximation
+JPEG, MP3/AAC-class audio, non-MJPEG video) raise NotImplementedError
+honestly; corrupt inputs raise ValueError and are quarantined. A
+deterministic `fake=True` stand-in (derived purely from the bytes) keeps
+the distributed plumbing exercisable where a codec is absent.
 
 At 100 TB: binary payloads dominate row size, so the stage (a) prunes to
 exactly (id, payload) before the UDF, (b) relies on small Arrow batches
