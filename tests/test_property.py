@@ -228,3 +228,80 @@ def test_mulaw_wav_roundtrip_property(n, seed, ch):
     ][: _mm.FEATURE_DIM]
     exp += [0.0] * (_mm.FEATURE_DIM - len(exp))
     assert meta["feature"] == exp
+
+
+# -- WARC container ----------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(string.ascii_letters + ":/._-", min_size=1, max_size=40),
+            st.binary(max_size=200),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_warc_walk_roundtrips_any_payload(recs):
+    import datetime
+
+    from weblog_pipeline import warc
+
+    ts = datetime.datetime(2025, 7, 4, 1, 2, 3, 456789)
+    blob = b"".join(
+        warc.build_record(f"https://x/{i}-{u}", ts, payload, compress=c)
+        for i, (u, payload, c) in enumerate(recs)
+    )
+    out = list(warc.walk_records(blob))
+    assert len(out) == len(recs)
+    for (u, payload, _), (url, got_ts, got) in zip(recs, out):
+        assert got == payload  # arbitrary bytes survive, compressed or not
+        assert got_ts == ts
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=120), st.integers(min_value=0, max_value=119))
+def test_warc_walk_never_hangs_on_garbage(garbage, cut):
+    import datetime
+
+    from weblog_pipeline import warc
+
+    ts = datetime.datetime(2025, 7, 4)
+    blob = warc.build_record("https://a", ts, b"x")[:cut] + garbage
+    try:
+        list(warc.walk_records(blob))
+    except (ValueError, KeyError, UnicodeDecodeError):
+        pass  # malformed framing must raise, not loop or mis-parse
+
+
+# -- progressive JPEG --------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=0, max_value=255),
+)
+def test_progressive_jpeg_always_matches_baseline(w, h, seed):
+    import numpy as np
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    base = mm.decode_jpeg(mm.encode_jpeg(w, h, seed))
+    prog = mm.decode_jpeg(mm.encode_jpeg_progressive(w, h, seed))
+    assert np.array_equal(base["pixels"], prog["pixels"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_progressive_jpeg_truncation_never_crashes_oddly(data):
+    from weblog_pipeline.ops import multimodal as mm
+
+    payload = mm.encode_jpeg_progressive(16, 16, 99)
+    cut = data.draw(st.integers(min_value=2, max_value=len(payload) - 1))
+    try:
+        mm.decode_jpeg(payload[:cut])
+    except (ValueError, NotImplementedError):
+        pass  # quarantine classes only — no IndexError/struct.error leaks
