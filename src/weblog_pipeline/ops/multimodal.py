@@ -6,10 +6,11 @@ The decode kernels are REAL, hand-written against the public format specs
 with stdlib + numpy only (this container ships no PIL/ffmpeg): BMP, P6
 PPM, PNG (zlib inflate, CRC check, all five scanline filters), GIF (full
 variable-width LZW), JPEG (baseline grayscale + interleaved color at
-4:4:4/4:2:0, progressive grayscale via spectral selection), WAV (linear
-PCM + G.711 mu-law), and MJPEG-AVI video (RIFF chunk walk, per-frame
-JPEG). Remaining codec gaps (progressive-color / successive-approximation
-JPEG, MP3/AAC-class audio, non-MJPEG video) raise NotImplementedError
+4:4:4/4:2:0, progressive grayscale with spectral selection + successive
+approximation), WAV (linear PCM + G.711 mu-law), and MJPEG-AVI video
+(RIFF chunk walk, per-frame JPEG). Remaining codec gaps
+(progressive-color JPEG, MP3/AAC-class audio, non-MJPEG video) raise
+NotImplementedError
 honestly; corrupt inputs raise ValueError and are quarantined. A
 deterministic `fake=True` stand-in (derived purely from the bytes) keeps
 the distributed plumbing exercisable where a codec is absent.
@@ -923,17 +924,18 @@ def decode_jpeg(payload: bytes) -> dict:
     grayscale AND interleaved color — 4:4:4 and subsampled (4:2:0/4:2:2)
     MCU layouts with per-component quant/Huffman tables, byte unstuffing,
     restart markers, chroma upsampling, and YCbCr→RGB — plus PROGRESSIVE
-    (SOF2) grayscale with spectral selection: multi-scan coefficient
-    accumulation (DC scan + AC band scans with EOB-run semantics),
-    reconstructed in one final IDCT pass. Width/height come from the
-    actual SOF bytes; feature = first FEATURE_DIM reconstructed top-row
-    bytes (gray values, or interleaved RGB for color) scaled to [0,1].
-    Lossy — pixel fidelity is pinned by tolerance in tests, exact header
-    fields by the SQL oracle.
+    (SOF2) grayscale with BOTH spectral selection and successive
+    approximation: multi-scan coefficient accumulation (DC first/refine
+    bit scans, AC band scans with EOB-run semantics, G.1.2.3 AC
+    refinement walks), reconstructed in one final IDCT pass. Width/height
+    come from the actual SOF bytes; feature = first FEATURE_DIM
+    reconstructed top-row bytes (gray values, or interleaved RGB for
+    color) scaled to [0,1]. Lossy — pixel fidelity is pinned by tolerance
+    in tests, exact header fields by the SQL oracle.
 
     Raises ValueError for corrupt streams; NotImplementedError for the
-    remaining honest gaps: progressive color, successive-approximation
-    scans (Ah/Al != 0), and non-interleaved multi-scan sequential files."""
+    remaining honest gaps: progressive color and non-interleaved
+    multi-scan sequential files."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1053,11 +1055,6 @@ def decode_jpeg(payload: bytes) -> dict:
                 ss, se = body[1 + 2 * ncomp_s], body[2 + 2 * ncomp_s]
                 ahal = body[3 + 2 * ncomp_s]
                 ah, al = ahal >> 4, ahal & 0x0F
-                if ah or al:
-                    raise NotImplementedError(
-                        "successive-approximation progressive JPEG"
-                        " not supported (spectral selection only)"
-                    )
                 import numpy as np
 
                 bh = (height + 7) // 8
@@ -1071,14 +1068,22 @@ def decode_jpeg(payload: bytes) -> dict:
                             raise ValueError(
                                 "progressive DC scan must have Se=0"
                             )
-                        dc_tab = dc_tables.get(td)
-                        if dc_tab is None:
-                            raise ValueError("JPEG DC scan before DHT")
-                        for bi in range(bh * bwid):
-                            size = _huff_read(reader, dc_tab)
-                            pred += _extend(reader.read_bits(size), size)
-                            coef_store[bi, 0] = pred
-                    else:
+                        if ah == 0:
+                            dc_tab = dc_tables.get(td)
+                            if dc_tab is None:
+                                raise ValueError("JPEG DC scan before DHT")
+                            for bi in range(bh * bwid):
+                                size = _huff_read(reader, dc_tab)
+                                pred += _extend(reader.read_bits(size), size)
+                                coef_store[bi, 0] = pred << al
+                        else:
+                            # DC refinement: one bit per block adds the
+                            # next magnitude bit (two's-complement OR is
+                            # exact for negatives: (v>>1)<<1 | (v&1) == v)
+                            for bi in range(bh * bwid):
+                                if reader.read_bit():
+                                    coef_store[bi, 0] |= 1 << al
+                    elif ah == 0:
                         if se < ss or se > 63:
                             raise ValueError("invalid progressive band")
                         ac_tab = ac_tables.get(ta)
@@ -1106,9 +1111,70 @@ def decode_jpeg(payload: bytes) -> dict:
                                     raise ValueError(
                                         "JPEG AC run overflows band"
                                     )
-                                coef_store[bi, k] = _extend(
-                                    reader.read_bits(sz), sz
+                                coef_store[bi, k] = (
+                                    _extend(reader.read_bits(sz), sz) << al
                                 )
+                                k += 1
+                    else:
+                        # AC refinement (G.1.2.3): newly-significant
+                        # coefficients arrive as +-(1<<Al); every nonzero-
+                        # history coefficient passed over contributes one
+                        # correction bit
+                        if se < ss or se > 63:
+                            raise ValueError("invalid progressive band")
+                        ac_tab = ac_tables.get(ta)
+                        if ac_tab is None:
+                            raise ValueError("JPEG AC scan before DHT")
+                        p1, m1 = 1 << al, -(1 << al)
+
+                        def _correct(bi, k):
+                            c = coef_store[bi, k]
+                            if reader.read_bit() and not c & p1:
+                                coef_store[bi, k] = c + (p1 if c >= 0 else m1)
+
+                        eobrun = 0
+                        for bi in range(bh * bwid):
+                            if eobrun > 0:
+                                eobrun -= 1
+                                for k in range(ss, se + 1):
+                                    if coef_store[bi, k]:
+                                        _correct(bi, k)
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = _huff_read(reader, ac_tab)
+                                run, sz = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if sz == 0:
+                                    if run != 15:
+                                        eobrun = (1 << run) - 1
+                                        if run:
+                                            eobrun += reader.read_bits(run)
+                                        for kk in range(k, se + 1):
+                                            if coef_store[bi, kk]:
+                                                _correct(bi, kk)
+                                        break
+                                    # ZRL: pass 16 zero-history positions
+                                elif sz == 1:
+                                    newval = p1 if reader.read_bit() else m1
+                                else:
+                                    raise ValueError(
+                                        "invalid refinement AC symbol"
+                                    )
+                                while k <= se:
+                                    if coef_store[bi, k]:
+                                        _correct(bi, k)
+                                    else:
+                                        if run == 0:
+                                            break
+                                        run -= 1
+                                    k += 1
+                                if sz:
+                                    if k > se:
+                                        raise ValueError(
+                                            "JPEG refinement overflows band"
+                                        )
+                                    coef_store[bi, k] = newval
                                 k += 1
                 except _RestartMarker as rm:
                     raise ValueError(
@@ -1301,16 +1367,116 @@ def _reconstruct_progressive(coef_store, width, height, components, qtables):
 
 
 #: progressive scan script: DC, then AC split into two spectral bands —
-#: the classic coarse-to-fine layout (spectral selection, Ah=Al=0)
+#: the classic coarse-to-fine layout (spectral selection)
 PROGRESSIVE_BANDS = ((1, 5), (6, 63))
 
 
-def encode_jpeg_progressive(width: int, height: int, seed: int) -> bytes:
-    """Minimal REAL progressive grayscale JPEG (SOF2, spectral selection):
-    the same quantized coefficients as encode_jpeg, shipped as a DC scan
-    followed by AC band scans (Ss..Se), each a separate entropy segment
-    with per-block EOB. Decoding MUST reproduce encode_jpeg's pixels
-    bit-for-bit (same coefficients, same IDCT) — pinned in tests."""
+def _enc_dc_first(bw_out, blocks, dc_tab, al: int) -> None:
+    """DC first scan: point-transformed (arithmetic shift) DC diff chain."""
+    prev = 0
+    for seq in blocks:
+        v = seq[0] >> al
+        diff = v - prev
+        size, bits_v = _magnitude(diff)
+        code, ln = dc_tab[size]
+        bw_out.write(code, ln)
+        if size:
+            bw_out.write(bits_v, size)
+        prev = v
+
+
+def _enc_dc_refine(bw_out, blocks, al: int) -> None:
+    """DC refinement: next magnitude bit of the two's-complement value."""
+    for seq in blocks:
+        bw_out.write((seq[0] >> al) & 1, 1)
+
+
+def _enc_ac_first(bw_out, blocks, ac_tab, ss: int, se: int, al: int) -> None:
+    """AC first scan for one band: magnitude point transform (sign *
+    (|v| >> Al)), per-block EOB (an EOB-run of 1 is always legal)."""
+    for seq in blocks:
+        run = 0
+        for i in range(ss, se + 1):
+            t = seq[i]
+            v = abs(t) >> al
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                bw_out.write(code, ln)
+                run -= 16
+            size, bits_v = _magnitude(v if t > 0 else -v)
+            code, ln = ac_tab[(run << 4) | size]
+            bw_out.write(code, ln)
+            bw_out.write(bits_v, size)
+            run = 0
+        if run:
+            code, ln = ac_tab[0x00]
+            bw_out.write(code, ln)
+
+
+def _enc_ac_refine(bw_out, blocks, ac_tab, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (G.1.2.3), emitted as the exact mirror of the
+    decoder's walk: zero-run symbols count ZERO-HISTORY positions only;
+    every nonzero-history coefficient passed over contributes one
+    correction bit, interleaved positionally; newly-significant
+    coefficients ((|v| >> Al) == 1) arrive with a sign bit."""
+    for seq in blocks:
+        def hist(i):
+            return abs(seq[i]) >> (al + 1) != 0
+
+        def newsig(i):
+            return (abs(seq[i]) >> al) == 1 and not hist(i)
+
+        def zerh(i):
+            return (abs(seq[i]) >> al) == 0
+
+        k = ss
+        while True:
+            n = next((j for j in range(k, se + 1) if newsig(j)), None)
+            if n is None:
+                rem = range(k, se + 1)
+                corr = [i for i in rem if hist(i)]
+                if corr or any(zerh(i) for i in rem):
+                    code, ln = ac_tab[0x00]  # EOB covering just this block
+                    bw_out.write(code, ln)
+                    for i in corr:
+                        bw_out.write((abs(seq[i]) >> al) & 1, 1)
+                break
+            r = sum(1 for i in range(k, n) if zerh(i))
+            while r > 15:
+                code, ln = ac_tab[0xF0]
+                bw_out.write(code, ln)
+                cnt = 0  # ZRL window: 16 zero-history, corrections ride
+                while cnt < 16:
+                    if hist(k):
+                        bw_out.write((abs(seq[k]) >> al) & 1, 1)
+                    elif zerh(k):
+                        cnt += 1
+                    k += 1
+                r -= 16
+            code, ln = ac_tab[(r << 4) | 1]
+            bw_out.write(code, ln)
+            bw_out.write(1 if seq[n] > 0 else 0, 1)
+            while k < n:
+                if hist(k):
+                    bw_out.write((abs(seq[k]) >> al) & 1, 1)
+                k += 1
+            k = n + 1
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, seed: int, levels: int = 0
+) -> bytes:
+    """Minimal REAL progressive grayscale JPEG (SOF2): the same quantized
+    coefficients as encode_jpeg, shipped coarse-to-fine. levels=0 emits
+    pure spectral selection (DC scan + two AC band scans at full
+    precision); levels=N adds SUCCESSIVE APPROXIMATION — first scans at
+    Al=N, then N refinement rounds (DC bit scans + G.1.2.3 AC correction
+    scans) down to Al=0. Decoding MUST reproduce encode_jpeg's pixels
+    bit-for-bit regardless of the script (same final coefficients, same
+    IDCT) — pinned in tests."""
     import numpy as np
 
     img = np.fromfunction(
@@ -1334,8 +1500,8 @@ def encode_jpeg_progressive(width: int, height: int, seed: int) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    def sos(ss: int, se: int) -> bytes:
-        return seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x00]))
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
 
     qt_zz = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
     out = bytearray(b"\xff\xd8")
@@ -1344,44 +1510,26 @@ def encode_jpeg_progressive(width: int, height: int, seed: int) -> bytes:
     out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
 
-    # scan 1: DC
+    al0 = levels
     bw_out = _BitWriter()
-    prev = 0
-    for seq in blocks:
-        diff = seq[0] - prev
-        size, bits_v = _magnitude(diff)
-        code, ln = dc_tab[size]
-        bw_out.write(code, ln)
-        if size:
-            bw_out.write(bits_v, size)
-        prev = seq[0]
+    _enc_dc_first(bw_out, blocks, dc_tab, al0)
     bw_out.flush()
-    out += sos(0, 0) + bw_out.out
-
-    # AC band scans (per-block EOB = EOB-run of 1, always legal)
+    out += sos(0, 0, 0, al0) + bw_out.out
     for ss, se in PROGRESSIVE_BANDS:
         bw_out = _BitWriter()
-        for seq in blocks:
-            run = 0
-            for i in range(ss, se + 1):
-                v = seq[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]
-                    bw_out.write(code, ln)
-                    run -= 16
-                size, bits_v = _magnitude(v)
-                code, ln = ac_tab[(run << 4) | size]
-                bw_out.write(code, ln)
-                bw_out.write(bits_v, size)
-                run = 0
-            if run:
-                code, ln = ac_tab[0x00]
-                bw_out.write(code, ln)
+        _enc_ac_first(bw_out, blocks, ac_tab, ss, se, al0)
         bw_out.flush()
-        out += sos(ss, se) + bw_out.out
+        out += sos(ss, se, 0, al0) + bw_out.out
+    for a in range(al0 - 1, -1, -1):
+        bw_out = _BitWriter()
+        _enc_dc_refine(bw_out, blocks, a)
+        bw_out.flush()
+        out += sos(0, 0, a + 1, a) + bw_out.out
+        for ss, se in PROGRESSIVE_BANDS:
+            bw_out = _BitWriter()
+            _enc_ac_refine(bw_out, blocks, ac_tab, ss, se, a)
+            bw_out.flush()
+            out += sos(ss, se, a + 1, a) + bw_out.out
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -1394,10 +1542,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     (uncompressed header parses), PNG (zlib-inflated, CRC-checked,
     filter-inverted), GIF (full LZW decode, palette-mapped), and JPEG
     (baseline grayscale + interleaved color at 4:4:4/4:2:0, and
-    progressive grayscale via spectral selection: Huffman entropy decode,
-    dequantize, IDCT, YCbCr→RGB) — those parse the actual bytes.
-    Progressive color / successive-approximation JPEG and exotic formats
-    remain honest stubs: with fake=True a deterministic stand-in derives
+    progressive grayscale with spectral selection + successive
+    approximation: Huffman entropy decode, dequantize, IDCT, YCbCr→RGB) —
+    those parse the actual bytes. Progressive color JPEG and exotic
+    formats remain honest stubs: with fake=True a deterministic stand-in derives
     metadata purely from the bytes, keeping the distributed plumbing
     exercisable end-to-end; otherwise raise.
     """
@@ -1922,7 +2070,8 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
     """Deterministic REAL-format JPEG media table: one valid JPEG per doc
     (width 8+id%56, height 8+id%40, seed id%256), cycling the four real
     layouts by doc_id — baseline grayscale, 4:4:4 color, 4:2:0 color, and
-    progressive (SOF2 spectral selection) — so every decode path runs
+    progressive (SOF2; successive-approximation level cycling 0-2 by
+    doc_id) — so every decode path runs
     through Spark. The SQL oracle pins the header fields (exact by
     construction); pixel fidelity of the lossy path is pinned by pytest
     tolerance, not the cross-engine hash."""
@@ -1936,7 +2085,7 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
             if k == 0:
                 return encode_jpeg(w, h, s)
             if k == 3:
-                return encode_jpeg_progressive(w, h, s)
+                return encode_jpeg_progressive(w, h, s, levels=i % 3)
             return encode_jpeg_color(w, h, s, subsample=(k == 2))
 
         for pdf in batches:

@@ -304,8 +304,8 @@ def test_multimodal_compressed_decode_is_stubbed():
     )
     with pytest.raises(NotImplementedError, match="progressive color"):
         multimodal.decode_jpeg(prog_sof)
-    # successive approximation (Ah/Al != 0) stays a stub
-    sa_scan = (
+    # a refinement AC symbol with size > 1 is invalid framing, quarantined
+    bad_refine = (
         b"\xff\xd8"
         + b"\xff\xc2" + _struct.pack(">H", 11)
         + _struct.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00"
@@ -313,8 +313,8 @@ def test_multimodal_compressed_decode_is_stubbed():
         + b"\x01\x01\x00" + bytes([1, 5, 0x12])
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="successive"):
-        multimodal.decode_jpeg(sa_scan)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(bad_refine)
     with pytest.raises(NotImplementedError):
         multimodal.decode_av(b"\xff\xfb mp3 frame", "audio", fake=False)
     with pytest.raises(NotImplementedError):
@@ -1520,14 +1520,18 @@ def test_pack_rows_matches_pack_sequences(spark):
 def test_jpeg_progressive_equals_baseline_pixels():
     import numpy as np
 
-    # same quantized coefficients -> bit-identical reconstruction
+    # same quantized coefficients -> bit-identical reconstruction, for
+    # pure spectral selection AND successive approximation at 1-3 levels
     for (w, h, seed) in [(8, 8, 0), (17, 9, 100), (56, 40, 255), (33, 21, 160)]:
         base = multimodal.decode_jpeg(multimodal.encode_jpeg(w, h, seed))
-        prog = multimodal.decode_jpeg(
-            multimodal.encode_jpeg_progressive(w, h, seed)
-        )
-        assert (prog["width"], prog["height"]) == (w, h)
-        assert np.array_equal(base["pixels"], prog["pixels"]), (w, h, seed)
+        for levels in (0, 1, 2, 3):
+            prog = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_progressive(w, h, seed, levels=levels)
+            )
+            assert (prog["width"], prog["height"]) == (w, h)
+            assert np.array_equal(base["pixels"], prog["pixels"]), (
+                w, h, seed, levels,
+            )
 
 
 def test_jpeg_progressive_truncation_quarantined():

@@ -283,14 +283,17 @@ def test_warc_walk_never_hangs_on_garbage(garbage, cut):
     st.integers(min_value=8, max_value=40),
     st.integers(min_value=8, max_value=32),
     st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=3),
 )
-def test_progressive_jpeg_always_matches_baseline(w, h, seed):
+def test_progressive_jpeg_always_matches_baseline(w, h, seed, levels):
     import numpy as np
 
     from weblog_pipeline.ops import multimodal as mm
 
     base = mm.decode_jpeg(mm.encode_jpeg(w, h, seed))
-    prog = mm.decode_jpeg(mm.encode_jpeg_progressive(w, h, seed))
+    prog = mm.decode_jpeg(
+        mm.encode_jpeg_progressive(w, h, seed, levels=levels)
+    )
     assert np.array_equal(base["pixels"], prog["pixels"])
 
 
