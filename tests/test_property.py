@@ -302,7 +302,8 @@ def test_progressive_jpeg_always_matches_baseline(w, h, seed, levels):
 def test_progressive_jpeg_truncation_never_crashes_oddly(data):
     from weblog_pipeline.ops import multimodal as mm
 
-    payload = mm.encode_jpeg_progressive(16, 16, 99)
+    levels = data.draw(st.integers(min_value=0, max_value=2))
+    payload = mm.encode_jpeg_progressive(16, 16, 99, levels=levels)
     cut = data.draw(st.integers(min_value=2, max_value=len(payload) - 1))
     try:
         mm.decode_jpeg(payload[:cut])
