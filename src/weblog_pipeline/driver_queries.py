@@ -566,6 +566,30 @@ def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span events through the OTLP BINARY protobuf wire format (hand-
+    rolled varint/length-delimited codec per opentelemetry-proto) and
+    back — same field-level oracle as the JSON twin."""
+    from . import otlp_proto
+
+    ev = events_span_view(spark, sf_dir)
+    rt = otlp_proto.decode_otlp_proto(otlp_proto.encode_otlp_proto(ev))
+    return rt.select(
+        F.conv(F.col("trace_id"), 16, 10).cast("long").alias("event_id"),
+        "event_name",
+        "ts_ns",
+        "trace_id",
+        "span_id",
+        "span_name",
+        "span_kind",
+        "trace_state",
+        F.col("event_attrs_s")["lvl"].alias("lvl"),
+        F.col("event_attrs_s")["msg"].alias("msg"),
+        F.col("event_attrs_s")["level"].alias("level"),
+        F.col("event_attrs_i")["k"].alias("k"),
+    )
+
+
 def _sql_otlp_roundtrip() -> str:
     return f"""
 WITH ev AS ({EV_CTE})
@@ -745,6 +769,56 @@ SELECT error_kind, COUNT(*) AS n_pages,
 FROM pages GROUP BY error_kind
 """
 # (quarantined pages emit zero events in Spark; the CASE mirrors that)
+
+
+#: deterministic per-domain robots bodies (three rule shapes cycling by
+#: domain index): full block, prefix block, allow-overrides-block — plus a
+#: decoy agent group the crawler must ignore
+def _robots_body(d: int) -> str:
+    decoy = "User-agent: badbot\nDisallow: /\n\n"
+    if d % 3 == 0:
+        return decoy + "User-agent: *\nDisallow: /page/"
+    if d % 3 == 1:
+        return decoy + "User-agent: *\nDisallow: /page/1"
+    return decoy + "User-agent: *\nAllow: /page/\nDisallow: /"
+
+
+def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness filter: the REAL robots.txt parser (grouped
+    agents, longest-prefix precedence, decoy agent groups) decides every
+    page against per-domain rule bodies on the broadcast side; the oracle
+    re-derives each decision arithmetically from the domain index."""
+    from . import robots
+    from .generate import N_DOMAINS
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = webpages_from_documents(docs)
+    rob = spark.createDataFrame(
+        [
+            (f"site{d}.example.com", _robots_body(d))
+            for d in range(N_DOMAINS)
+        ],
+        "host string, robots_txt string",
+    )
+    return robots.robots_filter(pages, rob)
+
+
+def _sql_robots_decisions() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_domain_case_sql("doc_id")} AS d FROM documents
+)
+SELECT 'https://site' || CAST(d AS VARCHAR) || '.example.com/page/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'site' || CAST(d AS VARCHAR) || '.example.com' AS host,
+       '/page/' || CAST(doc_id AS VARCHAR) AS path,
+       CAST(CASE d % 3
+         WHEN 0 THEN 0
+         WHEN 1 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                     THEN 0 ELSE 1 END
+         ELSE 1 END AS BIGINT) AS allowed
+FROM base
+"""
 
 
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2539,12 +2613,14 @@ def queries() -> dict:
         "e2e_records": q_e2e_records,
         "domain_route_counts": q_domain_route_counts,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
         "html_meta": q_html_meta,
         # -- text analysis --
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
         "export_manifest": q_export_manifest,
         "parse_quarantine": q_parse_quarantine,
+        "robots_decisions": q_robots_decisions,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2635,11 +2711,13 @@ def oracle_sql() -> dict:
         "e2e_records": _sql_e2e_records(),
         "domain_route_counts": _sql_domain_route_counts(),
         "otlp_roundtrip": _sql_otlp_roundtrip(),
+        "otlp_proto_roundtrip": _sql_otlp_roundtrip(),
         "html_meta": _sql_html_meta(),
         "quality_classifier": _sql_quality_classifier(),
         "pack_sequences": _sql_pack_sequences(),
         "export_manifest": _sql_export_manifest(),
         "parse_quarantine": _sql_parse_quarantine(),
+        "robots_decisions": _sql_robots_decisions(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,
