@@ -29,6 +29,7 @@ from weblog_pipeline.webpages import generate_webpages
 def main() -> None:
     ap = argparse.ArgumentParser(description="weblog parse→enrich→route→aggregate")
     ap.add_argument("--input", help="webpages table (Iceberg name or parquet path)")
+    ap.add_argument("--input-warc", help="WARC directory (warc.write_warc_files layout)")
     ap.add_argument("--generate", type=int, default=0,
                     help="instead of --input, generate N synthetic pages")
     ap.add_argument("--output", required=True, help="sink namespace or directory")
@@ -58,6 +59,16 @@ def main() -> None:
 
     if args.generate:
         webpages = generate_webpages(spark, args.generate)
+    elif args.input_warc:
+        from pyspark.sql import functions as F
+
+        from weblog_pipeline.warc import read_warc_files
+
+        # crawl container ingest: lang is not a WARC field; downstream
+        # treats it as metadata-optional
+        webpages = read_warc_files(spark, args.input_warc).withColumn(
+            "lang", F.lit(None).cast("string")
+        )
     elif args.input:
         if os.path.sep in args.input or args.input.endswith(".parquet"):
             webpages = spark.read.parquet(args.input)
@@ -65,7 +76,7 @@ def main() -> None:
             # dotted name = Iceberg table (catalog must be configured)
             webpages = spark.read.format("iceberg").load(args.input)
     else:
-        ap.error("one of --input / --generate is required")
+        ap.error("one of --input / --input-warc / --generate is required")
         return
 
     t0 = time.time()

@@ -309,3 +309,12 @@ def test_progressive_jpeg_truncation_never_crashes_oddly(data):
         mm.decode_jpeg(payload[:cut])
     except (ValueError, NotImplementedError):
         pass  # quarantine classes only — no IndexError/struct.error leaks
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300), st.text(max_size=40))
+def test_parse_robots_total_on_garbage(txt, path):
+    from weblog_pipeline import robots
+
+    groups = robots.parse_robots(txt)  # must never raise
+    assert robots.is_allowed(groups, "crawler", path) in (True, False)
