@@ -27,6 +27,10 @@ _VARINT, _FIX64, _LEN = 0, 1, 2
 
 
 def _w_varint(v: int) -> bytes:
+    if v < 0:
+        # python's arithmetic >> on a negative would never terminate;
+        # callers mask int64 two's-complement explicitly
+        raise ValueError("varint value must be non-negative (mask int64 first)")
     out = bytearray()
     while True:
         b = v & 0x7F
