@@ -102,6 +102,26 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         timed(k, e2e)
     timings["e2e_pipeline"] = min(timings[k] for k in warm_keys)
 
+    def result() -> dict:
+        e2e_sec = timings["e2e_pipeline"]
+        return {
+            "metric": "end-to-end parse→route→aggregate throughput (docs/sec)",
+            "value": e2e_sec,
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "docs": n_docs,
+            "cpus": cpus,
+            "docs_per_sec": round(n_docs / e2e_sec, 1) if e2e_sec else None,
+        }
+
+    # scaling sub-runs time only the headline: the efficiency claim is
+    # about the PIPELINE, and a 2-core-pinned pass over every auxiliary
+    # operator pushes one sub-run past an hour for no extra evidence
+    if os.environ.get("SPARK_GRAFT_E2E_ONLY") == "1":
+        spark.stop()
+        return result()
+
     # q2: parse + text extraction only (UDF-bound stage)
     from weblog_pipeline.parse import page_texts, parse_events
 
@@ -281,17 +301,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     )
 
     spark.stop()
-    e2e_sec = timings["e2e_pipeline"]
-    return {
-        "metric": "end-to-end parse→route→aggregate throughput (docs/sec)",
-        "value": timings["e2e_pipeline"],  # headline e2e seconds (warm)
-        "unit": "sec",
-        "queries": timings,
-        "sf": os.path.basename(os.path.normpath(sf_dir)),
-        "docs": n_docs,
-        "cpus": cpus,
-        "docs_per_sec": round(n_docs / e2e_sec, 1) if e2e_sec else None,
-    }
+    return result()
 
 
 def _cpu_scaling_probe() -> dict:
@@ -342,9 +352,18 @@ def run_scaling(sf_dir: str) -> None:
     import shutil as _shutil
 
     have_taskset = _shutil.which("taskset") is not None
+    # build the shared input caches UNPINNED first: cache construction is
+    # excluded from timing, so generating 4M pages on a 2-core pin would
+    # only waste an hour of wall-clock, not change any number
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prepare"],
+        env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                 WEBLOG_BENCH_PAGES=scaling_pages),
+        capture_output=True, text=True, timeout=3600, check=True,
+    )
     for cpus in (2, 8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-                   WEBLOG_BENCH_PAGES=scaling_pages)
+                   WEBLOG_BENCH_PAGES=scaling_pages, SPARK_GRAFT_E2E_ONLY="1")
         cmd = [sys.executable, os.path.abspath(__file__)]
         if have_taskset:
             # pin the whole process tree to exactly `cpus` CPUs: an
@@ -353,7 +372,7 @@ def run_scaling(sf_dir: str) -> None:
             # real N-core executor has no such free cores
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, timeout=3600,
+            cmd, env=env, capture_output=True, text=True, timeout=5400,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -397,11 +416,23 @@ def run_scaling(sf_dir: str) -> None:
     }))
 
 
+def prepare_caches(sf_dir: str) -> None:
+    """Build the webpages parquet cache with full parallelism (untimed)."""
+    from weblog_pipeline.session import build_session
+
+    spark = build_session(app_name="weblog-bench-prepare")
+    _webpages_cache(spark, N_PAGES)
+    spark.stop()
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--prepare", action="store_true")
     args = ap.parse_args()
-    if args.scaling:
+    if args.prepare:
+        prepare_caches(SF_DIR)
+    elif args.scaling:
         run_scaling(SF_DIR)
     else:
         print(json.dumps(run_bench(SF_DIR, CPUS)))
