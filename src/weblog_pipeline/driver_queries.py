@@ -771,6 +771,40 @@ FROM pages GROUP BY error_kind
 # (quarantined pages emit zero events in Spark; the CASE mirrors that)
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 canonicalization: deterministically messy urls (mixed
+    case, default port, dot segments, unsorted query, fragment) through
+    the REAL normalizer; the oracle constructs the canonical form
+    arithmetically."""
+    from . import urlnorm
+
+    docs = _read(spark, sf_dir, "documents")
+    messy = docs.select(
+        F.concat(
+            F.lit("HTTPS://SITE"),
+            # the Zipf CASE ladder is engine-shared SQL text — Spark
+            # evaluates the same expression string the DuckDB twin embeds
+            F.expr(_domain_case_sql("doc_id")).cast("string"),
+            F.lit(".Example.COM:443/page/x/../"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url")
+    )
+    return urlnorm.normalize_urls(messy)
+
+
+def _sql_url_normalize() -> str:
+    return f"""
+SELECT 'HTTPS://SITE' || CAST({_domain_case_sql("doc_id")} AS VARCHAR)
+         || '.Example.COM:443/page/x/../' || CAST(doc_id AS VARCHAR)
+         || '?b=2&a=1#frag' AS url,
+       'https://site' || CAST({_domain_case_sql("doc_id")} AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+         || '?a=1&b=2' AS url_norm
+FROM documents
+"""
+
+
 #: deterministic per-domain robots bodies (three rule shapes cycling by
 #: domain index): full block, prefix block, allow-overrides-block — plus a
 #: decoy agent group the crawler must ignore
@@ -2621,6 +2655,7 @@ def queries() -> dict:
         "export_manifest": q_export_manifest,
         "parse_quarantine": q_parse_quarantine,
         "robots_decisions": q_robots_decisions,
+        "url_normalize": q_url_normalize,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2718,6 +2753,7 @@ def oracle_sql() -> dict:
         "export_manifest": _sql_export_manifest(),
         "parse_quarantine": _sql_parse_quarantine(),
         "robots_decisions": _sql_robots_decisions(),
+        "url_normalize": _sql_url_normalize(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,
