@@ -805,6 +805,45 @@ FROM documents
 """
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-coverage audit: every domain advertises its doc_id % 4 != 3
+    pages in a REAL sitemap XML document (built with ElementTree, parsed
+    back with ElementTree); coverage counts against the crawled pages are
+    re-derived arithmetically by the oracle. To exercise the advertised-
+    but-not-crawled arm, pages with doc_id % 7 == 2 are withheld from the
+    crawl AFTER sitemap construction."""
+    from . import sitemap
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = webpages_from_documents(docs).select("url")
+    doc_id = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("long")
+    maps = sitemap.sitemaps_from_pages(pages, doc_id % 4 != 3)
+    crawled = pages.where(doc_id % 7 != 2)
+    return sitemap.sitemap_coverage(crawled, maps)
+
+
+def _sql_sitemap_coverage() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         'site' || CAST({_domain_case_sql("doc_id")} AS VARCHAR)
+           || '.example.com' AS host,
+         doc_id % 4 <> 3 AS advertised,
+         doc_id % 7 <> 2 AS crawled
+  FROM documents
+)
+SELECT host,
+       CAST(SUM(CASE WHEN advertised THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_advertised,
+       CAST(SUM(CASE WHEN crawled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crawled,
+       CAST(SUM(CASE WHEN advertised AND crawled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched
+FROM base GROUP BY host
+HAVING SUM(CASE WHEN advertised OR crawled THEN 1 ELSE 0 END) > 0
+"""
+
+
 #: deterministic per-domain robots bodies (three rule shapes cycling by
 #: domain index): full block, prefix block, allow-overrides-block — plus a
 #: decoy agent group the crawler must ignore
@@ -2656,6 +2695,7 @@ def queries() -> dict:
         "parse_quarantine": q_parse_quarantine,
         "robots_decisions": q_robots_decisions,
         "url_normalize": q_url_normalize,
+        "sitemap_coverage": q_sitemap_coverage,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2754,6 +2794,7 @@ def oracle_sql() -> dict:
         "parse_quarantine": _sql_parse_quarantine(),
         "robots_decisions": _sql_robots_decisions(),
         "url_normalize": _sql_url_normalize(),
+        "sitemap_coverage": _sql_sitemap_coverage(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,

@@ -68,3 +68,34 @@ def test_spark_filter_broadcast_join(spark):
     }
     plan = robots.robots_filter(pages, rob)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sitemap_build_parse_roundtrip():
+    from weblog_pipeline import sitemap
+
+    urls = [f"https://h/{i}" for i in range(5)]
+    xml = sitemap.build_sitemap(urls)
+    assert sitemap.parse_sitemap(xml) == urls
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sitemap.parse_sitemap("<urlset><url>broken")
+
+
+def test_sitemap_coverage_spark(spark):
+    from pyspark.sql import functions as F
+
+    from weblog_pipeline import sitemap
+
+    pages = spark.createDataFrame(
+        [(f"https://d{i % 2}.com/p/{i}",) for i in range(10)], "url string"
+    )
+    doc = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1).cast("long")
+    maps = sitemap.sitemaps_from_pages(pages, doc % 3 == 0)  # 0,3,6,9 adv
+    crawled = pages.where(doc % 5 != 0)  # 0,5 withheld
+    got = {r["host"]: (r["n_advertised"], r["n_crawled"], r["n_matched"])
+           for r in sitemap.sitemap_coverage(crawled, maps).collect()}
+    # d0 hosts evens 0,2,4,6,8: adv {0,6}, crawled {2,4,6,8}, matched {6}
+    assert got["d0.com"] == (2, 4, 1)
+    # d1 hosts odds 1,3,5,7,9: adv {3,9}, crawled {1,3,7,9}, matched {3,9}
+    assert got["d1.com"] == (2, 4, 2)

@@ -70,3 +70,28 @@ def test_file_roundtrip_feeds_parser(spark, tmp_path):
     for i in range(20):
         p = gen_page(i)
         assert got[p.url] == p.text
+
+
+def test_cli_warc_ingest(spark, tmp_path):
+    """main.py --input-warc runs the full pipeline off a WARC directory."""
+    import json
+    import subprocess
+    import sys
+
+    from weblog_pipeline.webpages import generate_webpages
+
+    inp = str(tmp_path / "crawl")
+    out = str(tmp_path / "sinks")
+    warc.write_warc_files(
+        generate_webpages(spark, 60).select("url", "warc_ts", "html"), inp
+    )
+    proc = subprocess.run(
+        [sys.executable, "main.py", "--input-warc", inp, "--output", out,
+         "--cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd=__import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    # events per page = i % 6 -> sum over 60 pages = 150
+    assert sum(payload["per_sink_counts"].values()) == 150
