@@ -101,6 +101,14 @@ def salted_skew_join(
     split stays on as a runtime net; the salt makes the plan skew-proof
     by construction (same contract as salted_agg).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # right/full-outer would surface each unmatched DIM key once per
+        # salt replica (salt_buckets copies) — not equivalent to the
+        # unsalted join, so refuse instead of silently duplicating
+        raise ValueError(
+            f"salted_skew_join supports fact-preserving joins only, got {how!r}"
+        )
     fsalt = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
     )

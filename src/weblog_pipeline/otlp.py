@@ -231,9 +231,18 @@ def decode_otlp(df: DataFrame, json_col: str = "otlp") -> DataFrame:
         F.col("sp.traceId").alias("trace_id"),
         F.col("sp.spanId").alias("span_id"),
         F.col("sp.name").alias("span_name"),
-        F.element_at(
-            F.array(*[F.lit(n) for n in _KIND_NAMES]), F.col("sp.kind") + 1
-        ).alias("span_kind"),
+        # canonical protojson omits zero-valued enums: an absent kind IS
+        # SPAN_KIND_UNSPECIFIED, matching the proto twin's default. The
+        # null guard must be an explicit `when`: element_at treats a NULL
+        # index as -1 (last element) rather than returning NULL
+        F.when(F.col("sp.kind").isNull(), F.lit("Unspecified"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(n) for n in _KIND_NAMES]),
+                F.col("sp.kind") + 1,
+            )
+        )
+        .alias("span_kind"),
         F.col("sp.traceState").alias("trace_state"),
         _map_of(F.col("evt.attributes"), "stringValue").alias("event_attrs_s"),
         _map_of(F.col("evt.attributes"), "intValue").alias("event_attrs_i"),

@@ -133,22 +133,45 @@ def _r_attrs(kv_blobs: list[bytes]) -> tuple[dict, dict]:
     return s_map, i_map
 
 
-#: Span.SpanKind enum (trace.proto): UNSPECIFIED=0..CONSUMER=5
-KIND_CODES = {
-    "Unspecified": 0,
-    "Internal": 1,
-    "Server": 2,
-    "Client": 3,
-    "Producer": 4,
-    "Consumer": 5,
-}
+#: Span.SpanKind enum (trace.proto) — ONE table shared with the JSON twin
+#: so the two wire formats can never disagree on a kind string
+from .otlp import SPAN_KIND_CODES as KIND_CODES  # noqa: E402
+
 _KIND_NAMES = {v: k for k, v in KIND_CODES.items()}
 
 
 def encode_record(row: dict) -> bytes:
     """One TracesData message (trace.proto: resource_spans=1) carrying one
     resource span -> one scope span -> one span -> one event, from a
-    flattened span-event row (the parse.EVENT_SCHEMA column contract)."""
+    flattened span-event row (the parse.EVENT_SCHEMA column contract).
+
+    Null tolerance follows proto3 semantics: a None string field or None
+    map is simply ABSENT on the wire and decodes to the proto3 default
+    ("" / {}); a negative ts_ns cannot exist in the uint64 fixed64 field
+    and raises the quarantine ValueError class."""
+    def _s(v) -> str:
+        return "" if v is None else v
+
+    def _m(v) -> dict:
+        return {} if v is None else v
+
+    ts_ns = row["ts_ns"]
+    ts_ns = 0 if ts_ns is None else int(ts_ns)
+    if ts_ns < 0:
+        raise ValueError(f"ts_ns must be unsigned for OTLP fixed64: {ts_ns}")
+    row = {
+        **row,
+        "ts_ns": ts_ns,
+        "event_name": _s(row["event_name"]),
+        "trace_id": _s(row["trace_id"]),
+        "span_id": _s(row["span_id"]),
+        "trace_state": _s(row["trace_state"]),
+        "span_name": _s(row["span_name"]),
+        "event_attrs_s": _m(row["event_attrs_s"]),
+        "event_attrs_i": _m(row["event_attrs_i"]),
+        "span_attrs": _m(row["span_attrs"]),
+        "res_attrs": _m(row["res_attrs"]),
+    }
     # Span.Event: time_unix_nano=1 (fixed64), name=2, attributes=3
     event = _w_fix64(1, row["ts_ns"]) + _w_str(2, row["event_name"])
     # None-valued map entries mirror the JSON twin's ignoreNullFields:

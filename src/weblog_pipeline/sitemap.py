@@ -95,12 +95,21 @@ def sitemap_coverage(pages: DataFrame, sitemaps: DataFrame) -> DataFrame:
                     urls.append(u)
             yield pd.DataFrame({"host": hosts, "url": urls})
 
-    advertised = sitemaps.mapInPandas(
-        explode_xml, schema="host string, url string"
-    ).withColumn("adv", F.lit(1))
-    crawled = pages.select(
-        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"), "url"
-    ).withColumn("crawl", F.lit(1))
+    # distinct BOTH sides: a re-crawled url (or a sitemap listing one loc
+    # twice) must count once, or the full-outer join multiplies rows and
+    # the audit reports >100% coverage
+    advertised = (
+        sitemaps.mapInPandas(explode_xml, schema="host string, url string")
+        .distinct()
+        .withColumn("adv", F.lit(1))
+    )
+    crawled = (
+        pages.select(
+            F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"), "url"
+        )
+        .distinct()
+        .withColumn("crawl", F.lit(1))
+    )
     joined = advertised.join(crawled, ["host", "url"], "full_outer")
     return joined.groupBy("host").agg(
         F.count_if(F.col("adv").isNotNull()).alias("n_advertised"),

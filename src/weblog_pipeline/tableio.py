@@ -148,13 +148,27 @@ def compact(
     KB-scale files whose per-file open/footer cost eventually dominates
     scans. Rewrite the directory into ceil(bytes / target) files
     (range-clustered when order_cols is given, so downstream range scans
-    prune), then atomically swap directories. Iceberg's equivalent is the
-    rewrite_data_files procedure; this is the parquet-seam twin.
+    prune), then swap directories. The swap is a TWO-STEP rename (POSIX
+    has no atomic directory exchange): a crash between the renames leaves
+    the data intact in `<path>._compact_old`, and the next invocation
+    self-heals by restoring it before compacting. Iceberg's equivalent is
+    the rewrite_data_files procedure; this is the parquet-seam twin.
 
     Returns the new file count.
     """
     import math
     import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # self-heal from a previous crashed or interrupted run
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # prior swap completed; stale backup
+        else:
+            os.rename(old, path)  # crashed mid-swap; restore the table
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
     df = spark.read.parquet(path)
     total = 0
@@ -171,14 +185,12 @@ def compact(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compact_tmp"
     out = (
         df.repartitionByRange(n_files, *order_cols)
         if order_cols
         else df.repartition(n_files)
     )
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

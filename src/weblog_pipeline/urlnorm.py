@@ -101,7 +101,11 @@ def normalize_url(url: str) -> str | None:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
         netloc = f"{host}:{port}"
-    path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
+    # percent-decode BEFORE dot-segment removal: %2E is unreserved, so
+    # '/a/%2E%2E/b' must canonicalize to '/b' — decoding after would leave
+    # a literal '/../' and break idempotence. Decoding unreserved chars
+    # can never introduce a new '/' separator (%2F is reserved and kept).
+    path = _remove_dot_segments(_norm_pct(parts.path)) or "/"
     query = ""
     if parts.query:
         pairs = sorted(parse_qsl(parts.query, keep_blank_values=True))

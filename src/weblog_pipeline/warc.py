@@ -77,7 +77,11 @@ def build_record(url: str, ts, html: bytes, compress: bool = False) -> bytes:
 def walk_records(blob: bytes) -> Iterator[tuple[str, object, bytes]]:
     """Content-Length-driven record walker (never delimiter splitting — a
     payload containing 'WARC/1.1' must not desynchronize the stream).
-    Yields (url, warc_ts, html). Raises ValueError on malformed framing."""
+    Yields (url, warc_ts, html) for RESPONSE-shaped records; records
+    without a WARC-Target-URI (warcinfo, request, metadata — real crawl
+    files lead with these) are SKIPPED while still honoring their
+    Content-Length framing. Raises ValueError on malformed framing,
+    including corrupt per-record deflate."""
     pos = 0
     n = len(blob)
     while pos < n:
@@ -92,21 +96,34 @@ def walk_records(blob: bytes) -> Iterator[tuple[str, object, bytes]]:
         for line in lines[1:]:
             k, _, v = line.partition(b":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields[b"content-length"])
+        if b"content-length" not in fields:
+            raise ValueError("WARC record missing Content-Length")
+        try:
+            length = int(fields[b"content-length"])
+        except ValueError as exc:
+            raise ValueError("non-integer WARC Content-Length") from exc
+        if length < 0:
+            raise ValueError("negative WARC Content-Length")
         start = head_end + 4
         payload = blob[start:start + length]
         if len(payload) != length:
             raise ValueError("truncated WARC payload")
         if blob[start + length:start + length + 4] != b"\r\n\r\n":
             raise ValueError("missing record terminator")
-        if fields.get(b"content-encoding") == b"deflate":
-            payload = zlib.decompress(payload)
-        yield (
-            fields[b"warc-target-uri"].decode(),
-            _parse_ts(fields[b"warc-date"]),
-            payload,
-        )
         pos = start + length + 4
+        uri = fields.get(b"warc-target-uri")
+        if uri is None:
+            continue  # warcinfo/request/metadata record — framing only
+        if fields.get(b"content-encoding") == b"deflate":
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt WARC deflate payload: {exc}") from exc
+        try:
+            ts = _parse_ts(fields[b"warc-date"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(f"bad or missing WARC-Date: {exc}") from exc
+        yield (uri.decode(), ts, payload)
 
 
 def encode_warc(pages: DataFrame, compress: bool = False) -> DataFrame:

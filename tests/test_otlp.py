@@ -121,3 +121,22 @@ def test_decode_foreign_document(spark):
     assert rows[0]["trace_state"] is None  # absent field, not ""
     assert rows[0]["event_attrs_s"] == {}  # doubleValue not in typed maps
     assert rows[0]["res_attrs"] == {"service.name": "x"}
+
+
+def test_absent_kind_decodes_to_unspecified(spark):
+    # canonical protojson drops zero-valued enums — absent kind IS
+    # SPAN_KIND_UNSPECIFIED
+    doc = {
+        "resourceSpans": [{
+            "resource": {"attributes": []},
+            "scopeSpans": [{"spans": [{
+                "traceId": "00" * 16, "spanId": "00" * 8, "name": "s",
+                "startTimeUnixNano": "1", "attributes": [],
+                "events": [{"timeUnixNano": "1", "name": "e",
+                            "attributes": []}],
+            }]}],
+        }]
+    }
+    df = spark.createDataFrame([Row(otlp=json.dumps(doc))])
+    row = otlp.decode_otlp(df).collect()[0]
+    assert row["span_kind"] == "Unspecified"

@@ -74,3 +74,26 @@ def test_spark_roundtrip_matches_input(spark):
     want = {r["trace_id"]: r.asDict() for r in df.collect()}
     got = {r["trace_id"]: r.asDict() for r in back.select(*df.columns).collect()}
     assert got == want
+
+
+def test_encode_null_fields_proto3_defaults():
+    # the JSON twin produces None for absent fields; proto3 semantics:
+    # absent on the wire, default ("", {}) on decode — never a crash
+    row = _row(1)
+    row.update(trace_state=None, span_name=None, event_attrs_i=None,
+               span_attrs=None)
+    back = op.decode_traces(op.encode_record(row))[0]
+    assert back["trace_state"] == "" and back["span_name"] == ""
+    assert back["event_attrs_i"] == {} and back["span_attrs"] == {}
+    import pytest as _pytest
+
+    bad = _row(2)
+    bad["ts_ns"] = -5
+    with _pytest.raises(ValueError, match="unsigned"):
+        op.encode_record(bad)
+
+
+def test_kind_table_shared_with_json_twin():
+    from weblog_pipeline import otlp
+
+    assert op.KIND_CODES is otlp.SPAN_KIND_CODES

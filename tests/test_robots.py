@@ -99,3 +99,18 @@ def test_sitemap_coverage_spark(spark):
     assert got["d0.com"] == (2, 4, 1)
     # d1 hosts odds 1,3,5,7,9: adv {3,9}, crawled {1,3,7,9}, matched {3,9}
     assert got["d1.com"] == (2, 4, 2)
+
+
+def test_sitemap_coverage_dedups_recrawled_urls(spark):
+    from pyspark.sql import functions as F
+
+    from weblog_pipeline import sitemap
+
+    # the same url crawled twice must count once
+    pages = spark.createDataFrame(
+        [("https://d.com/p/1",), ("https://d.com/p/1",), ("https://d.com/p/2",)],
+        "url string",
+    )
+    maps = sitemap.sitemaps_from_pages(pages.distinct(), F.lit(True))
+    got = sitemap.sitemap_coverage(pages, maps).collect()[0]
+    assert (got["n_advertised"], got["n_crawled"], got["n_matched"]) == (2, 2, 2)

@@ -197,3 +197,14 @@ def test_salted_skew_join_matches_plain_join(spark):
     # plan: the shuffle key must include the salt so the head key spreads
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_salted_skew_join_rejects_dim_preserving_how(spark):
+    import pytest as _pytest
+
+    from weblog_pipeline.aggregate import salted_skew_join
+
+    fact = spark.range(5).selectExpr("id AS k", "id AS row_id")
+    dim = spark.range(9).selectExpr("id AS k", "id AS v")
+    with _pytest.raises(ValueError, match="fact-preserving"):
+        salted_skew_join(fact, dim, key="k", salt_col="row_id", how="full")

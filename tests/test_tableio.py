@@ -135,3 +135,20 @@ def test_overwrite_partitions_is_surgical(spark, tmp_path):
     assert rows == {(9, "a"), (2, "b")}
     # and the session conf is restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_compact_self_heals_after_crash_between_renames(spark, tmp_path):
+    import os
+    import shutil
+
+    from weblog_pipeline.tableio import compact
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    # simulate a crash after rename(path, old) but before rename(tmp, path)
+    os.rename(path, path + "._compact_old")
+    n = compact(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert not os.path.exists(path + "._compact_old")

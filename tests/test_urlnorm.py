@@ -20,6 +20,9 @@ VECTORS = [
     ("https://h/a/..", "https://h/"),
     ("https://h/%3a", "https://h/%3A"),
     ("  https://h/x  ", "https://h/x"),
+    # %2E is an unreserved '.', so encoded dot segments must resolve
+    ("https://h/a/%2E%2E/b", "https://h/b"),
+    ("https://h/a/%2e/b", "https://h/a/b"),
 ]
 
 

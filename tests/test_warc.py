@@ -95,3 +95,32 @@ def test_cli_warc_ingest(spark, tmp_path):
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
     # events per page = i % 6 -> sum over 60 pages = 150
     assert sum(payload["per_sink_counts"].values()) == 150
+
+
+def test_walker_skips_warcinfo_and_request_records():
+    import datetime
+
+    ts = datetime.datetime(2025, 7, 4)
+    info = (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"software\n\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.1\r\nWARC-Type: request\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+    )
+    blob = info + warc.build_record("https://a", ts, b"<p>x</p>") + req
+    out = list(warc.walk_records(blob))
+    assert [u for u, _, _ in out] == ["https://a"]
+
+
+def test_walker_quarantines_corrupt_deflate_and_bad_framing():
+    import datetime
+
+    ts = datetime.datetime(2025, 7, 4)
+    rec = bytearray(warc.build_record("https://a", ts, b"x" * 64, compress=True))
+    rec[-10] ^= 0xFF  # flip a deflate byte
+    with pytest.raises(ValueError, match="deflate"):
+        list(warc.walk_records(bytes(rec)))
+    no_len = b"WARC/1.1\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(warc.walk_records(no_len))
