@@ -805,6 +805,36 @@ FROM documents
 """
 
 
+def q_ingest_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental daily-crawl merge: the increment mixes genuinely-new
+    documents with re-keyed copies of existing content (cross-run dups)
+    AND a re-keyed copy of one of its own members (intra-batch dup); only
+    the new content survives, first id winning. The oracle lists exactly
+    the genuinely-new slice."""
+    docs = _read(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 3 != 0)
+    fresh = docs.where(F.col("doc_id") % 3 == 0)
+    cross_dup = docs.where(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    intra_dup = fresh.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    incoming = (
+        fresh.select("doc_id", "text")
+        .unionByName(cross_dup)
+        .unionByName(intra_dup)
+    )
+    return corpus.ingest_increment(existing, incoming)
+
+
+SQL_INGEST_INCREMENT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-coverage audit: every domain advertises its doc_id % 4 != 3
     pages in a REAL sitemap XML document (built with ElementTree, parsed
@@ -2696,6 +2726,7 @@ def queries() -> dict:
         "robots_decisions": q_robots_decisions,
         "url_normalize": q_url_normalize,
         "sitemap_coverage": q_sitemap_coverage,
+        "ingest_increment": q_ingest_increment,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2795,6 +2826,7 @@ def oracle_sql() -> dict:
         "robots_decisions": _sql_robots_decisions(),
         "url_normalize": _sql_url_normalize(),
         "sitemap_coverage": _sql_sitemap_coverage(),
+        "ingest_increment": SQL_INGEST_INCREMENT,
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,

@@ -372,3 +372,31 @@ def lang_length_stats(documents: DataFrame) -> DataFrame:
             .alias("median_chars_x100"),
         )
     )
+
+
+def ingest_increment(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Incremental corpus ingest — the daily-crawl merge step: keep only
+    incoming documents whose normalized CONTENT is genuinely new, both
+    against the existing corpus and within the increment itself (first
+    doc_id wins intra-batch, deterministic).
+
+    Scale shape: the membership test is a LEFT-ANTI join on the content
+    hash (at 100 TB the existing side is a bucketed hash index, so the
+    anti-join co-locates without an exchange; here it is the plain
+    equi-join AQE handles); intra-batch dedup is a min_by aggregate per
+    hash — one shuffle each, no windows.
+
+    Output: doc_id, content_hash (the surviving increment).
+    """
+    exist_h = existing.select(
+        dedup.content_hash_col().alias("content_hash")
+    ).distinct()
+    inc = incoming.select(
+        "doc_id", dedup.content_hash_col().alias("content_hash")
+    )
+    new_content = inc.join(exist_h, "content_hash", "left_anti")
+    return (
+        new_content.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
+    )
