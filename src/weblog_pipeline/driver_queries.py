@@ -805,6 +805,55 @@ FROM documents
 """
 
 
+def q_polite_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front-door as ONE plan: messy urls are canonicalized
+    (urlnorm), the canonical form is checked against per-domain robots
+    rules (broadcast join + real parser), and the per-host admit/deny
+    census comes out the other end. Composes three independently-oracled
+    operators; the oracle re-derives the census arithmetically."""
+    from . import robots, urlnorm
+    from .generate import N_DOMAINS
+
+    docs = _read(spark, sf_dir, "documents")
+    messy = docs.select(
+        F.concat(
+            F.lit("HTTPS://SITE"),
+            F.expr(_domain_case_sql("doc_id")).cast("string"),
+            F.lit(".Example.COM:443/page/x/../"),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+        ).alias("url")
+    )
+    canon = urlnorm.normalize_urls(messy).select(
+        F.col("url_norm").alias("url")
+    )
+    rob = spark.createDataFrame(
+        [(f"site{d}.example.com", _robots_body(d)) for d in range(N_DOMAINS)],
+        "host string, robots_txt string",
+    )
+    decided = robots.robots_filter(canon, rob)
+    return decided.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("allowed").alias("n_allowed"),
+    )
+
+
+def _sql_polite_crawl() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_domain_case_sql("doc_id")} AS d FROM documents
+)
+SELECT 'site' || CAST(d AS VARCHAR) || '.example.com' AS host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(CASE d % 3
+         WHEN 0 THEN 0
+         WHEN 1 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                     THEN 0 ELSE 1 END
+         ELSE 1 END) AS BIGINT) AS n_allowed
+FROM base GROUP BY 1
+"""
+
+
 def q_ingest_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental daily-crawl merge: the increment mixes genuinely-new
     documents with re-keyed copies of existing content (cross-run dups)
@@ -2727,6 +2776,7 @@ def queries() -> dict:
         "url_normalize": q_url_normalize,
         "sitemap_coverage": q_sitemap_coverage,
         "ingest_increment": q_ingest_increment,
+        "polite_crawl": q_polite_crawl,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_stats": q_cdc_dup_stats,
         "length_histogram": q_length_histogram,
@@ -2827,6 +2877,7 @@ def oracle_sql() -> dict:
         "url_normalize": _sql_url_normalize(),
         "sitemap_coverage": _sql_sitemap_coverage(),
         "ingest_increment": SQL_INGEST_INCREMENT,
+        "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),
         "length_histogram": SQL_LENGTH_HISTOGRAM,
