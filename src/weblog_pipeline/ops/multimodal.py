@@ -7,9 +7,9 @@ with stdlib + numpy only (this container ships no PIL/ffmpeg): BMP, P6
 PPM, PNG (zlib inflate, CRC check, all five scanline filters), GIF (full
 variable-width LZW), JPEG (baseline grayscale + interleaved color at
 4:4:4/4:2:0, progressive grayscale with spectral selection + successive
-approximation), WAV (linear PCM + G.711 mu-law), and MJPEG-AVI video
-(RIFF chunk walk, per-frame JPEG). Remaining codec gaps
-(progressive-color JPEG, MP3/AAC-class audio, non-MJPEG video) raise
+approximation, progressive interleaved color), WAV (linear PCM + G.711
+mu-law), and MJPEG-AVI video (RIFF chunk walk, per-frame JPEG). Remaining
+codec gaps (MP3/AAC-class audio, non-MJPEG video) raise
 NotImplementedError
 honestly; corrupt inputs raise ValueError and are quarantined. A
 deterministic `fake=True` stand-in (derived purely from the bytes) keeps
@@ -787,6 +787,125 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_progressive_color(
+    width: int, height: int, seed: int, subsample: bool = False
+) -> bytes:
+    """Minimal REAL progressive COLOR JPEG (SOF2, spectral selection):
+    the same pixels/quantized coefficients as encode_jpeg_color, shipped
+    as an INTERLEAVED DC scan (MCU order, per-component predictors)
+    followed by per-component AC band scans (AC scans are single-
+    component by spec). Decodes to byte-identical pixels as the baseline
+    color encoder for the same source — pinned in tests."""
+    import numpy as np
+
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = ((seed + x) % 256) + 0.0 * y
+    g = ((seed + y) % 256) + 0.0 * x
+    b = (seed + x + y) % 256 + 0.0
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    hs = vs = 2 if subsample else 1
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+    ypad = _pad_to_blocks(yy, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        cpadw, cpadh = mcux * 8 * 2, mcuy * 8 * 2
+        cbp = _pad_to_blocks(cb, cpadh, cpadw)
+        crp = _pad_to_blocks(cr, cpadh, cpadw)
+        cbs = cbp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+        crs = crp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+    else:
+        cbs = _pad_to_blocks(cb, mcuy * 8, mcux * 8)
+        crs = _pad_to_blocks(cr, mcuy * 8, mcux * 8)
+    m = _dct_matrix()
+    zz = JPEG_ZIGZAG
+    ql = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+
+    def blocks_of(plane, rows, cols, q):
+        return [
+            _quantized_zigzag(
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, q, zz
+            )
+            for by in range(rows)
+            for bx in range(cols)
+        ]
+
+    comp_blocks = [
+        blocks_of(ypad, mcuy * vs, mcux * hs, ql),
+        blocks_of(cbs, mcuy, mcux, qc),
+        blocks_of(crs, mcuy, mcux, qc),
+    ]
+    comp_geom = [(vs, hs, mcux * hs), (1, 1, mcux), (1, 1, mcux)]
+    dc_l = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_l = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_c = _huffman_encode_table(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+    ac_c = _huffman_encode_table(JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_l = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    qt_c = bytes(JPEG_QTABLE_CHROMA[zz[k]] for k in range(64))
+    samp = 0x22 if subsample else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt_l + b"\x01" + qt_c)
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(
+        0xC4, b"\x01" + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+    )
+    out += seg(
+        0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
+    )
+
+    # interleaved DC scan: MCU order, per-component predictors
+    bw_out = _BitWriter()
+    preds = [0, 0, 0]
+    dc_tabs = [dc_l, dc_c, dc_c]
+    for mi in range(mcuy * mcux):
+        my, mx = divmod(mi, mcux)
+        for ci in range(3):
+            cvs, chs, cols = comp_geom[ci]
+            for v in range(cvs):
+                for hblk in range(chs):
+                    bi = (my * cvs + v) * cols + mx * chs + hblk
+                    dc = comp_blocks[ci][bi][0]
+                    diff = dc - preds[ci]
+                    size, bits_v = _magnitude(diff)
+                    code, ln = dc_tabs[ci][size]
+                    bw_out.write(code, ln)
+                    if size:
+                        bw_out.write(bits_v, size)
+                    preds[ci] = dc
+    bw_out.flush()
+    out += seg(
+        0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 0, 0])
+    ) + bw_out.out
+
+    # per-component AC band scans (single-component by spec)
+    ac_tabs = [ac_l, ac_c, ac_c]
+    for ss, se_band in PROGRESSIVE_BANDS:
+        for ci, cid in enumerate((1, 2, 3)):
+            bw_out = _BitWriter()
+            _enc_ac_first(bw_out, comp_blocks[ci], ac_tabs[ci], ss, se_band, 0)
+            bw_out.flush()
+            ta = 0x00 if ci == 0 else 0x01
+            out += seg(
+                0xDA, b"\x01" + bytes([cid, ta, ss, se_band, 0])
+            ) + bw_out.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(width: int, height: int, seed: int) -> bytes:
     """Minimal REAL baseline grayscale JPEG (stdlib + numpy): pixel (x, y)
     = (seed + x + y) % 256, 8x8 forward DCT, Annex-K quantization and
@@ -924,8 +1043,9 @@ def decode_jpeg(payload: bytes) -> dict:
     grayscale AND interleaved color — 4:4:4 and subsampled (4:2:0/4:2:2)
     MCU layouts with per-component quant/Huffman tables, byte unstuffing,
     restart markers, chroma upsampling, and YCbCr→RGB — plus PROGRESSIVE
-    (SOF2) grayscale with BOTH spectral selection and successive
-    approximation: multi-scan coefficient accumulation (DC first/refine
+    (SOF2) decode for grayscale (spectral selection AND successive
+    approximation) and interleaved color (interleaved DC scans in MCU
+    order, per-component AC band scans, 4:4:4 and 4:2:0): multi-scan coefficient accumulation (DC first/refine
     bit scans, AC band scans with EOB-run semantics, G.1.2.3 AC
     refinement walks), reconstructed in one final IDCT pass. Width/height
     come from the actual SOF bytes; feature = first FEATURE_DIM
@@ -934,8 +1054,7 @@ def decode_jpeg(payload: bytes) -> dict:
     in tests, exact header fields by the SQL oracle.
 
     Raises ValueError for corrupt streams; NotImplementedError for the
-    remaining honest gaps: progressive color and non-interleaved
-    multi-scan sequential files."""
+    remaining honest gap: non-interleaved multi-scan sequential files."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -948,8 +1067,7 @@ def decode_jpeg(payload: bytes) -> dict:
     components: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     restart_interval = 0
     progressive = False
-    coef_store = None  # progressive: per-block zigzag coefficient arrays
-    pred = 0
+    coef_store = None  # progressive: per-component block coefficient arrays
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1020,10 +1138,6 @@ def decode_jpeg(payload: bytes) -> dict:
             ]
             if marker == 0xC2:
                 progressive = True
-                if ncomp != 1:
-                    raise NotImplementedError(
-                        "progressive color JPEG not supported"
-                    )
                 if width * height > (1 << 26):
                     raise ValueError(
                         f"implausible JPEG dimensions {width}x{height}"
@@ -1047,20 +1161,54 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise NotImplementedError(
                         "restart markers in progressive JPEG not supported"
                     )
-                if ncomp_s != 1:
+                import numpy as np
+
+                # per-component block grids (MCU geometry)
+                hmax = max(h for _, h, _, _ in components)
+                vmax = max(v for _, _, v, _ in components)
+                if hmax < 1 or vmax < 1:
+                    raise ValueError("invalid JPEG sampling factor")
+                if hmax > 2 or vmax > 2:
                     raise NotImplementedError(
-                        "progressive color JPEG not supported"
+                        f"JPEG sampling {hmax}x{vmax} not supported"
                     )
-                td, ta = body[2] >> 4, body[2] & 0x0F
+                if len(components) == 1:
+                    # single-component images ignore sampling factors
+                    mcux = (width + 7) // 8
+                    mcuy = (height + 7) // 8
+                    grids = [(mcuy, mcux)]
+                else:
+                    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                    grids = [
+                        (mcuy * vs, mcux * hs)
+                        for _, hs, vs, _ in components
+                    ]
+                if coef_store is None:
+                    coef_store = [
+                        np.zeros((r * c, 64), dtype=np.int64)
+                        for r, c in grids
+                    ]
+                cid_to_idx = {
+                    cid: i for i, (cid, _, _, _) in enumerate(components)
+                }
+                scan_comps = []  # (comp_idx, td, ta) in scan order
+                for c in range(ncomp_s):
+                    cid = body[1 + 2 * c]
+                    if cid not in cid_to_idx:
+                        raise ValueError(
+                            "JPEG scan references unknown component"
+                        )
+                    scan_comps.append(
+                        (
+                            cid_to_idx[cid],
+                            body[2 + 2 * c] >> 4,
+                            body[2 + 2 * c] & 0x0F,
+                        )
+                    )
                 ss, se = body[1 + 2 * ncomp_s], body[2 + 2 * ncomp_s]
                 ahal = body[3 + 2 * ncomp_s]
                 ah, al = ahal >> 4, ahal & 0x0F
-                import numpy as np
-
-                bh = (height + 7) // 8
-                bwid = (width + 7) // 8
-                if coef_store is None:
-                    coef_store = np.zeros((bh * bwid, 64), dtype=np.int64)
                 reader = _BitReader(payload[scan_start:])
                 try:
                     if ss == 0:
@@ -1068,29 +1216,71 @@ def decode_jpeg(payload: bytes) -> dict:
                             raise ValueError(
                                 "progressive DC scan must have Se=0"
                             )
+                        # traversal: interleaved MCU order when the scan
+                        # lists >1 component, else that component's raster
+                        if len(scan_comps) > 1:
+                            if len(scan_comps) != len(components):
+                                raise ValueError(
+                                    "interleaved DC scan must list all"
+                                    " components"
+                                )
+
+                            def dc_blocks():
+                                for mi in range(mcuy * mcux):
+                                    my, mx = divmod(mi, mcux)
+                                    for ci, td, _ in scan_comps:
+                                        _, hs, vs, _ = components[ci]
+                                        _, cols = grids[ci]
+                                        for v in range(vs):
+                                            for hblk in range(hs):
+                                                yield ci, td, (
+                                                    (my * vs + v) * cols
+                                                    + mx * hs
+                                                    + hblk
+                                                )
+                        else:
+
+                            def dc_blocks():
+                                ci, td, _ = scan_comps[0]
+                                rows, cols = grids[ci]
+                                for bi in range(rows * cols):
+                                    yield ci, td, bi
+
                         if ah == 0:
-                            dc_tab = dc_tables.get(td)
-                            if dc_tab is None:
-                                raise ValueError("JPEG DC scan before DHT")
-                            for bi in range(bh * bwid):
+                            preds = [0] * len(components)
+                            for ci, td, bi in dc_blocks():
+                                dc_tab = dc_tables.get(td)
+                                if dc_tab is None:
+                                    raise ValueError(
+                                        "JPEG DC scan before DHT"
+                                    )
                                 size = _huff_read(reader, dc_tab)
-                                pred += _extend(reader.read_bits(size), size)
-                                coef_store[bi, 0] = pred << al
+                                preds[ci] += _extend(
+                                    reader.read_bits(size), size
+                                )
+                                coef_store[ci][bi, 0] = preds[ci] << al
                         else:
                             # DC refinement: one bit per block adds the
                             # next magnitude bit (two's-complement OR is
                             # exact for negatives: (v>>1)<<1 | (v&1) == v)
-                            for bi in range(bh * bwid):
+                            for ci, _, bi in dc_blocks():
                                 if reader.read_bit():
-                                    coef_store[bi, 0] |= 1 << al
+                                    coef_store[ci][bi, 0] |= 1 << al
                     elif ah == 0:
                         if se < ss or se > 63:
                             raise ValueError("invalid progressive band")
+                        if len(scan_comps) != 1:
+                            raise ValueError(
+                                "progressive AC scans are single-component"
+                            )
+                        ci, _, ta = scan_comps[0]
+                        rows, cols = grids[ci]
+                        store = coef_store[ci]
                         ac_tab = ac_tables.get(ta)
                         if ac_tab is None:
                             raise ValueError("JPEG AC scan before DHT")
                         eobrun = 0
-                        for bi in range(bh * bwid):
+                        for bi in range(rows * cols):
                             if eobrun > 0:
                                 eobrun -= 1
                                 continue
@@ -1111,7 +1301,7 @@ def decode_jpeg(payload: bytes) -> dict:
                                     raise ValueError(
                                         "JPEG AC run overflows band"
                                     )
-                                coef_store[bi, k] = (
+                                store[bi, k] = (
                                     _extend(reader.read_bits(sz), sz) << al
                                 )
                                 k += 1
@@ -1122,22 +1312,29 @@ def decode_jpeg(payload: bytes) -> dict:
                         # correction bit
                         if se < ss or se > 63:
                             raise ValueError("invalid progressive band")
+                        if len(scan_comps) != 1:
+                            raise ValueError(
+                                "progressive AC scans are single-component"
+                            )
+                        ci, _, ta = scan_comps[0]
+                        rows, cols = grids[ci]
+                        coef_ref = coef_store[ci]
                         ac_tab = ac_tables.get(ta)
                         if ac_tab is None:
                             raise ValueError("JPEG AC scan before DHT")
                         p1, m1 = 1 << al, -(1 << al)
 
                         def _correct(bi, k):
-                            c = coef_store[bi, k]
+                            c = coef_ref[bi, k]
                             if reader.read_bit() and not c & p1:
-                                coef_store[bi, k] = c + (p1 if c >= 0 else m1)
+                                coef_ref[bi, k] = c + (p1 if c >= 0 else m1)
 
                         eobrun = 0
-                        for bi in range(bh * bwid):
+                        for bi in range(rows * cols):
                             if eobrun > 0:
                                 eobrun -= 1
                                 for k in range(ss, se + 1):
-                                    if coef_store[bi, k]:
+                                    if coef_ref[bi, k]:
                                         _correct(bi, k)
                                 continue
                             k = ss
@@ -1151,7 +1348,7 @@ def decode_jpeg(payload: bytes) -> dict:
                                         if run:
                                             eobrun += reader.read_bits(run)
                                         for kk in range(k, se + 1):
-                                            if coef_store[bi, kk]:
+                                            if coef_ref[bi, kk]:
                                                 _correct(bi, kk)
                                         break
                                     # ZRL: pass 16 zero-history positions
@@ -1162,7 +1359,7 @@ def decode_jpeg(payload: bytes) -> dict:
                                         "invalid refinement AC symbol"
                                     )
                                 while k <= se:
-                                    if coef_store[bi, k]:
+                                    if coef_ref[bi, k]:
                                         _correct(bi, k)
                                     else:
                                         if run == 0:
@@ -1174,7 +1371,7 @@ def decode_jpeg(payload: bytes) -> dict:
                                         raise ValueError(
                                             "JPEG refinement overflows band"
                                         )
-                                    coef_store[bi, k] = newval
+                                    coef_ref[bi, k] = newval
                                 k += 1
                 except _RestartMarker as rm:
                     raise ValueError(
@@ -1328,32 +1525,62 @@ def _decode_jpeg_scan(
 
 
 def _reconstruct_progressive(coef_store, width, height, components, qtables):
-    """Final IDCT pass for a spectral-selection progressive JPEG: all
-    scans have accumulated into the per-block zigzag coefficient store;
-    dequantize + IDCT each block, assemble, crop."""
+    """Final IDCT pass for a progressive JPEG: all scans have accumulated
+    into per-component per-block zigzag coefficient stores; dequantize +
+    IDCT each block, assemble planes, upsample chroma, crop, and (for
+    three components) convert YCbCr->RGB — the same tail as the baseline
+    decoder."""
     import numpy as np
 
-    _, _, _, tq = components[0]
-    qt = qtables.get(tq)
-    if qt is None:
-        raise ValueError("progressive JPEG missing DQT")
-    q = np.array(qt, dtype=np.float64).reshape(8, 8)
     m = _dct_matrix()
     zz = JPEG_ZIGZAG
-    bh = (height + 7) // 8
-    bwid = (width + 7) // 8
-    plane = np.zeros((bh * 8, bwid * 8), dtype=np.float64)
-    for bi in range(bh * bwid):
-        by, bx = divmod(bi, bwid)
-        block = np.zeros(64, dtype=np.float64)
-        seq = coef_store[bi]
-        for i in range(64):
-            block[zz[i]] = seq[i]
-        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-            m.T @ (block.reshape(8, 8) * q) @ m + 128.0
-        )
-    img = np.clip(np.round(plane[:height, :width]), 0, 255).astype(np.uint8)
-    pix_bytes = img[0, :FEATURE_DIM].tolist()
+    hmax = max(h for _, h, _, _ in components)
+    vmax = max(v for _, _, v, _ in components)
+    single = len(components) == 1
+    if single:
+        mcux = (width + 7) // 8
+        mcuy = (height + 7) // 8
+    else:
+        mcux = (width + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    full = []
+    for ci, (cid, hs, vs, tq) in enumerate(components):
+        if single:
+            hs = vs = 1
+            rows, cols = mcuy, mcux
+        else:
+            rows, cols = mcuy * vs, mcux * hs
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError("progressive JPEG missing DQT")
+        q = np.array(qt, dtype=np.float64).reshape(8, 8)
+        plane = np.zeros((rows * 8, cols * 8), dtype=np.float64)
+        store = coef_store[ci]
+        for bi in range(rows * cols):
+            by, bx = divmod(bi, cols)
+            block = np.zeros(64, dtype=np.float64)
+            seq = store[bi]
+            for i in range(64):
+                block[zz[i]] = seq[i]
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                m.T @ (block.reshape(8, 8) * q) @ m + 128.0
+            )
+        ry, rx = (1, 1) if single else (vmax // vs, hmax // hs)
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:height, :width])
+    if len(full) == 1:
+        img = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        pix_bytes = img[0, :FEATURE_DIM].tolist()
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        img = np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+        pix_bytes = img[0].reshape(-1)[:FEATURE_DIM].tolist()
     feature = [v / 255.0 for v in pix_bytes] + [0.0] * (
         FEATURE_DIM - len(pix_bytes)
     )
@@ -1542,10 +1769,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
     (uncompressed header parses), PNG (zlib-inflated, CRC-checked,
     filter-inverted), GIF (full LZW decode, palette-mapped), and JPEG
     (baseline grayscale + interleaved color at 4:4:4/4:2:0, and
-    progressive grayscale with spectral selection + successive
-    approximation: Huffman entropy decode, dequantize, IDCT, YCbCr→RGB) —
-    those parse the actual bytes. Progressive color JPEG and exotic
-    formats remain honest stubs: with fake=True a deterministic stand-in derives
+    progressive grayscale — spectral selection + successive
+    approximation — and progressive interleaved color: Huffman entropy
+    decode, dequantize, IDCT, YCbCr→RGB) — those parse the actual bytes.
+    Exotic formats remain honest stubs: with fake=True a deterministic stand-in derives
     metadata purely from the bytes, keeping the distributed plumbing
     exercisable end-to-end; otherwise raise.
     """
@@ -2070,8 +2297,8 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
     """Deterministic REAL-format JPEG media table: one valid JPEG per doc
     (width 8+id%56, height 8+id%40, seed id%256), cycling the four real
     layouts by doc_id — baseline grayscale, 4:4:4 color, 4:2:0 color, and
-    progressive (SOF2; successive-approximation level cycling 0-2 by
-    doc_id) — so every decode path runs
+    progressive grayscale (SOF2; successive-approximation level cycling
+    0-2 by doc_id), and progressive color — so every decode path runs
     through Spark. The SQL oracle pins the header fields (exact by
     construction); pixel fidelity of the lossy path is pinned by pytest
     tolerance, not the cross-engine hash."""
@@ -2081,11 +2308,15 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
 
         def pick(i: int) -> bytes:
             w, h, s = 8 + i % 56, 8 + i % 40, i % 256
-            k = i % 4
+            k = i % 5
             if k == 0:
                 return encode_jpeg(w, h, s)
             if k == 3:
                 return encode_jpeg_progressive(w, h, s, levels=i % 3)
+            if k == 4:
+                return encode_jpeg_progressive_color(
+                    w, h, s, subsample=(i % 2 == 1)
+                )
             return encode_jpeg_color(w, h, s, subsample=(k == 2))
 
         for pdf in batches:
