@@ -906,6 +906,88 @@ def encode_jpeg_progressive_color(
     return bytes(out)
 
 
+def encode_jpeg_color_noninterleaved(
+    width: int, height: int, seed: int, subsample: bool = False
+) -> bytes:
+    """Minimal REAL non-interleaved multi-scan SEQUENTIAL color JPEG
+    (SOF0 + one full DC+AC scan PER COMPONENT in raster order) — the
+    third legal scan organization after interleaved-baseline and
+    progressive. Same pixels as encode_jpeg_color; decode must match it
+    bit-for-bit (tested)."""
+    import numpy as np
+
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = ((seed + x) % 256) + 0.0 * y
+    g = ((seed + y) % 256) + 0.0 * x
+    b = (seed + x + y) % 256 + 0.0
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    hs = vs = 2 if subsample else 1
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+    ypad = _pad_to_blocks(yy, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        cpadw, cpadh = mcux * 8 * 2, mcuy * 8 * 2
+        cbp = _pad_to_blocks(cb, cpadh, cpadw)
+        crp = _pad_to_blocks(cr, cpadh, cpadw)
+        cbs = cbp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+        crs = crp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+    else:
+        cbs = _pad_to_blocks(cb, mcuy * 8, mcux * 8)
+        crs = _pad_to_blocks(cr, mcuy * 8, mcux * 8)
+    m = _dct_matrix()
+    zz = JPEG_ZIGZAG
+    ql = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    dc_l = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_l = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_c = _huffman_encode_table(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+    ac_c = _huffman_encode_table(JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_l = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    qt_c = bytes(JPEG_QTABLE_CHROMA[zz[k]] for k in range(64))
+    samp = 0x22 if subsample else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt_l + b"\x01" + qt_c)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(
+        0xC4, b"\x01" + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+    )
+    out += seg(
+        0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
+    )
+    scans = [
+        (1, ypad, mcuy * vs, mcux * hs, ql, dc_l, ac_l, 0x00),
+        (2, cbs, mcuy, mcux, qc, dc_c, ac_c, 0x11),
+        (3, crs, mcuy, mcux, qc, dc_c, ac_c, 0x11),
+    ]
+    for cid, plane, rows, cols, q, dct, act, tabsel in scans:
+        bw_out = _BitWriter()
+        pred = 0
+        for by in range(rows):
+            for bx in range(cols):
+                seq = _quantized_zigzag(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, q, zz
+                )
+                pred = _encode_block(bw_out, seq, pred, dct, act)
+        bw_out.flush()
+        out += seg(0xDA, b"\x01" + bytes([cid, tabsel]) + b"\x00\x3f\x00")
+        out += bw_out.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(width: int, height: int, seed: int) -> bytes:
     """Minimal REAL baseline grayscale JPEG (stdlib + numpy): pixel (x, y)
     = (seed + x + y) % 256, 8x8 forward DCT, Annex-K quantization and
@@ -1054,7 +1136,9 @@ def decode_jpeg(payload: bytes) -> dict:
     in tests, exact header fields by the SQL oracle.
 
     Raises ValueError for corrupt streams; NotImplementedError for the
-    remaining honest gap: non-interleaved multi-scan sequential files."""
+    remaining honest gap: partially-interleaved sequential scans (a scan
+    listing 2 of 3 components; full-interleave and one-component-per-scan
+    files are both real)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1076,7 +1160,9 @@ def decode_jpeg(payload: bytes) -> dict:
             pos += 1  # fill byte before a marker (legal padding)
             continue
         if marker == 0xD9:
-            if progressive and coef_store is not None:
+            if coef_store is not None:
+                # progressive OR non-interleaved sequential: all scans
+                # accumulated; reconstruct now
                 return _reconstruct_progressive(
                     coef_store, width, height, components, qtables
                 )
@@ -1163,27 +1249,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     )
                 import numpy as np
 
-                # per-component block grids (MCU geometry)
-                hmax = max(h for _, h, _, _ in components)
-                vmax = max(v for _, _, v, _ in components)
-                if hmax < 1 or vmax < 1:
-                    raise ValueError("invalid JPEG sampling factor")
-                if hmax > 2 or vmax > 2:
-                    raise NotImplementedError(
-                        f"JPEG sampling {hmax}x{vmax} not supported"
-                    )
-                if len(components) == 1:
-                    # single-component images ignore sampling factors
-                    mcux = (width + 7) // 8
-                    mcuy = (height + 7) // 8
-                    grids = [(mcuy, mcux)]
-                else:
-                    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-                    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-                    grids = [
-                        (mcuy * vs, mcux * hs)
-                        for _, hs, vs, _ in components
-                    ]
+                mcux, mcuy, grids = _mcu_geometry(components, width, height)
                 if coef_store is None:
                     coef_store = [
                         np.zeros((r * c, 64), dtype=np.int64)
@@ -1380,9 +1446,58 @@ def decode_jpeg(payload: bytes) -> dict:
                 pos = scan_start + reader.pos
                 continue
             if ncomp_s != len(components):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG not supported"
-                )
+                # non-interleaved multi-scan SEQUENTIAL file: each scan
+                # carries one component's full DC+AC blocks in raster
+                # order; coefficients accumulate per component and the
+                # image reconstructs at EOI — same store machinery as
+                # progressive
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart markers in non-interleaved JPEG"
+                        " not supported"
+                    )
+                if ncomp_s != 1:
+                    raise NotImplementedError(
+                        "partially-interleaved sequential JPEG"
+                        " not supported"
+                    )
+                import numpy as np
+
+                _, _, grids = _mcu_geometry(components, width, height)
+                if coef_store is None:
+                    coef_store = [
+                        np.zeros((r * c, 64), dtype=np.int64)
+                        for r, c in grids
+                    ]
+                cid_to_idx = {
+                    cid: i for i, (cid, _, _, _) in enumerate(components)
+                }
+                cid = body[1]
+                if cid not in cid_to_idx:
+                    raise ValueError(
+                        "JPEG scan references unknown component"
+                    )
+                ci = cid_to_idx[cid]
+                td, ta = body[2] >> 4, body[2] & 0x0F
+                dc_tab, ac_tab = dc_tables.get(td), ac_tables.get(ta)
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG scan before DHT")
+                rows, cols = grids[ci]
+                store = coef_store[ci]
+                reader = _BitReader(payload[scan_start:])
+                seq_pred = 0
+                try:
+                    for bi in range(rows * cols):
+                        seq, seq_pred = _decode_block(
+                            reader, dc_tab, ac_tab, seq_pred
+                        )
+                        store[bi, :] = seq
+                except _RestartMarker as rm:
+                    raise ValueError(
+                        "unexpected JPEG restart marker"
+                    ) from rm
+                pos = scan_start + reader.pos
+                continue
             scan_tabs = {}
             for c in range(ncomp_s):
                 cid = body[1 + 2 * c]
@@ -1394,7 +1509,7 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2 + length
     raise ValueError(
         "JPEG missing EOI (truncated stream)"
-        if progressive and coef_store is not None
+        if coef_store is not None
         else "JPEG missing SOS scan"
     )
 
@@ -1522,6 +1637,26 @@ def _decode_jpeg_scan(
         "feature": feature,
         "pixels": img,
     }
+
+
+def _mcu_geometry(components, width, height):
+    """(mcux, mcuy, per-component (rows, cols) block grids)."""
+    hmax = max(h for _, h, _, _ in components)
+    vmax = max(v for _, _, v, _ in components)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("invalid JPEG sampling factor")
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError(f"JPEG sampling {hmax}x{vmax} not supported")
+    if len(components) == 1:
+        # single-component images ignore sampling factors
+        mcux = (width + 7) // 8
+        mcuy = (height + 7) // 8
+        return mcux, mcuy, [(mcuy, mcux)]
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    return mcux, mcuy, [
+        (mcuy * vs, mcux * hs) for _, hs, vs, _ in components
+    ]
 
 
 def _reconstruct_progressive(coef_store, width, height, components, qtables):

@@ -295,18 +295,18 @@ def test_multimodal_compressed_decode_is_stubbed():
     )
     with pytest.raises(NotImplementedError, match="sampling"):
         multimodal.decode_jpeg(wild_sof)
-    # non-interleaved multi-scan SEQUENTIAL files stay a stub (progressive
-    # handles per-component scans; the baseline path does not)
+    # PARTIALLY-interleaved sequential scans (2 of 3 components in one
+    # scan) stay a stub; full-interleave and one-component scans are real
     seq_partial_sos = (
         b"\xff\xd8"
         + b"\xff\xc0" + _struct.pack(">H", 17)
         + _struct.pack(">BHHB", 8, 4, 4, 3)
         + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
-        + b"\xff\xda" + _struct.pack(">H", 8)
-        + b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+        + b"\xff\xda" + _struct.pack(">H", 10)
+        + b"\x02" + bytes([1, 0x00, 2, 0x11]) + b"\x00\x3f\x00"
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(NotImplementedError, match="interleaved"):
         multimodal.decode_jpeg(seq_partial_sos)
     # a refinement AC symbol with size > 1 is invalid framing, quarantined
     bad_refine = (
@@ -1565,6 +1565,29 @@ def test_jpeg_progressive_color_equals_baseline_color():
 
 def test_jpeg_progressive_color_truncation_quarantined():
     payload = multimodal.encode_jpeg_progressive_color(24, 16, 77, subsample=True)
+    for cut in (len(payload) // 3, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg(payload[:cut])
+
+
+def test_jpeg_noninterleaved_sequential_equals_baseline():
+    import numpy as np
+
+    for (w, h, seed) in [(8, 8, 10), (17, 9, 100), (33, 21, 160)]:
+        for sub in (False, True):
+            base = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_color(w, h, seed, subsample=sub)
+            )
+            ni = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_color_noninterleaved(
+                    w, h, seed, subsample=sub
+                )
+            )
+            assert np.array_equal(base["pixels"], ni["pixels"]), (w, h, seed, sub)
+
+
+def test_jpeg_noninterleaved_truncation_quarantined():
+    payload = multimodal.encode_jpeg_color_noninterleaved(24, 16, 77)
     for cut in (len(payload) // 3, len(payload) // 2, len(payload) - 3):
         with pytest.raises(ValueError):
             multimodal.decode_jpeg(payload[:cut])
