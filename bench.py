@@ -73,12 +73,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, runs: int = 1):
-        """Best-of-`runs` wall time. The heavier operator keys use runs=2:
-        this shared box swings single measurements by 2-4x under neighbor
-        load (observed same-hour), and a best-of pair approximates
+    def timed(name: str, fn, runs: int = 2):
+        """Best-of-`runs` wall time. EVERY reported key defaults to
+        best-of-2: this shared box swings single measurements by 2-4x
+        under neighbor load (r3's parse_extract 'regression' was exactly
+        such noise on a runs=1 key), and a best-of pair approximates
         steady-state capability the same way the e2e headline's
-        best-of-five does."""
+        best-of-five does. The e2e cold/warm keys pass runs=1 explicitly
+        because the cold/warm split already serves that purpose."""
         best = None
         out = None
         for _ in range(runs):
@@ -106,11 +108,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # FIVE warm runs (host noise on this shared box swings single runs by
     # ±40% — best-of approximates steady-state capability; every run is
     # reported in the JSON)
-    timed("e2e_pipeline_cold", e2e)
+    timed("e2e_pipeline_cold", e2e, runs=1)
     warm_keys = [f"e2e_pipeline_warm{i}" for i in range(1, 6)]
     for k in warm_keys:
-        timed(k, e2e)
+        timed(k, e2e, runs=1)
     timings["e2e_pipeline"] = min(timings[k] for k in warm_keys)
+
+    extra: dict = {}
 
     def result() -> dict:
         e2e_sec = timings["e2e_pipeline"]
@@ -123,6 +127,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "docs": n_docs,
             "cpus": cpus,
             "docs_per_sec": round(n_docs / e2e_sec, 1) if e2e_sec else None,
+            **extra,
         }
 
     # scaling sub-runs time only the headline: the efficiency claim is
@@ -181,6 +186,36 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return similarity.ivf_topk(embs, q, k=5).count()
 
     timed("ann_ivf_topk", ann_ivf, runs=2)
+
+    # tracked recall@5 (basis points) per approximate ANN method against
+    # brute force — the quality side of the speed/recall trade, recorded
+    # every round so a bucket/centroid regression shows up as a NUMBER
+    # drop, not just a red correctness row at the small SF
+    def ann_recall_bp():
+        q = embs.where(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        bf = (
+            similarity.brute_force_topk(embs, q, k=5)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        n_true = bf.count()
+        out = {}
+        for mname, ap in (
+            ("ivf", similarity.ivf_topk(embs, q, k=5)),
+            ("ivf_r", similarity.ivf_topk_refined(embs, q, k=5, n_iter=1)),
+            ("lsh", similarity.lsh_topk(embs, q, k=5)),
+        ):
+            hits = bf.join(
+                ap.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            out[mname] = hits * 10000 // n_true if n_true else None
+        return out
+
+    extra["ann_recall_bp"] = timed("ann_recall", ann_recall_bp, runs=1)
 
     # q10: skew stress — bigram LM counts over a deterministic Zipf-ish
     # corpus (token rank log-uniform in [1, vocab): ~6% of all prefix

@@ -85,8 +85,14 @@ def main() -> None:
     elapsed = time.time() - t0
 
     n_docs = args.generate or webpages.count()
+    # per_sink_counts / observed_records come from the df.observe
+    # Observation riding the sink write (O23) — the same counters the
+    # run_metrics ledger persists, printed so an operator sees them
+    # without querying the ledger table
     print(json.dumps({
         "per_sink_counts": counts,
+        "observed_records": int(result.metrics.get("records", 0)),
+        "run_metrics_table": f"{args.output}/run_metrics",
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_docs / elapsed, 1),
         "output": args.output,

@@ -29,12 +29,30 @@ N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3
 DEFAULT_BUCKET_CAP = 64  # max docs per (band, band_hash) bucket in the pair join
 
+#: engine-portable whitespace class. Java regex `\s` matches \x0B while
+#: RE2's does not, so `\s` silently diverges between Spark and an
+#: independent SQL oracle on text containing vertical tabs — spell the
+#: class out (both engines parse these escapes identically, ASCII-only).
+WS_RE = "[ \\t\\n\\r\\f\\x0B]+"
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWERC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col):
+    """ASCII-only case fold. Full Unicode lower() diverges across engines
+    (Java maps U+0130 to 'i'+combining-dot and applies final-sigma context;
+    utf8proc does neither), so normalization keys fold ASCII letters only —
+    deterministic and identical everywhere, which matters more for dedup
+    keys than locale-perfect casing."""
+    return F.translate(col, _UPPER, _LOWERC)
+
 
 def lower_tokens_col(text_col="text"):
     """Whitespace tokens of lowercased, trimmed text — THE tokenizer every
     corpus-grain op shares with its SQL twin (driver_queries._TOKS); change
     it here and the oracle expression together, nowhere else."""
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return F.split(F.trim(ascii_lower(F.col(text_col))), WS_RE)
 
 
 def shingles_col(text_col="text"):
@@ -58,7 +76,7 @@ def content_hash_col(text_col="text"):
     """md5 of the whitespace-normalized, lowercased text — the exact-dedup
     grouping key (shared by exact_duplicates and dedup_pipeline)."""
     return F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        F.regexp_replace(F.trim(ascii_lower(F.col(text_col))), WS_RE, " ")
     )
 
 
@@ -484,7 +502,7 @@ def cdc_chunks(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODULUS)
     """
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(ascii_lower(F.col("text"))), WS_RE, " ")
     base = (
         _fan_out(documents.select("doc_id", "text"))
         .select("doc_id", norm.alias("t"))

@@ -988,6 +988,109 @@ def encode_jpeg_color_noninterleaved(
     return bytes(out)
 
 
+def encode_jpeg_color_partial(
+    width: int, height: int, seed: int, subsample: bool = False
+) -> bytes:
+    """Minimal REAL partially-interleaved multi-scan SEQUENTIAL color
+    JPEG (T.81 A.2.3): scan 1 interleaves components 1+2 (Y, Cb) in MCU
+    order on the frame grid; scan 2 carries component 3 (Cr) alone in
+    raster order — the fourth legal scan organization (a scan listing 2
+    of 3 components). Same pixels as encode_jpeg_color; decode must
+    match it bit-for-bit (tested)."""
+    import numpy as np
+
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = ((seed + x) % 256) + 0.0 * y
+    g = ((seed + y) % 256) + 0.0 * x
+    b = (seed + x + y) % 256 + 0.0
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    hs = vs = 2 if subsample else 1
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+    ypad = _pad_to_blocks(yy, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        cpadw, cpadh = mcux * 8 * 2, mcuy * 8 * 2
+        cbp = _pad_to_blocks(cb, cpadh, cpadw)
+        crp = _pad_to_blocks(cr, cpadh, cpadw)
+        cbs = cbp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+        crs = crp.reshape(cpadh // 2, 2, cpadw // 2, 2).mean(axis=(1, 3))
+    else:
+        cbs = _pad_to_blocks(cb, mcuy * 8, mcux * 8)
+        crs = _pad_to_blocks(cr, mcuy * 8, mcux * 8)
+    m = _dct_matrix()
+    zz = JPEG_ZIGZAG
+    ql = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    dc_l = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_l = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_c = _huffman_encode_table(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+    ac_c = _huffman_encode_table(JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_l = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    qt_c = bytes(JPEG_QTABLE_CHROMA[zz[k]] for k in range(64))
+    samp = 0x22 if subsample else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt_l + b"\x01" + qt_c)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(
+        0xC4, b"\x01" + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+    )
+    out += seg(
+        0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
+    )
+    # scan 1: Y + Cb interleaved in MCU order on the frame grid
+    bw_out = _BitWriter()
+    preds = [0, 0]
+    geom = [
+        (ypad, vs, hs, mcux * hs, ql, dc_l, ac_l),
+        (cbs, 1, 1, mcux, qc, dc_c, ac_c),
+    ]
+    for mi in range(mcuy * mcux):
+        my, mx = divmod(mi, mcux)
+        for ci, (plane, cvs, chs, cols, q, dct, act) in enumerate(geom):
+            for v in range(cvs):
+                for hblk in range(chs):
+                    y0 = (my * cvs + v) * 8
+                    x0 = (mx * chs + hblk) * 8
+                    seq = _quantized_zigzag(
+                        plane[y0 : y0 + 8, x0 : x0 + 8], m, q, zz
+                    )
+                    preds[ci] = _encode_block(
+                        bw_out, seq, preds[ci], dct, act
+                    )
+    bw_out.flush()
+    out += seg(
+        0xDA, b"\x02" + bytes([1, 0x00, 2, 0x11]) + b"\x00\x3f\x00"
+    )
+    out += bw_out.out
+    # scan 2: Cr alone in raster order
+    bw_out = _BitWriter()
+    pred = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            seq = _quantized_zigzag(
+                crs[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, qc, zz
+            )
+            pred = _encode_block(bw_out, seq, pred, dc_c, ac_c)
+    bw_out.flush()
+    out += seg(0xDA, b"\x01" + bytes([3, 0x11]) + b"\x00\x3f\x00")
+    out += bw_out.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(width: int, height: int, seed: int) -> bytes:
     """Minimal REAL baseline grayscale JPEG (stdlib + numpy): pixel (x, y)
     = (seed + x + y) % 256, 8x8 forward DCT, Annex-K quantization and
@@ -1446,24 +1549,23 @@ def decode_jpeg(payload: bytes) -> dict:
                 pos = scan_start + reader.pos
                 continue
             if ncomp_s != len(components):
-                # non-interleaved multi-scan SEQUENTIAL file: each scan
-                # carries one component's full DC+AC blocks in raster
-                # order; coefficients accumulate per component and the
-                # image reconstructs at EOI — same store machinery as
-                # progressive
+                # multi-scan SEQUENTIAL file: a scan carries a SUBSET of
+                # the frame's components — one component's full DC+AC
+                # blocks in raster order (non-interleaved), or several
+                # components interleaved in MCU order on the frame grid
+                # (partially-interleaved, T.81 A.2.3). Coefficients
+                # accumulate per component and the image reconstructs at
+                # EOI — same store machinery as progressive.
                 if restart_interval:
                     raise NotImplementedError(
                         "restart markers in non-interleaved JPEG"
                         " not supported"
                     )
-                if ncomp_s != 1:
-                    raise NotImplementedError(
-                        "partially-interleaved sequential JPEG"
-                        " not supported"
-                    )
                 import numpy as np
 
-                _, _, grids = _mcu_geometry(components, width, height)
+                mcux_g, mcuy_g, grids = _mcu_geometry(
+                    components, width, height
+                )
                 if coef_store is None:
                     coef_store = [
                         np.zeros((r * c, 64), dtype=np.int64)
@@ -1472,26 +1574,56 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid_to_idx = {
                     cid: i for i, (cid, _, _, _) in enumerate(components)
                 }
-                cid = body[1]
-                if cid not in cid_to_idx:
-                    raise ValueError(
-                        "JPEG scan references unknown component"
-                    )
-                ci = cid_to_idx[cid]
-                td, ta = body[2] >> 4, body[2] & 0x0F
-                dc_tab, ac_tab = dc_tables.get(td), ac_tables.get(ta)
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("JPEG scan before DHT")
-                rows, cols = grids[ci]
-                store = coef_store[ci]
-                reader = _BitReader(payload[scan_start:])
-                seq_pred = 0
-                try:
-                    for bi in range(rows * cols):
-                        seq, seq_pred = _decode_block(
-                            reader, dc_tab, ac_tab, seq_pred
+                scan_comps = []  # (comp_idx, dc_tab, ac_tab) in scan order
+                for c in range(ncomp_s):
+                    cid = body[1 + 2 * c]
+                    if cid not in cid_to_idx:
+                        raise ValueError(
+                            "JPEG scan references unknown component"
                         )
-                        store[bi, :] = seq
+                    td = body[2 + 2 * c] >> 4
+                    ta = body[2 + 2 * c] & 0x0F
+                    dc_tab = dc_tables.get(td)
+                    ac_tab = ac_tables.get(ta)
+                    if dc_tab is None or ac_tab is None:
+                        raise ValueError("JPEG scan before DHT")
+                    scan_comps.append((cid_to_idx[cid], dc_tab, ac_tab))
+                reader = _BitReader(payload[scan_start:])
+                try:
+                    if ncomp_s == 1:
+                        ci, dc_tab, ac_tab = scan_comps[0]
+                        rows, cols = grids[ci]
+                        store = coef_store[ci]
+                        seq_pred = 0
+                        for bi in range(rows * cols):
+                            seq, seq_pred = _decode_block(
+                                reader, dc_tab, ac_tab, seq_pred
+                            )
+                            store[bi, :] = seq
+                    else:
+                        # partially-interleaved: MCU order over the
+                        # SCAN's components on the frame MCU grid, each
+                        # contributing its hs x vs data units per MCU,
+                        # with per-component DC predictors
+                        preds = [0] * len(components)
+                        for mi in range(mcuy_g * mcux_g):
+                            my, mx = divmod(mi, mcux_g)
+                            for ci, dc_tab, ac_tab in scan_comps:
+                                _, hs, vs, _ = components[ci]
+                                _, cols = grids[ci]
+                                store = coef_store[ci]
+                                for v in range(vs):
+                                    for hblk in range(hs):
+                                        bi = (
+                                            (my * vs + v) * cols
+                                            + mx * hs
+                                            + hblk
+                                        )
+                                        seq, preds[ci] = _decode_block(
+                                            reader, dc_tab, ac_tab,
+                                            preds[ci],
+                                        )
+                                        store[bi, :] = seq
                 except _RestartMarker as rm:
                     raise ValueError(
                         "unexpected JPEG restart marker"
@@ -2430,26 +2562,36 @@ def media_gif_from_documents(documents: "DataFrame") -> "DataFrame":
 
 def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
     """Deterministic REAL-format JPEG media table: one valid JPEG per doc
-    (width 8+id%56, height 8+id%40, seed id%256), cycling the four real
-    layouts by doc_id — baseline grayscale, 4:4:4 color, 4:2:0 color, and
+    (width 8+id%56, height 8+id%40, seed id%256), cycling the seven real
+    layouts by doc_id — baseline grayscale, 4:4:4 color, 4:2:0 color,
     progressive grayscale (SOF2; successive-approximation level cycling
-    0-2 by doc_id), and progressive color — so every decode path runs
-    through Spark. The SQL oracle pins the header fields (exact by
-    construction); pixel fidelity of the lossy path is pinned by pytest
-    tolerance, not the cross-engine hash."""
+    0-2 by doc_id), progressive color, non-interleaved multi-scan
+    sequential color, and partially-interleaved sequential color (a scan
+    listing 2 of 3 components) — so every decode path runs through
+    Spark. The SQL oracle pins the header fields (exact by construction);
+    pixel fidelity of the lossy path is pinned by pytest tolerance, not
+    the cross-engine hash."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         def pick(i: int) -> bytes:
             w, h, s = 8 + i % 56, 8 + i % 40, i % 256
-            k = i % 5
+            k = i % 7
             if k == 0:
                 return encode_jpeg(w, h, s)
             if k == 3:
                 return encode_jpeg_progressive(w, h, s, levels=i % 3)
             if k == 4:
                 return encode_jpeg_progressive_color(
+                    w, h, s, subsample=(i % 2 == 1)
+                )
+            if k == 5:
+                return encode_jpeg_color_noninterleaved(
+                    w, h, s, subsample=(i % 2 == 1)
+                )
+            if k == 6:
+                return encode_jpeg_color_partial(
                     w, h, s, subsample=(i % 2 == 1)
                 )
             return encode_jpeg_color(w, h, s, subsample=(k == 2))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _fan_out, lower_tokens_col
+from .dedup import WS_RE, _fan_out, ascii_lower, lower_tokens_col
 
 #: small per-language marker-word sets for the n-gram/stopword language
 #: heuristic (shared with the SQL oracle generator).
@@ -28,7 +28,7 @@ STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
 )
 
-TOKEN_SPLIT = r"\s+"
+TOKEN_SPLIT = WS_RE  # explicit class: Java \s and RE2 \s disagree on \x0B
 PUNCT_CLASS = "[.,;:!?'\"()\\[\\]{}-]"
 
 
@@ -46,7 +46,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     toks = _tokens(text)
     n_word_runs = F.array_size(F.regexp_extract_all(text, F.lit("[A-Za-z0-9_]+"), 0))
     n_sym_chars = F.array_size(
-        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9_\s]"), 0)
+        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9_ \\t\\n\\r\\f\\x0B]"), 0)
     )
     return documents.select(
         "doc_id",
@@ -63,7 +63,7 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     """Integer quality-signal counts per doc: tokens, stopword hits,
     punctuation chars, mean token length ×100 (int)."""
     text = F.col("text")
-    toks = _tokens(F.lower(text))
+    toks = _tokens(ascii_lower(text))
     n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.array_size(toks))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -93,7 +93,7 @@ def quality_stats(documents: DataFrame) -> DataFrame:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language heuristic: per-language hit counts + argmax
     (ties broken by language code order, deterministic)."""
-    toks = _tokens(F.lower(F.col("text")))
+    toks = _tokens(ascii_lower(F.col("text")))
     cols = [F.col("doc_id")]
     hit_cols = []
     for lang_code, markers in sorted(LANG_MARKERS.items()):
@@ -118,7 +118,7 @@ def _argmax_expr(hit_cols):
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Stable document fingerprint: md5 of whitespace-normalized lowercase
     text (plus a 64-bit rolling-hash-equivalent prefix as bigint)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(ascii_lower(F.col("text"))), WS_RE, " ")
     fp = F.md5(norm)
     return documents.select(
         "doc_id",
@@ -196,7 +196,7 @@ def winnow_fingerprints(
 
     Output: doc_id, n_grams, n_fingerprints (distinct minima), min_fp.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(ascii_lower(F.col("text"))), WS_RE, " ")
     base = (
         _fan_out(documents.select("doc_id", "text"))
         .select("doc_id", norm.alias("t"))

@@ -232,17 +232,25 @@ def decode_otlp(df: DataFrame, json_col: str = "otlp") -> DataFrame:
         F.col("sp.spanId").alias("span_id"),
         F.col("sp.name").alias("span_name"),
         # canonical protojson omits zero-valued enums: an absent kind IS
-        # SPAN_KIND_UNSPECIFIED, matching the proto twin's default. The
-        # null guard must be an explicit `when`: element_at treats a NULL
-        # index as -1 (last element) rather than returning NULL
-        F.when(F.col("sp.kind").isNull(), F.lit("Unspecified"))
-        .otherwise(
-            F.element_at(
-                F.array(*[F.lit(n) for n in _KIND_NAMES]),
-                F.col("sp.kind") + 1,
-            )
-        )
-        .alias("span_kind"),
+        # SPAN_KIND_UNSPECIFIED, matching the proto twin's default.
+        # try_element_at (not element_at): proto3 enums are open, so a
+        # foreign exporter may ship kind codes outside 0-5 — under ANSI
+        # mode element_at would throw INVALID_ARRAY_INDEX and kill the
+        # whole batch; unknown kinds degrade to 'Unspecified' instead
+        # (quarantine-never-fail convention). try_element_at also returns
+        # NULL for a NULL index, which the same coalesce absorbs.
+        # (the >= 0 guard stops negative codes from hitting element_at's
+        # count-from-the-end indexing)
+        F.coalesce(
+            F.when(
+                F.col("sp.kind") >= 0,
+                F.try_element_at(
+                    F.array(*[F.lit(n) for n in _KIND_NAMES]),
+                    F.col("sp.kind").cast("int") + 1,
+                ),
+            ),
+            F.lit("Unspecified"),
+        ).alias("span_kind"),
         F.col("sp.traceState").alias("trace_state"),
         _map_of(F.col("evt.attributes"), "stringValue").alias("event_attrs_s"),
         _map_of(F.col("evt.attributes"), "intValue").alias("event_attrs_i"),

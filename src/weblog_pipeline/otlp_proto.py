@@ -198,13 +198,15 @@ def encode_record(row: dict) -> bytes:
         + _w_fix64(7, row["ts_ns"])
     )
     for k, v in row["span_attrs"].items():
-        span += _w_len(9, _w_str(1, k) + _w_len(2, _w_str(1, v)))
+        if v is not None:
+            span += _w_len(9, _w_str(1, k) + _w_len(2, _w_str(1, v)))
     span += _w_len(11, event)
     # Resource: attributes=1; ResourceSpans: resource=1, scope_spans=2;
     # ScopeSpans: spans=2
     resource = b"".join(
         _w_len(1, _w_str(1, k) + _w_len(2, _w_str(1, v)))
         for k, v in row["res_attrs"].items()
+        if v is not None
     )
     scope_spans = _w_len(2, span)
     resource_spans = _w_len(1, resource) + _w_len(2, scope_spans)

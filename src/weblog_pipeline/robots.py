@@ -27,9 +27,11 @@ Rules = dict[str, list[tuple[bool, str]]]
 
 
 def parse_robots(text: str) -> Rules:
-    """agent(lowercase) -> [(allow, path_prefix)] in file order. A blank
-    line or a new User-agent line after rules starts a new group; multiple
-    consecutive User-agent lines share one group (RFC 9309 §2.1)."""
+    """agent(lowercase) -> [(allow, path_prefix)] in file order. Groups
+    are delimited by a User-agent line that FOLLOWS rules; blank lines are
+    ignored entirely (RFC 9309 §2.1 — group boundaries come from
+    directives, not spacing); multiple consecutive User-agent lines share
+    one group."""
     groups: Rules = {}
     agents: list[str] = []
     rules_open = False

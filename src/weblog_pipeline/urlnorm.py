@@ -77,8 +77,10 @@ def _remove_dot_segments(path: str) -> str:
     norm = "/".join(out)
     if path.startswith("/") and not norm.startswith("/"):
         norm = "/" + norm
-    # a trailing '.' or '..' segment leaves a trailing slash
-    if path.rstrip("/").endswith((".", "..")) and not norm.endswith("/"):
+    # only a final segment that IS exactly '.' or '..' leaves a trailing
+    # slash (RFC 3986 §5.2.4); a literal segment merely ending in dots
+    # ('file.', 'a..') is a distinct resource and must pass through intact
+    if path.split("/")[-1] in (".", "..") and not norm.endswith("/"):
         norm += "/"
     return norm
 

@@ -74,6 +74,65 @@ def test_crash_mid_run_resumes_exactly(spark, tmp_path, input_path):
     assert got.count() == n  # no dups, no gaps
     assert got.select("url", "event_name", "ts_ns").distinct().count() == n
 
+def test_crash_between_sink_write_and_ledger_commit(spark, tmp_path, input_path):
+    """Chaos test for the sink-boundary window: the process dies AFTER a
+    chunk's multi-sink output is on disk but BEFORE the ledger records it
+    — and worse, one sink partition of that chunk is only half there
+    (mid-write kill). The rerun must re-execute exactly that chunk and
+    its static chunk-dir overwrite must replace the partial output, so
+    every sink ends with exactly its expected rows — no duplicates, no
+    gaps, per sink (SURVEY §4 overwrite-by-filter idempotency)."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    ledger = LineageStore(spark, str(tmp_path / "ledger"))
+
+    class CrashAfterWrite(LineageStore):
+        # record() is called once for the manifest, then once per chunk
+        # AFTER that chunk's sink write: dying inside call 3 leaves chunk
+        # 1's output committed on disk with no ledger row
+        calls = 0
+
+        def record(self, rows):
+            CrashAfterWrite.calls += 1
+            if CrashAfterWrite.calls == 3:
+                raise RuntimeError("simulated kill between write and ledger")
+            super().record(rows)
+
+    crashy = CrashAfterWrite(spark, str(tmp_path / "ledger"))
+    with pytest.raises(RuntimeError, match="between write and ledger"):
+        run_resumable(spark, input_path, out, "r1", _build_logs, crashy, unit_batch=2)
+
+    # chunk 1's output exists but is unrecorded; amputate one sink
+    # partition of it to simulate the kill landing mid-write
+    chunk1 = os.path.join(out, "run=r1", "chunk=000001")
+    sink_dirs = sorted(
+        d for d in os.listdir(chunk1) if d.startswith("sink=")
+    )
+    assert len(sink_dirs) >= 2, "fixture must route to multiple sinks"
+    shutil.rmtree(os.path.join(chunk1, sink_dirs[0]))
+
+    # rerun with a healthy ledger: only chunk 0 is skipped; chunk 1
+    # re-executes and its overwrite replaces the amputated output
+    s = run_resumable(spark, input_path, out, "r1", _build_logs, ledger, unit_batch=2)
+    assert s["chunks_skipped"] == 1
+
+    expected = (
+        _build_logs(spark.read.parquet(input_path))
+        .groupBy("sink")
+        .count()
+        .collect()
+    )
+    got = {
+        r["sink"]: r["count"]
+        for r in read_output(spark, out).groupBy("sink").count().collect()
+    }
+    assert got == {r["sink"]: r["count"] for r in expected}
+    # and no row-level duplicates hiding inside equal counts
+    o = read_output(spark, out)
+    assert o.count() == o.select("url", "event_name", "ts_ns").distinct().count()
+
+
 def test_resume_refuses_changed_input_list(spark, tmp_path, input_path):
     out = str(tmp_path / "out")
     ledger = LineageStore(spark, str(tmp_path / "ledger"))

@@ -295,8 +295,10 @@ def test_multimodal_compressed_decode_is_stubbed():
     )
     with pytest.raises(NotImplementedError, match="sampling"):
         multimodal.decode_jpeg(wild_sof)
-    # PARTIALLY-interleaved sequential scans (2 of 3 components in one
-    # scan) stay a stub; full-interleave and one-component scans are real
+    # PARTIALLY-interleaved sequential scans are now REAL (see
+    # test_property.test_partial_interleave_jpeg_always_matches_baseline);
+    # a partial-interleave SOS with no DHT is corrupt framing and must
+    # land in the ValueError quarantine class, not decode or crash oddly
     seq_partial_sos = (
         b"\xff\xd8"
         + b"\xff\xc0" + _struct.pack(">H", 17)
@@ -306,7 +308,7 @@ def test_multimodal_compressed_decode_is_stubbed():
         + b"\x02" + bytes([1, 0x00, 2, 0x11]) + b"\x00\x3f\x00"
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="interleaved"):
+    with pytest.raises(ValueError, match="before DHT"):
         multimodal.decode_jpeg(seq_partial_sos)
     # a refinement AC symbol with size > 1 is invalid framing, quarantined
     bad_refine = (

@@ -311,6 +311,43 @@ def test_progressive_jpeg_truncation_never_crashes_oddly(data):
         pass  # quarantine classes only — no IndexError/struct.error leaks
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=0, max_value=255),
+    st.booleans(),
+)
+def test_partial_interleave_jpeg_always_matches_baseline(w, h, seed, sub):
+    """A partially-interleaved sequential file (scan 1 = Y+Cb in MCU
+    order, scan 2 = Cr raster) must reconstruct bit-identically to the
+    fully-interleaved baseline encoding of the same pixels — T.81 makes
+    scan organization a pure container choice."""
+    import numpy as np
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    base = mm.decode_jpeg(mm.encode_jpeg_color(w, h, seed, subsample=sub))
+    part = mm.decode_jpeg(
+        mm.encode_jpeg_color_partial(w, h, seed, subsample=sub)
+    )
+    assert np.array_equal(base["pixels"], part["pixels"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_partial_interleave_jpeg_truncation_never_crashes_oddly(data):
+    from weblog_pipeline.ops import multimodal as mm
+
+    sub = data.draw(st.booleans())
+    payload = mm.encode_jpeg_color_partial(16, 16, 99, subsample=sub)
+    cut = data.draw(st.integers(min_value=2, max_value=len(payload) - 1))
+    try:
+        mm.decode_jpeg(payload[:cut])
+    except (ValueError, NotImplementedError):
+        pass  # quarantine classes only — no IndexError/struct.error leaks
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=300), st.text(max_size=40))
 def test_parse_robots_total_on_garbage(txt, path):
