@@ -1161,6 +1161,39 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: docs with doc_id % 97 == 3 act as the
+    benchmark probe set; every other document is audited for distinct
+    3-gram overlap with any probe (ops/corpus.ngram_contamination — the
+    probe gram set broadcasts, the train gram stream never shuffles by
+    gram)."""
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    train = docs.where(F.col("doc_id") % 97 != 3)
+    return corpus.ngram_contamination(train, probes)
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH {_shingle_cte("documents")},
+g AS (SELECT DISTINCT doc_id, shingle AS gram FROM sh),
+probe_g AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 97 = 3),
+train_g AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 3),
+hits AS (
+  SELECT t.doc_id, t.gram, p.probe_id
+  FROM train_g t JOIN probe_g p USING (gram)
+)
+SELECT doc_id,
+       COUNT(DISTINCT gram) AS n_shared_grams,
+       COUNT(DISTINCT probe_id) AS n_probes_hit,
+       MIN(probe_id) AS first_probe_id
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT gram) >= 1
+"""
+
+
 def q_charclass_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portability canary: counts documents by the character classes on
     which Spark (Java) and DuckDB (RE2/utf8proc) text semantics are known
@@ -2838,7 +2871,8 @@ def queries() -> dict:
     return {
         # -- 1. portability canary --
         "charclass_census": q_charclass_census,
-        # -- 2. never driver-checked (r3 verdict item 1) --
+        # -- 2. never driver-checked (r3 verdict item 1; + new this round) --
+        "decontaminate": q_decontaminate,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -2897,11 +2931,11 @@ def queries() -> dict:
         "e2e_records": q_e2e_records,
         "otlp_roundtrip": q_otlp_roundtrip,
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
+        # ---- end of the driver's 50-query window ----
+        # -- long-green tail (r3-green; still checked locally + pytest) --
         "dedup_exact_planted": docs(
             lambda d: dedup.exact_duplicates(_planted_docs(d))
         ),
-        # ---- end of the driver's 50-query window ----
-        # -- long-green tail (r3-green; still checked locally + pytest) --
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
         "windowed_sink_counts": q_windowed_sink_counts,
@@ -2942,6 +2976,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "charclass_census": _sql_charclass_census(),
+        "decontaminate": _sql_decontaminate(),
         "enrich_route_default": _events_records_sql(CFG_DEFAULT),
         "enrich_kitchen_sink": _events_records_sql(CFG_KITCHEN),
         "attr_mappings_full": _events_records_sql(CFG_MAPPINGS),

@@ -400,3 +400,48 @@ def ingest_increment(existing: DataFrame, incoming: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "content_hash")
     )
+
+
+def ngram_contamination(
+    train: DataFrame, probes: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """Train/test decontamination — the benchmark-leak audit a pretraining
+    pipeline runs before shipping a corpus: flag every training document
+    that shares at least `min_shared` distinct word n-grams with any
+    benchmark probe document (GPT-3-style n-gram overlap decontamination;
+    here the corpus-standard 3-gram shingles from ops.dedup so the whole
+    dedup/decontam family tokenizes identically).
+
+    Scale shape: the probe side (a benchmark suite) is tiny relative to a
+    100 TB corpus, so its distinct gram set rides the BROADCAST side of
+    the join — the exploded train gram stream is filtered in place and
+    never shuffles by gram; the only shuffle is the final per-doc
+    aggregate, keyed by doc_id (uniform). Gram sets are DISTINCT per side
+    before joining so a gram repeated inside one document cannot inflate
+    the overlap count.
+
+    Output: doc_id, n_shared_grams (distinct shared grams),
+    n_probes_hit (distinct probe docs implicated), first_probe_id
+    (min, deterministic evidence pointer) — one row per contaminated doc.
+    """
+    probe_grams = (
+        probes.select(
+            F.col("probe_id"),
+            F.explode(dedup.shingles_col()).alias("gram"),
+        )
+        .distinct()
+    )
+    train_grams = (
+        train.select("doc_id", F.explode(dedup.shingles_col()).alias("gram"))
+        .distinct()
+    )
+    hits = train_grams.join(F.broadcast(probe_grams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("probe_id").alias("n_probes_hit"),
+            F.min("probe_id").alias("first_probe_id"),
+        )
+        .where(F.col("n_shared_grams") >= min_shared)
+    )

@@ -1593,3 +1593,27 @@ def test_jpeg_noninterleaved_truncation_quarantined():
     for cut in (len(payload) // 3, len(payload) // 2, len(payload) - 3):
         with pytest.raises(ValueError):
             multimodal.decode_jpeg(payload[:cut])
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    """A train doc that embeds a probe's exact 3-gram run is flagged with
+    the right distinct-gram count; clean docs and sub-3-token docs are
+    not; a gram repeated inside one doc counts once."""
+    probes = spark.createDataFrame(
+        [Row(probe_id=1, text="alpha beta gamma delta")],
+    )
+    train = spark.createDataFrame(
+        [
+            # embeds probe grams (alpha beta gamma) and (beta gamma delta)
+            Row(doc_id=10, text="x alpha beta gamma delta y"),
+            # repeats one shared gram twice -> still 1 distinct shared gram
+            Row(doc_id=11, text="alpha beta gamma z alpha beta gamma"),
+            Row(doc_id=12, text="totally clean text here"),
+            Row(doc_id=13, text="alpha beta"),  # <3 tokens of overlap run
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_probes_hit"], r["first_probe_id"])
+        for r in corpus.ngram_contamination(train, probes).collect()
+    }
+    assert got == {10: (2, 1, 1), 11: (1, 1, 1)}

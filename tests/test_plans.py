@@ -178,3 +178,22 @@ def test_ivf_bootstrap_single_scan(emb_df):
         .limit(8)
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontamination_broadcasts_probe_grams(spark):
+    """The probe (benchmark) gram set must ride the broadcast side of the
+    overlap join — shuffling a 100 TB train gram stream by gram to meet a
+    tiny benchmark suite would be the classic scale-killer."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    probes = spark.createDataFrame(
+        [Row(probe_id=1, text="alpha beta gamma delta")]
+    )
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma x y z") for i in range(4)]
+    )
+    plan = _physical(corpus.ngram_contamination(train, probes))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
