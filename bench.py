@@ -175,7 +175,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         q = embs.where(F.col("vec_id") % 500 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return similarity.lsh_topk(embs, q, k=5).count()
+        return similarity.lsh_topk(embs, q, k=5, probe_bits=1).count()
 
     timed("ann_lsh_topk", ann_lsh, runs=2)
 
@@ -205,7 +205,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         for mname, ap in (
             ("ivf", similarity.ivf_topk(embs, q, k=5)),
             ("ivf_r", similarity.ivf_topk_refined(embs, q, k=5, n_iter=1)),
-            ("lsh", similarity.lsh_topk(embs, q, k=5)),
+            ("lsh", similarity.lsh_topk(embs, q, k=5, probe_bits=1)),
         ):
             hits = bf.join(
                 ap.select("query_id", "neighbor_id"),

@@ -1736,9 +1736,18 @@ bands AS ({per_band})
 
 
 def _sql_ann_lsh_topk(k: int = 5) -> str:
+    """Twin of lsh_topk(probe_bits=1): the query side probes its exact
+    bucket plus every Hamming-1 bucket (one hyperplane bit xor-flipped)."""
+    flips = ", ".join(str(1 << p) for p in range(similarity.N_PLANES))
     return f"""
 WITH {_lsh_bands_cte()},
-qb AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id % 50 = 0),
+qb0 AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id % 50 = 0),
+qb AS (
+  SELECT query_id, band, bucket FROM qb0
+  UNION ALL
+  SELECT query_id, band, xor(bucket, CAST(u.p AS BIGINT)) AS bucket
+  FROM qb0, unnest([{flips}]) AS u(p)
+),
 cand AS (
   SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
   FROM bands b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
@@ -2791,7 +2800,7 @@ def queries() -> dict:
         q = emb.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return similarity.lsh_topk(emb, q, k=5)
+        return similarity.lsh_topk(emb, q, k=5, probe_bits=1)
 
     def ann_ivf(spark, sf_dir):
         emb = _emb_double(spark, sf_dir)
@@ -2829,7 +2838,7 @@ def queries() -> dict:
         for name, ap_df in (
             ("ivf", similarity.ivf_topk(emb, q, k=5)),
             ("ivf_r", similarity.ivf_topk_refined(emb, q, k=5, n_iter=1)),
-            ("lsh", similarity.lsh_topk(emb, q, k=5)),
+            ("lsh", similarity.lsh_topk(emb, q, k=5, probe_bits=1)),
         ):
             ap = ap_df.select("query_id", "neighbor_id")
             n_hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(

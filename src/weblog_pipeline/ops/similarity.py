@@ -176,9 +176,18 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = DIM,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 of 4 sign-LSH band buckets;
-    exact cosine re-rank on candidates only; two-phase final rank."""
+    exact cosine re-rank on candidates only; two-phase final rank.
+
+    probe_bits=1 enables MULTI-PROBE (Lv et al., VLDB'07): each query
+    additionally probes every bucket at Hamming distance 1 (one flipped
+    hyperplane bit) — near neighbors that land one unlucky bit away stop
+    being missed. Probing expands only the broadcast QUERY side (9
+    buckets/band instead of 1); the corpus side still materializes one
+    bucket per band, so the candidate fraction stays ~9 * 2^-8 per band
+    and nothing new shuffles at 100 TB."""
     corpus_b = with_band_buckets(
         embeddings.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -189,6 +198,22 @@ def lsh_topk(
         dim,
     )
     queries_b = with_band_buckets(queries, "query_vec", "query_id", dim)
+    if probe_bits:
+        if probe_bits != 1:
+            raise ValueError("only Hamming-1 multi-probe is implemented")
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(N_PLANES)
+            ],
+        )
+        queries_b = queries_b.select(
+            "query_id",
+            "query_vec",
+            "band",
+            F.explode(probes).alias("bucket"),
+        )
 
     cands = (
         corpus_b.join(F.broadcast(queries_b), ["band", "bucket"])

@@ -177,6 +177,29 @@ def test_lsh_topk_recall(spark):
     assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got)
 
 
+def test_lsh_multiprobe_expands_candidates_and_keeps_planted(spark):
+    """Hamming-1 multi-probe must (a) still return the planted neighbor at
+    rank 1, (b) never SHRINK the per-query result set (probing only adds
+    query-side buckets), and (c) reject unsupported probe radii."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 16).astype("float32")
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(30)]
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plain = similarity.lsh_topk(df, q, k=3, dim=16).collect()
+    probed = similarity.lsh_topk(df, q, k=3, dim=16, probe_bits=1).collect()
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in probed)
+    assert len(probed) >= len(plain)
+    with pytest.raises(ValueError, match="Hamming-1"):
+        similarity.lsh_topk(df, q, k=3, dim=16, probe_bits=2)
+
+
 def test_ivf_topk_recall(spark):
     import numpy as np
 
