@@ -217,6 +217,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     extra["ann_recall_bp"] = timed("ann_recall", ann_recall_bp, runs=1)
 
+    # tracked dedup-quality twin: LSH candidate recall/precision vs exact
+    # Jaccard ground truth on the planted audit slice (same query the
+    # correctness gate hashes)
+    def dedup_recall_bp():
+        from weblog_pipeline.driver_queries import q_dedup_lsh_recall
+
+        row = q_dedup_lsh_recall(spark, sf_dir).collect()[0]
+        return {
+            "recall_bp": row["recall_bp"],
+            "precision_bp": row["precision_bp"],
+            "n_true": row["n_true"],
+            "n_cand": row["n_cand"],
+        }
+
+    extra["dedup_recall_bp"] = timed("dedup_recall", dedup_recall_bp, runs=1)
+
     # q10: skew stress — bigram LM counts over a deterministic Zipf-ish
     # corpus (token rank log-uniform in [1, vocab): ~6% of all prefix
     # positions are the single hottest token). A reintroduced unbounded

@@ -1194,6 +1194,82 @@ HAVING COUNT(DISTINCT gram) >= 1
 """
 
 
+#: audit-slice modulus / threshold for the dedup-recall metric (shared
+#: with the SQL twin; the slice is the fixed-size audit sample a 100 TB
+#: pipeline would draw — never the full corpus)
+DEDUP_AUDIT_MOD = 37
+DEDUP_AUDIT_PCT = 50
+#: planted near-dup offset — divisible by DEDUP_AUDIT_MOD so plants land
+#: in the audit slice; every 5th slice member gets a perturbed copy
+#: (4 appended tokens => shingle Jaccard ~ (n-2)/(n+2), well above the
+#: 50% threshold for any realistic doc) so n_true is never vacuously 0
+DEDUP_AUDIT_PLANT_OFFSET = 111_000_000  # 37 * 3,000,000
+DEDUP_AUDIT_PLANT_MOD = DEDUP_AUDIT_MOD * 5
+_DEDUP_PLANT_SUFFIX = " zq0 zq1 zq2 zq3"
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked dedup-quality metric: LSH candidate recall/precision vs
+    exact shingle-Jaccard ground truth on a 1-in-37 audit slice, with
+    planted perturbed near-duplicates so ground truth is non-empty on any
+    fixture."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = docs.where(F.col("doc_id") % DEDUP_AUDIT_PLANT_MOD == 0).select(
+        (F.col("doc_id") + F.lit(DEDUP_AUDIT_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_DEDUP_PLANT_SUFFIX)).alias("text"),
+    )
+    return dedup.lsh_dedup_quality(
+        docs.unionByName(plants),
+        sample_mod=DEDUP_AUDIT_MOD,
+        jaccard_pct=DEDUP_AUDIT_PCT,
+    )
+
+
+def _sql_dedup_lsh_recall() -> str:
+    return f"""
+WITH slice AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DEDUP_AUDIT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {DEDUP_AUDIT_PLANT_OFFSET} AS doc_id,
+         text || '{_DEDUP_PLANT_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {DEDUP_AUDIT_PLANT_MOD} = 0
+),
+{_sig_cte("slice")},
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+inv AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sets sa JOIN sets sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+  FROM inv p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_intersect * 100 >= (za.n + zb.n - i.n_intersect) * {DEDUP_AUDIT_PCT}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT t.n_true, c.n_cand, h.n_hits,
+  CASE WHEN t.n_true > 0 THEN h.n_hits * 10000 // t.n_true ELSE 0 END AS recall_bp,
+  CASE WHEN c.n_cand > 0 THEN h.n_hits * 10000 // c.n_cand ELSE 0 END AS precision_bp
+FROM (SELECT COUNT(*) AS n_true FROM tp) t,
+     (SELECT COUNT(*) AS n_cand FROM cand) c,
+     (SELECT COUNT(*) AS n_hits FROM tp JOIN cand USING (doc_a, doc_b)) h
+"""
+
+
 def q_charclass_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portability canary: counts documents by the character classes on
     which Spark (Java) and DuckDB (RE2/utf8proc) text semantics are known
@@ -2882,6 +2958,7 @@ def queries() -> dict:
         "charclass_census": q_charclass_census,
         # -- 2. never driver-checked (r3 verdict item 1; + new this round) --
         "decontaminate": q_decontaminate,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -2986,6 +3063,7 @@ def oracle_sql() -> dict:
     return {
         "charclass_census": _sql_charclass_census(),
         "decontaminate": _sql_decontaminate(),
+        "dedup_lsh_recall": _sql_dedup_lsh_recall(),
         "enrich_route_default": _events_records_sql(CFG_DEFAULT),
         "enrich_kitchen_sink": _events_records_sql(CFG_KITCHEN),
         "attr_mappings_full": _events_records_sql(CFG_MAPPINGS),

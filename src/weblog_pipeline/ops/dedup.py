@@ -568,3 +568,65 @@ def cdc_dup_stats(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODUL
             "dup_bytes"
         ),
     )
+
+
+def lsh_dedup_quality(
+    documents: DataFrame, sample_mod: int = 37, jaccard_pct: int = 50
+) -> DataFrame:
+    """Tracked quality metric for the LSH dedup family: on a deterministic
+    1-in-`sample_mod` audit slice, compare the LSH candidate pairs against
+    EXACT ground truth (all pairs with true shingle Jaccard >=
+    jaccard_pct/100) and report recall/precision in basis points — the
+    dedup twin of the ANN family's ann_recall, so a band/bucket regression
+    shows up as a NUMBER drop, not just intuition.
+
+    Ground truth without all-pairs: a pair with Jaccard > 0 shares >= 1
+    shingle, so candidates come from the shingle INVERTED-INDEX self-join
+    on the slice — the audit cost is bounded by the slice size, which is
+    exactly how a 100 TB pipeline audits its dedup recall (fixed-size
+    sampled slice, never the full corpus).
+
+    Output: one row — n_true, n_cand, n_hits, recall_bp, precision_bp
+    (basis points, integer division; NULL-free: 0 when denominators are 0).
+    """
+    slice_df = documents.where(F.col("doc_id") % sample_mod == 0).select(
+        "doc_id", "text"
+    )
+    sets = slice_df.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+    inv_pairs = (
+        sets.alias("sa")
+        .join(
+            sets.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    exact = jaccard_verify(slice_df, inv_pairs)
+    true_pairs = exact.where(
+        F.col("n_intersect") * 100 >= F.col("n_union") * jaccard_pct
+    ).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(slice_df).select("doc_a", "doc_b")
+    hits = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .selectExpr(
+            "n_true",
+            "n_cand",
+            "n_hits",
+            "CASE WHEN n_true > 0 THEN n_hits * 10000 div n_true ELSE 0 END"
+            " AS recall_bp",
+            "CASE WHEN n_cand > 0 THEN n_hits * 10000 div n_cand ELSE 0 END"
+            " AS precision_bp",
+        )
+    )

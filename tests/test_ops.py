@@ -1640,3 +1640,25 @@ def test_ngram_contamination_flags_planted_overlap(spark):
         for r in corpus.ngram_contamination(train, probes).collect()
     }
     assert got == {10: (2, 1, 1), 11: (1, 1, 1)}
+
+
+def test_lsh_dedup_quality_catches_planted_neardup(spark):
+    """A perturbed copy (4 appended tokens, Jaccard ~0.95) must appear in
+    BOTH the exact ground truth and the LSH candidate set of the audit
+    metric; a rewritten LSH that misses it shows up as recall < 10000."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog "
+                               "and keeps on running far away"),
+            Row(doc_id=37, text="completely different words live in this "
+                                "document body for contrast purposes"),
+            # near-dup of doc 0, in-slice (74 % 37 == 0)
+            Row(doc_id=74, text="the quick brown fox jumps over the lazy dog "
+                                "and keeps on running far away zq0 zq1"),
+            Row(doc_id=5, text="out of slice entirely"),
+        ]
+    )
+    row = dedup.lsh_dedup_quality(docs, sample_mod=37, jaccard_pct=50).collect()[0]
+    assert row["n_true"] == 1
+    assert row["n_hits"] == 1
+    assert row["recall_bp"] == 10000
