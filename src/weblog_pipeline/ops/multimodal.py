@@ -907,13 +907,16 @@ def encode_jpeg_progressive_color(
 
 
 def encode_jpeg_color_noninterleaved(
-    width: int, height: int, seed: int, subsample: bool = False
+    width: int, height: int, seed: int, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal REAL non-interleaved multi-scan SEQUENTIAL color JPEG
     (SOF0 + one full DC+AC scan PER COMPONENT in raster order) — the
     third legal scan organization after interleaved-baseline and
     progressive. Same pixels as encode_jpeg_color; decode must match it
-    bit-for-bit (tested)."""
+    bit-for-bit (tested). restart_interval > 0 emits a DRI segment and
+    an RSTn marker (predictor reset, byte-aligned) every that many
+    blocks within each scan."""
     import numpy as np
 
     x = np.arange(width)[None, :]
@@ -967,36 +970,54 @@ def encode_jpeg_color_noninterleaved(
     out += seg(
         0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     scans = [
         (1, ypad, mcuy * vs, mcux * hs, ql, dc_l, ac_l, 0x00),
         (2, cbs, mcuy, mcux, qc, dc_c, ac_c, 0x11),
         (3, crs, mcuy, mcux, qc, dc_c, ac_c, 0x11),
     ]
     for cid, plane, rows, cols, q, dct, act, tabsel in scans:
+        body = bytearray()
         bw_out = _BitWriter()
         pred = 0
+        n_since = 0
+        rst = 0
         for by in range(rows):
             for bx in range(cols):
+                if restart_interval and n_since == restart_interval:
+                    bw_out.flush()
+                    body += bw_out.out
+                    body += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    bw_out = _BitWriter()
+                    pred = 0
+                    n_since = 0
                 seq = _quantized_zigzag(
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, q, zz
                 )
                 pred = _encode_block(bw_out, seq, pred, dct, act)
+                n_since += 1
         bw_out.flush()
+        body += bw_out.out
         out += seg(0xDA, b"\x01" + bytes([cid, tabsel]) + b"\x00\x3f\x00")
-        out += bw_out.out
+        out += body
     out += b"\xff\xd9"
     return bytes(out)
 
 
 def encode_jpeg_color_partial(
-    width: int, height: int, seed: int, subsample: bool = False
+    width: int, height: int, seed: int, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal REAL partially-interleaved multi-scan SEQUENTIAL color
     JPEG (T.81 A.2.3): scan 1 interleaves components 1+2 (Y, Cb) in MCU
     order on the frame grid; scan 2 carries component 3 (Cr) alone in
     raster order — the fourth legal scan organization (a scan listing 2
     of 3 components). Same pixels as encode_jpeg_color; decode must
-    match it bit-for-bit (tested)."""
+    match it bit-for-bit (tested). restart_interval > 0 emits DRI + RSTn
+    every that many restart units (frame MCUs in scan 1, blocks in
+    scan 2), predictors reset and byte-aligned."""
     import numpy as np
 
     x = np.arange(width)[None, :]
@@ -1050,14 +1071,27 @@ def encode_jpeg_color_partial(
     out += seg(
         0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     # scan 1: Y + Cb interleaved in MCU order on the frame grid
+    body = bytearray()
     bw_out = _BitWriter()
     preds = [0, 0]
+    n_since = 0
+    rst = 0
     geom = [
         (ypad, vs, hs, mcux * hs, ql, dc_l, ac_l),
         (cbs, 1, 1, mcux, qc, dc_c, ac_c),
     ]
     for mi in range(mcuy * mcux):
+        if restart_interval and n_since == restart_interval:
+            bw_out.flush()
+            body += bw_out.out
+            body += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw_out = _BitWriter()
+            preds = [0, 0]
+            n_since = 0
         my, mx = divmod(mi, mcux)
         for ci, (plane, cvs, chs, cols, q, dct, act) in enumerate(geom):
             for v in range(cvs):
@@ -1070,23 +1104,38 @@ def encode_jpeg_color_partial(
                     preds[ci] = _encode_block(
                         bw_out, seq, preds[ci], dct, act
                     )
+        n_since += 1
     bw_out.flush()
+    body += bw_out.out
     out += seg(
         0xDA, b"\x02" + bytes([1, 0x00, 2, 0x11]) + b"\x00\x3f\x00"
     )
-    out += bw_out.out
+    out += body
     # scan 2: Cr alone in raster order
+    body = bytearray()
     bw_out = _BitWriter()
     pred = 0
+    n_since = 0
+    rst = 0
     for by in range(mcuy):
         for bx in range(mcux):
+            if restart_interval and n_since == restart_interval:
+                bw_out.flush()
+                body += bw_out.out
+                body += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw_out = _BitWriter()
+                pred = 0
+                n_since = 0
             seq = _quantized_zigzag(
                 crs[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], m, qc, zz
             )
             pred = _encode_block(bw_out, seq, pred, dc_c, ac_c)
+            n_since += 1
     bw_out.flush()
+    body += bw_out.out
     out += seg(0xDA, b"\x01" + bytes([3, 0x11]) + b"\x00\x3f\x00")
-    out += bw_out.out
+    out += body
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1555,12 +1604,10 @@ def decode_jpeg(payload: bytes) -> dict:
                 # components interleaved in MCU order on the frame grid
                 # (partially-interleaved, T.81 A.2.3). Coefficients
                 # accumulate per component and the image reconstructs at
-                # EOI — same store machinery as progressive.
-                if restart_interval:
-                    raise NotImplementedError(
-                        "restart markers in non-interleaved JPEG"
-                        " not supported"
-                    )
+                # EOI — same store machinery as progressive. Restart
+                # markers reset the DC predictors and byte-align every
+                # `restart_interval` restart units (blocks for Ns=1,
+                # frame MCUs for Ns>1).
                 import numpy as np
 
                 mcux_g, mcuy_g, grids = _mcu_geometry(
@@ -1589,6 +1636,19 @@ def decode_jpeg(payload: bytes) -> dict:
                         raise ValueError("JPEG scan before DHT")
                     scan_comps.append((cid_to_idx[cid], dc_tab, ac_tab))
                 reader = _BitReader(payload[scan_start:])
+
+                def _expect_restart():
+                    # byte-align, then the next marker MUST be RSTn
+                    reader.n = 0
+                    try:
+                        reader.read_bit()
+                    except _RestartMarker:
+                        reader.pos += 1  # consume the Dn byte
+                        reader.n = 0
+                    else:
+                        raise ValueError("expected JPEG restart marker")
+
+                n_since = 0
                 try:
                     if ncomp_s == 1:
                         ci, dc_tab, ac_tab = scan_comps[0]
@@ -1596,10 +1656,18 @@ def decode_jpeg(payload: bytes) -> dict:
                         store = coef_store[ci]
                         seq_pred = 0
                         for bi in range(rows * cols):
+                            if (
+                                restart_interval
+                                and n_since == restart_interval
+                            ):
+                                _expect_restart()
+                                seq_pred = 0
+                                n_since = 0
                             seq, seq_pred = _decode_block(
                                 reader, dc_tab, ac_tab, seq_pred
                             )
                             store[bi, :] = seq
+                            n_since += 1
                     else:
                         # partially-interleaved: MCU order over the
                         # SCAN's components on the frame MCU grid, each
@@ -1607,6 +1675,13 @@ def decode_jpeg(payload: bytes) -> dict:
                         # with per-component DC predictors
                         preds = [0] * len(components)
                         for mi in range(mcuy_g * mcux_g):
+                            if (
+                                restart_interval
+                                and n_since == restart_interval
+                            ):
+                                _expect_restart()
+                                preds = [0] * len(components)
+                                n_since = 0
                             my, mx = divmod(mi, mcux_g)
                             for ci, dc_tab, ac_tab in scan_comps:
                                 _, hs, vs, _ = components[ci]
@@ -1624,6 +1699,7 @@ def decode_jpeg(payload: bytes) -> dict:
                                             preds[ci],
                                         )
                                         store[bi, :] = seq
+                            n_since += 1
                 except _RestartMarker as rm:
                     raise ValueError(
                         "unexpected JPEG restart marker"
@@ -2588,11 +2664,13 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
                 )
             if k == 5:
                 return encode_jpeg_color_noninterleaved(
-                    w, h, s, subsample=(i % 2 == 1)
+                    w, h, s, subsample=(i % 2 == 1),
+                    restart_interval=i % 3,  # 0 = none; 1-2 = RSTn path
                 )
             if k == 6:
                 return encode_jpeg_color_partial(
-                    w, h, s, subsample=(i % 2 == 1)
+                    w, h, s, subsample=(i % 2 == 1),
+                    restart_interval=i % 3,
                 )
             return encode_jpeg_color(w, h, s, subsample=(k == 2))
 

@@ -355,3 +355,35 @@ def test_parse_robots_total_on_garbage(txt, path):
 
     groups = robots.parse_robots(txt)  # must never raise
     assert robots.is_allowed(groups, "crawler", path) in (True, False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=8, max_value=24),
+    st.integers(min_value=0, max_value=255),
+    st.booleans(),
+    st.integers(min_value=1, max_value=9),
+)
+def test_subset_scan_jpeg_with_restarts_matches_baseline(w, h, seed, sub, ri):
+    """Restart markers in non-interleaved and partially-interleaved
+    sequential scans are pure framing (byte-align + predictor reset) —
+    any restart interval must reconstruct bit-identically to the
+    restart-free fully-interleaved baseline."""
+    import numpy as np
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    base = mm.decode_jpeg(mm.encode_jpeg_color(w, h, seed, subsample=sub))
+    noni = mm.decode_jpeg(
+        mm.encode_jpeg_color_noninterleaved(
+            w, h, seed, subsample=sub, restart_interval=ri
+        )
+    )
+    part = mm.decode_jpeg(
+        mm.encode_jpeg_color_partial(
+            w, h, seed, subsample=sub, restart_interval=ri
+        )
+    )
+    assert np.array_equal(base["pixels"], noni["pixels"])
+    assert np.array_equal(base["pixels"], part["pixels"])
