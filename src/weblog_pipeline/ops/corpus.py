@@ -415,10 +415,12 @@ def ngram_contamination(
     Scale shape: the probe side (a benchmark suite) is tiny relative to a
     100 TB corpus, so its distinct gram set rides the BROADCAST side of
     the join — the exploded train gram stream is filtered in place and
-    never shuffles by gram; the only shuffle is the final per-doc
-    aggregate, keyed by doc_id (uniform). Gram sets are DISTINCT per side
-    before joining so a gram repeated inside one document cannot inflate
-    the overlap count.
+    never shuffles by gram. Deliberately NO distinct on the train stream
+    before the join (that would shuffle the full corpus gram stream just
+    to dedup rows the broadcast filter is about to discard); intra-doc
+    gram repeats are collapsed by the countDistinct aggregates instead,
+    so the only shuffle is the final per-doc aggregate, keyed by doc_id
+    (uniform).
 
     Output: doc_id, n_shared_grams (distinct shared grams),
     n_probes_hit (distinct probe docs implicated), first_probe_id
@@ -431,9 +433,8 @@ def ngram_contamination(
         )
         .distinct()
     )
-    train_grams = (
-        train.select("doc_id", F.explode(dedup.shingles_col()).alias("gram"))
-        .distinct()
+    train_grams = train.select(
+        "doc_id", F.explode(dedup.shingles_col()).alias("gram")
     )
     hits = train_grams.join(F.broadcast(probe_grams), "gram")
     return (
