@@ -120,7 +120,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             (F.sum("c") - F.count(F.lit(1))).alias("n_dup_lines"),
         )
     )
-    toks = dedup.lower_tokens_col()
+    toks = F.col("_w")  # materialized below — see dedup.shingles_over
     pairs = F.when(
         F.array_size(toks) >= 2,
         F.transform(
@@ -130,7 +130,9 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = documents.select("doc_id", F.explode(pairs).alias("g"))
+    grams = documents.select(
+        "doc_id", dedup.lower_tokens_col().alias("_w")
+    ).select("doc_id", F.explode(pairs).alias("g"))
     gram_stats = (
         grams.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -427,15 +429,16 @@ def ngram_contamination(
     (min, deterministic evidence pointer) — one row per contaminated doc.
     """
     probe_grams = (
-        probes.select(
-            F.col("probe_id"),
-            F.explode(dedup.shingles_col()).alias("gram"),
+        probes.select("probe_id", dedup.lower_tokens_col().alias("_w"))
+        .select(
+            "probe_id",
+            F.explode(dedup.shingles_over(F.col("_w"))).alias("gram"),
         )
         .distinct()
     )
     train_grams = train.select(
-        "doc_id", F.explode(dedup.shingles_col()).alias("gram")
-    )
+        "doc_id", dedup.lower_tokens_col().alias("_w")
+    ).select("doc_id", F.explode(dedup.shingles_over(F.col("_w"))).alias("gram"))
     hits = train_grams.join(F.broadcast(probe_grams), "gram")
     return (
         hits.groupBy("doc_id")

@@ -55,9 +55,16 @@ def lower_tokens_col(text_col="text"):
     return F.split(F.trim(ascii_lower(F.col(text_col))), WS_RE)
 
 
-def shingles_col(text_col="text"):
-    """Word 3-gram shingles of lowercased text (empty array when <3 words)."""
-    words = lower_tokens_col(text_col)
+def shingles_over(words):
+    """Word 3-gram shingles from a MATERIALIZED token-array column
+    (empty array when <3 words).
+
+    PERFORMANCE CONTRACT: `words` must be a column projected in its own
+    select first. Codegen does NOT common-subexpression-eliminate across
+    higher-order-function lambda boundaries, so handing an inline
+    tokenizer expression here re-runs the full split/case-fold chain for
+    EVERY element_at inside the transform lambda — measured 24x slower
+    on the shingle stream, which silently dominated dedup_pipeline."""
     return F.when(
         F.array_size(words) >= SHINGLE_K,
         F.transform(
@@ -70,6 +77,14 @@ def shingles_col(text_col="text"):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text_col="text"):
+    """Word 3-gram shingles of lowercased text (empty array when <3
+    words). Expression-level convenience for tests/small inputs — hot
+    paths must materialize the token array and use shingles_over (see
+    its performance contract)."""
+    return shingles_over(lower_tokens_col(text_col))
 
 
 def content_hash_col(text_col="text"):
@@ -141,8 +156,10 @@ def minhash_signatures(documents: DataFrame, hash_fn: str = "md5") -> DataFrame:
     no string materialization — the 100 TB fast path; same LSH structure,
     different hash family).
     """
-    exploded = _fan_out(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(shingles_col()).alias("shingle")
+    exploded = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", lower_tokens_col().alias("_w"))
+        .select("doc_id", F.explode(shingles_over(F.col("_w"))).alias("shingle"))
     )
     if hash_fn == "md5":
         aggs = [
@@ -221,8 +238,14 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     intersection together. The naive shape (separate a-join, b-join, and
     sizes join) scans and re-explodes the corpus three times — at 100 TB
     that is two full scans too many."""
-    sets = documents.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    sets = (
+        documents.select("doc_id", lower_tokens_col().alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
+                "shingle"
+            ),
+        )
     )
     roles = pairs.select(
         "doc_a",
@@ -592,8 +615,14 @@ def lsh_dedup_quality(
     slice_df = documents.where(F.col("doc_id") % sample_mod == 0).select(
         "doc_id", "text"
     )
-    sets = slice_df.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    sets = (
+        slice_df.select("doc_id", lower_tokens_col().alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
+                "shingle"
+            ),
+        )
     )
     inv_pairs = (
         sets.alias("sa")

@@ -63,7 +63,7 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     """Integer quality-signal counts per doc: tokens, stopword hits,
     punctuation chars, mean token length ×100 (int)."""
     text = F.col("text")
-    toks = _tokens(ascii_lower(text))
+    toks = F.col("_toks")  # materialized once — see dedup.shingles_over
     n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.array_size(toks))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -73,6 +73,8 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     )
     # integer division (div) keeps the value exact and engine-portable
     pre = documents.select(
+        "doc_id", "text", _tokens(ascii_lower(text)).alias("_toks")
+    ).select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         F.when(n_tokens > 0, n_stop).otherwise(F.lit(0)).cast("long").alias("n_stopwords"),
@@ -93,7 +95,7 @@ def quality_stats(documents: DataFrame) -> DataFrame:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language heuristic: per-language hit counts + argmax
     (ties broken by language code order, deterministic)."""
-    toks = _tokens(ascii_lower(F.col("text")))
+    toks = F.col("_toks")  # materialized once — see dedup.shingles_over
     cols = [F.col("doc_id")]
     hit_cols = []
     for lang_code, markers in sorted(LANG_MARKERS.items()):
@@ -102,7 +104,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
         hits = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(hits)
         cols.append(hits.cast("long").alias(f"hits_{lang_code}"))
         hit_cols.append((lang_code, f"hits_{lang_code}"))
-    out = documents.select(*cols)
+    out = documents.select(
+        "doc_id", "text", _tokens(ascii_lower(F.col("text"))).alias("_toks")
+    ).select(*cols)
     return out.withColumn("lang_guess", _argmax_expr(hit_cols))
 
 
@@ -163,7 +167,7 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
     first BPE merge step maximizes. The pair stream is built with a
     zip-shift over the token array (no self-join): transform over indices
     1..n-1 pairs token[i] with token[i+1], then explode + count."""
-    toks = lower_tokens_col()
+    toks = F.col("_w")  # materialized below — see dedup.shingles_over
     pairs = F.when(
         F.array_size(toks) >= 2,
         F.transform(
@@ -173,8 +177,10 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = _fan_out(documents.select("doc_id", "text")).select(
-        F.explode(pairs).alias("pair")
+    exploded = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select(lower_tokens_col().alias("_w"))
+        .select(F.explode(pairs).alias("pair"))
     )
     counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return _ranked_topk(counts, k, "pair").select("rank", "pair", "n_occurrences")
@@ -459,7 +465,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     Output: doc_id, n_bigrams, sum_lp_micro (all integers). Docs with <2
     tokens have no bigrams and are excluded.
     """
-    toks = lower_tokens_col()
+    toks = F.col("_w")  # materialized below — see dedup.shingles_over
     pairs = F.when(
         F.array_size(toks) >= 2,
         F.transform(
@@ -470,9 +476,12 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    stream = _fan_out(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(pairs).alias("bg")
-    ).select("doc_id", "bg.w1", "bg.w2")
+    stream = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", lower_tokens_col().alias("_w"))
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
 
     bg_counts = stream.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bigram")

@@ -197,3 +197,20 @@ def test_decontamination_broadcasts_probe_grams(spark):
     plan = _physical(corpus.ngram_contamination(train, probes))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shingle_stream_materializes_token_array(spark):
+    """The token array must survive as its own projected column (_w) in
+    the optimized plan: CollapseProject keeps it because it is referenced
+    many times, and that is what guarantees the tokenizer chain runs ONCE
+    per row instead of once per transform-lambda element (a measured 24x
+    on the shingle stream — see dedup.shingles_over)."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e f g h") for i in range(4)]
+    )
+    plan = _physical(dedup.minhash_signatures(df))
+    assert "_w#" in plan

@@ -2,6 +2,7 @@
 webpages (FIXTURES.md `tiny` scale): per-sink counts, routed-row equality,
 byte-identical extracted text."""
 
+import os
 from collections import Counter
 
 import pytest
@@ -208,3 +209,48 @@ def test_salted_skew_join_rejects_dim_preserving_how(spark):
     dim = spark.range(9).selectExpr("id AS k", "id AS v")
     with _pytest.raises(ValueError, match="fact-preserving"):
         salted_skew_join(fact, dim, key="k", salt_col="row_id", how="full")
+
+
+def test_spark_submit_pyfiles_launch_path(tmp_path):
+    """The north-rule launch path, end-to-end as a black box: package
+    src/ into pipeline.zip (scripts/package.sh), launch main.py via
+    spark-submit --py-files in a FRESH JVM (no PYTHONPATH leakage of
+    src/), and assert the job prints the observed per-sink counts and
+    writes the partitioned sink dirs."""
+    import json
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "package.sh")],
+        check=True, capture_output=True,
+    )
+    out_dir = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", os.path.join(repo, "pipeline.zip"),
+            "--conf", "spark.sql.mapKeyDedupPolicy=LAST_WIN",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            os.path.join(repo, "main.py"),
+            "--generate", "400",
+            "--output", out_dir,
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["observed_records"] > 0
+    assert sum(report["per_sink_counts"].values()) == report["observed_records"]
+    sink_dirs = [
+        d for d in os.listdir(os.path.join(out_dir, "log_records"))
+        if d.startswith("sink=")
+    ]
+    assert len(sink_dirs) >= 2
