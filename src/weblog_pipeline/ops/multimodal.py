@@ -787,6 +787,89 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_color_sampled(
+    width: int, height: int, seed: int, hs: int = 2, vs: int = 2
+) -> bytes:
+    """Baseline color JPEG with ARBITRARY luma sampling factors hs x vs
+    in {1, 2, 4} (chroma stays 1x1): generalizes encode_jpeg_color's
+    4:4:4 / 4:2:0 pair to the other real layouts — 4:2:2 (2x1),
+    4:4:0 (1x2), 4:1:1 (4x1), and beyond. Chroma is box-averaged over
+    the hs x vs footprint; pixels and Huffman/quant tables match
+    encode_jpeg_color exactly, so a constant-chroma source reconstructs
+    bit-identically across every sampling choice (tested)."""
+    import numpy as np
+
+    if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+        raise ValueError("sampling factors must be 1, 2, or 4")
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = ((seed + x) % 256) + 0.0 * y
+    g = ((seed + y) % 256) + 0.0 * x
+    b = (seed + x + y) % 256 + 0.0
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+    ypad = _pad_to_blocks(yy, mcuy * vs * 8, mcux * hs * 8)
+    cpadw, cpadh = mcux * 8 * hs, mcuy * 8 * vs
+    cbs = _pad_to_blocks(cb, cpadh, cpadw)
+    crs = _pad_to_blocks(cr, cpadh, cpadw)
+    if hs > 1 or vs > 1:
+        cbs = cbs.reshape(cpadh // vs, vs, cpadw // hs, hs).mean(axis=(1, 3))
+        crs = crs.reshape(cpadh // vs, vs, cpadw // hs, hs).mean(axis=(1, 3))
+    m = _dct_matrix()
+    zz = JPEG_ZIGZAG
+    ql = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    dc_l = _huffman_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_l = _huffman_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_c = _huffman_encode_table(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS)
+    ac_c = _huffman_encode_table(JPEG_AC_CHROMA_BITS, JPEG_AC_CHROMA_VALS)
+    bw_out = _BitWriter()
+    preds = [0, 0, 0]
+    for mi in range(mcuy * mcux):
+        my, mx = divmod(mi, mcux)
+        for v in range(vs):
+            for hblk in range(hs):
+                y0, x0 = (my * vs + v) * 8, (mx * hs + hblk) * 8
+                seq = _quantized_zigzag(
+                    ypad[y0 : y0 + 8, x0 : x0 + 8], m, ql, zz
+                )
+                preds[0] = _encode_block(bw_out, seq, preds[0], dc_l, ac_l)
+        for ci, plane in ((1, cbs), (2, crs)):
+            y0, x0 = my * 8, mx * 8
+            seq = _quantized_zigzag(plane[y0 : y0 + 8, x0 : x0 + 8], m, qc, zz)
+            preds[ci] = _encode_block(bw_out, seq, preds[ci], dc_c, ac_c)
+    bw_out.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_l = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
+    qt_c = bytes(JPEG_QTABLE_CHROMA[zz[k]] for k in range(64))
+    samp = (hs << 4) | vs
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt_l + b"\x01" + qt_c)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(
+        0xC4, b"\x01" + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+    )
+    out += seg(
+        0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
+    )
+    out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    out += bw_out.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive_color(
     width: int, height: int, seed: int, subsample: bool = False
 ) -> bytes:
@@ -1743,8 +1826,17 @@ def _decode_jpeg_scan(
     if hmax < 1 or vmax < 1:
         # a zero sampling factor is never valid — corrupt header
         raise ValueError(f"invalid JPEG sampling factor {hmax}x{vmax}")
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError(f"JPEG sampling {hmax}x{vmax} not supported")
+    if hmax > 4 or vmax > 4:
+        # T.81 limits sampling factors to 1-4
+        raise ValueError(f"invalid JPEG sampling factor {hmax}x{vmax}")
+    for _, hs, vs, _ in components:
+        if hmax % hs or vmax % vs:
+            # e.g. 3-against-4: replication upsampling needs integer
+            # ratios; fractional chroma upsampling stays an honest gap
+            raise NotImplementedError(
+                f"fractional JPEG chroma upsampling ({hs}x{vs} vs"
+                f" {hmax}x{vmax}) not supported"
+            )
     single = len(components) == 1
     if single:
         # non-interleaved single-component scan: MCU = one block
@@ -1853,8 +1945,14 @@ def _mcu_geometry(components, width, height):
     vmax = max(v for _, _, v, _ in components)
     if hmax < 1 or vmax < 1:
         raise ValueError("invalid JPEG sampling factor")
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError(f"JPEG sampling {hmax}x{vmax} not supported")
+    if hmax > 4 or vmax > 4:
+        raise ValueError(f"invalid JPEG sampling factor {hmax}x{vmax}")
+    for _, h, v, _ in components:
+        if hmax % h or vmax % v:
+            raise NotImplementedError(
+                f"fractional JPEG chroma upsampling ({h}x{v} vs"
+                f" {hmax}x{vmax}) not supported"
+            )
     if len(components) == 1:
         # single-component images ignore sampling factors
         mcux = (width + 7) // 8
@@ -2638,12 +2736,13 @@ def media_gif_from_documents(documents: "DataFrame") -> "DataFrame":
 
 def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
     """Deterministic REAL-format JPEG media table: one valid JPEG per doc
-    (width 8+id%56, height 8+id%40, seed id%256), cycling the seven real
+    (width 8+id%56, height 8+id%40, seed id%256), cycling the eight real
     layouts by doc_id — baseline grayscale, 4:4:4 color, 4:2:0 color,
     progressive grayscale (SOF2; successive-approximation level cycling
     0-2 by doc_id), progressive color, non-interleaved multi-scan
     sequential color, and partially-interleaved sequential color (a scan
-    listing 2 of 3 components) — so every decode path runs through
+    listing 2 of 3 components), and generalized-sampling color
+    (4:2:2 / 4:4:0 / 4:1:1 rotation) — so every decode path runs through
     Spark. The SQL oracle pins the header fields (exact by construction);
     pixel fidelity of the lossy path is pinned by pytest tolerance, not
     the cross-engine hash."""
@@ -2653,7 +2752,7 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
 
         def pick(i: int) -> bytes:
             w, h, s = 8 + i % 56, 8 + i % 40, i % 256
-            k = i % 7
+            k = i % 8
             if k == 0:
                 return encode_jpeg(w, h, s)
             if k == 3:
@@ -2672,6 +2771,10 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
                     w, h, s, subsample=(i % 2 == 1),
                     restart_interval=i % 3,
                 )
+            if k == 7:
+                # generalized sampling: 4:2:2 / 4:4:0 / 4:1:1 rotation
+                hsvs = ((2, 1), (1, 2), (4, 1))[i % 3]
+                return encode_jpeg_color_sampled(w, h, s, *hsvs)
             return encode_jpeg_color(w, h, s, subsample=(k == 2))
 
         for pdf in batches:

@@ -306,17 +306,31 @@ def test_multimodal_compressed_decode_is_stubbed():
     # audio codecs, video containers
     import struct as _struct
 
-    # 4x (or higher) chroma subsampling is beyond the 2x2 decoder
-    wild_sof = (
+    # sampling factors 1-4 are real (4:1:1 etc.); the remaining honest
+    # gap is FRACTIONAL upsampling (a 3-sampled component against an
+    # hmax of 4 — replication needs integer ratios)
+    frac_sof = (
         b"\xff\xd8"
         + b"\xff\xc0" + _struct.pack(">H", 17)
         + _struct.pack(">BHHB", 8, 4, 4, 3)
-        + b"\x01\x41\x00\x02\x11\x01\x03\x11\x01"
+        + b"\x01\x41\x00\x02\x31\x01\x03\x11\x01"
         + b"\xff\xda" + _struct.pack(">H", 12)
         + b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="sampling"):
+    with pytest.raises(NotImplementedError, match="fractional"):
+        multimodal.decode_jpeg(frac_sof)
+    # sampling factor > 4 violates T.81 — corrupt header, quarantined
+    wild_sof = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _struct.pack(">H", 17)
+        + _struct.pack(">BHHB", 8, 4, 4, 3)
+        + b"\x01\x51\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xda" + _struct.pack(">H", 12)
+        + b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="sampling"):
         multimodal.decode_jpeg(wild_sof)
     # PARTIALLY-interleaved sequential scans are now REAL (see
     # test_property.test_partial_interleave_jpeg_always_matches_baseline);

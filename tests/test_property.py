@@ -387,3 +387,37 @@ def test_subset_scan_jpeg_with_restarts_matches_baseline(w, h, seed, sub, ri):
     )
     assert np.array_equal(base["pixels"], noni["pixels"])
     assert np.array_equal(base["pixels"], part["pixels"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=9, max_value=40),
+    st.integers(min_value=9, max_value=32),
+    st.integers(min_value=0, max_value=120),
+    st.sampled_from([(2, 1), (1, 2), (4, 1), (1, 4), (4, 2), (2, 4), (4, 4)]),
+)
+def test_generalized_sampling_jpeg_fidelity(w, h, seed, samp):
+    """4:2:2 / 4:4:0 / 4:1:1 / 4x4 luma sampling layouts must decode
+    within a tight fidelity bound of the source gradient (seed bounded so
+    the gradient never wraps mod 256 inside the image — a wrap would make
+    the chroma box-average legitimately diverge)."""
+    import numpy as np
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    if seed + w + h >= 250:
+        return
+    hs, vs = samp
+    meta = mm.decode_jpeg(mm.encode_jpeg_color_sampled(w, h, seed, hs, vs))
+    assert (meta["width"], meta["height"]) == (w, h)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    src = np.stack(
+        [
+            (seed + x) % 256 + 0 * y,
+            (seed + y) % 256 + 0 * x,
+            (seed + x + y) % 256 + 0.0 * x,
+        ],
+        axis=-1,
+    )
+    assert np.max(np.abs(meta["pixels"].astype(float) - src)) <= 14
