@@ -871,13 +871,16 @@ def encode_jpeg_color_sampled(
 
 
 def encode_jpeg_progressive_color(
-    width: int, height: int, seed: int, subsample: bool = False
+    width: int, height: int, seed: int, subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal REAL progressive COLOR JPEG (SOF2, spectral selection):
     the same pixels/quantized coefficients as encode_jpeg_color, shipped
     as an INTERLEAVED DC scan (MCU order, per-component predictors)
     followed by per-component AC band scans (AC scans are single-
-    component by spec). Decodes to byte-identical pixels as the baseline
+    component by spec). restart_interval > 0 emits DRI + RSTn every that
+    many restart units (frame MCUs in the interleaved DC scan, blocks in
+    the AC scans). Decodes to byte-identical pixels as the baseline
     color encoder for the same source — pinned in tests."""
     import numpy as np
 
@@ -949,11 +952,26 @@ def encode_jpeg_progressive_color(
         0xC4, b"\x11" + bytes(JPEG_AC_CHROMA_BITS) + bytes(JPEG_AC_CHROMA_VALS)
     )
 
-    # interleaved DC scan: MCU order, per-component predictors
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    # interleaved DC scan: MCU order, per-component predictors; restart
+    # every `restart_interval` MCUs (predictor reset + byte-align + RSTn)
+    body = bytearray()
     bw_out = _BitWriter()
     preds = [0, 0, 0]
+    n_since = 0
+    rst = 0
     dc_tabs = [dc_l, dc_c, dc_c]
     for mi in range(mcuy * mcux):
+        if restart_interval and n_since == restart_interval:
+            bw_out.flush()
+            body += bw_out.out
+            body += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw_out = _BitWriter()
+            preds = [0, 0, 0]
+            n_since = 0
         my, mx = divmod(mi, mcux)
         for ci in range(3):
             cvs, chs, cols = comp_geom[ci]
@@ -968,22 +986,26 @@ def encode_jpeg_progressive_color(
                     if size:
                         bw_out.write(bits_v, size)
                     preds[ci] = dc
+        n_since += 1
     bw_out.flush()
+    body += bw_out.out
     out += seg(
         0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 0, 0])
-    ) + bw_out.out
+    ) + body
 
     # per-component AC band scans (single-component by spec)
     ac_tabs = [ac_l, ac_c, ac_c]
     for ss, se_band in PROGRESSIVE_BANDS:
         for ci, cid in enumerate((1, 2, 3)):
-            bw_out = _BitWriter()
-            _enc_ac_first(bw_out, comp_blocks[ci], ac_tabs[ci], ss, se_band, 0)
-            bw_out.flush()
             ta = 0x00 if ci == 0 else 0x01
             out += seg(
                 0xDA, b"\x01" + bytes([cid, ta, ss, se_band, 0])
-            ) + bw_out.out
+            ) + _chunked_entropy(
+                comp_blocks[ci], restart_interval,
+                lambda bw, ch, ci=ci, ss=ss, se_band=se_band: _enc_ac_first(
+                    bw, ch, ac_tabs[ci], ss, se_band, 0
+                ),
+            )
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -1370,10 +1392,13 @@ def decode_jpeg(payload: bytes) -> dict:
     color) scaled to [0,1]. Lossy — pixel fidelity is pinned by tolerance
     in tests, exact header fields by the SQL oracle.
 
-    Raises ValueError for corrupt streams; NotImplementedError for the
-    remaining honest gap: partially-interleaved sequential scans (a scan
-    listing 2 of 3 components; full-interleave and one-component-per-scan
-    files are both real)."""
+    Every legal T.81 scan organization decodes: full-interleave,
+    one-component-per-scan, and partially-interleaved sequential;
+    progressive with any scan script; restart markers in all of them;
+    sampling factors 1-4. Raises ValueError for corrupt streams;
+    NotImplementedError only for the one remaining honest gap,
+    fractional chroma upsampling (a 3-sampled component against an
+    hmax/vmax of 4)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1478,10 +1503,6 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("JPEG SOS before SOF")
             scan_start = pos + 2 + length
             if progressive:
-                if restart_interval:
-                    raise NotImplementedError(
-                        "restart markers in progressive JPEG not supported"
-                    )
                 import numpy as np
 
                 mcux, mcuy, grids = _mcu_geometry(components, width, height)
@@ -1511,6 +1532,20 @@ def decode_jpeg(payload: bytes) -> dict:
                 ahal = body[3 + 2 * ncomp_s]
                 ah, al = ahal >> 4, ahal & 0x0F
                 reader = _BitReader(payload[scan_start:])
+
+                def _p_expect_restart():
+                    # byte-align; the next marker MUST be RSTn (T.81
+                    # E.2.4 — restart resets DC predictors and, for AC
+                    # scans, the EOB run)
+                    reader.n = 0
+                    try:
+                        reader.read_bit()
+                    except _RestartMarker:
+                        reader.pos += 1
+                        reader.n = 0
+                    else:
+                        raise ValueError("expected JPEG restart marker")
+
                 try:
                     if ss == 0:
                         if se != 0:
@@ -1527,6 +1562,8 @@ def decode_jpeg(payload: bytes) -> dict:
                                 )
 
                             def dc_blocks():
+                                # yields (restart_unit, ci, td, bi): the
+                                # restart unit is the frame MCU
                                 for mi in range(mcuy * mcux):
                                     my, mx = divmod(mi, mcux)
                                     for ci, td, _ in scan_comps:
@@ -1534,7 +1571,7 @@ def decode_jpeg(payload: bytes) -> dict:
                                         _, cols = grids[ci]
                                         for v in range(vs):
                                             for hblk in range(hs):
-                                                yield ci, td, (
+                                                yield mi, ci, td, (
                                                     (my * vs + v) * cols
                                                     + mx * hs
                                                     + hblk
@@ -1542,14 +1579,27 @@ def decode_jpeg(payload: bytes) -> dict:
                         else:
 
                             def dc_blocks():
+                                # single-component scan: unit = block
                                 ci, td, _ = scan_comps[0]
                                 rows, cols = grids[ci]
                                 for bi in range(rows * cols):
-                                    yield ci, td, bi
+                                    yield bi, ci, td, bi
 
                         if ah == 0:
                             preds = [0] * len(components)
-                            for ci, td, bi in dc_blocks():
+                            n_done, last_unit = 0, None
+                            for unit, ci, td, bi in dc_blocks():
+                                if unit != last_unit:
+                                    if last_unit is not None:
+                                        n_done += 1
+                                        if (
+                                            restart_interval
+                                            and n_done == restart_interval
+                                        ):
+                                            _p_expect_restart()
+                                            preds = [0] * len(components)
+                                            n_done = 0
+                                    last_unit = unit
                                 dc_tab = dc_tables.get(td)
                                 if dc_tab is None:
                                     raise ValueError(
@@ -1563,8 +1613,21 @@ def decode_jpeg(payload: bytes) -> dict:
                         else:
                             # DC refinement: one bit per block adds the
                             # next magnitude bit (two's-complement OR is
-                            # exact for negatives: (v>>1)<<1 | (v&1) == v)
-                            for ci, _, bi in dc_blocks():
+                            # exact for negatives: (v>>1)<<1 | (v&1) == v);
+                            # a restart here only byte-aligns (no
+                            # predictors in a refinement scan)
+                            n_done, last_unit = 0, None
+                            for unit, ci, _, bi in dc_blocks():
+                                if unit != last_unit:
+                                    if last_unit is not None:
+                                        n_done += 1
+                                        if (
+                                            restart_interval
+                                            and n_done == restart_interval
+                                        ):
+                                            _p_expect_restart()
+                                            n_done = 0
+                                    last_unit = unit
                                 if reader.read_bit():
                                     coef_store[ci][bi, 0] |= 1 << al
                     elif ah == 0:
@@ -1582,6 +1645,13 @@ def decode_jpeg(payload: bytes) -> dict:
                             raise ValueError("JPEG AC scan before DHT")
                         eobrun = 0
                         for bi in range(rows * cols):
+                            if (
+                                restart_interval
+                                and bi
+                                and bi % restart_interval == 0
+                            ):
+                                _p_expect_restart()
+                                eobrun = 0
                             if eobrun > 0:
                                 eobrun -= 1
                                 continue
@@ -1632,6 +1702,13 @@ def decode_jpeg(payload: bytes) -> dict:
 
                         eobrun = 0
                         for bi in range(rows * cols):
+                            if (
+                                restart_interval
+                                and bi
+                                and bi % restart_interval == 0
+                            ):
+                                _p_expect_restart()
+                                eobrun = 0
                             if eobrun > 0:
                                 eobrun -= 1
                                 for k in range(ss, se + 1):
@@ -2039,6 +2116,30 @@ def _reconstruct_progressive(coef_store, width, height, components, qtables):
 PROGRESSIVE_BANDS = ((1, 5), (6, 63))
 
 
+def _chunked_entropy(blocks, restart_interval: int, enc_chunk) -> bytes:
+    """Entropy segment for one progressive scan with optional restarts:
+    every `restart_interval` blocks the stream byte-aligns and an RSTn
+    marker (n cycling 0-7) is emitted; each chunk re-enters the encoder
+    helper with fresh state (DC predictor 0, no pending EOB run) —
+    exactly the reset the decoder performs at a restart."""
+    if not restart_interval:
+        bw = _BitWriter()
+        enc_chunk(bw, blocks)
+        bw.flush()
+        return bytes(bw.out)
+    body = bytearray()
+    rst = 0
+    for i in range(0, len(blocks), restart_interval):
+        if i:
+            body += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        bw = _BitWriter()
+        enc_chunk(bw, blocks[i : i + restart_interval])
+        bw.flush()
+        body += bw.out
+    return bytes(body)
+
+
 def _enc_dc_first(bw_out, blocks, dc_tab, al: int) -> None:
     """DC first scan: point-transformed (arithmetic shift) DC diff chain."""
     prev = 0
@@ -2135,16 +2236,19 @@ def _enc_ac_refine(bw_out, blocks, ac_tab, ss: int, se: int, al: int) -> None:
 
 
 def encode_jpeg_progressive(
-    width: int, height: int, seed: int, levels: int = 0
+    width: int, height: int, seed: int, levels: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal REAL progressive grayscale JPEG (SOF2): the same quantized
     coefficients as encode_jpeg, shipped coarse-to-fine. levels=0 emits
     pure spectral selection (DC scan + two AC band scans at full
     precision); levels=N adds SUCCESSIVE APPROXIMATION — first scans at
     Al=N, then N refinement rounds (DC bit scans + G.1.2.3 AC correction
-    scans) down to Al=0. Decoding MUST reproduce encode_jpeg's pixels
-    bit-for-bit regardless of the script (same final coefficients, same
-    IDCT) — pinned in tests."""
+    scans) down to Al=0. restart_interval > 0 emits DRI + an RSTn every
+    that many blocks in EVERY scan (restart units are blocks in
+    single-component scans). Decoding MUST reproduce encode_jpeg's
+    pixels bit-for-bit regardless of the script (same final
+    coefficients, same IDCT) — pinned in tests."""
     import numpy as np
 
     img = np.fromfunction(
@@ -2177,27 +2281,32 @@ def encode_jpeg_progressive(
     out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
     out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
+    ri = restart_interval
     al0 = levels
-    bw_out = _BitWriter()
-    _enc_dc_first(bw_out, blocks, dc_tab, al0)
-    bw_out.flush()
-    out += sos(0, 0, 0, al0) + bw_out.out
+    out += sos(0, 0, 0, al0) + _chunked_entropy(
+        blocks, ri, lambda bw, ch: _enc_dc_first(bw, ch, dc_tab, al0)
+    )
     for ss, se in PROGRESSIVE_BANDS:
-        bw_out = _BitWriter()
-        _enc_ac_first(bw_out, blocks, ac_tab, ss, se, al0)
-        bw_out.flush()
-        out += sos(ss, se, 0, al0) + bw_out.out
+        out += sos(ss, se, 0, al0) + _chunked_entropy(
+            blocks, ri,
+            lambda bw, ch, ss=ss, se=se: _enc_ac_first(
+                bw, ch, ac_tab, ss, se, al0
+            ),
+        )
     for a in range(al0 - 1, -1, -1):
-        bw_out = _BitWriter()
-        _enc_dc_refine(bw_out, blocks, a)
-        bw_out.flush()
-        out += sos(0, 0, a + 1, a) + bw_out.out
+        out += sos(0, 0, a + 1, a) + _chunked_entropy(
+            blocks, ri, lambda bw, ch, a=a: _enc_dc_refine(bw, ch, a)
+        )
         for ss, se in PROGRESSIVE_BANDS:
-            bw_out = _BitWriter()
-            _enc_ac_refine(bw_out, blocks, ac_tab, ss, se, a)
-            bw_out.flush()
-            out += sos(ss, se, a + 1, a) + bw_out.out
+            out += sos(ss, se, a + 1, a) + _chunked_entropy(
+                blocks, ri,
+                lambda bw, ch, ss=ss, se=se, a=a: _enc_ac_refine(
+                    bw, ch, ac_tab, ss, se, a
+                ),
+            )
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -2756,10 +2865,13 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
             if k == 0:
                 return encode_jpeg(w, h, s)
             if k == 3:
-                return encode_jpeg_progressive(w, h, s, levels=i % 3)
+                return encode_jpeg_progressive(
+                    w, h, s, levels=i % 3, restart_interval=i % 4
+                )
             if k == 4:
                 return encode_jpeg_progressive_color(
-                    w, h, s, subsample=(i % 2 == 1)
+                    w, h, s, subsample=(i % 2 == 1),
+                    restart_interval=i % 4,
                 )
             if k == 5:
                 return encode_jpeg_color_noninterleaved(

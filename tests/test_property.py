@@ -421,3 +421,33 @@ def test_generalized_sampling_jpeg_fidelity(w, h, seed, samp):
         axis=-1,
     )
     assert np.max(np.abs(meta["pixels"].astype(float) - src)) <= 14
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=8, max_value=24),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=1, max_value=9),
+)
+def test_progressive_jpeg_with_restarts_matches_baseline(w, h, seed, lv, ri):
+    """Restart markers in progressive scans (interleaved DC, DC
+    refinement, AC band, AC refinement) are pure framing — any interval
+    must reconstruct bit-identically to the restart-free baseline."""
+    import numpy as np
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    base_g = mm.decode_jpeg(mm.encode_jpeg(w, h, seed))
+    prog_g = mm.decode_jpeg(
+        mm.encode_jpeg_progressive(w, h, seed, levels=lv, restart_interval=ri)
+    )
+    assert np.array_equal(base_g["pixels"], prog_g["pixels"])
+    base_c = mm.decode_jpeg(mm.encode_jpeg_color(w, h, seed, subsample=True))
+    prog_c = mm.decode_jpeg(
+        mm.encode_jpeg_progressive_color(
+            w, h, seed, subsample=True, restart_interval=ri
+        )
+    )
+    assert np.array_equal(base_c["pixels"], prog_c["pixels"])
