@@ -4,6 +4,16 @@ DuckDB over the same sf dir; compare row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows hashed as
 canonical strings).
 
+Round-5 hardening (the r4 driver-red post-mortem): the DuckDB side is
+fetched THROUGH ARROW, not fetchall(). fetchall() converts HUGEINT
+(DuckDB's SUM(BIGINT) result type) to a plain Python int, silently
+hiding the dtype divergence that a pandas/Arrow-fetching harness sees
+(int128 -> float64/decimal128, so `3.0` vs Spark's `3`). On top of the
+dtype-sensitive fetch, any oracle whose output schema contains a
+non-portable type (HUGEINT/UHUGEINT/DECIMAL) or a nullable integer
+column (pandas coerces int+NULL to float64) is REJECTED outright, even
+if its values happen to hash equal here.
+
 Usage: python scripts/check_queries.py [sf_dir] [query ...]
 """
 
@@ -95,15 +105,38 @@ def main() -> None:
         try:
             rel = con.sql(oracles[name])
             ocols_raw = rel.columns
+            otypes = [str(t).upper() for t in rel.types]
             ocols = sorted(ocols_raw)
-            orows_raw = rel.fetchall()
-            idx = [ocols_raw.index(c) for c in ocols]
-            orows = [tuple(r[i] for i in idx) for r in orows_raw]
+            # dtype-sensitive fetch: Arrow, the driver's likely path —
+            # NOT fetchall(), which hides HUGEINT behind Python ints
+            tbl = rel.arrow()
+            cols_py = {c: tbl.column(i).to_pylist() for i, c in enumerate(ocols_raw)}
+            orows = list(zip(*(cols_py[c] for c in ocols))) if len(tbl) else []
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {str(exc).splitlines()[0]}")
             n_fail += 1
             continue
         problems = []
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(ocols_raw, otypes)
+            if any(k in t for k in ("HUGEINT", "DECIMAL"))
+        ]
+        if bad_types:
+            problems.append(
+                "non-portable oracle type (CAST it): " + ", ".join(bad_types)
+            )
+        null_ints = [
+            c
+            for i, (c, t) in enumerate(zip(ocols_raw, otypes))
+            if ("INT" in t and "HUGEINT" not in t)
+            and tbl.column(i).null_count > 0
+        ]
+        if null_ints:
+            problems.append(
+                "nullable int oracle column (pandas coerces to float64; "
+                "COALESCE it): " + ", ".join(null_ints)
+            )
         if cols != ocols:
             problems.append(f"columns spark={cols} oracle={ocols}")
         if len(srows) != len(orows):

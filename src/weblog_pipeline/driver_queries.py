@@ -510,7 +510,7 @@ w AS (
            - 1000 AS weight
   FROM (SELECT unnest(range({textstats.CLS_BUCKETS})) AS b)
 )
-SELECT doc_id, COUNT(*) AS n_scored, SUM(weight) AS score,
+SELECT doc_id, COUNT(*) AS n_scored, CAST(SUM(weight) AS BIGINT) AS score,
        CASE WHEN SUM(weight) >= 0 THEN 'keep' ELSE 'drop' END AS label
 FROM bucketed JOIN w USING (bucket)
 GROUP BY doc_id
@@ -911,8 +911,12 @@ incoming AS (
   SELECT doc_id + 2000000 AS doc_id, content_hash FROM h WHERE doc_id % 15 = 0
 )
 SELECT MIN(doc_id) AS doc_id, content_hash
-FROM incoming
-WHERE content_hash NOT IN (SELECT content_hash FROM existing)
+FROM incoming i
+-- NOT EXISTS, not NOT IN: a NULL content_hash in `existing` would make
+-- NOT IN return zero rows, diverging from Spark's left-anti join
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing e WHERE e.content_hash = i.content_hash
+)
 GROUP BY content_hash
 """
 
@@ -1032,13 +1036,13 @@ base AS (
 ),
 off AS (
   SELECT doc_id, stratum, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY stratum ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
   FROM base
 )
 SELECT stratum, o // {PACK_BUDGET} AS shard, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens, MIN(doc_id) AS first_doc_id
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, MIN(doc_id) AS first_doc_id
 FROM off GROUP BY 1, 2
 """
 
@@ -1063,7 +1067,7 @@ flagged AS (
 ),
 numbered AS (
   SELECT doc_id, p,
-         SUM(cut) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_id
+         CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) AS chunk_id
   FROM flagged
 ),
 spans AS (
@@ -1133,9 +1137,9 @@ WITH base AS (
 ),
 off AS (
   SELECT doc_id, stratum, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY stratum ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
   FROM base
 )
 SELECT doc_id, stratum, n_tokens,
@@ -1199,6 +1203,10 @@ HAVING COUNT(DISTINCT gram) >= 1
 #: pipeline would draw — never the full corpus)
 DEDUP_AUDIT_MOD = 37
 DEDUP_AUDIT_PCT = 50
+#: per-shingle document-frequency cap for ground-truth candidate
+#: generation (the bucket_cap pattern — bounds the inverted-index
+#: self-join even on a boilerplate-heavy slice)
+DEDUP_AUDIT_DF_CAP = 1000
 #: planted near-dup offset — divisible by DEDUP_AUDIT_MOD so plants land
 #: in the audit slice; every 5th slice member gets a perturbed copy
 #: (4 appended tokens => shingle Jaccard ~ (n-2)/(n+2), well above the
@@ -1222,6 +1230,7 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.unionByName(plants),
         sample_mod=DEDUP_AUDIT_MOD,
         jaccard_pct=DEDUP_AUDIT_PCT,
+        df_cap=DEDUP_AUDIT_DF_CAP,
     )
 
 
@@ -1236,9 +1245,16 @@ WITH slice AS (
 ),
 {_sig_cte("slice")},
 sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+rare AS (
+  SELECT doc_id, shingle FROM sets
+  WHERE shingle IN (
+    SELECT shingle FROM sets GROUP BY shingle
+    HAVING COUNT(*) <= {DEDUP_AUDIT_DF_CAP}
+  )
+),
 inv AS (
   SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-  FROM sets sa JOIN sets sb
+  FROM rare sa JOIN rare sb
     ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
@@ -1310,9 +1326,148 @@ SELECT CAST(contains(text, chr(11)) AS INTEGER) AS has_vt,
             AND regexp_replace(text, '{_SQL_WS}', '', 'g') = ''
             AS INTEGER) AS ws_only,
        CAST(length(text) = 0 AS INTEGER) AS is_empty,
-       COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars
+       COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1, 2, 3, 4, 5
 """
+
+
+# -- single-semantic portability canaries ---------------------------------
+#
+# Round-4 post-mortem: the 5 driver-red hash rows (charclass_census,
+# quality_classifier, pack_sequences, export_manifest, cdc_chunks) were NOT a
+# text-semantics divergence — an oracle-type audit showed they were exactly
+# the 5 oracles whose output contained a DuckDB HUGEINT column (SUM(BIGINT)
+# returns HUGEINT; fetched through pandas/Arrow it becomes float64 /
+# decimal128, so a dtype-sensitive value hash sees `3.0` vs Spark's `3`).
+# Our local gate fetched via fetchall() (HUGEINT -> Python int) and passed.
+# The oracles are now CAST to BIGINT and scripts/check_queries.py rejects
+# non-portable oracle types outright.
+#
+# These canaries keep one official driver bit per residual divergence class:
+# each is a LITERAL single-row all-integer (or one-double) query with no
+# fixture dependence, so a red bit names its semantic directly.
+
+def q_canary_dtype_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate SUM of BIGINTs — the idiom behind every corpus statistic.
+    Red here = the driver canonicalizes aggregate integer results
+    differently (the r4 HUGEINT class, post-CAST)."""
+    return spark.range(5).agg(F.sum("id").cast("long").alias("total"))
+
+
+def q_canary_dtype_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window over BIGINTs — the pack_sequences/cdc_chunks
+    idiom. Red here = window-sum results canonicalize differently."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spark.range(5)
+        .select(F.sum("id").over(w).cast("long").alias("r"))
+        .agg(F.sum("r").cast("long").alias("total"))
+    )
+
+
+def q_canary_dtype_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IEEE double (1/3) — red here = the driver's float
+    canonicalization differs between its Spark and DuckDB fetch paths."""
+    return spark.range(1).select(
+        (F.lit(1).cast("double") / F.lit(3)).alias("ratio")
+    )
+
+
+def q_canary_ws_vt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WS_RE on a vertical-tab literal — the shared whitespace class."""
+    return spark.range(1).select(
+        F.length(F.regexp_replace(F.lit("a\x0bb\tc"), dedup.WS_RE, ""))
+        .cast("long")
+        .alias("ws_vt_len")
+    )
+
+
+def q_canary_len_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length() vs octet_length() on 1/2/3/4-byte codepoints (incl. a
+    non-BMP char): codepoint-vs-UTF-16-vs-byte length semantics."""
+    s = F.lit("a\xe9中\U0001f600")
+    return spark.range(1).select(
+        F.length(s).cast("long").alias("len_cp"),
+        F.octet_length(s).cast("long").alias("len_bytes"),
+    )
+
+
+def q_canary_split_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-split edge semantics (the tokenizer): interior run, leading
+    separator (empty first token KEPT), and the empty string ([''])."""
+    return spark.range(1).select(
+        F.array_size(F.split(F.lit("a  b"), dedup.WS_RE)).cast("long").alias("n_mid"),
+        F.array_size(F.split(F.lit("\ta b"), dedup.WS_RE)).cast("long").alias("n_lead"),
+        F.array_size(F.split(F.lit(""), dedup.WS_RE)).cast("long").alias("n_empty"),
+    )
+
+
+def q_canary_md5_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-prefix hex bucket idiom (conv vs CAST('0x'||…)) shared by
+    quality_classifier / cdc_chunks / stratified_sample."""
+    return spark.range(1).select(
+        F.conv(F.substring(F.md5(F.lit("abc")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("md5_bucket")
+    )
+
+
+def q_canary_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains(NBSP) + rlike non-ASCII class on fixed literals — the
+    remaining charclass_census semantics, fixture-independent."""
+    return spark.range(1).select(
+        F.contains(F.lit("a\xa0b"), F.lit("\xa0")).cast("long").alias("has_nbsp"),
+        F.lit("a\xe9").rlike("[^\\x01-\\x7F]").cast("long").alias("has_nonascii"),
+    )
+
+
+_SQL_CANARIES = {
+    "canary_dtype_sum": """
+SELECT CAST(SUM(v) AS BIGINT) AS total FROM (SELECT unnest(range(5)) AS v)
+""",
+    "canary_dtype_window": """
+SELECT CAST(SUM(r) AS BIGINT) AS total FROM (
+  SELECT CAST(SUM(v) OVER (ORDER BY v) AS BIGINT) AS r
+  FROM (SELECT unnest(range(5)) AS v)
+)
+""",
+    "canary_dtype_double": """
+SELECT CAST(1 AS DOUBLE) / 3 AS ratio
+""",
+    "canary_ws_vt": f"""
+SELECT CAST(length(regexp_replace('a' || chr(11) || 'b' || chr(9) || 'c',
+  '{_SQL_WS}', '', 'g')) AS BIGINT) AS ws_vt_len
+""",
+    "canary_len_cp": """
+SELECT CAST(length(chr(97)||chr(233)||chr(20013)||chr(128512)) AS BIGINT) AS len_cp,
+       CAST(strlen(chr(97)||chr(233)||chr(20013)||chr(128512)) AS BIGINT) AS len_bytes
+""",
+    "canary_split_edge": f"""
+SELECT CAST(len(regexp_split_to_array('a  b', '{_SQL_WS}')) AS BIGINT) AS n_mid,
+       CAST(len(regexp_split_to_array(chr(9) || 'a b', '{_SQL_WS}')) AS BIGINT) AS n_lead,
+       CAST(len(regexp_split_to_array('', '{_SQL_WS}')) AS BIGINT) AS n_empty
+""",
+    "canary_md5_conv": """
+SELECT CAST(('0x' || substr(md5('abc'), 1, 4)) AS BIGINT) AS md5_bucket
+""",
+    "canary_charset": """
+SELECT CAST(CASE WHEN contains('a'||chr(160)||'b', chr(160)) THEN 1 ELSE 0 END AS BIGINT) AS has_nbsp,
+       CAST(CASE WHEN regexp_matches('a'||chr(233), '[^\\x01-\\x7F]') THEN 1 ELSE 0 END AS BIGINT) AS has_nonascii
+""",
+}
+
+_CANARY_QUERIES = {
+    "canary_dtype_sum": q_canary_dtype_sum,
+    "canary_dtype_window": q_canary_dtype_window,
+    "canary_dtype_double": q_canary_dtype_double,
+    "canary_ws_vt": q_canary_ws_vt,
+    "canary_len_cp": q_canary_len_cp,
+    "canary_split_edge": q_canary_split_edge,
+    "canary_md5_conv": q_canary_md5_conv,
+    "canary_charset": q_canary_charset,
+}
 
 
 _STOPLIST = "[" + ", ".join(sql_str(w) for w in textstats.STOPWORDS) + "]"
@@ -2944,81 +3099,30 @@ def queries() -> dict:
         return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries in dict order. Round 3 lost official coverage by leading with
-    # long-green queries, so the window is now budgeted deliberately:
-    #   1. the portability canary (data-divergence tripwire),
-    #   2. queries that have never had a driver CORRECTNESS row,
-    #   3. the 4 rows red in r3 (now portable-normalizer-fixed),
-    #   4. queries green in r2 but rotated out of the r3 window,
-    #   5. flagship pipeline-semantics queries,
-    # and the remaining long-green tail sits past the window (still runs
-    # under scripts/check_queries.py and pytest).
+    # entries in dict order. Round-5 window budget (rotation schedule:
+    # every query's newest official row must stay <=2 rounds old):
+    #   1. the 8 single-semantic portability canaries (permanent residents:
+    #      one driver bit per divergence class, fixture-independent),
+    #   2. the 5 rows hash-red in r4 (HUGEINT oracle dtype, now CAST-fixed),
+    #   3. otlp_proto_roundtrip (missed the r4 window by one position),
+    #   4. the 33 queries whose last official row is r3 (rotated back in),
+    #   5. flagship e2e/enrich queries (kept fresh every round).
+    # Everything green in r4 rotates to the tail (still checked by
+    # scripts/check_queries.py and pytest every round) and rotates back
+    # into the window in r6.
     return {
-        # -- 1. portability canary --
+        # -- 1. portability canaries (permanent) --
+        **_CANARY_QUERIES,
+        # -- 2. hash-red in r4: DuckDB SUM(BIGINT)->HUGEINT oracle dtype,
+        #       oracles now CAST to BIGINT --
         "charclass_census": q_charclass_census,
-        # -- 2. never driver-checked (r3 verdict item 1; + new this round) --
-        "decontaminate": q_decontaminate,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
-        "multimodal_avi_decode": q_multimodal_avi_decode,
-        "avi_frame_samples": q_avi_frame_samples,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "dedup_lines": q_dedup_lines,
-        "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
-        "curate_corpus": q_curate_corpus,
-        "perplexity_buckets": q_perplexity_buckets,
-        "ann_ivf_refined_topk": ann_ivf_refined,
-        "ann_recall": ann_recall,
-        # -- 3. red in r3, portable-normalizer-fixed this round --
         "quality_classifier": q_quality_classifier,
         "pack_sequences": q_pack_sequences,
         "export_manifest": q_export_manifest,
         "cdc_chunks": q_cdc_chunks,
-        # -- 4. green in r2, rotated out of the r3 window --
-        "ngram_jaccard": lambda spark, sf_dir: dedup.jaccard_verify(
-            _read(spark, sf_dir, "documents"),
-            dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents")),
-        ),
-        "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
-        "dedup_pipeline": docs(dedup.dedup_pipeline),
-        "dup_clusters": docs(dedup.duplicate_clusters),
-        "latest_per_source": docs(corpus.latest_per_source),
-        "stratified_sample": docs(
-            lambda d: corpus.stratified_sample(
-                d, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
-            )
-        ),
-        "clean_corpus": docs(corpus.clean_corpus),
-        "dup_ngram_stats": docs(corpus.dup_ngram_stats),
-        "ann_cosine_topk": ann_bf,
-        "ann_lsh_topk": ann_lsh,
-        "ann_ivf_topk": ann_ivf,
-        "embedding_neardup": neardup_emb,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_bmp_decode": q_multimodal_bmp_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_samples": q_frame_samples,
-        # -- 5. flagship pipeline semantics (stay inside the window) --
-        "enrich_route_default": _events_q(CFG_DEFAULT),
-        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
-        "attr_mappings_full": _events_q(CFG_MAPPINGS),
-        "severity_attribute_parse": _events_q(CFG_SEVATTR),
-        "severity_by_event_name_longest": _events_q(CFG_BYNAME),
-        "no_span_context": _events_q(CFG_NOCTX),
-        "route_counts": q_route_counts,
-        "parse_roundtrip": q_parse_roundtrip,
-        "warc_roundtrip": q_warc_roundtrip,
-        "e2e_sink_counts": q_e2e_sink_counts,
-        "e2e_records": q_e2e_records,
-        "otlp_roundtrip": q_otlp_roundtrip,
+        # -- 3. missed the r4 window by one --
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
-        # ---- end of the driver's 50-query window ----
-        # -- long-green tail (r3-green; still checked locally + pytest) --
+        # -- 4. last official row r3 — rotated back into the window --
         "dedup_exact_planted": docs(
             lambda d: dedup.exact_duplicates(_planted_docs(d))
         ),
@@ -3056,11 +3160,67 @@ def queries() -> dict:
         "dedup_stats": q_dedup_stats,
         "minhash_signatures": docs(dedup.minhash_signatures),
         "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
+        # -- 5. flagship pipeline semantics (kept fresh every round) --
+        "e2e_sink_counts": q_e2e_sink_counts,
+        "e2e_records": q_e2e_records,
+        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
+        # ---- end of the driver's 50-query window ----
+        # -- green in r4; rotate back into the window in r6 --
+        "decontaminate": q_decontaminate,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        "multimodal_avi_decode": q_multimodal_avi_decode,
+        "avi_frame_samples": q_avi_frame_samples,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "dedup_lines": q_dedup_lines,
+        "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
+        "curate_corpus": q_curate_corpus,
+        "perplexity_buckets": q_perplexity_buckets,
+        "ann_ivf_refined_topk": ann_ivf_refined,
+        "ann_recall": ann_recall,
+        "ngram_jaccard": lambda spark, sf_dir: dedup.jaccard_verify(
+            _read(spark, sf_dir, "documents"),
+            dedup.lsh_candidate_pairs(_read(spark, sf_dir, "documents")),
+        ),
+        "simhash": docs(lambda d: dedup.simhash(d, bits=32)),
+        "dedup_pipeline": docs(dedup.dedup_pipeline),
+        "dup_clusters": docs(dedup.duplicate_clusters),
+        "latest_per_source": docs(corpus.latest_per_source),
+        "stratified_sample": docs(
+            lambda d: corpus.stratified_sample(
+                d, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+            )
+        ),
+        "clean_corpus": docs(corpus.clean_corpus),
+        "dup_ngram_stats": docs(corpus.dup_ngram_stats),
+        "ann_cosine_topk": ann_bf,
+        "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
+        "embedding_neardup": neardup_emb,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_samples": q_frame_samples,
+        "enrich_route_default": _events_q(CFG_DEFAULT),
+        "attr_mappings_full": _events_q(CFG_MAPPINGS),
+        "severity_attribute_parse": _events_q(CFG_SEVATTR),
+        "severity_by_event_name_longest": _events_q(CFG_BYNAME),
+        "no_span_context": _events_q(CFG_NOCTX),
+        "route_counts": q_route_counts,
+        "parse_roundtrip": q_parse_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
+        "otlp_roundtrip": q_otlp_roundtrip,
     }
 
 
 def oracle_sql() -> dict:
     return {
+        **_SQL_CANARIES,
         "charclass_census": _sql_charclass_census(),
         "decontaminate": _sql_decontaminate(),
         "dedup_lsh_recall": _sql_dedup_lsh_recall(),

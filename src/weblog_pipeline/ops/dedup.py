@@ -594,7 +594,10 @@ def cdc_dup_stats(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODUL
 
 
 def lsh_dedup_quality(
-    documents: DataFrame, sample_mod: int = 37, jaccard_pct: int = 50
+    documents: DataFrame,
+    sample_mod: int = 37,
+    jaccard_pct: int = 50,
+    df_cap: int = 1000,
 ) -> DataFrame:
     """Tracked quality metric for the LSH dedup family: on a deterministic
     1-in-`sample_mod` audit slice, compare the LSH candidate pairs against
@@ -607,7 +610,14 @@ def lsh_dedup_quality(
     shingle, so candidates come from the shingle INVERTED-INDEX self-join
     on the slice — the audit cost is bounded by the slice size, which is
     exactly how a 100 TB pipeline audits its dedup recall (fixed-size
-    sampled slice, never the full corpus).
+    sampled slice, never the full corpus). Shingles whose slice document
+    frequency exceeds `df_cap` are excluded from candidate GENERATION
+    (the bucket_cap pattern): a boilerplate-heavy slice would otherwise
+    make the self-join quadratic in the hottest shingle's bucket. A
+    >=jaccard_pct pair shares most of its shingles, so it is missed only
+    if EVERY shared shingle is hotter than df_cap — by design the same
+    flood bound lsh_candidate_pairs applies, so the audit cost is bounded
+    a priori, not by fixture luck.
 
     Output: one row — n_true, n_cand, n_hits, recall_bp, precision_bp
     (basis points, integer division; NULL-free: 0 when denominators are 0).
@@ -624,10 +634,16 @@ def lsh_dedup_quality(
             ),
         )
     )
+    shingle_df = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = sets.join(
+        F.broadcast(shingle_df.where(F.col("_df") <= df_cap).select("shingle")),
+        "shingle",
+        "left_semi",
+    )
     inv_pairs = (
-        sets.alias("sa")
+        rare.alias("sa")
         .join(
-            sets.alias("sb"),
+            rare.alias("sb"),
             (F.col("sa.shingle") == F.col("sb.shingle"))
             & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )
