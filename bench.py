@@ -192,22 +192,29 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # every round so a bucket/centroid regression shows up as a NUMBER
     # drop, not just a red correctness row at the small SF. Denser query
     # sampling than the timing keys (%50, not %500): with 4 queries the
-    # recall quantum is 500 bp and round-over-round comparison is noise
+    # recall quantum is 500 bp and round-over-round comparison is noise.
+    # Corpus side: the 1-in-3 audit slice (plus all queries) — mirrors
+    # driver_queries.ann_recall, so the brute-force ground truth never
+    # scans the full corpus at scale (recall on a uniform sub-corpus is an
+    # unbiased estimate of full-corpus recall).
     def ann_recall_bp():
-        q = embs.where(F.col("vec_id") % 50 == 0).select(
+        audit = embs.where(
+            (F.col("vec_id") % 3 == 0) | (F.col("vec_id") % 50 == 0)
+        ).localCheckpoint()
+        q = audit.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         bf = (
-            similarity.brute_force_topk(embs, q, k=5)
+            similarity.brute_force_topk(audit, q, k=5)
             .select("query_id", "neighbor_id")
             .localCheckpoint()
         )
         n_true = bf.count()
         out = {}
         for mname, ap in (
-            ("ivf", similarity.ivf_topk(embs, q, k=5)),
-            ("ivf_r", similarity.ivf_topk_refined(embs, q, k=5, n_iter=1)),
-            ("lsh", similarity.lsh_topk(embs, q, k=5, probe_bits=1)),
+            ("ivf", similarity.ivf_topk(audit, q, k=5)),
+            ("ivf_r", similarity.ivf_topk_refined(audit, q, k=5, n_iter=1)),
+            ("lsh", similarity.lsh_topk(audit, q, k=5, probe_bits=1)),
         ):
             hits = bf.join(
                 ap.select("query_id", "neighbor_id"),

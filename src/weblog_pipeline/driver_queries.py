@@ -1905,7 +1905,12 @@ SELECT doc_id,
 FROM votes
 """
 
-SQL_ANN_TOPK = """
+def _sql_ann_topk(corpus_where: str = "") -> str:
+    """Exact brute-force cosine top-5 twin; `corpus_where` (an AND-able
+    predicate on vec_id) restricts the corpus side — used by the
+    ann_recall audit slice."""
+    cw = f"AND ({corpus_where})" if corpus_where else ""
+    return f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id % 50 = 0
@@ -1914,7 +1919,7 @@ scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos_r6
   FROM q, embeddings e
-  WHERE e.vec_id <> q.query_id
+  WHERE e.vec_id <> q.query_id {cw}
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_r6
 FROM (
@@ -1924,6 +1929,9 @@ FROM (
 )
 WHERE rank <= 5
 """
+
+
+SQL_ANN_TOPK = _sql_ann_topk()
 
 
 def _lsh_proj_sql(band: int, plane: int) -> str:
@@ -1940,38 +1948,44 @@ def _lsh_proj_sql(band: int, plane: int) -> str:
     return f"({pos_s} - {neg_s})"
 
 
-def _lsh_bucket_sql(band: int) -> str:
+def _lsh_bucket_sql(band: int, n_planes: int = similarity.N_PLANES) -> str:
     bits = [
         f"CASE WHEN {_lsh_proj_sql(band, p)} > 0 THEN {1 << p} ELSE 0 END"
-        for p in range(similarity.N_PLANES)
+        for p in range(n_planes)
     ]
     return "(" + " + ".join(bits) + ")"
 
 
-def _lsh_bands_cte() -> str:
+def _lsh_bands_cte(
+    n_bands: int = similarity.N_LSH_BANDS,
+    n_planes: int = similarity.N_PLANES,
+    corpus_where: str = "",
+) -> str:
     """CTEs `qv` (vec, quantized vec) and `bands` (vec_id, band, bucket) —
     the SQL twin of similarity.with_band_buckets over the embeddings table."""
     per_band = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, {_lsh_bucket_sql(b)} AS bucket FROM qv"
-        for b in range(similarity.N_LSH_BANDS)
+        f"SELECT vec_id, {b} AS band, {_lsh_bucket_sql(b, n_planes)} AS bucket FROM qv"
+        for b in range(n_bands)
     )
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
     return f"""
 qv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> floor(x * {float(similarity.LSH_QUANT)})) AS q
-  FROM embeddings
+  FROM embeddings {cw}
 ),
 bands AS ({per_band})
 """
 
 
-def _sql_ann_lsh_topk(k: int = 5) -> str:
-    """Twin of lsh_topk(probe_bits=1): the query side probes its exact
+def _sql_ann_lsh_topk(k: int = 5, corpus_where: str = "") -> str:
+    """Twin of lsh_topk(probe_bits=1) with the top-k family's band shape
+    (LSH_TOPK_BANDS x LSH_TOPK_PLANES): the query side probes its exact
     bucket plus every Hamming-1 bucket (one hyperplane bit xor-flipped)."""
-    flips = ", ".join(str(1 << p) for p in range(similarity.N_PLANES))
+    flips = ", ".join(str(1 << p) for p in range(similarity.LSH_TOPK_PLANES))
     return f"""
-WITH {_lsh_bands_cte()},
+WITH {_lsh_bands_cte(similarity.LSH_TOPK_BANDS, similarity.LSH_TOPK_PLANES, corpus_where)},
 qb0 AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id % 50 = 0),
 qb AS (
   SELECT query_id, band, bucket FROM qb0
@@ -2002,19 +2016,23 @@ WHERE rank <= {k}
 
 
 def _sql_ann_ivf_refined_topk(
-    k: int = 5, n_cells: int = 16, n_probe: int = 4
+    k: int = 5,
+    n_cells: int = similarity.IVF_TOPK_CELLS,
+    n_probe: int = similarity.IVF_TOPK_PROBE,
+    corpus_where: str = "",
 ) -> str:
     """SQL twin of similarity.ivf_topk_refined (n_iter=1 unrolled): the
     hash-sampled seed centroids, one integer-exact Lloyd step (per-(cell,
     dim) floor(sum/count) over the quantized components; empty cells keep
     their seed), then the probe chain against the refined centroids."""
     dim = similarity.DIM
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
     return f"""
 WITH qv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
-  FROM embeddings
+  FROM embeddings {cw}
 ),
 cent0 AS (
   SELECT row_number() OVER (ORDER BY ord) - 1 AS cell, q AS cq
@@ -2085,15 +2103,24 @@ WHERE rank <= {k}
 """
 
 
+#: ann_recall audit-slice modulus: recall is estimated on the 1-in-3
+#: corpus slice (plus every query vector) instead of the full corpus —
+#: the dedup_lsh_recall pattern. Recall on a uniform sub-corpus is an
+#: unbiased estimate of full-corpus recall, and the ground-truth
+#: brute-force side stops being O(full corpus x queries) at scale.
+ANN_AUDIT_CORPUS_MOD = 3
+_ANN_AUDIT_WHERE = f"(vec_id % {ANN_AUDIT_CORPUS_MOD} = 0 OR vec_id % 50 = 0)"
+
+
 def _sql_ann_recall(k: int = 5) -> str:
-    """SQL twin of ann_recall: the three ANN result sets as CTEs, hit
-    counts via equi-joins on (query_id, neighbor_id), recall in integer
-    basis points."""
+    """SQL twin of ann_recall: the three ANN result sets as CTEs (each on
+    the audit corpus slice), hit counts via equi-joins on (query_id,
+    neighbor_id), recall in integer basis points."""
     return f"""
-WITH bf AS ({SQL_ANN_TOPK}),
-lshr AS ({_sql_ann_lsh_topk(k)}),
-ivfr AS ({_sql_ann_ivf_topk(k)}),
-ivfr2 AS ({_sql_ann_ivf_refined_topk(k)})
+WITH bf AS ({_sql_ann_topk(_ANN_AUDIT_WHERE)}),
+lshr AS ({_sql_ann_lsh_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
+ivfr AS ({_sql_ann_ivf_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
+ivfr2 AS ({_sql_ann_ivf_refined_topk(k, corpus_where=_ANN_AUDIT_WHERE)})
 SELECT method, n_true, n_hits, n_hits * 10000 // n_true AS recall_bp
 FROM (
   SELECT 'ivf' AS method,
@@ -2111,18 +2138,24 @@ FROM (
 """
 
 
-def _sql_ann_ivf_topk(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
+def _sql_ann_ivf_topk(
+    k: int = 5,
+    n_cells: int = similarity.IVF_TOPK_CELLS,
+    n_probe: int = similarity.IVF_TOPK_PROBE,
+    corpus_where: str = "",
+) -> str:
     """SQL twin of similarity.ivf_topk: hash-sampled centroids (smallest
     md5(vec_id), cell = rank in md5 order), integer-quantized dot-product
     argmax assignment (quantized values <= ~530 so the 64-term dot is
     integer-exact in double), n_probe nearest cells per query, exact
     cosine re-rank on candidates."""
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
     return f"""
 WITH qv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
-  FROM embeddings
+  FROM embeddings {cw}
 ),
 cent AS (
   SELECT row_number() OVER (ORDER BY ord) - 1 AS cell, q AS cq
@@ -3051,8 +3084,16 @@ def queries() -> dict:
         """recall@5 of the approximate ANN variants against brute force —
         the tracked metric that turns a silent bucket/centroid regression
         into a red CORRECTNESS row. Integer counts only (recall in basis
-        points via integer division) so the cross-engine hash is exact."""
-        emb = _emb_double(spark, sf_dir)
+        points via integer division) so the cross-engine hash is exact.
+
+        Both the ground truth and the approximate methods run on the
+        1-in-ANN_AUDIT_CORPUS_MOD audit slice (plus the query vectors):
+        recall on a uniform sub-corpus estimates full-corpus recall, and
+        the brute-force side never scans the full corpus at scale."""
+        emb = _emb_double(spark, sf_dir).where(
+            (F.col("vec_id") % ANN_AUDIT_CORPUS_MOD == 0)
+            | (F.col("vec_id") % 50 == 0)
+        )
         q = emb.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )

@@ -291,7 +291,14 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     tok = _fan_out(documents.select("doc_id", "text")).select(
         "doc_id", words
     ).where(F.col("word") != "")
-    h32 = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    # materialize the 32-bit token hash ONCE before the vote aggregate:
+    # h32 appears in all `bits` aggregate expressions, and aggregate-level
+    # subexpression elimination is not guaranteed to fold the md5+conv
+    # across them (the transform-lambda pitfall's aggregate cousin)
+    tok = tok.select("doc_id", F.conv(
+        F.substring(F.md5(F.col("word")), 1, 8), 16, 10
+    ).cast("long").alias("_h32"))
+    h32 = F.col("_h32")
     aggs = [
         F.sum(
             F.when(F.shiftright(h32, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -31,8 +31,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 8  # bits per LSH band
+N_PLANES = 8  # bits per LSH band (near-dup family default)
 N_LSH_BANDS = 4
+#: the TOP-K family uses WIDER buckets (6-bit bands): recall@5 needs a
+#: candidate set dense enough to contain most true top-5 rows, and on
+#: weak-structure embeddings 8-bit buckets + Hamming-1 probing plateaued
+#: at ~38-47% recall. 6 bands x 6 bits x (1+6 probes) scores ~2/3 of the
+#: corpus and measures 76-79% recall@5 (the tracked ann_recall rows) —
+#: an honest price on near-random synthetic embeddings; real clustered
+#: embeddings buy the same recall at far fewer bands.
+#: The near-dup PAIR family keeps 8-bit buckets: its threshold filter
+#: only needs one band collision per surviving pair, not rank coverage.
+LSH_TOPK_PLANES = 6
+LSH_TOPK_BANDS = 6
+#: IVF top-k probes half its 16 cells: same recall rationale (measured
+#: 71-78% recall@5 vs 46-48% at n_probe=4).
+IVF_TOPK_CELLS = 16
+IVF_TOPK_PROBE = 8
 LSH_QUANT = 1_000_000  # sign-projection quantizer: floor(x * 1e6) as long
 IVF_QUANT = 1_000  # centroid-assignment quantizer: floor(x * 1e3) as long
 TOPK_SALT_BUCKETS = 64
@@ -127,7 +142,7 @@ def hyperplane_signs(band: int, plane: int, dim: int = DIM) -> list[int]:
     return signs
 
 
-def band_bucket_sql(band: int, dim: int = DIM) -> str:
+def band_bucket_sql(band: int, dim: int = DIM, n_planes: int = N_PLANES) -> str:
     """8-bit bucket id for one band over per-dimension QUANTIZED scalar
     columns _q0.._q{dim-1} and their total _t: bit p = [integer projection
     onto plane_{band,p} is > 0]. Pure integer arithmetic — bit-identical in
@@ -140,7 +155,7 @@ def band_bucket_sql(band: int, dim: int = DIM) -> str:
     per operator node), and the earlier zip_with/aggregate lambdas fell
     back to interpreted evaluation on top of that."""
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         signs = hyperplane_signs(band, p, dim)
         pos = [f"_q{d}" for d, s in enumerate(signs) if s == 1]
         possum = "(" + " + ".join(pos) + ")" if pos else "0L"
@@ -149,7 +164,12 @@ def band_bucket_sql(band: int, dim: int = DIM) -> str:
 
 
 def with_band_buckets(
-    df: DataFrame, vec: str, id_col: str, dim: int = DIM
+    df: DataFrame,
+    vec: str,
+    id_col: str,
+    dim: int = DIM,
+    n_bands: int = N_LSH_BANDS,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """(id_col, <vec>, band, bucket) — one row per (row, band)."""
     base = df.selectExpr(
@@ -163,8 +183,8 @@ def with_band_buckets(
         "*", "(" + " + ".join(f"_q{d}" for d in range(dim)) + ") AS _t"
     )
     bands = "array(" + ", ".join(
-        f"struct({b} AS band, {band_bucket_sql(b, dim)} AS bucket)"
-        for b in range(N_LSH_BANDS)
+        f"struct({b} AS band, {band_bucket_sql(b, dim, n_planes)} AS bucket)"
+        for b in range(n_bands)
     ) + ")"
     return base.selectExpr(
         f"`{id_col}`", f"`{vec}`", f"explode({bands}) AS bb"
@@ -177,17 +197,21 @@ def lsh_topk(
     k: int = 5,
     dim: int = DIM,
     probe_bits: int = 0,
+    n_bands: int = LSH_TOPK_BANDS,
+    n_planes: int = LSH_TOPK_PLANES,
 ) -> DataFrame:
-    """Approximate top-k: candidates share >=1 of 4 sign-LSH band buckets;
+    """Approximate top-k: candidates share >=1 sign-LSH band bucket;
     exact cosine re-rank on candidates only; two-phase final rank.
+    Defaults: 4 bands x 6-bit buckets (see LSH_TOPK_PLANES note).
 
     probe_bits=1 enables MULTI-PROBE (Lv et al., VLDB'07): each query
     additionally probes every bucket at Hamming distance 1 (one flipped
     hyperplane bit) — near neighbors that land one unlucky bit away stop
-    being missed. Probing expands only the broadcast QUERY side (9
-    buckets/band instead of 1); the corpus side still materializes one
-    bucket per band, so the candidate fraction stays ~9 * 2^-8 per band
-    and nothing new shuffles at 100 TB."""
+    being missed. Probing expands only the broadcast QUERY side
+    (1+n_planes buckets/band instead of 1); the corpus side still
+    materializes one bucket per band, so the candidate fraction stays
+    ~n_bands * (1+n_planes) * 2^-n_planes and nothing new shuffles at
+    100 TB."""
     corpus_b = with_band_buckets(
         embeddings.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -196,8 +220,12 @@ def lsh_topk(
         "neighbor_vec",
         "neighbor_id",
         dim,
+        n_bands,
+        n_planes,
     )
-    queries_b = with_band_buckets(queries, "query_vec", "query_id", dim)
+    queries_b = with_band_buckets(
+        queries, "query_vec", "query_id", dim, n_bands, n_planes
+    )
     if probe_bits:
         if probe_bits != 1:
             raise ValueError("only Hamming-1 multi-probe is implemented")
@@ -205,7 +233,7 @@ def lsh_topk(
             F.col("bucket"),
             *[
                 F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(N_PLANES)
+                for p in range(n_planes)
             ],
         )
         queries_b = queries_b.select(
@@ -286,8 +314,8 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int = IVF_TOPK_CELLS,
+    n_probe: int = IVF_TOPK_PROBE,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -351,8 +379,8 @@ def ivf_topk_refined(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int = IVF_TOPK_CELLS,
+    n_probe: int = IVF_TOPK_PROBE,
     n_iter: int = 1,
 ) -> DataFrame:
     """IVF top-k with k-means-refined centroids: the hash-sampled seeds of
