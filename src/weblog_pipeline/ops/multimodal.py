@@ -788,19 +788,26 @@ def encode_jpeg_color(
 
 
 def encode_jpeg_color_sampled(
-    width: int, height: int, seed: int, hs: int = 2, vs: int = 2
+    width: int, height: int, seed: int, hs: int = 2, vs: int = 2,
+    ch: int = 1, cv: int = 1,
 ) -> bytes:
     """Baseline color JPEG with ARBITRARY luma sampling factors hs x vs
-    in {1, 2, 4} (chroma stays 1x1): generalizes encode_jpeg_color's
-    4:4:4 / 4:2:0 pair to the other real layouts — 4:2:2 (2x1),
-    4:4:0 (1x2), 4:1:1 (4x1), and beyond. Chroma is box-averaged over
-    the hs x vs footprint; pixels and Huffman/quant tables match
-    encode_jpeg_color exactly, so a constant-chroma source reconstructs
-    bit-identically across every sampling choice (tested)."""
+    in {1..4} and chroma factors ch x cv (default 1x1): generalizes
+    encode_jpeg_color's 4:4:4 / 4:2:0 pair to the other real layouts —
+    4:2:2 (2x1), 4:4:0 (1x2), 4:1:1 (4x1) — AND to FRACTIONAL-ratio
+    layouts (e.g. luma 4x1 with chroma 3x1, a T.81-legal 4:3 ratio).
+    With ch=cv=1 chroma is box-averaged over the hs x vs footprint
+    (byte-identical to the pre-fractional encoder); other chroma factors
+    use the nearest-neighbor subsample matching the decoder's index map.
+    Pixels and Huffman/quant tables match encode_jpeg_color exactly, so
+    a constant-chroma source reconstructs bit-identically across every
+    sampling choice (tested)."""
     import numpy as np
 
-    if hs not in (1, 2, 4) or vs not in (1, 2, 4):
-        raise ValueError("sampling factors must be 1, 2, or 4")
+    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+        raise ValueError("luma sampling factors must be 1-4")
+    if not (1 <= ch <= hs and 1 <= cv <= vs):
+        raise ValueError("chroma factors must be 1..luma factor")
     x = np.arange(width)[None, :]
     y = np.arange(height)[:, None]
     r = ((seed + x) % 256) + 0.0 * y
@@ -812,12 +819,23 @@ def encode_jpeg_color_sampled(
     mcux = (width + 8 * hs - 1) // (8 * hs)
     mcuy = (height + 8 * vs - 1) // (8 * vs)
     ypad = _pad_to_blocks(yy, mcuy * vs * 8, mcux * hs * 8)
-    cpadw, cpadh = mcux * 8 * hs, mcuy * 8 * vs
-    cbs = _pad_to_blocks(cb, cpadh, cpadw)
-    crs = _pad_to_blocks(cr, cpadh, cpadw)
-    if hs > 1 or vs > 1:
-        cbs = cbs.reshape(cpadh // vs, vs, cpadw // hs, hs).mean(axis=(1, 3))
-        crs = crs.reshape(cpadh // vs, vs, cpadw // hs, hs).mean(axis=(1, 3))
+    if (ch, cv) == (1, 1):
+        cpadw, cpadh = mcux * 8 * hs, mcuy * 8 * vs
+        cbs = _pad_to_blocks(cb, cpadh, cpadw)
+        crs = _pad_to_blocks(cr, cpadh, cpadw)
+        if hs > 1 or vs > 1:
+            cbs = cbs.reshape(cpadh // vs, vs, cpadw // hs, hs).mean(axis=(1, 3))
+            crs = crs.reshape(cpadh // vs, vs, cpadw // hs, hs).mean(axis=(1, 3))
+    else:
+        # general chroma grid: component dims ceil(width*ch/hs) x
+        # ceil(height*cv/vs) (T.81 A.1.1), nearest-neighbor sampled with
+        # the inverse of the decoder's upsampling index map
+        cw = (width * ch + hs - 1) // hs
+        chh = (height * cv + vs - 1) // vs
+        xi = np.minimum((np.arange(cw) * hs) // ch, width - 1)
+        yi = np.minimum((np.arange(chh) * vs) // cv, height - 1)
+        cbs = _pad_to_blocks(cb[np.ix_(yi, xi)], mcuy * 8 * cv, mcux * 8 * ch)
+        crs = _pad_to_blocks(cr[np.ix_(yi, xi)], mcuy * 8 * cv, mcux * 8 * ch)
     m = _dct_matrix()
     zz = JPEG_ZIGZAG
     ql = np.array(JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
@@ -838,9 +856,13 @@ def encode_jpeg_color_sampled(
                 )
                 preds[0] = _encode_block(bw_out, seq, preds[0], dc_l, ac_l)
         for ci, plane in ((1, cbs), (2, crs)):
-            y0, x0 = my * 8, mx * 8
-            seq = _quantized_zigzag(plane[y0 : y0 + 8, x0 : x0 + 8], m, qc, zz)
-            preds[ci] = _encode_block(bw_out, seq, preds[ci], dc_c, ac_c)
+            for cy in range(cv):
+                for cx in range(ch):
+                    y0, x0 = (my * cv + cy) * 8, (mx * ch + cx) * 8
+                    seq = _quantized_zigzag(
+                        plane[y0 : y0 + 8, x0 : x0 + 8], m, qc, zz
+                    )
+                    preds[ci] = _encode_block(bw_out, seq, preds[ci], dc_c, ac_c)
     bw_out.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -849,12 +871,13 @@ def encode_jpeg_color_sampled(
     qt_l = bytes(JPEG_QTABLE[zz[k]] for k in range(64))
     qt_c = bytes(JPEG_QTABLE_CHROMA[zz[k]] for k in range(64))
     samp = (hs << 4) | vs
+    csamp = (ch << 4) | cv
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, b"\x00" + qt_l + b"\x01" + qt_c)
     out += seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samp, 0, 2, csamp, 1, 3, csamp, 1]),
     )
     out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
@@ -1395,10 +1418,10 @@ def decode_jpeg(payload: bytes) -> dict:
     Every legal T.81 scan organization decodes: full-interleave,
     one-component-per-scan, and partially-interleaved sequential;
     progressive with any scan script; restart markers in all of them;
-    sampling factors 1-4. Raises ValueError for corrupt streams;
-    NotImplementedError only for the one remaining honest gap,
-    fractional chroma upsampling (a 3-sampled component against an
-    hmax/vmax of 4)."""
+    all sampling factors 1-4 including FRACTIONAL ratios (a 3-sampled
+    component against an hmax/vmax of 4, reconstructed by the
+    nearest-neighbor index map — see _upsample_plane). Raises ValueError
+    for corrupt streams."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1533,14 +1556,24 @@ def decode_jpeg(payload: bytes) -> dict:
                 ah, al = ahal >> 4, ahal & 0x0F
                 reader = _BitReader(payload[scan_start:])
 
+                _p_rst_exp = [0]
+
                 def _p_expect_restart():
                     # byte-align; the next marker MUST be RSTn (T.81
                     # E.2.4 — restart resets DC predictors and, for AC
-                    # scans, the EOB run)
+                    # scans, the EOB run) with the EXPECTED modulo-8
+                    # sequence number — a dropped/duplicated restart
+                    # interval must quarantine, not decode with
+                    # misplaced blocks (E.1.2 resync)
                     reader.n = 0
                     try:
                         reader.read_bit()
-                    except _RestartMarker:
+                    except _RestartMarker as rm:
+                        if rm.marker - 0xD0 != _p_rst_exp[0]:
+                            raise ValueError(
+                                "JPEG restart marker out of sequence"
+                            ) from rm
+                        _p_rst_exp[0] = (_p_rst_exp[0] + 1) % 8
                         reader.pos += 1
                         reader.n = 0
                     else:
@@ -1797,12 +1830,20 @@ def decode_jpeg(payload: bytes) -> dict:
                     scan_comps.append((cid_to_idx[cid], dc_tab, ac_tab))
                 reader = _BitReader(payload[scan_start:])
 
+                _rst_exp = [0]
+
                 def _expect_restart():
-                    # byte-align, then the next marker MUST be RSTn
+                    # byte-align, then the next marker MUST be RSTn with
+                    # the expected modulo-8 sequence number (T.81 E.1.2)
                     reader.n = 0
                     try:
                         reader.read_bit()
-                    except _RestartMarker:
+                    except _RestartMarker as rm:
+                        if rm.marker - 0xD0 != _rst_exp[0]:
+                            raise ValueError(
+                                "JPEG restart marker out of sequence"
+                            ) from rm
+                        _rst_exp[0] = (_rst_exp[0] + 1) % 8
                         reader.pos += 1  # consume the Dn byte
                         reader.n = 0
                     else:
@@ -1906,14 +1947,6 @@ def _decode_jpeg_scan(
     if hmax > 4 or vmax > 4:
         # T.81 limits sampling factors to 1-4
         raise ValueError(f"invalid JPEG sampling factor {hmax}x{vmax}")
-    for _, hs, vs, _ in components:
-        if hmax % hs or vmax % vs:
-            # e.g. 3-against-4: replication upsampling needs integer
-            # ratios; fractional chroma upsampling stays an honest gap
-            raise NotImplementedError(
-                f"fractional JPEG chroma upsampling ({hs}x{vs} vs"
-                f" {hmax}x{vmax}) not supported"
-            )
     single = len(components) == 1
     if single:
         # non-interleaved single-component scan: MCU = one block
@@ -1952,12 +1985,20 @@ def _decode_jpeg_scan(
             }
         )
     n_since_restart = 0
+    rst_expected = 0
     for mi in range(mcuy * mcux):
         if restart_interval and n_since_restart == restart_interval:
             reader.n = 0
             try:
                 reader.read_bit()
-            except _RestartMarker:
+            except _RestartMarker as rm:
+                if rm.marker - 0xD0 != rst_expected:
+                    # T.81 E.1.2: RSTn cycles 0-7; a sequence break means
+                    # dropped/duplicated restart intervals — quarantine
+                    raise ValueError(
+                        "JPEG restart marker out of sequence"
+                    ) from rm
+                rst_expected = (rst_expected + 1) % 8
                 reader.pos += 1
                 reader.n = 0
                 for pc in per_comp:
@@ -1985,13 +2026,14 @@ def _decode_jpeg_scan(
         except _RestartMarker as rm:
             raise ValueError("unexpected JPEG restart marker") from rm
         n_since_restart += 1
-    # upsample each plane to full resolution by replication, crop
+    # upsample each plane to full resolution + crop: nearest-neighbor
+    # index map src = dst * comp_factor // max_factor (T.81 A.1.1 sample
+    # geometry) — reduces exactly to replication+crop for integer ratios
+    # and handles fractional ones (e.g. chroma 3 against luma 4)
     full = []
     for pc, plane in zip(per_comp, planes):
-        ry, rx = vmax // pc["vs"], hmax // pc["hs"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:height, :width])
+        full.append(_upsample_plane(plane, pc["hs"], pc["vs"],
+                                    hmax, vmax, width, height))
     if len(full) == 1:
         img = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         pix_bytes = img[0, :FEATURE_DIM].tolist()
@@ -2016,6 +2058,21 @@ def _decode_jpeg_scan(
     }
 
 
+def _upsample_plane(plane, hs, vs, hmax, vmax, width, height):
+    """Nearest-neighbor upsample of a component plane to full image
+    resolution and crop: dst (y, x) reads src (y*vs//vmax, x*hs//hmax).
+    For integer ratios this is exactly replication + crop; for fractional
+    sampling layouts (a 3-sampled component against a 4-sampled one,
+    T.81-legal) it is the standard nearest-neighbor reconstruction."""
+    import numpy as np
+
+    if hs == hmax and vs == vmax:
+        return plane[:height, :width]
+    yi = (np.arange(height) * vs) // vmax
+    xi = (np.arange(width) * hs) // hmax
+    return plane[np.ix_(yi, xi)]
+
+
 def _mcu_geometry(components, width, height):
     """(mcux, mcuy, per-component (rows, cols) block grids)."""
     hmax = max(h for _, h, _, _ in components)
@@ -2024,12 +2081,6 @@ def _mcu_geometry(components, width, height):
         raise ValueError("invalid JPEG sampling factor")
     if hmax > 4 or vmax > 4:
         raise ValueError(f"invalid JPEG sampling factor {hmax}x{vmax}")
-    for _, h, v, _ in components:
-        if hmax % h or vmax % v:
-            raise NotImplementedError(
-                f"fractional JPEG chroma upsampling ({h}x{v} vs"
-                f" {hmax}x{vmax}) not supported"
-            )
     if len(components) == 1:
         # single-component images ignore sampling factors
         mcux = (width + 7) // 8
@@ -2083,10 +2134,12 @@ def _reconstruct_progressive(coef_store, width, height, components, qtables):
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                 m.T @ (block.reshape(8, 8) * q) @ m + 128.0
             )
-        ry, rx = (1, 1) if single else (vmax // vs, hmax // hs)
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:height, :width])
+        if single:
+            full.append(plane[:height, :width])
+        else:
+            full.append(
+                _upsample_plane(plane, hs, vs, hmax, vmax, width, height)
+            )
     if len(full) == 1:
         img = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         pix_bytes = img[0, :FEATURE_DIM].tolist()
@@ -2851,8 +2904,8 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
     0-2 by doc_id), progressive color, non-interleaved multi-scan
     sequential color, and partially-interleaved sequential color (a scan
     listing 2 of 3 components), and generalized-sampling color
-    (4:2:2 / 4:4:0 / 4:1:1 rotation) — so every decode path runs through
-    Spark. The SQL oracle pins the header fields (exact by construction);
+    (4:2:2 / 4:4:0 / 4:1:1 plus fractional 4:3 and 3:2 chroma ratios) —
+    so every decode path runs through Spark. The SQL oracle pins the header fields (exact by construction);
     pixel fidelity of the lossy path is pinned by pytest tolerance, not
     the cross-engine hash."""
 
@@ -2884,9 +2937,19 @@ def media_jpeg_from_documents(documents: "DataFrame") -> "DataFrame":
                     restart_interval=i % 3,
                 )
             if k == 7:
-                # generalized sampling: 4:2:2 / 4:4:0 / 4:1:1 rotation
-                hsvs = ((2, 1), (1, 2), (4, 1))[i % 3]
-                return encode_jpeg_color_sampled(w, h, s, *hsvs)
+                # generalized sampling: 4:2:2 / 4:4:0 / 4:1:1 plus the
+                # FRACTIONAL-ratio layouts (luma 4 against chroma 3 both
+                # axes, and a mixed 3:2) — every T.81 sampling class
+                # decodes through the Spark UDF path
+                layout = (
+                    (2, 1, 1, 1),
+                    (1, 2, 1, 1),
+                    (4, 1, 1, 1),
+                    (4, 1, 3, 1),
+                    (1, 4, 1, 3),
+                    (3, 2, 2, 1),
+                )[i % 6]
+                return encode_jpeg_color_sampled(w, h, s, *layout)
             return encode_jpeg_color(w, h, s, subsample=(k == 2))
 
         for pdf in batches:

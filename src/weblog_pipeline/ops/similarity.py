@@ -316,10 +316,13 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = IVF_TOPK_CELLS,
     n_probe: int = IVF_TOPK_PROBE,
+    seeds: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: n_cells hash-sampled centroids (sample_centroids).
+    Coarse quantizer: n_cells hash-sampled centroids (sample_centroids),
+    or caller-supplied `seeds` (so a caller training both the plain and
+    refined variants samples the corpus once).
     Each corpus vector is assigned to its nearest centroid with a codegen'd
     integer argmax over the broadcast centroid table; a query probes its
     n_probe nearest cells and re-ranks exactly within them. At 100 TB the
@@ -327,7 +330,7 @@ def ivf_topk(
     probe join is an equi-join on cell id, and only ~n_probe/n_cells of the
     corpus is scored per query.
     """
-    centroids = sample_centroids(embeddings, n_cells)
+    centroids = seeds if seeds is not None else sample_centroids(embeddings, n_cells)
     qcents = [quantize_centroid(c) for c in centroids]
     return _ivf_rank(embeddings, queries, qcents, k, n_probe)
 
@@ -382,14 +385,18 @@ def ivf_topk_refined(
     n_cells: int = IVF_TOPK_CELLS,
     n_probe: int = IVF_TOPK_PROBE,
     n_iter: int = 1,
+    seeds: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF top-k with k-means-refined centroids: the hash-sampled seeds of
-    `ivf_topk` are improved by `n_iter` integer-exact Lloyd iterations
-    (lloyd_step) before the cell join — tighter cells, higher recall at
-    the same n_probe. Training costs n_iter extra corpus passes; at 100 TB
-    you train on a hash-sampled slice and apply to the full table (the
-    assignment expression is identical either way)."""
-    qcents = [quantize_centroid(c) for c in sample_centroids(embeddings, n_cells)]
+    `ivf_topk` (or caller-supplied `seeds`) are improved by `n_iter`
+    integer-exact Lloyd iterations (lloyd_step) before the cell join —
+    tighter cells, higher recall at the same n_probe. Training costs
+    n_iter extra corpus passes; at 100 TB you train on a hash-sampled
+    slice and apply to the full table (the assignment expression is
+    identical either way)."""
+    if seeds is None:
+        seeds = sample_centroids(embeddings, n_cells)
+    qcents = [quantize_centroid(c) for c in seeds]
     for _ in range(n_iter):
         qcents = lloyd_step(embeddings, qcents)
     return _ivf_rank(embeddings, queries, qcents, k, n_probe)
@@ -404,6 +411,11 @@ def _ivf_rank(
 ) -> DataFrame:
     """Shared IVF probe chain: cell assignment (scan-stage literal
     expression), broadcast probe equi-join, exact cosine re-rank."""
+    # NOTE: the centroid dot products are LITERAL expressions over
+    # `embedding[d]` (one py4j string), NOT a two-step projection of
+    # quantized _q columns — a pre-projected variant sent the optimizer
+    # into a non-converging projection-collapse over the array_sort
+    # lambda (hung >4 min at sf0.01). Keep the flat literal form.
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vec"),

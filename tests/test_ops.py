@@ -306,9 +306,10 @@ def test_multimodal_compressed_decode_is_stubbed():
     # audio codecs, video containers
     import struct as _struct
 
-    # sampling factors 1-4 are real (4:1:1 etc.); the remaining honest
-    # gap is FRACTIONAL upsampling (a 3-sampled component against an
-    # hmax of 4 — replication needs integer ratios)
+    # sampling factors 1-4 are all real now, INCLUDING fractional ratios
+    # (4:3 etc. — see test_fractional_sampling_jpeg_fidelity); a fractional
+    # SOF with no DQT/DHT quarantines as a missing-tables stream, not as a
+    # NotImplementedError stub
     frac_sof = (
         b"\xff\xd8"
         + b"\xff\xc0" + _struct.pack(">H", 17)
@@ -318,7 +319,7 @@ def test_multimodal_compressed_decode_is_stubbed():
         + b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="fractional"):
+    with pytest.raises(ValueError, match="DQT|DHT"):
         multimodal.decode_jpeg(frac_sof)
     # sampling factor > 4 violates T.81 — corrupt header, quarantined
     wild_sof = (

@@ -425,6 +425,67 @@ def test_generalized_sampling_jpeg_fidelity(w, h, seed, samp):
 
 @settings(max_examples=40, deadline=None)
 @given(
+    st.integers(min_value=9, max_value=40),
+    st.integers(min_value=9, max_value=32),
+    st.integers(min_value=0, max_value=120),
+    st.sampled_from(
+        [(4, 1, 3, 1), (1, 4, 1, 3), (3, 2, 2, 1), (4, 4, 3, 3), (3, 3, 2, 2)]
+    ),
+)
+def test_fractional_sampling_jpeg_fidelity(w, h, seed, layout):
+    """FRACTIONAL chroma ratios (chroma factor not dividing luma's, e.g.
+    4:3) must decode within a fidelity bound of the source gradient —
+    the T.81-legal class that used to raise NotImplementedError. The
+    bound is looser than the integer-ratio test's: nearest-neighbor
+    chroma at a 4:3 grid offsets samples by up to 1.33 px."""
+    import numpy as np
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    if seed + w + h >= 250:
+        return
+    hs, vs, ch, cv = layout
+    meta = mm.decode_jpeg(
+        mm.encode_jpeg_color_sampled(w, h, seed, hs, vs, ch, cv)
+    )
+    assert (meta["width"], meta["height"]) == (w, h)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    src = np.stack(
+        [
+            (seed + x) % 256 + 0 * y,
+            (seed + y) % 256 + 0 * x,
+            (seed + x + y) % 256 + 0.0 * x,
+        ],
+        axis=-1,
+    )
+    assert np.max(np.abs(meta["pixels"].astype(float) - src)) <= 20
+
+
+def test_jpeg_restart_out_of_sequence_quarantines():
+    """A baseline stream whose RSTn sequence number is wrong (dropped /
+    duplicated restart interval) must raise ValueError (T.81 E.1.2
+    resync), not decode with silently misplaced blocks."""
+    import pytest
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    payload = mm.encode_jpeg_color_noninterleaved(
+        24, 24, 7, subsample=False, restart_interval=2
+    )
+    # find the first RST0 marker (FF D0) in the entropy stream and bump
+    # its sequence number to RST1 — now out of order
+    idx = payload.find(b"\xff\xd0")
+    assert idx > 0, "fixture must contain a restart marker"
+    corrupted = payload[:idx + 1] + b"\xd1" + payload[idx + 2:]
+    with pytest.raises(ValueError, match="restart marker out of sequence"):
+        mm.decode_jpeg(corrupted)
+    # the pristine stream still decodes
+    assert mm.decode_jpeg(payload)["width"] == 24
+
+
+@settings(max_examples=40, deadline=None)
+@given(
     st.integers(min_value=8, max_value=32),
     st.integers(min_value=8, max_value=24),
     st.integers(min_value=0, max_value=255),
