@@ -1414,6 +1414,33 @@ def q_canary_md5_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canary_ascii_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned ASCII-only case fold (translate) on a string mixing
+    ASCII uppercase with dotted-I and c-cedilla: non-ASCII must pass
+    through UNCHANGED in both engines (the reason the pipeline avoids
+    full Unicode lower())."""
+    folded = F.translate(
+        F.lit("AbZ İç"),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+    return spark.range(1).select(
+        (folded == F.lit("abz İç")).cast("long").alias("fold_ok"),
+        F.length(folded).cast("long").alias("fold_len"),
+    )
+
+
+def q_canary_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned trim semantics: space-only trimming must NOT eat NBSP
+    or tab (Java trim vs SQL trim(x, ' ') divergence class)."""
+    t = F.trim(F.lit(" \xa0a\xa0 "))
+    t2 = F.trim(F.lit("\ta\t"))
+    return spark.range(1).select(
+        F.length(t).cast("long").alias("trim_nbsp_len"),
+        F.length(t2).cast("long").alias("trim_tab_len"),
+    )
+
+
 def q_canary_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """contains(NBSP) + rlike non-ASCII class on fixed literals — the
     remaining charclass_census semantics, fixture-independent."""
@@ -1452,6 +1479,19 @@ SELECT CAST(len(regexp_split_to_array('a  b', '{_SQL_WS}')) AS BIGINT) AS n_mid,
     "canary_md5_conv": """
 SELECT CAST(('0x' || substr(md5('abc'), 1, 4)) AS BIGINT) AS md5_bucket
 """,
+    "canary_ascii_fold": """
+SELECT CAST(translate('AbZ ' || chr(304) || chr(231),
+         'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
+       = ('abz ' || chr(304) || chr(231)) AS BIGINT) AS fold_ok,
+       CAST(length(translate('AbZ ' || chr(304) || chr(231),
+         'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
+       AS BIGINT) AS fold_len
+""",
+    "canary_trim": """
+SELECT CAST(length(trim(' ' || chr(160) || 'a' || chr(160) || ' ', ' ')) AS BIGINT)
+         AS trim_nbsp_len,
+       CAST(length(trim(chr(9) || 'a' || chr(9), ' ')) AS BIGINT) AS trim_tab_len
+""",
     "canary_charset": """
 SELECT CAST(CASE WHEN contains('a'||chr(160)||'b', chr(160)) THEN 1 ELSE 0 END AS BIGINT) AS has_nbsp,
        CAST(CASE WHEN regexp_matches('a'||chr(233), '[^\\x01-\\x7F]') THEN 1 ELSE 0 END AS BIGINT) AS has_nonascii
@@ -1466,6 +1506,8 @@ _CANARY_QUERIES = {
     "canary_len_cp": q_canary_len_cp,
     "canary_split_edge": q_canary_split_edge,
     "canary_md5_conv": q_canary_md5_conv,
+    "canary_ascii_fold": q_canary_ascii_fold,
+    "canary_trim": q_canary_trim,
     "canary_charset": q_canary_charset,
 }
 
@@ -3163,10 +3205,9 @@ def queries() -> dict:
         "cdc_chunks": q_cdc_chunks,
         # -- 3. missed the r4 window by one --
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
-        # -- 4. last official row r3 — rotated back into the window --
-        "dedup_exact_planted": docs(
-            lambda d: dedup.exact_duplicates(_planted_docs(d))
-        ),
+        # -- 4. last official row r3 — rotated back into the window
+        #       (the two _planted twins wait for r6: their base queries
+        #       are in-window and share the same operators) --
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
         "windowed_sink_counts": q_windowed_sink_counts,
@@ -3195,9 +3236,6 @@ def queries() -> dict:
         "bigram_logprob": docs(textstats.bigram_logprob),
         "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
         "dedup_exact": docs(dedup.exact_duplicates),
-        "dedup_pipeline_planted": docs(
-            lambda d: dedup.dedup_pipeline(_planted_docs(d))
-        ),
         "dedup_stats": q_dedup_stats,
         "minhash_signatures": docs(dedup.minhash_signatures),
         "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
@@ -3256,6 +3294,12 @@ def queries() -> dict:
         "parse_roundtrip": q_parse_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "dedup_exact_planted": docs(
+            lambda d: dedup.exact_duplicates(_planted_docs(d))
+        ),
+        "dedup_pipeline_planted": docs(
+            lambda d: dedup.dedup_pipeline(_planted_docs(d))
+        ),
     }
 
 
