@@ -30,6 +30,31 @@ def test_every_oracle_has_a_query(entrymod):
     assert len(qs) >= 25
 
 
+def test_canaries_lead_the_correctness_window(entrymod):
+    """The driver's correctness gate hashes the FIRST 50 queries() entries.
+    The portability canaries must stay at the head (one official driver
+    bit per divergence class, every round), and the window must hold
+    exactly 50 entries before the documented cutoff queries."""
+    keys = list(entrymod.queries())
+    canaries = [k for k in keys if k.startswith("canary_")]
+    assert keys[: len(canaries)] == canaries, "canaries must lead queries()"
+    assert len(canaries) >= 8
+    # flagship e2e queries close the window at positions 48-50
+    assert keys[47:50] == ["e2e_sink_counts", "e2e_records",
+                           "enrich_kitchen_sink"]
+
+
+def test_canary_oracles_are_literal(entrymod):
+    """Canary oracles must be fixture-independent (no table reads): a red
+    canary then isolates an ENGINE semantic, never a data change."""
+    oracles = entrymod.oracle_sql()
+    for name, sql in oracles.items():
+        if name.startswith("canary_"):
+            low = sql.lower()
+            for table in ("documents", "embeddings", "events", "lineitem"):
+                assert table not in low, f"{name} reads {table}"
+
+
 def test_entry_returns_sink_counts(spark, entrymod):
     df = entrymod.entry(spark)
     rows = df.collect()
