@@ -470,6 +470,18 @@ def run_scaling(sf_dir: str) -> None:
     eff_8_32 = round((dps(32) / dps(8)) / 4, 3)
     hw_8_32 = round((probe[32] / probe[8]) / 4, 3)
     os.makedirs("BENCH", exist_ok=True)
+    # preserve hand-written measurement-notes sections ("## Round-...")
+    # across regenerations — they carry root-cause context the generated
+    # tables cannot
+    notes = ""
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            old = fh.read()
+        idx = old.find("\n## Round-")
+        if idx >= 0:
+            notes = old[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
             "# BENCH baseline — scaling evidence (N vs 4N cores)\n\n"
@@ -493,6 +505,7 @@ def run_scaling(sf_dir: str) -> None:
             f"0.8 target regardless of software.\n\n"
             f"Full query timings:\n\n```json\n"
             f"{json.dumps(results, indent=2)}\n```\n"
+            + notes
         )
     print(json.dumps({
         "scaling_efficiency_2_8": eff_2_8,
