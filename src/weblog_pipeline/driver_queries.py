@@ -3011,6 +3011,102 @@ FROM pre
 """
 
 
+def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law decode end-to-end: format-6 WAVs generated from
+    doc_id, each companded byte expanded through the integer A-law curve
+    (fake=False); the oracle recomputes the expanded 16-bit samples from
+    doc_id arithmetic — the (x+32768)/65536 feature mapping is exact in
+    float32, so the recovered integers match bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_alaw_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    samples = [
+        (F.round(F.element_at("feature", j + 1) * 65536, 0) - 32768)
+        .cast("int")
+        .alias(f"s{j}")
+        for j in range(multimodal.FEATURE_DIM)
+    ]
+    return meta.select("media_id", "n_frames", *samples)
+
+
+def _sql_multimodal_alaw() -> str:
+    """A-law expansion in portable integer SQL: a = code XOR 0x55,
+    seg = bits 4-6, mantissa = low nibble; seg 0 -> mant*16+8, else
+    (mant*16+264) * 2^(seg-1); sign bit SET means positive (the inverse
+    of mu-law)."""
+    cols = []
+    for j in range(multimodal.FEATURE_DIM):
+        a = f"xor((s + {j}) % 256, 85)"
+        mag = (
+            f"(CASE WHEN ({a} // 16) % 8 = 0 THEN ({a} % 16) * 16 + 8"
+            f" ELSE (({a} % 16) * 16 + 264)"
+            f" * CAST(power(2, ({a} // 16) % 8 - 1) AS BIGINT) END)"
+        )
+        val = f"CASE WHEN {a} >= 128 THEN {mag} ELSE -{mag} END"
+        cols.append(
+            f"CAST(CASE WHEN {j} < n THEN {val} ELSE -32768 END AS INTEGER)"
+            f" AS s{j}"
+        )
+    body = ",\n  ".join(cols)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 100 AS n, doc_id % 256 AS s
+  FROM documents
+)
+SELECT media_id,
+  CAST(n AS INTEGER) AS n_frames,
+  {body}
+FROM pre
+"""
+
+
+def q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM decode end-to-end: format-0x11 WAVs generated from
+    doc_id (triangle wave, block_align=5 => 3 samples/block), the full
+    nibble state machine runs in the Arrow UDF (fake=False). The query
+    exposes the frame count plus the three block-HEADER samples inside
+    FEATURE_DIM (indices 0,3,6) — exact source values the oracle
+    recomputes from doc_id arithmetic, so any block-walk/slicing/header
+    bug goes red; the nibble-decoded in-between samples are pinned
+    sample-exact in pytest against the encoder reconstruction."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_adpcm_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    samples = [
+        (F.round(F.element_at("feature", j + 1) * 65536, 0) - 32768)
+        .cast("int")
+        .alias(f"s{j}")
+        for j in (0, 3, 6)
+    ]
+    return meta.select("media_id", "n_frames", *samples)
+
+
+def _sql_multimodal_adpcm() -> str:
+    """Block-header samples of the ADPCM fixture: sample j of doc with
+    seed s is the triangle wave t=(s+j)%510, v = t<255 ? t : 510-t,
+    value (v-128)*257 clamped at -32768 (the encoder's header clamp)."""
+    cols = []
+    for j in (0, 3, 6):
+        t = f"(s + {j}) % 510"
+        v = f"(CASE WHEN {t} < 255 THEN {t} ELSE 510 - {t} END)"
+        val = f"greatest(-32768, ({v} - 128) * 257)"
+        cols.append(
+            f"CAST(CASE WHEN {j} < n THEN {val} ELSE -32768 END AS INTEGER)"
+            f" AS s{j}"
+        )
+    body = ",\n  ".join(cols)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 100 AS n, doc_id % 256 AS s
+  FROM documents
+)
+SELECT media_id,
+  CAST(n AS INTEGER) AS n_frames,
+  {body}
+FROM pre
+"""
+
+
 def _sql_multimodal_wav() -> str:
     px = ",\n  ".join(
         f"CAST(CASE WHEN {j} < n THEN (s + {j}) % 256 ELSE 0 END AS INTEGER)"
@@ -3252,6 +3348,8 @@ def queries() -> dict:
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        "multimodal_alaw_decode": q_multimodal_alaw_decode,
+        "multimodal_adpcm_decode": q_multimodal_adpcm_decode,
         "multimodal_avi_decode": q_multimodal_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
         "pii_scrub": q_pii_scrub,
@@ -3388,6 +3486,8 @@ def oracle_sql() -> dict:
         "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_mulaw_decode": _sql_multimodal_mulaw(),
+        "multimodal_alaw_decode": _sql_multimodal_alaw(),
+        "multimodal_adpcm_decode": _sql_multimodal_adpcm(),
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_samples": _sql_frame_samples(),
     }

@@ -2424,6 +2424,135 @@ def mulaw_expand(b: int) -> int:
     return -mag if u & 0x80 else mag
 
 
+def alaw_expand(b: int) -> int:
+    """ITU-T G.711 A-law expansion: one companded byte -> linear 16-bit
+    sample in [-32256, 32256]. Pure integer (the classic alaw2linear
+    segment table); sign bit SET means positive, the inverse of mu-law."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    if seg == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
+#: IMA/DVI ADPCM tables (public spec: IMA Digital Audio Focus and
+#: Compatibility Committee, "Recommended Practices for Enhancing Digital
+#: Audio Compatibility", rev 3.00 — the same tables every implementation
+#: ships)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, index) x nibble ->
+    (new predictor, new index). Pure integer; the delta uses the
+    CANONICAL bit-serial expansion (step>>3 + per-bit truncated shifts),
+    which differs from the ((2m+1)*step)>>3 shortcut under truncation —
+    real decoders implement the bit-serial form."""
+    step = IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + IMA_INDEX_TABLE[nibble]))
+    return pred, index
+
+
+def ima_adpcm_encode(
+    samples: list[int], block_align: int = 256
+) -> tuple[bytes, list[int]]:
+    """IMA ADPCM mono encoder over 16-bit samples: returns (data-chunk
+    bytes, the decoder-exact reconstruction). Each block: 4-byte header
+    (int16 predictor = the block's first source sample, uint8 step index,
+    reserved 0) + 2 samples/byte nibbles, low nibble first. The
+    reconstruction list is what a spec decoder MUST produce for these
+    bytes — pinned in tests against decode_wav."""
+    spb = (block_align - 4) * 2 + 1  # samples per block, header carries #1
+    out = bytearray()
+    recon: list[int] = []
+    index = 0
+    for b0 in range(0, len(samples), spb):
+        block = samples[b0 : b0 + spb]
+        pred = max(-32768, min(32767, block[0]))
+        out += struct.pack("<hBB", pred, index, 0)
+        recon.append(pred)
+        nibbles: list[int] = []
+        for s in block[1:]:
+            step = IMA_STEP_TABLE[index]
+            delta = s - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            # canonical bit-serial quantization (spec figure): mant bits
+            # chosen so the decoder's ((2*mant+1)*step)>>3 best-matches
+            mant = 0
+            if delta >= step:
+                mant |= 4
+                delta -= step
+            if delta >= step >> 1:
+                mant |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                mant |= 1
+            nib |= mant
+            pred, index = _ima_step(pred, index, nib)
+            recon.append(pred)
+            nibbles.append(nib)
+        # pad the final block's nibble stream to the full block size so
+        # every block is exactly block_align bytes (decoder stops at the
+        # declared sample count)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out), recon
+
+
+def encode_wav_adpcm(
+    n_samples: int, seed: int, sample_rate: int = 8000,
+    block_align: int = 256,
+) -> bytes:
+    """Minimal real IMA-ADPCM (format 0x11) mono WAV: source sample i is
+    a deterministic 16-bit TRIANGLE wave (no discontinuities — ADPCM's
+    step adaptation tracks it closely, so the fixture demonstrates real
+    reconstruction, not just state-machine agreement); the fmt chunk
+    carries the required cbSize=2 samples-per-block extension and a
+    `fact` chunk declares the true sample count."""
+    samples = []
+    for i in range(n_samples):
+        t = (seed + i) % 510
+        v = t if t < 255 else 510 - t
+        samples.append((v - 128) * 257)
+    data, _ = ima_adpcm_encode(samples, block_align)
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        (sample_rate * block_align + spb - 1) // spb, block_align, 4,
+        2, spb,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav(
     n_samples: int,
     seed: int,
@@ -2433,11 +2562,12 @@ def encode_wav(
 ) -> bytes:
     """Minimal real RIFF/WAVE file (stdlib-only): 8-bit samples, sample i
     of channel c = (seed + i + c) % 256 — interpreted as unsigned PCM
-    (audio_format=1, the default) or as G.711 mu-law codes
-    (audio_format=7; every byte is a valid mu-law code). Fixture generator
-    for the real audio-decode round trip."""
-    if audio_format not in (1, 7):
-        raise ValueError("encode_wav supports PCM (1) and mu-law (7)")
+    (audio_format=1, the default), as G.711 A-law codes (audio_format=6),
+    or as G.711 mu-law codes (audio_format=7; every byte is a valid code
+    in both laws). Fixture generator for the real audio-decode round
+    trip."""
+    if audio_format not in (1, 6, 7):
+        raise ValueError("encode_wav supports PCM (1), A-law (6), mu-law (7)")
     data = bytes(
         (seed + i + c) % 256 for i in range(n_samples) for c in range(n_channels)
     )
@@ -2457,21 +2587,25 @@ def encode_wav(
 def decode_wav(payload: bytes) -> dict:
     """REAL decoder for RIFF/WAVE audio (stdlib-only): walks the chunk
     list, parses the fmt chunk (format/channels/rate/bits), sizes the data
-    chunk into a sample-frame count. Handles linear PCM (format 1) AND
-    G.711 mu-law (format 7): each companded byte runs through the integer
-    mu-law expansion curve. Feature: PCM -> first FEATURE_DIM data bytes
-    scaled to [0,1]; mu-law -> first FEATURE_DIM EXPANDED samples mapped
+    chunk into a sample-frame count. Handles linear PCM (format 1),
+    G.711 A-law (format 6) and mu-law (format 7) — each companded byte
+    runs through the integer expansion curve — AND IMA/DVI ADPCM
+    (format 0x11, mono): block headers seed the predictor/step-index
+    state machine and every nibble advances it (the canonical bit-serial
+    delta). Feature: PCM -> first FEATURE_DIM data bytes scaled to [0,1];
+    companded/ADPCM -> first FEATURE_DIM EXPANDED samples mapped
     (x + 32768) / 65536 (exact in float32, so an oracle recovers the
     integer sample bit-for-bit). width=0, height=0, n_frames = frames.
 
     Raises ValueError for non-RIFF payloads, other compressed format
-    tags, missing fmt/data chunks, or a data chunk that overruns the
-    payload (truncated blob) — quarantine-path inputs."""
+    tags (MP3/AAC-class), missing fmt/data chunks, stereo ADPCM, or a
+    data chunk that overruns the payload — quarantine-path inputs."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
@@ -2483,14 +2617,60 @@ def decode_wav(payload: bytes) -> dict:
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif tag == b"data":
             data = payload[pos + 8 : pos + 8 + length]
+        elif tag == b"fact" and length >= 4:
+            (fact_samples,) = struct.unpack_from("<I", payload, pos + 8)
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
-    if audio_format not in (1, 7):
+    if audio_format not in (1, 6, 7, 0x11):
         raise ValueError(f"compressed WAV (format {audio_format}) not supported")
-    if audio_format == 7 and bits != 8:
-        raise ValueError(f"mu-law WAV must be 8-bit, got {bits}")
+    if audio_format in (6, 7) and bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+    if audio_format == 0x11:
+        # IMA/DVI ADPCM: mono, 4-bit, block-structured
+        if n_channels != 1:
+            raise ValueError("stereo IMA-ADPCM WAV not supported")
+        if bits != 4:
+            raise ValueError(f"IMA-ADPCM WAV must be 4-bit, got {bits}")
+        if block_align < 5:
+            raise ValueError("IMA-ADPCM block too small")
+        spb = (block_align - 4) * 2 + 1
+        samples: list[int] = []
+        for b0 in range(0, len(data), block_align):
+            block = data[b0 : b0 + block_align]
+            if len(block) < 4:
+                raise ValueError("truncated IMA-ADPCM block header")
+            (pred,) = struct.unpack_from("<h", block, 0)
+            index = block[2]
+            if index > 88:
+                raise ValueError("IMA-ADPCM step index out of range")
+            samples.append(pred)
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, index = _ima_step(pred, index, nib)
+                    samples.append(pred)
+        n_frames = (len(data) // block_align) * spb + (
+            (len(data) % block_align - 4) * 2 + 1
+            if len(data) % block_align
+            else 0
+        )
+        if fact_samples is not None:
+            # the fact chunk declares the TRUE sample count — the final
+            # block's nibble stream is zero-padded to block_align
+            n_frames = min(n_frames, fact_samples)
+        samples = samples[:n_frames]
+        feat_samples = samples[:FEATURE_DIM]
+        feature = [(s + 32768) / 65536.0 for s in feat_samples]
+        feature += [0.0] * (FEATURE_DIM - len(feat_samples))
+        return {
+            "width": 0,
+            "height": 0,
+            "n_frames": n_frames,
+            "feature": feature,
+            "sample_rate": sample_rate,
+            "n_channels": n_channels,
+        }
     if bits % 8 != 0 or bits == 0 or n_channels == 0:
         raise ValueError(f"invalid WAV layout ({bits} bits, {n_channels} ch)")
     frame_bytes = n_channels * (bits // 8)
@@ -2499,6 +2679,9 @@ def decode_wav(payload: bytes) -> dict:
     pix = data[:FEATURE_DIM]
     if audio_format == 7:
         feature = [(mulaw_expand(b) + 32768) / 65536.0 for b in pix]
+        feature += [0.0] * (FEATURE_DIM - len(pix))
+    elif audio_format == 6:
+        feature = [(alaw_expand(b) + 32768) / 65536.0 for b in pix]
         feature += [0.0] * (FEATURE_DIM - len(pix))
     else:
         feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
@@ -3029,6 +3212,58 @@ def media_mulaw_from_documents(documents: "DataFrame") -> "DataFrame":
                     "media_id": pd.array(ids, dtype="Int64"),
                     "payload": [
                         encode_wav(1 + i % 100, i % 256, audio_format=7)
+                        for i in ids
+                    ],
+                    "media_type": ["audio"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_alaw_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format G.711 A-law media table: one valid
+    format-6 WAV per doc, 1+id%100 mono companded samples, code i =
+    (id + i) % 256. The SQL oracle reproduces the integer A-law
+    expansion of every leading sample from doc_id arithmetic."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_wav(1 + i % 100, i % 256, audio_format=6)
+                        for i in ids
+                    ],
+                    "media_type": ["audio"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_adpcm_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format IMA-ADPCM media table: one valid
+    format-0x11 WAV per doc, 1+id%100 mono triangle-wave samples,
+    block_align=5 (3 samples/block) so samples 0,3,6,... are block-header
+    predictors — exact source values the SQL oracle recomputes from
+    doc_id arithmetic; the in-between nibble-decoded samples are pinned
+    sample-exact in pytest against the encoder's reconstruction list."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_wav_adpcm(1 + i % 100, i % 256, block_align=5)
                         for i in ids
                     ],
                     "media_type": ["audio"] * len(ids),

