@@ -2941,6 +2941,34 @@ FROM documents
 """
 
 
+def q_multimodal_dib_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-video decode end-to-end: AVI/DIB payloads (raw
+    bottom-up BGR frames) generated from doc_id, RIFF-walked and
+    first-frame-read by the Arrow UDF (fake=False). Unlike the MJPEG
+    twin, the raw layout lets the oracle recompute the PIXEL BYTES too —
+    dimensions, frame count, and the leading 8 pixel bytes all from
+    doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_avi_dib_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select("media_id", "width", "height", "n_frames", *_px_cols(meta))
+
+
+def _sql_multimodal_dib_avi() -> str:
+    px = ",\n  ".join(
+        f"CAST((doc_id % 256 + {j}) % 256 AS INTEGER) AS px{j}"
+        for j in range(multimodal.FEATURE_DIM)
+    )
+    return f"""
+SELECT doc_id AS media_id,
+  CAST(4 + doc_id % 12 AS INTEGER) AS width,
+  CAST(2 + doc_id % 6 AS INTEGER) AS height,
+  CAST(1 + doc_id % 5 AS INTEGER) AS n_frames,
+  {px}
+FROM documents
+"""
+
+
 def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: every 2nd frame of each AVI is individually
     JPEG-decoded; the oracle reproduces the sampled (media_id, frame_idx)
@@ -3351,6 +3379,7 @@ def queries() -> dict:
         "multimodal_alaw_decode": q_multimodal_alaw_decode,
         "multimodal_adpcm_decode": q_multimodal_adpcm_decode,
         "multimodal_avi_decode": q_multimodal_avi_decode,
+        "multimodal_dib_avi_decode": q_multimodal_dib_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -3483,6 +3512,7 @@ def oracle_sql() -> dict:
         "multimodal_gif_decode": _sql_multimodal_gif(),
         "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG,
         "multimodal_avi_decode": SQL_MULTIMODAL_AVI,
+        "multimodal_dib_avi_decode": _sql_multimodal_dib_avi(),
         "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_mulaw_decode": _sql_multimodal_mulaw(),

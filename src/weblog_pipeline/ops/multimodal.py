@@ -2696,14 +2696,32 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def encode_avi(
-    width: int, height: int, n_frames: int, seed: int
+    width: int, height: int, n_frames: int, seed: int, codec: str = "MJPG"
 ) -> bytes:
-    """Minimal real AVI/MJPEG video (stdlib + the in-repo JPEG encoder):
-    RIFF 'AVI ' container with an avih main header, one 'vids'/MJPG
-    stream, and a movi list of '00dc' chunks each holding one baseline
-    grayscale JPEG frame (frame f uses gradient seed+f). Fixture
-    generator for the real video-decode round trip."""
-    frames = [encode_jpeg(width, height, (seed + f) % 256) for f in range(n_frames)]
+    """Minimal real AVI video (stdlib + the in-repo JPEG encoder): RIFF
+    'AVI ' container with an avih main header and one 'vids' stream.
+
+    codec='MJPG' (default): a movi list of '00dc' chunks each holding one
+    baseline grayscale JPEG frame (frame f uses gradient seed+f).
+    codec='DIB ': UNCOMPRESSED frames — '00db' chunks of raw bottom-up
+    24-bit BGR rows (BMP row layout, stride padded to 4 bytes), pixel-data
+    byte i of frame f = (seed + f + i) % 256, strf biCompression=0. The
+    raw layout makes every decoded byte SQL-recomputable from the seed.
+    Fixture generator for the real video-decode round trip."""
+    if codec == "MJPG":
+        frames = [
+            encode_jpeg(width, height, (seed + f) % 256) for f in range(n_frames)
+        ]
+        fcc, frame_tag, bit_compression = b"MJPG", b"00dc", b"MJPG"
+    elif codec == "DIB ":
+        stride = bmp_stride(width)
+        frames = [
+            bytes((seed + f + i) % 256 for i in range(stride * height))
+            for f in range(n_frames)
+        ]
+        fcc, frame_tag, bit_compression = b"DIB ", b"00db", b"\x00\x00\x00\x00"
+    else:
+        raise ValueError(f"encode_avi supports MJPG and 'DIB ', got {codec!r}")
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -2723,27 +2741,29 @@ def encode_avi(
     # frames, scale/rate (25 fps), start, length, buffer, quality,
     # sample size, rcFrame
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + fcc
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0)
         + struct.pack("<4h", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, bit_compression,
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    movi = lst(b"movi", b"".join(chunk(frame_tag, f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _avi_frames(payload: bytes) -> list[bytes]:
-    """RIFF/AVI chunk-tree walk -> the '00dc'/'00db' frame chunks, with
-    the corruption-vs-codec classification both callers need:
+def _avi_frames(payload: bytes) -> tuple[list[bytes], str, tuple[int, int]]:
+    """RIFF/AVI chunk-tree walk -> (the '00dc'/'00db' frame chunks, the
+    stream kind 'mjpeg'|'dib', the strf (width, height)), with the
+    corruption-vs-codec classification both callers need:
 
-    * ValueError — truncated/corrupt containers, no frames, or a frame
-      whose signature is not JPEG while the stream header DECLARES MJPEG
-      (a bit-flipped frame is corrupt data, quarantine it);
+    * ValueError — truncated/corrupt containers, no frames, a frame whose
+      signature is not JPEG while the stream header DECLARES MJPEG, or a
+      raw DIB frame whose byte count contradicts the strf dimensions
+      (a bit-flipped length or cut frame is corrupt data, quarantine it);
     * NotImplementedError — the strh fccHandler names another codec
       (a real codec gap, configuration-level).
 
@@ -2755,6 +2775,7 @@ def _avi_frames(payload: bytes) -> list[bytes]:
     top_end = min(len(payload), 8 + declared)
     frames: list[bytes] = []
     handlers: list[bytes] = []
+    strfs: list[tuple] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -2769,6 +2790,9 @@ def _avi_frames(payload: bytes) -> list[bytes]:
             elif tag == b"strh" and length >= 8:
                 if buf[pos + 8 : pos + 12] == b"vids":
                     handlers.append(buf[pos + 12 : pos + 16])
+            elif tag == b"strf" and length >= 20 and len(handlers) > len(strfs):
+                # the strf following a vids strh is a BITMAPINFOHEADER
+                strfs.append(struct.unpack_from("<IiiHH4s", buf, pos + 8))
             elif tag[2:4] in (b"dc", b"db"):
                 frames.append(buf[pos + 8 : pos + 8 + length])
             pos += 8 + length + (length & 1)  # chunks are word-aligned
@@ -2776,30 +2800,61 @@ def _avi_frames(payload: bytes) -> list[bytes]:
     walk(payload, 12, top_end)
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
-    mjpeg_declared = not handlers or any(
-        h.upper() in (b"MJPG", b"MJPA") for h in handlers
-    )
-    for f in frames:
-        if f[:2] != b"\xff\xd8":
-            if mjpeg_declared:
+    handler = handlers[0].upper() if handlers else b"MJPG"
+    dims = (abs(strfs[0][1]), abs(strfs[0][2])) if strfs else (0, 0)
+    if handler in (b"MJPG", b"MJPA"):
+        for f in frames:
+            if f[:2] != b"\xff\xd8":
                 raise ValueError("corrupt AVI frame (not a JPEG signature)")
+        return frames, "mjpeg", dims
+    if handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00"):
+        # uncompressed device-independent bitmap frames: the strf is
+        # authoritative for layout; only 24-bit BI_RGB is meaningful here
+        if not strfs:
+            raise ValueError("DIB AVI stream missing its strf header")
+        _, w, h, _, bpp, compression = strfs[0]
+        if compression not in (b"\x00\x00\x00\x00",):
+            raise ValueError("DIB AVI strf declares a compressed layout")
+        if bpp != 24:
             raise NotImplementedError(
-                f"AVI codec {handlers[0]!r} requires ffmpeg "
-                "(MJPEG decodes natively)"
+                f"{bpp}-bit DIB AVI not supported (24-bit decodes natively)"
             )
-    return frames
+        expected = bmp_stride(abs(w)) * abs(h)
+        for f in frames:
+            if len(f) != expected:
+                raise ValueError(
+                    f"corrupt AVI frame ({len(f)} bytes, strf declares "
+                    f"{abs(w)}x{abs(h)}@24bpp = {expected})"
+                )
+        return frames, "dib", (abs(w), abs(h))
+    raise NotImplementedError(
+        f"AVI codec {handlers[0]!r} requires ffmpeg "
+        "(MJPEG and uncompressed DIB decode natively)"
+    )
 
 
 def decode_avi(payload: bytes) -> dict:
-    """REAL decoder for AVI/MJPEG video: walks the RIFF chunk tree
-    (_avi_frames), counts the frame chunks (real frame count), and fully
-    decodes the FIRST frame through the baseline JPEG pipeline for
-    dimensions + feature.
+    """REAL decoder for AVI video: walks the RIFF chunk tree
+    (_avi_frames), counts the frame chunks (real frame count), and
+    decodes the FIRST frame for dimensions + feature — through the
+    baseline JPEG pipeline for MJPEG streams, or directly from the raw
+    bottom-up BGR rows for uncompressed DIB streams (feature = first
+    FEATURE_DIM pixel-data bytes / 255, the BMP convention).
 
     Raises ValueError for truncated/corrupt containers or corrupt frames
-    in a declared-MJPEG stream; NotImplementedError when the stream header
-    names another codec (needs a real library)."""
-    frames = _avi_frames(payload)
+    (bad JPEG signature / DIB size mismatch); NotImplementedError when
+    the stream header names another codec (needs a real library)."""
+    frames, kind, (w, h) = _avi_frames(payload)
+    if kind == "dib":
+        pix = frames[0][:FEATURE_DIM]
+        feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": len(frames),
+            "feature": feature,
+            "frames": frames,
+        }
     meta = decode_jpeg(frames[0])
     return {
         "width": meta["width"],
@@ -2926,11 +2981,11 @@ def sample_frames(
     fake=True (default): stub decode, frame content a deterministic
     function of (payload bytes, frame index) — ascii-index hashing so an
     independent SQL engine reproduces the hashes.
-    fake=False: REAL decode for AVI/MJPEG payloads — the RIFF walk
+    fake=False: REAL decode for AVI payloads — the RIFF walk
     (_avi_frames, shared with decode_avi so frame 0 is decoded exactly
     once here) yields the frame chunks; each sampled frame's sha is taken
-    over its actual JPEG bytes and its feature from the fully decoded
-    pixels.
+    over its actual stored bytes and its feature from the decoded pixels
+    (baseline JPEG for MJPEG streams, raw BGR rows for DIB streams).
 
     on_error: 'raise' (default) or 'skip' — quarantine granularity is the
     whole payload: a corrupt frame ANYWHERE in a clip drops that clip's
@@ -2975,9 +3030,14 @@ def sample_frames(
                                 }
                             )
                     else:
-                        frames = _avi_frames(blob)
+                        frames, kind, _dims = _avi_frames(blob)
                         for idx in range(0, len(frames), every_n):
-                            fmeta = decode_jpeg(frames[idx])
+                            if kind == "dib":
+                                pix = frames[idx][:FEATURE_DIM]
+                                feat = [b / 255.0 for b in pix]
+                                feat += [0.0] * (FEATURE_DIM - len(pix))
+                            else:
+                                feat = decode_jpeg(frames[idx])["feature"]
                             rows.append(
                                 {
                                     "media_id": int(mid),
@@ -2985,7 +3045,7 @@ def sample_frames(
                                     "frame_sha": hashlib.sha256(
                                         frames[idx]
                                     ).hexdigest(),
-                                    "frame_feature": fmeta["feature"],
+                                    "frame_feature": feat,
                                 }
                             )
                 except (ValueError, struct.error, IndexError):
@@ -3165,6 +3225,36 @@ def media_avi_from_documents(documents: "DataFrame") -> "DataFrame":
                     "media_id": pd.array(ids, dtype="Int64"),
                     "payload": [
                         encode_avi(8 + i % 24, 8 + i % 16, 1 + i % 5, i % 200)
+                        for i in ids
+                    ],
+                    "media_type": ["video"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def media_avi_dib_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Deterministic REAL-format UNCOMPRESSED video media table: one
+    valid AVI/DIB clip per doc (1+id%5 raw 24-bit frames of
+    4+id%12 x 2+id%6, pixel-data byte i of frame f = (id%256 + f + i)
+    % 256). Raw frames make the decode SQL-exact: the oracle recomputes
+    dimensions, frame count, AND the leading pixel bytes from doc_id
+    arithmetic — the pixel-fidelity twin of the MJPEG container check."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_avi(
+                            4 + i % 12, 2 + i % 6, 1 + i % 5, i % 256,
+                            codec="DIB ",
+                        )
                         for i in ids
                     ],
                     "media_type": ["video"] * len(ids),

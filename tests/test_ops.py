@@ -612,6 +612,39 @@ def test_gif_corruption_is_quarantined():
         multimodal.decode_gif(b"NOTGIF" + payload[6:])
 
 
+def test_avi_dib_roundtrip_and_corruption():
+    """Uncompressed AVI: raw bottom-up BGR frames decode pixel-exactly,
+    frame sampling reads raw bytes, size mismatches quarantine, and
+    non-24-bit DIB is a declared codec gap."""
+    import struct as _struct
+
+    payload = multimodal.encode_avi(6, 4, 3, 17, codec="DIB ")
+    meta = multimodal.decode_avi(payload)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (6, 4, 3)
+    got = [round(f * 255) for f in meta["feature"]]
+    assert got == [(17 + i) % 256 for i in range(8)]  # pixel-EXACT
+    stride = multimodal.bmp_stride(6)
+    assert meta["frames"][2] == bytes((19 + i) % 256 for i in range(stride * 4))
+    # frame-level sha/feature from raw bytes via the shared walk
+    frames, kind, dims = multimodal._avi_frames(payload)
+    assert kind == "dib" and dims == (6, 4)
+    # strf width mutated -> every frame contradicts the declared layout
+    bad = bytearray(payload)
+    _struct.pack_into("<i", bad, payload.index(b"strf") + 12, 7)
+    with pytest.raises(ValueError, match="corrupt AVI frame"):
+        multimodal.decode_avi(bytes(bad))
+    # 8-bit DIB is a genuine codec gap, not corruption
+    bad = bytearray(payload)
+    _struct.pack_into("<H", bad, payload.index(b"strf") + 22, 8)
+    with pytest.raises(NotImplementedError, match="8-bit DIB"):
+        multimodal.decode_avi(bytes(bad))
+    # compressed strf under a DIB handler is contradictory -> quarantine
+    bad = bytearray(payload)
+    bad[payload.index(b"strf") + 24 : payload.index(b"strf") + 28] = b"MJPG"
+    with pytest.raises(ValueError, match="compressed layout"):
+        multimodal.decode_avi(bytes(bad))
+
+
 def test_mulaw_wav_decode():
     """G.711 mu-law expansion: spec corner values + feature mapping that
     recovers the exact integer sample through float32."""
