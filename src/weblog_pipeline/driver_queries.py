@@ -721,6 +721,38 @@ FROM documents GROUP BY 1
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles via the bounded-domain
+    cumulative-sum pattern (counts per (lang, length), never a
+    per-document window)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.length_quantiles(docs)
+
+
+def _sql_length_quantiles(probs: tuple = (10, 50, 90)) -> str:
+    cols = ",\n  ".join(
+        "CAST(MIN(CASE WHEN cum >= 1 + (n_docs - 1) * "
+        f"{p} // 100 THEN length END) AS BIGINT) AS p{p}_len"
+        for p in probs
+    )
+    return f"""
+WITH c AS (
+  SELECT lang, length(text) AS length, COUNT(*) AS n
+  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, length,
+         SUM(n) OVER (PARTITION BY lang ORDER BY length) AS cum
+  FROM c
+),
+t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY 1)
+SELECT lang, n_docs,
+  {cols}
+FROM cum JOIN t USING (lang)
+GROUP BY lang, n_docs
+"""
+
+
 def q_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe url decomposition over the derived webpages."""
     docs = _read(spark, sf_dir, "documents")
@@ -3385,6 +3417,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "dedup_lines": q_dedup_lines,
         "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
+        "length_quantiles": q_length_quantiles,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3498,6 +3531,7 @@ def oracle_sql() -> dict:
         "repetition_stats": _sql_repetition_stats(),
         "dedup_lines": _sql_dedup_lines(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "length_quantiles": _sql_length_quantiles(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

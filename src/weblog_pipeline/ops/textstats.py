@@ -275,6 +275,51 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+def length_quantiles(
+    documents: DataFrame, probs: tuple[int, ...] = (10, 50, 90)
+) -> DataFrame:
+    """EXACT per-language document-length quantiles — the distribution
+    report a curation pipeline reads before setting length gates.
+
+    Scale shape: never a per-document window. Phase 1 collapses the
+    corpus to per-(lang, length) counts (map-side combine; output rows
+    bounded by the DISTINCT length domain, not the doc count). Phase 2's
+    running-sum window partitions by lang over that bounded domain —
+    thousands of rows per partition at any corpus size — and a broadcast
+    join attaches per-lang totals. Quantile p (discrete, lower
+    interpolation: the value at 0-based sorted position
+    floor((n-1)*p/100)) is then MIN(length WHERE cum >= target): pure
+    integer arithmetic, so the cross-engine hash is exact.
+
+    Output: lang, n_docs, p{p}_len per requested percent.
+    """
+    counts = (
+        documents.where(F.col("text").isNotNull())
+        .groupBy("lang", F.length("text").alias("length"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cum = counts.withColumn(
+        "cum",
+        F.sum("n").over(Window.partitionBy("lang").orderBy("length")),
+    )
+    totals = counts.groupBy("lang").agg(F.sum("n").alias("n_docs"))
+    joined = cum.join(F.broadcast(totals), "lang")
+    aggs = [
+        F.min(
+            F.when(
+                # integer `div`, never `/`: float division of huge counts
+                # would round where the rank arithmetic must be exact
+                F.col("cum") >= F.expr(f"1 + (n_docs - 1) * {int(p)} div 100"),
+                F.col("length"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{p}_len")
+        for p in probs
+    ]
+    return joined.groupBy("lang", "n_docs").agg(*aggs)
+
+
 def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k TF-IDF terms — the classic keyword-extraction /
     relevance-weighting statistic over the corpus's own document

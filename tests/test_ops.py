@@ -1064,6 +1064,29 @@ def test_perplexity_buckets_integer_thresholds(spark):
     assert got == {"head": (1, 5), "middle": (1, 15), "tail": (1, 1)}
 
 
+def test_length_quantiles_exact_discrete(spark):
+    """Quantile p is the value at 0-based sorted position
+    floor((n-1)*p/100) — lower interpolation, integer-exact.
+
+    'en' lengths sorted: [1,2,3,4,5,6,7,8,9,10] (n=10): p10 -> pos 0 ->
+    1? floor(9*10/100)=0 -> 1; p50 -> floor(9*50/100)=4 -> 5; p90 ->
+    floor(9*90/100)=8 -> 9. 'de' has one doc: every quantile is it.
+    Ties collapse through the per-length counts, NULL text is excluded."""
+    rows = [
+        Row(doc_id=i, text="x" * (i + 1), lang="en") for i in range(10)
+    ] + [
+        Row(doc_id=100, text="yyy", lang="de"),
+        Row(doc_id=101, text=None, lang="de"),
+    ]
+    got = {
+        r["lang"]: (r["n_docs"], r["p10_len"], r["p50_len"], r["p90_len"])
+        for r in textstats.length_quantiles(
+            spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        ).collect()
+    }
+    assert got == {"en": (10, 1, 5, 9), "de": (1, 3, 3, 3)}
+
+
 def test_pii_scrub(spark):
     df = spark.createDataFrame(
         [

@@ -145,6 +145,32 @@ def test_bigram_logprob_has_no_skewed_window(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_length_quantiles_windows_the_count_domain_not_docs(spark):
+    """The running-sum window must consume the per-(lang, length)
+    AGGREGATE (bounded by the distinct length domain), never the raw
+    document stream, and the per-lang totals join must broadcast."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * (1 + i % 7), lang="en") for i in range(30)]
+    )
+    plan = _physical(textstats.length_quantiles(df))
+    assert "BroadcastHashJoin" in plan
+    # the window's input side contains an aggregate below it: every
+    # Window operator in the plan text is preceded (deeper indent, later
+    # lines) by a HashAggregate over (lang, length)
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:]
+    # doc-level columns are pruned before the window: doc_id appears only
+    # in the leaf scan line (ExistingRDD lists every column), never in
+    # any operator above it
+    for line in plan.splitlines():
+        if "doc_id" in line:
+            assert "Scan ExistingRDD" in line, line
+
+
 def test_parse_scan_prunes_columns_and_pushes_null_filter(spark, tmp_path):
     """The e2e scan must read ONLY the four columns the parse UDF consumes
     (never the redundant input `text`) and push `html IS NOT NULL` into the
