@@ -721,6 +721,27 @@ FROM documents GROUP BY 1
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) source-mixing weights; the sqrt
+    is engine-exact by the scaled-integer-floor construction."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.mixture_weights(docs)
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+s AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)
+           AS s_kilo
+  FROM c
+),
+t AS (SELECT CAST(SUM(s_kilo) AS BIGINT) AS total_s FROM s)
+SELECT source, n_docs, s_kilo, s_kilo * 10000 // total_s AS weight_bp
+FROM s, t
+"""
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length quantiles via the bounded-domain
     cumulative-sum pattern (counts per (lang, length), never a
@@ -3418,6 +3439,7 @@ def queries() -> dict:
         "dedup_lines": q_dedup_lines,
         "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
         "length_quantiles": q_length_quantiles,
+        "mixture_weights": q_mixture_weights,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3532,6 +3554,7 @@ def oracle_sql() -> dict:
         "dedup_lines": _sql_dedup_lines(),
         "tfidf_topk": _sql_tfidf_topk(),
         "length_quantiles": _sql_length_quantiles(),
+        "mixture_weights": SQL_MIXTURE_WEIGHTS,
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

@@ -59,6 +59,38 @@ def stratified_sample(
     )
 
 
+def mixture_weights(documents: DataFrame) -> DataFrame:
+    """Temperature-flattened source-mixing weights (alpha = 0.5, the
+    classic multilingual-LM rebalancing: sample source i proportionally
+    to sqrt(n_i) instead of n_i, boosting low-resource sources without
+    drowning the head).
+
+    Cross-engine exact BY CONSTRUCTION despite the sqrt: s_kilo =
+    floor(sqrt(double(n_docs * 1_000_000))) — the integer product casts
+    to the same IEEE double on any engine, sqrt is correctly rounded by
+    spec, and everything after the floor is integer arithmetic
+    (weight_bp = s_kilo * 10000 div total). No cross-row float sums —
+    the total is a BIGINT sum, so addition order can't change rounding.
+
+    Scale shape: one map-side-combined count per source, a broadcast
+    one-row total, zero wide rows. Output: source, n_docs, s_kilo,
+    weight_bp.
+    """
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "s_kilo",
+        F.floor(F.sqrt((F.col("n_docs") * F.lit(1_000_000)).cast("double")))
+        .cast("long"),
+    )
+    total = scaled.agg(F.sum("s_kilo").cast("long").alias("total_s"))
+    return scaled.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "s_kilo",
+        F.expr("s_kilo * 10000 div total_s").alias("weight_bp"),
+    )
+
+
 def clean_corpus(
     documents: DataFrame,
     keep_lang: str = "en",

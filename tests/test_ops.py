@@ -1064,6 +1064,29 @@ def test_perplexity_buckets_integer_thresholds(spark):
     assert got == {"head": (1, 5), "middle": (1, 15), "tail": (1, 1)}
 
 
+def test_mixture_weights_sqrt_flattening(spark):
+    """alpha=0.5 boosts the tail: a 100:1 doc-count ratio becomes a 10:1
+    weight ratio. s_kilo = floor(1000*sqrt(n)); weights are basis points
+    of the s_kilo total (integer division)."""
+    rows = [
+        Row(doc_id=i, source="big" if i < 100 else "small")
+        for i in range(101)
+    ]
+    got = {
+        r["source"]: (r["n_docs"], r["s_kilo"], r["weight_bp"])
+        for r in corpus.mixture_weights(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    # sqrt(100)*1000 = 10000, sqrt(1)*1000 = 1000, total 11000
+    assert got == {
+        "big": (100, 10000, 10000 * 10000 // 11000),
+        "small": (1, 1000, 1000 * 10000 // 11000),
+    }
+    # proportional sampling would give big 99%; sqrt gives it ~91%
+    assert 9000 < got["big"][2] < 9200
+
+
 def test_length_quantiles_exact_discrete(spark):
     """Quantile p is the value at 0-based sorted position
     floor((n-1)*p/100) — lower interpolation, integer-exact.
