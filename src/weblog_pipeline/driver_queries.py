@@ -721,6 +721,33 @@ FROM documents GROUP BY 1
 """
 
 
+def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window/stride chunking at window=32, stride=24 (sized so
+    fixture docs fan out to multiple chunks)."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.token_windows(docs, window=32, stride=24)
+
+
+SQL_TOKEN_WINDOWS = """
+WITH tc AS (
+  SELECT doc_id,
+    CASE WHEN trim(text, ' ') = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text, ' '),
+                                        '[ \\t\\n\\r\\f\\x0B]+')) END
+      AS n_tokens
+  FROM documents
+),
+nz AS (SELECT * FROM tc WHERE n_tokens > 0)
+SELECT doc_id,
+  CAST(u.k AS BIGINT) AS chunk_idx,
+  CAST(u.k * 24 AS BIGINT) AS start_tok,
+  CAST(least(u.k * 24 + 32, n_tokens) AS BIGINT) AS end_tok
+FROM nz, unnest(range(0,
+  1 + CASE WHEN n_tokens > 32 THEN (n_tokens - 32 + 23) // 24 ELSE 0 END
+)) AS u(k)
+"""
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (alpha=0.5) source-mixing weights; the sqrt
     is engine-exact by the scaled-integer-floor construction."""
@@ -3440,6 +3467,7 @@ def queries() -> dict:
         "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
         "length_quantiles": q_length_quantiles,
         "mixture_weights": q_mixture_weights,
+        "token_windows": q_token_windows,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3555,6 +3583,7 @@ def oracle_sql() -> dict:
         "tfidf_topk": _sql_tfidf_topk(),
         "length_quantiles": _sql_length_quantiles(),
         "mixture_weights": SQL_MIXTURE_WEIGHTS,
+        "token_windows": SQL_TOKEN_WINDOWS,
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

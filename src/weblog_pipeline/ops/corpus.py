@@ -59,6 +59,50 @@ def stratified_sample(
     )
 
 
+def token_windows(
+    documents: DataFrame, window: int = 2048, stride: int = 1792
+) -> DataFrame:
+    """Fixed-window/stride token chunking — the standard pretraining
+    chunker (and RAG splitter): doc tokens [0, n) become windows starting
+    at 0, stride, 2*stride, ..., each `window` tokens (the last one
+    truncated), with the start sequence extended just far enough that the
+    tail is covered: k_max = ceil((n - window)/stride) when n > window.
+
+    Pure Catalyst: the token count is the shared whitespace idiom
+    (textstats.token_counts), the fan-out is explode(sequence(0, k_max))
+    — bounded rows per doc, no shuffle at all (the whole op lives in the
+    scan stage), and only integer chunk BOUNDARIES are emitted, never
+    token arrays. Output: doc_id, chunk_idx, start_tok, end_tok.
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    base = (
+        textstats.token_counts(documents)
+        .select("doc_id", "n_tokens")
+        .where(F.col("n_tokens") > 0)
+    )
+    k_max = F.expr(
+        f"CASE WHEN n_tokens > {window}"
+        f" THEN (n_tokens - {window} + {stride} - 1) div {stride}"
+        " ELSE 0 END"
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0).cast("long"), k_max)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            (F.col("k") * stride).cast("long").alias("start_tok"),
+            F.least(F.col("k") * stride + window, F.col("n_tokens"))
+            .cast("long")
+            .alias("end_tok"),
+        )
+    )
+
+
 def mixture_weights(documents: DataFrame) -> DataFrame:
     """Temperature-flattened source-mixing weights (alpha = 0.5, the
     classic multilingual-LM rebalancing: sample source i proportionally

@@ -1064,6 +1064,44 @@ def test_perplexity_buckets_integer_thresholds(spark):
     assert got == {"head": (1, 5), "middle": (1, 15), "tail": (1, 1)}
 
 
+def test_token_windows_boundaries(spark):
+    """Window/stride arithmetic: n<=window -> one chunk; the start
+    sequence extends exactly far enough to cover the tail; empty docs
+    emit nothing; the final chunk truncates at n_tokens."""
+    rows = [
+        Row(doc_id=0, text=" ".join(["w"] * 10)),   # n=10, 1 chunk
+        Row(doc_id=1, text=" ".join(["w"] * 11)),   # n=11 -> k_max=1
+        Row(doc_id=2, text=" ".join(["w"] * 25)),   # n=25 -> k_max=3
+        Row(doc_id=3, text="   "),                  # 0 tokens -> no rows
+    ]
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["end_tok"])
+        for r in corpus.token_windows(
+            spark.createDataFrame(rows), window=10, stride=5
+        ).collect()
+    )
+    assert got == [
+        (0, 0, 0, 10),
+        (1, 0, 0, 10), (1, 1, 5, 11),
+        (2, 0, 0, 10), (2, 1, 5, 15), (2, 2, 10, 20), (2, 3, 15, 25),
+    ]
+    # every token index < n is covered by at least one chunk
+    for n in (1, 10, 11, 25, 26, 99):
+        covered = set()
+        for _, _, s, e in [
+            (0, c["chunk_idx"], c["start_tok"], c["end_tok"])
+            for c in corpus.token_windows(
+                spark.createDataFrame([Row(doc_id=0, text=" ".join(["w"] * n))]),
+                window=10,
+                stride=7,
+            ).collect()
+        ]:
+            covered |= set(range(s, e))
+        assert covered == set(range(n)), n
+    with pytest.raises(ValueError, match="stride"):
+        corpus.token_windows(spark.createDataFrame(rows), window=4, stride=5)
+
+
 def test_mixture_weights_sqrt_flattening(spark):
     """alpha=0.5 boosts the tail: a 100:1 doc-count ratio becomes a 10:1
     weight ratio. s_kilo = floor(1000*sqrt(n)); weights are basis points
