@@ -721,6 +721,23 @@ FROM documents GROUP BY 1
 """
 
 
+def q_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate audited against the exact per-source distinct
+    count; the oracle asserts the bound flag TRUE (an estimator
+    regression turns the row red)."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.cardinality_audit(docs)
+
+
+SQL_CARDINALITY_AUDIT = """
+SELECT source,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+  TRUE AS within_bound
+FROM documents WHERE text IS NOT NULL
+GROUP BY source
+"""
+
+
 def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window/stride chunking at window=32, stride=24 (sized so
     fixture docs fan out to multiple chunks)."""
@@ -3468,6 +3485,7 @@ def queries() -> dict:
         "length_quantiles": q_length_quantiles,
         "mixture_weights": q_mixture_weights,
         "token_windows": q_token_windows,
+        "cardinality_audit": q_cardinality_audit,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3584,6 +3602,7 @@ def oracle_sql() -> dict:
         "length_quantiles": _sql_length_quantiles(),
         "mixture_weights": SQL_MIXTURE_WEIGHTS,
         "token_windows": SQL_TOKEN_WINDOWS,
+        "cardinality_audit": SQL_CARDINALITY_AUDIT,
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

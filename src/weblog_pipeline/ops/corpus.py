@@ -59,6 +59,42 @@ def stratified_sample(
     )
 
 
+def cardinality_audit(documents: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Per-source distinct-content cardinality: the EXACT count next to
+    Spark's HyperLogLog++ estimate (approx_count_distinct), plus the
+    audit flag |approx - exact| <= max(3, 3*rsd*exact).
+
+    Why ship the approximation at all: at 100 TB the exact count needs a
+    shuffle of every distinct hash, while the HLL sketch is a tiny
+    fixed-size buffer that merges map-side — the estimate is what the
+    monitoring path runs; this audit query is how its error stays
+    TRACKED instead of trusted. HLL++ is deterministic (xxhash64 of the
+    value, no RNG), so the flag is stable and the cross-engine oracle
+    simply asserts it TRUE with the exact count.
+
+    Output: source, n_exact, within_bound.
+    """
+    h = F.md5(F.col("text"))
+    bound = F.greatest(
+        F.lit(3).cast("double"),
+        F.lit(3 * rsd) * F.col("n_exact").cast("double"),
+    )
+    return (
+        documents.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count_distinct(h).alias("n_exact"),
+            F.approx_count_distinct(h, rsd).alias("n_approx"),
+        )
+        .select(
+            "source",
+            "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact")).cast("double") <= bound)
+            .alias("within_bound"),
+        )
+    )
+
+
 def token_windows(
     documents: DataFrame, window: int = 2048, stride: int = 1792
 ) -> DataFrame:

@@ -1064,6 +1064,24 @@ def test_perplexity_buckets_integer_thresholds(spark):
     assert got == {"head": (1, 5), "middle": (1, 15), "tail": (1, 1)}
 
 
+def test_cardinality_audit_exact_and_bounded(spark):
+    """Exact distinct collapses duplicate content; the HLL++ estimate
+    stays inside max(3, 15%) of exact on a planted corpus (deterministic
+    — no RNG in the sketch, so this can never flake)."""
+    rows = [
+        Row(doc_id=i, source="a", text=f"unique {i}") for i in range(200)
+    ] + [
+        Row(doc_id=1000 + i, source="b", text="same") for i in range(50)
+    ] + [Row(doc_id=2000, source="b", text=None)]
+    got = {
+        r["source"]: (r["n_exact"], r["within_bound"])
+        for r in corpus.cardinality_audit(
+            spark.createDataFrame(rows, "doc_id long, source string, text string")
+        ).collect()
+    }
+    assert got == {"a": (200, True), "b": (1, True)}
+
+
 def test_token_windows_boundaries(spark):
     """Window/stride arithmetic: n<=window -> one chunk; the start
     sequence extends exactly far enough to cover the tail; empty docs
