@@ -721,6 +721,50 @@ FROM documents GROUP BY 1
 """
 
 
+def q_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-merge near-dedup: docs with doc_id % 10 == 7 act as the new
+    snapshot, everything else as the existing corpus; an increment doc is
+    dropped iff an LSH band collision with a corpus doc verifies at
+    Jaccard >= 50%."""
+    docs = _read(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 10 == 7)
+    corp = docs.where(F.col("doc_id") % 10 != 7)
+    return dedup.cross_neardup(corp, inc, jaccard_pct=50)
+
+
+def _sql_cross_neardup() -> str:
+    # lazy: _SIG_CTE is defined further down the module
+    return f"""
+WITH {_SIG_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+near AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_intersect * 100 >= 50 * (za.n + zb.n - i.n_intersect)
+)
+SELECT doc_a AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(doc_b) AS first_match
+FROM near GROUP BY doc_a
+"""
+
+
 def q_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ estimate audited against the exact per-source distinct
     count; the oracle asserts the bound flag TRUE (an estimator
@@ -3486,6 +3530,7 @@ def queries() -> dict:
         "mixture_weights": q_mixture_weights,
         "token_windows": q_token_windows,
         "cardinality_audit": q_cardinality_audit,
+        "cross_neardup": q_cross_neardup,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3603,6 +3648,7 @@ def oracle_sql() -> dict:
         "mixture_weights": SQL_MIXTURE_WEIGHTS,
         "token_windows": SQL_TOKEN_WINDOWS,
         "cardinality_audit": SQL_CARDINALITY_AUDIT,
+        "cross_neardup": _sql_cross_neardup(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

@@ -347,6 +347,65 @@ def simhash_near_pairs(
     )
 
 
+def cross_neardup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    jaccard_pct: int = 80,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dedup a NEW snapshot against an EXISTING corpus — the daily
+    crawl-merge twin of corpus.ingest_increment (which is exact-only):
+    an increment doc is reported iff some corpus doc shares an LSH band
+    bucket with it AND exact shingle Jaccard >= jaccard_pct%.
+
+    Scale shape: both sides collapse to per-doc band signatures (one
+    aggregate each), the candidate join is band-bucket equi (CROSS-side
+    only — increment x increment and corpus x corpus pairs never form),
+    and Jaccard verification runs on candidates alone via the shared
+    single-derivation jaccard_verify. `bucket_cap` drops corpus-side
+    buckets hotter than the cap (boilerplate floods), same tradeoff as
+    lsh_candidate_pairs. doc_ids must be disjoint across the two frames.
+
+    Output: doc_id (increment doc to drop), n_matches (verified corpus
+    matches), first_match (lowest matching corpus doc_id).
+    """
+    si = minhash_signatures(increment)
+    sc = minhash_signatures(corpus)
+    if bucket_cap is not None:
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+        sc = (
+            sc.withColumn("bucket_n", bucket_n)
+            .where(F.col("bucket_n") <= bucket_cap)
+            .drop("bucket_n")
+        )
+    pairs = (
+        si.alias("a")
+        .join(
+            sc.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    both = increment.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    verified = jaccard_verify(both, pairs)
+    return (
+        verified.where(
+            F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union")
+        )
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("doc_b").alias("first_match"),
+        )
+    )
+
+
 def dedup_pipeline(
     documents: DataFrame,
     jaccard_pct: int = 80,

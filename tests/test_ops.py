@@ -887,6 +887,41 @@ def test_dedup_pipeline_drop_list(spark):
     assert drops == {1: (0, "exact"), 2: (0, "near")}
 
 
+def test_cross_neardup_flags_only_cross_pairs(spark):
+    """An increment doc near-duplicating a corpus doc is reported with
+    its lowest corpus match; near-dups WITHIN a side never pair, and an
+    unrelated increment doc stays clean."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),  # same content: both should match
+            Row(doc_id=2, text="unrelated corpus text about warehouses"),
+        ]
+    )
+    inc = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base.replace("tango", "zulu")),  # near-dup
+            Row(doc_id=101, text=base.replace("tango", "zulu")),  # its twin
+            Row(doc_id=102, text="fresh snapshot content, nothing shared"),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_match"])
+        for r in dedup.cross_neardup(corpus, inc, jaccard_pct=80).collect()
+    }
+    # 100 and 101 each match corpus docs 0 AND 1 (cross-side only: the
+    # 100<->101 identity pair is never formed); 102 has no report
+    assert got == {100: (2, 0), 101: (2, 0)}
+    # bucket_cap drops a flooded corpus bucket: cap=1 removes the
+    # two-doc corpus bucket, so nothing verifies
+    capped = dedup.cross_neardup(corpus, inc, jaccard_pct=80, bucket_cap=1)
+    assert capped.count() == 0
+
+
 def test_dedup_pipeline_identical_flood_no_pair_explosion(spark):
     """200 identical docs: exact dedup collapses them to ONE representative
     before MinHash, so the LSH self-join sees singleton buckets — this
