@@ -3457,7 +3457,11 @@ def queries() -> dict:
     #   5. flagship e2e/enrich queries (kept fresh every round).
     # Everything green in r4 rotates to the tail (still checked by
     # scripts/check_queries.py and pytest every round) and rotates back
-    # into the window in r6.
+    # into the window in r6 — along with the queries ADDED in r5, which
+    # have no official row yet: multimodal_alaw_decode,
+    # multimodal_adpcm_decode, multimodal_dib_avi_decode,
+    # length_quantiles, mixture_weights, token_windows,
+    # cardinality_audit, cross_neardup.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
