@@ -670,6 +670,28 @@ FROM comps GROUP BY label, dim
 """
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantized moment stats (drift monitor)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(emb)
+
+
+def _sql_embedding_dim_stats() -> str:
+    q = float(similarity.IVF_QUANT)
+    return f"""
+WITH comps AS (
+  SELECT CAST(u.d - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(u.d AS INTEGER)] AS DOUBLE) * {q})
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+)
+SELECT dim, COUNT(*) AS n,
+       CAST(SUM(qv) AS BIGINT) AS s1,
+       CAST(SUM(qv * qv) AS BIGINT) AS s2
+FROM comps GROUP BY dim
+"""
+
+
 def q_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-prototype label assignment cross-tab (integer-exact L2)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -3535,6 +3557,7 @@ def queries() -> dict:
         "token_windows": q_token_windows,
         "cardinality_audit": q_cardinality_audit,
         "cross_neardup": q_cross_neardup,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3653,6 +3676,7 @@ def oracle_sql() -> dict:
         "token_windows": SQL_TOKEN_WINDOWS,
         "cardinality_audit": SQL_CARDINALITY_AUDIT,
         "cross_neardup": _sql_cross_neardup(),
+        "embedding_dim_stats": _sql_embedding_dim_stats(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

@@ -505,6 +505,32 @@ def cosine_near_dup_pairs_exact(embeddings: DataFrame, threshold: float) -> Data
     )
 
 
+def embedding_dim_stats(embeddings: DataFrame, quant: int = IVF_QUANT) -> DataFrame:
+    """Per-dimension moment statistics of the embedding corpus — the
+    drift/whitening monitor (a per-dim mean or variance shift between
+    snapshots flags an encoder change or a corrupted batch).
+
+    Numeric discipline matches label_centroids: components quantize
+    floor(x * quant) to a long FIRST, then integer count/sum/sum-of-
+    squares aggregate per dim — order-free exact, so the cross-engine
+    hash is stable. quant defaults to IVF_QUANT (1e3): q^2 <= ~1e6
+    keeps the s2 BIGINT sum safe to ~9e12 vectors. One posexplode +
+    one 64-group aggregate, map-side combined.
+
+    Output: dim, n, s1 (sum q), s2 (sum q^2) — mean = s1/n,
+    var = s2/n - (s1/n)^2 downstream.
+    """
+    q = F.expr(
+        f"transform(embedding, x -> cast(floor(x * {float(quant)}D) as long))"
+    )
+    comps = embeddings.select(F.posexplode(q).alias("dim", "qv"))
+    return comps.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+    )
+
+
 def label_centroids(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFrame:
     """Mean-pool a centroid per label — the class-prototype / cluster-
     summary statistic (e.g. per-topic or per-source embedding prototypes

@@ -1099,6 +1099,26 @@ def test_perplexity_buckets_integer_thresholds(spark):
     assert got == {"head": (1, 5), "middle": (1, 15), "tail": (1, 1)}
 
 
+def test_embedding_dim_stats_integer_moments(spark):
+    """Quantize-then-sum moments: floor(x*1000) per component, exact
+    integer count/sum/sum-of-squares per dimension."""
+    rows = [
+        Row(vec_id=0, embedding=[0.5, -0.25]),
+        Row(vec_id=1, embedding=[0.0015, 1.0]),
+    ]
+    got = {
+        r["dim"]: (r["n"], r["s1"], r["s2"])
+        for r in similarity.embedding_dim_stats(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            )
+        ).collect()
+    }
+    # dim0: q = floor(500), floor(1.5)=1 -> s1=501, s2=250001
+    # dim1: q = floor(-250), floor(1000) -> s1=750, s2=62500+1000000
+    assert got == {0: (2, 501, 250001), 1: (2, 750, 1062500)}
+
+
 def test_cardinality_audit_exact_and_bounded(spark):
     """Exact distinct collapses duplicate content; the HLL++ estimate
     stays inside max(3, 15%) of exact on a planted corpus (deterministic
