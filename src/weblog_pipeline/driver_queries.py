@@ -2887,6 +2887,61 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _src_boiler_planted(docs: DataFrame) -> DataFrame:
+    """Plant a SOURCE-specific template line on ~half of each source's
+    docs (flagged: within-source df ~50% >= 30%) and a rare promo line on
+    ~1/7 (negative: ~14% < 30%) — the fixture docs are single-line, so
+    per-source template structure must be planted to be observable."""
+    nav = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("\nNAV MENU :: "), F.col("source")),
+    ).otherwise(F.lit(""))
+    promo = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.lit("\nPROMO "), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), nav, promo).alias("text"),
+    )
+
+
+def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_boilerplate(
+        _src_boiler_planted(_read(spark, sf_dir, "documents")),
+        min_docs=10,
+        pct=30,
+    )
+
+
+def _sql_source_boilerplate(min_docs: int = 10, pct: int = 30) -> str:
+    return f"""
+WITH p AS (
+  SELECT doc_id, source,
+         text
+           || CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'NAV MENU :: ' || source ELSE '' END
+           || CASE WHEN doc_id % 7 = 3
+              THEN chr(10) || 'PROMO ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT source, doc_id, unnest(string_split(text, chr(10))) AS line FROM p
+),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM p GROUP BY 1),
+ldf AS (
+  SELECT source, md5(line) AS line_md5,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df
+  FROM l WHERE line <> '' GROUP BY 1, 2
+)
+SELECT source, line_md5, line_df, n_docs
+FROM ldf JOIN nd USING (source)
+WHERE n_docs >= {min_docs} AND line_df * 100 >= n_docs * {pct}
+"""
+
+
 _SQL_BOILER_PLANT = """
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 = 0
@@ -3483,7 +3538,8 @@ def queries() -> dict:
     # have no official row yet: multimodal_alaw_decode,
     # multimodal_adpcm_decode, multimodal_dib_avi_decode,
     # length_quantiles, mixture_weights, token_windows,
-    # cardinality_audit, cross_neardup.
+    # cardinality_audit, cross_neardup, embedding_dim_stats,
+    # source_boilerplate.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -3558,6 +3614,7 @@ def queries() -> dict:
         "cardinality_audit": q_cardinality_audit,
         "cross_neardup": q_cross_neardup,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "source_boilerplate": q_source_boilerplate,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3677,6 +3734,7 @@ def oracle_sql() -> dict:
         "cardinality_audit": SQL_CARDINALITY_AUDIT,
         "cross_neardup": _sql_cross_neardup(),
         "embedding_dim_stats": _sql_embedding_dim_stats(),
+        "source_boilerplate": _sql_source_boilerplate(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

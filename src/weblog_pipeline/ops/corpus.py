@@ -332,6 +332,49 @@ def dedup_lines(documents: DataFrame, max_df: int = 3) -> DataFrame:
     )
 
 
+def source_boilerplate(
+    documents: DataFrame, min_docs: int = 10, pct: int = 30
+) -> DataFrame:
+    """Per-source boilerplate line detection (the RefinedWeb/CCNet site-
+    template step): a nonblank line occurring in >= `pct`% of one
+    source's documents is that site's template (nav bar, footer, cookie
+    banner) even when it is globally rare — the fractional within-source
+    complement to dedup_lines' absolute corpus-wide threshold. Sources
+    with fewer than `min_docs` documents are skipped (a 2-doc site makes
+    every shared line look like template). Emits the per-source blocklist
+    a strip stage would broadcast.
+
+    Spark shape: one (source, line-hash) countDistinct aggregate — the
+    partial-aggregate combiner absorbs a hot template line's repeats on
+    the map side — plus a tiny per-source doc count broadcast onto it;
+    the flag is an integer percentage inequality (line_df*100 >=
+    n_docs*pct), no floats. Nothing ever shuffles by raw line text, only
+    by its md5. At 100 TB the blocklist is O(sources x templates) — MBs.
+
+    Output: source, line_md5, line_df, n_docs (flagged lines only).
+    """
+    lines = (
+        documents.select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\n")).alias("line"),
+        )
+        .where(F.col("line") != "")
+    )
+    line_df = lines.groupBy("source", F.md5("line").alias("line_md5")).agg(
+        F.countDistinct("doc_id").alias("line_df")
+    )
+    ndocs = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        line_df.join(F.broadcast(ndocs), "source")
+        .where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("line_df") * 100 >= F.col("n_docs") * pct)
+        )
+        .select("source", "line_md5", "line_df", "n_docs")
+    )
+
+
 def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
     """Duplicate-n-gram quality signal (Gopher/Dolma-style boilerplate
     detection): per document, how many of its distinct word 3-grams occur

@@ -1119,6 +1119,37 @@ def test_embedding_dim_stats_integer_moments(spark):
     assert got == {0: (2, 501, 250001), 1: (2, 750, 1062500)}
 
 
+def test_source_boilerplate_fractional_per_source(spark):
+    """A line in >=30% of ONE source's docs is flagged for that source
+    only; globally-shared-but-rare-within-source lines and small sources
+    are not."""
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    rows = []
+    # source A: 10 docs, "NAV-A" on 5 of them (50% -> flagged),
+    # "RARE" on 2 (20% -> not flagged)
+    for i in range(10):
+        t = f"body {i}"
+        if i % 2 == 0:
+            t += "\nNAV-A"
+        if i in (0, 1):
+            t += "\nRARE"
+        rows.append(Row(doc_id=i, source="A", text=t))
+    # source B: 3 docs (< min_docs), all share "NAV-B" -> skipped
+    for i in range(3):
+        rows.append(Row(doc_id=100 + i, source="B", text=f"x {i}\nNAV-B"))
+    got = {
+        (r["source"], r["line_md5"], r["line_df"], r["n_docs"])
+        for r in corpus.source_boilerplate(
+            spark.createDataFrame(rows), min_docs=10, pct=30
+        ).collect()
+    }
+    assert got == {("A", md5("NAV-A"), 5, 10)}
+
+
 def test_cardinality_audit_exact_and_bounded(spark):
     """Exact distinct collapses duplicate content; the HLL++ estimate
     stays inside max(3, 15%) of exact on a planted corpus (deterministic
