@@ -2915,6 +2915,35 @@ def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_overlap(_read(spark, sf_dir, "documents"), src_cap=5)
+
+
+def _sql_source_overlap(src_cap: int = 5) -> str:
+    return f"""
+WITH w AS (SELECT source, {_TOKS} AS words
+           FROM documents WHERE trim(text, ' ') <> ''),
+sh AS (SELECT source,
+              unnest(list_transform(range(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                AS shingle
+       FROM w WHERE len(words) >= 3),
+s AS (SELECT DISTINCT source, md5(shingle) AS gh FROM sh),
+t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM s GROUP BY 1),
+g AS (SELECT gh FROM s GROUP BY gh HAVING COUNT(*) <= {src_cap}),
+r AS (SELECT s.source, s.gh FROM s JOIN g USING (gh)),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM r a JOIN r b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       ta.n_grams AS n_grams_a, tb.n_grams AS n_grams_b
+FROM p
+JOIN t ta ON ta.source = p.source_a
+JOIN t tb ON tb.source = p.source_b
+"""
+
+
 def _sql_source_boilerplate(min_docs: int = 10, pct: int = 30) -> str:
     return f"""
 WITH p AS (
@@ -3539,7 +3568,7 @@ def queries() -> dict:
     # multimodal_adpcm_decode, multimodal_dib_avi_decode,
     # length_quantiles, mixture_weights, token_windows,
     # cardinality_audit, cross_neardup, embedding_dim_stats,
-    # source_boilerplate.
+    # source_boilerplate, source_overlap.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -3615,6 +3644,7 @@ def queries() -> dict:
         "cross_neardup": q_cross_neardup,
         "embedding_dim_stats": q_embedding_dim_stats,
         "source_boilerplate": q_source_boilerplate,
+        "source_overlap": q_source_overlap,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3735,6 +3765,7 @@ def oracle_sql() -> dict:
         "cross_neardup": _sql_cross_neardup(),
         "embedding_dim_stats": _sql_embedding_dim_stats(),
         "source_boilerplate": _sql_source_boilerplate(),
+        "source_overlap": _sql_source_overlap(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

@@ -375,6 +375,71 @@ def source_boilerplate(
     )
 
 
+def source_overlap(documents: DataFrame, src_cap: int = 5) -> DataFrame:
+    """Pairwise source content-overlap matrix: for every source pair
+    (a < b), how many distinct word-3-gram shingles both contain, plus
+    each side's distinct-shingle total (so Jaccard / containment is one
+    division downstream). The source-grain analogue of decontamination's
+    doc-grain probe — it surfaces mirror sites, syndication rings, and
+    cross-posted boilerplate BETWEEN corpus slices.
+
+    Scale shape: the corpus-wide stage is one DISTINCT (source,
+    shingle-md5) projection (map-side combined); pair generation is a
+    per-shingle self-join guarded by `src_cap` — a gram present in more
+    than src_cap sources is a stop-gram (common phrase / global
+    boilerplate) excluded from pair GENERATION, capping the fan-out at
+    src_cap^2 rows per gram where millions of sources would otherwise go
+    quadratic. Per-source totals are NOT capped (only the join is) and
+    ride broadcast joins onto the pair table.
+
+    Output: source_a, source_b, n_shared, n_grams_a, n_grams_b.
+    """
+    sets = (
+        documents.select("source", dedup.lower_tokens_col().alias("_w"))
+        .select(
+            "source",
+            F.explode(F.array_distinct(dedup.shingles_over(F.col("_w")))).alias(
+                "shingle"
+            ),
+        )
+        .select("source", F.md5("shingle").alias("gh"))
+        .distinct()
+    )
+    totals = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    rare = sets.join(
+        sets.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .where(F.col("n_src") <= src_cap)
+        .select("gh"),
+        "gh",
+        "left_semi",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select("source_a", "source_b", "n_shared", "n_grams_a", "n_grams_b")
+    )
+
+
 def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
     """Duplicate-n-gram quality signal (Gopher/Dolma-style boilerplate
     detection): per document, how many of its distinct word 3-grams occur

@@ -1150,7 +1150,33 @@ def test_source_boilerplate_fractional_per_source(spark):
     assert got == {("A", md5("NAV-A"), 5, 10)}
 
 
-def test_cardinality_audit_exact_and_bounded(spark):
+def test_source_overlap_counts_and_stop_gram_cap(spark):
+    """Pairs count distinct shared shingles; a gram present in more
+    sources than src_cap is a stop-gram excluded from pair generation
+    (but still counted in per-source totals)."""
+    shared = "alpha beta gamma"          # in A and B -> 1 shared shingle
+    stop = "omega omega omega"           # in A, B, C -> capped out at cap=2
+    rows = [
+        Row(doc_id=1, source="A", text=f"{shared} {stop}"),
+        Row(doc_id=2, source="B", text=f"{shared} only here {stop}"),
+        Row(doc_id=3, source="C", text=f"unrelated words entirely {stop}"),
+    ]
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"], r["n_grams_a"], r["n_grams_b"]
+        )
+        for r in corpus.source_overlap(
+            spark.createDataFrame(rows), src_cap=2
+        ).collect()
+    }
+    # doc A tokens: alpha beta gamma omega omega omega -> 4 shingles
+    # A&B share: "alpha beta gamma", "beta gamma omega"?  B has
+    # "... gamma only here ..." so only "alpha beta gamma" matches; the
+    # omega-chain shingles differ except "omega omega omega" (in all 3,
+    # capped).  Totals count ALL distinct shingles per source.
+    assert got[("A", "B")][0] == 1
+    assert ("A", "C") not in got and ("B", "C") not in got
+    assert got[("A", "B")][1] == 4  # A: 6 tokens -> 4 distinct shingles
     """Exact distinct collapses duplicate content; the HLL++ estimate
     stays inside max(3, 15%) of exact on a planted corpus (deterministic
     — no RNG in the sketch, so this can never flake)."""
