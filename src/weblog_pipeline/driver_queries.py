@@ -692,6 +692,30 @@ FROM comps GROUP BY dim
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle integer cross-moments (whitening/PCA prep)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb)
+
+
+def _sql_embedding_covariance() -> str:
+    q = float(similarity.IVF_QUANT)
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS v
+  FROM embeddings
+),
+i AS (SELECT v, unnest(range(1, len(v) + 1)) AS di FROM qv),
+ij AS (SELECT v, di, unnest(range(di, len(v) + 1)) AS dj FROM i)
+SELECT CAST(di - 1 AS BIGINT) AS dim_i,
+       CAST(dj - 1 AS BIGINT) AS dim_j,
+       CAST(SUM(v[CAST(di AS INTEGER)] * v[CAST(dj AS INTEGER)]) AS BIGINT)
+         AS s_ij
+FROM ij GROUP BY 1, 2
+"""
+
+
 def q_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-prototype label assignment cross-tab (integer-exact L2)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -3568,7 +3592,7 @@ def queries() -> dict:
     # multimodal_adpcm_decode, multimodal_dib_avi_decode,
     # length_quantiles, mixture_weights, token_windows,
     # cardinality_audit, cross_neardup, embedding_dim_stats,
-    # source_boilerplate, source_overlap.
+    # source_boilerplate, source_overlap, embedding_covariance.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -3645,6 +3669,7 @@ def queries() -> dict:
         "embedding_dim_stats": q_embedding_dim_stats,
         "source_boilerplate": q_source_boilerplate,
         "source_overlap": q_source_overlap,
+        "embedding_covariance": q_embedding_covariance,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3766,6 +3791,7 @@ def oracle_sql() -> dict:
         "embedding_dim_stats": _sql_embedding_dim_stats(),
         "source_boilerplate": _sql_source_boilerplate(),
         "source_overlap": _sql_source_overlap(),
+        "embedding_covariance": _sql_embedding_covariance(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

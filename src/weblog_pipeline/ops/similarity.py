@@ -531,6 +531,67 @@ def embedding_dim_stats(embeddings: DataFrame, quant: int = IVF_QUANT) -> DataFr
     )
 
 
+def embedding_covariance(embeddings: DataFrame, quant: int = IVF_QUANT) -> DataFrame:
+    """Upper-triangle cross-moment matrix of the embedding corpus — the
+    whitening / PCA-prep statistic (with embedding_dim_stats' per-dim
+    n/s1 it yields the full covariance: cov_ij = s_ij/n - mean_i*mean_j).
+
+    This is the one statistic where a row-explode plan is the WRONG 100 TB
+    shape (n x d^2 exploded rows), so it is the repo's showcase of the
+    Arrow-batched partial-aggregate pattern: mapInPandas folds each batch
+    into ONE d x d int64 outer-product accumulator (Q^T @ Q — a BLAS
+    matmul per batch, no per-element rows ever materialize), emits the
+    d(d+1)/2 upper-triangle cells per PARTITION, and a final 2080-group
+    aggregate sums the partials — shuffle volume is partitions x d^2
+    cells, independent of row count.
+
+    Numeric discipline matches embedding_dim_stats: floor(x * quant) to
+    int64 FIRST (float32 -> float64 widening is exact, so the quantized
+    values match any engine), then pure integer sums — order-free exact.
+    |x| <= 1 keeps each product <= quant^2 = 1e6; the int64 sum is safe
+    to ~9e12 vectors. Requires a fixed dimension across rows (np.stack
+    raises on ragged input — a corrupted-batch signal, not a silent skew).
+
+    Output: dim_i, dim_j (0-based, i <= j), s_ij = sum over vectors of
+    q_i * q_j.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qf = float(quant)
+
+    def _part(batches):
+        acc = None
+        d = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.stack(
+                    [np.asarray(a, dtype=np.float64) for a in pdf["embedding"]]
+                )
+                * qf
+            ).astype(np.int64)
+            if acc is None:
+                d = Q.shape[1]
+                acc = np.zeros((d, d), dtype=np.int64)
+            acc += Q.T @ Q
+        if acc is not None:
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0].astype("int64"),
+                    "dim_j": iu[1].astype("int64"),
+                    "s_ij": acc[iu],
+                }
+            )
+
+    partials = embeddings.select("embedding").mapInPandas(
+        _part, "dim_i long, dim_j long, s_ij long"
+    )
+    return partials.groupBy("dim_i", "dim_j").agg(F.sum("s_ij").alias("s_ij"))
+
+
 def label_centroids(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFrame:
     """Mean-pool a centroid per label — the class-prototype / cluster-
     summary statistic (e.g. per-topic or per-source embedding prototypes

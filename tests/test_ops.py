@@ -1150,6 +1150,31 @@ def test_source_boilerplate_fractional_per_source(spark):
     assert got == {("A", md5("NAV-A"), 5, 10)}
 
 
+def test_embedding_covariance_upper_triangle_exact(spark):
+    """mapInPandas outer-product partials sum to the exact integer
+    cross-moments; the diagonal equals embedding_dim_stats' s2."""
+    rows = [
+        Row(vec_id=0, embedding=[0.5, -0.25]),
+        Row(vec_id=1, embedding=[0.0015, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["dim_i"], r["dim_j"]): r["s_ij"]
+        for r in similarity.embedding_covariance(df).collect()
+    }
+    # q-vectors: [500, -250], [1, 1000]
+    assert got == {
+        (0, 0): 500 * 500 + 1 * 1,
+        (0, 1): 500 * -250 + 1 * 1000,
+        (1, 1): (-250) * (-250) + 1000 * 1000,
+    }
+    diag = {
+        r["dim"]: r["s2"]
+        for r in similarity.embedding_dim_stats(df).collect()
+    }
+    assert got[(0, 0)] == diag[0] and got[(1, 1)] == diag[1]
+
+
 def test_source_overlap_counts_and_stop_gram_cap(spark):
     """Pairs count distinct shared shingles; a gram present in more
     sources than src_cap is a stop-gram excluded from pair generation
