@@ -716,6 +716,74 @@ FROM ij GROUP BY 1, 2
 """
 
 
+def _emb_corrupt_planted(emb: DataFrame) -> DataFrame:
+    """Plant vector-grain corruption (fixture vectors are all ~unit):
+    every 97th vector double-scaled (norm2_q ~4e6 -> is_high), every
+    101st zeroed (norm2_q 0 -> is_low)."""
+    scaled = F.expr(
+        "CASE WHEN vec_id % 97 = 0 "
+        "THEN transform(embedding, x -> x * cast(2.0 as float)) "
+        "WHEN vec_id % 101 = 0 "
+        "THEN transform(embedding, x -> cast(0.0 as float)) "
+        "ELSE embedding END"
+    )
+    return emb.select("vec_id", scaled.alias("embedding"))
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(_emb_corrupt_planted(emb))
+
+
+def _sql_embedding_outliers(lo: int = 500_000, hi: int = 2_000_000) -> str:
+    q = float(similarity.IVF_QUANT)
+    return f"""
+WITH p AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 0
+                THEN list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+              WHEN vec_id % 101 = 0
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)))
+           AS BIGINT) AS norm2_q
+  FROM p
+)
+SELECT vec_id, norm2_q, norm2_q < {lo} AS is_low, norm2_q > {hi} AS is_high
+FROM n
+"""
+
+
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_id skew profile of the events stream (pre-salting diagnostic)."""
+    ev = _read(spark, sf_dir, "events")
+    return corpus.key_skew(ev, "user_id", top_k=20)
+
+
+def _sql_event_key_skew(top_k: int = 20) -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+         key, n
+  FROM c QUALIFY rank <= {top_k}
+)
+SELECT rank, key, n, (n * 10000) // n_rows AS share_bp, n_rows, n_keys
+FROM r, t
+"""
+
+
 def q_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-prototype label assignment cross-tab (integer-exact L2)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -3592,7 +3660,8 @@ def queries() -> dict:
     # multimodal_adpcm_decode, multimodal_dib_avi_decode,
     # length_quantiles, mixture_weights, token_windows,
     # cardinality_audit, cross_neardup, embedding_dim_stats,
-    # source_boilerplate, source_overlap, embedding_covariance.
+    # source_boilerplate, source_overlap, embedding_covariance,
+    # embedding_outliers, event_key_skew.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -3670,6 +3739,8 @@ def queries() -> dict:
         "source_boilerplate": q_source_boilerplate,
         "source_overlap": q_source_overlap,
         "embedding_covariance": q_embedding_covariance,
+        "embedding_outliers": q_embedding_outliers,
+        "event_key_skew": q_event_key_skew,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3792,6 +3863,8 @@ def oracle_sql() -> dict:
         "source_boilerplate": _sql_source_boilerplate(),
         "source_overlap": _sql_source_overlap(),
         "embedding_covariance": _sql_embedding_covariance(),
+        "embedding_outliers": _sql_embedding_outliers(),
+        "event_key_skew": _sql_event_key_skew(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

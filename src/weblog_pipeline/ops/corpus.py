@@ -440,6 +440,47 @@ def source_overlap(documents: DataFrame, src_cap: int = 5) -> DataFrame:
     )
 
 
+def key_skew(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Join-key skew profile — the diagnostic run BEFORE choosing a
+    salting factor or an AQE skew threshold for a keyed join/aggregate:
+    the top_k hottest keys with their absolute counts and basis-point
+    share of all rows, plus the global row/key totals on every row so a
+    monitor reads one result.
+
+    Scale shape: one map-side-combined count aggregate over the key, then
+    the distributed TakeOrdered top-k (orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, NEVER a single-reducer
+    sort over the full key domain); rank is assigned by a window over the
+    already-limited top_k rows (bounded), and the 1-row totals ride a
+    broadcast. Ties break on the key string so the result is
+    deterministic on any engine.
+
+    Output: rank, key (stringified), n, share_bp, n_rows, n_keys.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.expr("n * 10000 div n_rows").alias("share_bp"),
+            "n_rows",
+            "n_keys",
+        )
+    )
+
+
 def dup_ngram_stats(documents: DataFrame, df_threshold: int = 4) -> DataFrame:
     """Duplicate-n-gram quality signal (Gopher/Dolma-style boilerplate
     detection): per document, how many of its distinct word 3-grams occur

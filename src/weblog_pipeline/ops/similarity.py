@@ -592,6 +592,42 @@ def embedding_covariance(embeddings: DataFrame, quant: int = IVF_QUANT) -> DataF
     return partials.groupBy("dim_i", "dim_j").agg(F.sum("s_ij").alias("s_ij"))
 
 
+def embedding_outliers(
+    embeddings: DataFrame,
+    lo: int = 500_000,
+    hi: int = 2_000_000,
+    quant: int = IVF_QUANT,
+) -> DataFrame:
+    """Per-vector norm audit — the vector-grain twin of the dim-grain
+    embedding_dim_stats: a quantized squared norm far from the encoder's
+    unit sphere flags a corrupted vector (zeroed buffer, double-scaled
+    batch, truncated read) before it poisons ANN buckets or centroids.
+
+    norm2_q = sum over dims of floor(x*quant)^2 — integer, order-free
+    exact (for unit-ish vectors and quant=1e3 it sits near 1e6, so the
+    [lo, hi] defaults bracket half-to-double scale). A pure per-row map
+    stage: no shuffle, no joins; flags are integer comparisons.
+
+    Output: vec_id, norm2_q, is_low, is_high.
+    """
+    q = F.expr(
+        f"transform(embedding, x -> cast(floor(x * {float(quant)}D) as long))"
+    )
+    norm2 = F.aggregate(
+        F.expr("transform(_q, v -> v * v)"), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return (
+        embeddings.select("vec_id", q.alias("_q"))
+        .select("vec_id", norm2.alias("norm2_q"))
+        .select(
+            "vec_id",
+            "norm2_q",
+            (F.col("norm2_q") < lo).alias("is_low"),
+            (F.col("norm2_q") > hi).alias("is_high"),
+        )
+    )
+
+
 def label_centroids(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFrame:
     """Mean-pool a centroid per label — the class-prototype / cluster-
     summary statistic (e.g. per-topic or per-source embedding prototypes

@@ -1175,6 +1175,51 @@ def test_embedding_covariance_upper_triangle_exact(spark):
     assert got[(0, 0)] == diag[0] and got[(1, 1)] == diag[1]
 
 
+def test_embedding_outliers_flags_scaled_and_zeroed(spark):
+    """Quantized squared norm flags a zeroed vector low and a
+    double-scaled vector high; a unit-ish vector flags neither."""
+    unit = [0.125] * 64                  # q=125, norm2 = 64*125^2 = 1_000_000
+    rows = [
+        Row(vec_id=0, embedding=unit),
+        Row(vec_id=1, embedding=[0.0] * 64),
+        Row(vec_id=2, embedding=[0.25] * 64),   # q=250 -> 4_000_000
+    ]
+    got = {
+        r["vec_id"]: (r["norm2_q"], r["is_low"], r["is_high"])
+        for r in similarity.embedding_outliers(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ).collect()
+    }
+    assert got == {
+        0: (1_000_000, False, False),
+        1: (0, True, False),
+        2: (4_000_000, False, True),
+    }
+
+
+def test_key_skew_topk_ties_and_share(spark):
+    """Top-k hot keys ranked (count desc, key asc); share in integer
+    basis points; totals on every row."""
+    rows = (
+        [Row(k=7) for _ in range(6)]
+        + [Row(k=3) for _ in range(3)]
+        + [Row(k=5) for _ in range(3)]
+        + [Row(k=9)]
+    )
+    got = [
+        (r["rank"], r["key"], r["n"], r["share_bp"], r["n_rows"], r["n_keys"])
+        for r in corpus.key_skew(spark.createDataFrame(rows), "k", top_k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    # 13 rows, 4 keys; ties between "3" and "5" break on key string
+    assert got == [
+        (1, "7", 6, 4615, 13, 4),
+        (2, "3", 3, 2307, 13, 4),
+        (3, "5", 3, 2307, 13, 4),
+    ]
+
+
 def test_source_overlap_counts_and_stop_gram_cap(spark):
     """Pairs count distinct shared shingles; a gram present in more
     sources than src_cap is a stop-gram excluded from pair generation
