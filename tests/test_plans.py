@@ -240,3 +240,41 @@ def test_shingle_stream_materializes_token_array(spark):
     )
     plan = _physical(dedup.minhash_signatures(df))
     assert "_w#" in plan
+
+
+def test_key_skew_uses_distributed_topk(spark):
+    """key_skew's top-k must compile to TakeOrderedAndProject (per-
+    partition heaps), never a global Sort over the full key domain, and
+    the totals must ride a broadcast join."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    df = spark.createDataFrame([Row(k=i % 7) for i in range(50)])
+    plan = _physical(corpus.key_skew(df, "k", top_k=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_source_overlap_no_cartesian_and_capped_join(spark):
+    """Pair generation must be a per-gram equi-join (no cartesian), with
+    the stop-gram cap applied via a semi join before the fan-out."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}", text="one two three four") for i in range(9)]
+    )
+    plan = _physical(corpus.source_overlap(df, src_cap=2))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_embedding_covariance_partials_not_explode(emb_df):
+    """The covariance plan must contain the Arrow partial-aggregate stage
+    (one Python stage, no Generate/explode of n x d^2 rows) and exactly
+    one final aggregate over the partial cells."""
+    plan = _physical(similarity.embedding_covariance(emb_df))
+    assert "Generate" not in plan  # no posexplode path
+    assert "MapInPandas" in plan
