@@ -43,7 +43,7 @@ from .generate import (
 )
 from .markers import SpanEvent
 from .oracle import populate_log_record, render_attrs
-from .ops import corpus, dedup, htmlstats, multimodal, similarity, textstats
+from .ops import corpus, dedup, graph, htmlstats, multimodal, similarity, textstats
 from . import otlp
 from .parse import page_texts, parse_events
 from .pipeline import build_pipeline
@@ -3543,6 +3543,274 @@ FROM nf, unnest(range(0, n_frames, 10)) AS u(idx)
 """
 
 
+# ------------------------------------------------------------- link graph
+
+#: anchor-word pool for the planted outlink markup (shared with the SQL
+#: twin — change together).
+_LINK_WORDS = ("spark", "crawl", "index", "rank", "graph", "merge", "shard")
+
+
+def _lw(expr):
+    return F.element_at(
+        F.array(*[F.lit(w) for w in _LINK_WORDS]),
+        (expr % len(_LINK_WORDS) + 1).cast("int"),
+    )
+
+
+def _link_planted(docs: DataFrame) -> DataFrame:
+    """Deterministic outlink markup appended to every doc (twin:
+    _LINKDOCS_CTE): two <a href> links whose targets/anchors derive from
+    doc_id arithmetic, plus a 'home' link to the hub src0.example on
+    every 4th doc — a heavy-tailed in-link distribution so PageRank has
+    real skew to rank and the extractor does real regex work."""
+    d = F.col("doc_id")
+    a1 = F.concat(
+        F.lit(' <a href="https://src'),
+        ((d * 7) % 20).cast("string"),
+        F.lit(".example/page"),
+        (d % 50).cast("string"),
+        F.lit('">'),
+        _lw(d),
+        F.lit(" "),
+        _lw(d + 3),
+        F.lit("</a>"),
+    )
+    a2 = F.concat(
+        F.lit(' <a href="https://src'),
+        ((d * 13 + 5) % 20).cast("string"),
+        F.lit(".example/page"),
+        ((d * 3) % 50).cast("string"),
+        F.lit('">'),
+        _lw(d + 1),
+        F.lit(" guide</a>"),
+    )
+    hub = F.when(
+        d % 4 == 0, F.lit(' <a href="https://src0.example/">home</a>')
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", "source", F.concat(F.col("text"), a1, a2, hub).alias("text")
+    )
+
+
+def _sql_lw(e: str) -> str:
+    cases = " ".join(f"WHEN {i} THEN '{w}'" for i, w in enumerate(_LINK_WORDS))
+    return f"CASE CAST(({e}) % {len(_LINK_WORDS)} AS INTEGER) {cases} END"
+
+
+def _links_cte() -> str:
+    """linkdocs (planted markup) -> links (extracted) -> edges (domain
+    graph) — the shared prefix of every link-graph oracle."""
+    return f"""
+linkdocs AS (
+  SELECT doc_id, source,
+    text
+    || ' <a href="https://src' || CAST((doc_id * 7) % 20 AS VARCHAR)
+    || '.example/page' || CAST(doc_id % 50 AS VARCHAR) || '">'
+    || {_sql_lw("doc_id")} || ' ' || {_sql_lw("doc_id + 3")} || '</a>'
+    || ' <a href="https://src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR)
+    || '.example/page' || CAST((doc_id * 3) % 50 AS VARCHAR) || '">'
+    || {_sql_lw("doc_id + 1")} || ' guide</a>'
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' <a href="https://src0.example/">home</a>' ELSE '' END AS text
+  FROM documents
+),
+links AS (
+  SELECT doc_id, source || '.example' AS src_host,
+         unnest(regexp_extract_all(text, '{graph.LINK_RE}', 1)) AS dst_host,
+         unnest(regexp_extract_all(text, '{graph.LINK_RE}', 2)) AS anchor
+  FROM linkdocs
+),
+edges AS (
+  SELECT src_host, dst_host, COUNT(*) AS n_links FROM links GROUP BY 1, 2
+)"""
+
+
+def q_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grain weighted link graph from extracted page outlinks."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.link_graph(graph.extract_links(docs))
+
+
+def _sql_outlink_graph() -> str:
+    return f"""
+WITH {_links_cte()}
+SELECT src_host, dst_host, n_links FROM edges
+"""
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the planted domain graph —
+    the iterative-algorithm exemplar: localCheckpoint'd iterate, pure
+    integer updates, bit-identical to the oracle's unrolled recursion."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.pagerank(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_pagerank(
+    iters: int = graph.PR_ITERS,
+    scale: int = graph.PR_SCALE,
+    d: int = graph.PR_DAMPING_PCT,
+) -> str:
+    # the Spark loop unrolled as pr0..pr{iters} CTEs: `//` (floor) and
+    # Spark's `div` (truncation) agree because every operand is >= 0
+    base = (100 - d) * scale // 100
+    prs = []
+    for i in range(iters):
+        prs.append(
+            f""",
+pr{i + 1} AS (
+  SELECT n.host, CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_host AS host,
+           CAST(SUM((p.rank * e.n_links * {d}) // (o.n_out * 100)) AS BIGINT) AS s
+    FROM pr{i} p JOIN edges e ON e.src_host = p.host
+                 JOIN outdeg o ON o.host = e.src_host
+    GROUP BY 1
+  ) c ON c.host = n.host
+)"""
+        )
+    return f"""
+WITH {_links_cte()},
+nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+),
+outdeg AS (
+  SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_out
+  FROM edges GROUP BY 1
+),
+pr0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes){"".join(prs)}
+SELECT p.host, CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+       p.rank AS rank_scaled
+FROM pr{iters} p LEFT JOIN outdeg o ON o.host = p.host
+"""
+
+
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top inbound anchor-text tokens per target domain."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.anchor_topk(graph.extract_links(docs), k=3)
+
+
+def _sql_anchor_text_topk(k: int = 3) -> str:
+    return f"""
+WITH {_links_cte()},
+atoks AS (
+  SELECT dst_host,
+         unnest(regexp_split_to_array(
+           trim(translate(anchor, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), ' '),
+           '{_SQL_WS}')) AS token
+  FROM links
+),
+c AS (
+  SELECT dst_host, token, COUNT(*) AS n_occurrences
+  FROM atoks WHERE token <> '' GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT dst_host,
+         CAST(row_number() OVER (
+           PARTITION BY dst_host ORDER BY n_occurrences DESC, token ASC
+         ) AS INTEGER) AS rank,
+         token, n_occurrences
+  FROM c
+) WHERE rank <= {k}
+"""
+
+
+# -------------------------------------------------- lexical index / PMI
+
+
+def _sql_posting_lists(k: int = 3, min_df: int = 2) -> str:
+    # the NAIVE per-token window — proving the Spark side's two-phase
+    # salted rank computes exactly the unsalted result
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  WHERE trim(text, ' ') <> ''
+),
+tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+dfq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+  HAVING COUNT(*) >= {min_df}
+)
+SELECT token, df, rank, doc_id, tf FROM (
+  SELECT t.token, d.df, t.doc_id, t.tf,
+         CAST(row_number() OVER (
+           PARTITION BY t.token ORDER BY t.tf DESC, t.doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM tf t JOIN dfq d USING (token)
+) WHERE rank <= {k}
+"""
+
+
+def _sql_pmi_collocations(k: int = 50, min_count: int = 5) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (
+  SELECT unnest(words) AS token FROM w
+),
+uni AS (SELECT token FROM unif WHERE token <> ''),
+s AS (
+  SELECT unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w WHERE len(words) >= 2
+),
+cu AS (SELECT token, COUNT(*) AS c_tok FROM uni GROUP BY 1),
+nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+cb AS (
+  SELECT w1, w2, COUNT(*) AS c_bigram FROM s GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_count}
+),
+nb AS (SELECT COUNT(*) AS n_bg FROM s),
+scored AS (
+  SELECT cb.w1, cb.w2, cb.c_bigram,
+         CAST(floor((ln(CAST(c_bigram AS DOUBLE))
+                     + 2.0 * ln(CAST(n_uni AS DOUBLE))
+                     - ln(CAST(n_bg AS DOUBLE))
+                     - ln(CAST(c1.c_tok AS DOUBLE))
+                     - ln(CAST(c2.c_tok AS DOUBLE))) * 1000000.0)
+              AS BIGINT) AS pmi_micro
+  FROM cb JOIN cu c1 ON c1.token = cb.w1
+          JOIN cu c2 ON c2.token = cb.w2
+          CROSS JOIN nu CROSS JOIN nb
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank,
+       w1, w2, c_bigram, pmi_micro
+FROM scored ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {k}
+"""
+
+
+def _sql_continuation_counts(min_count: int = 5) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT unnest(words) AS token FROM w),
+uni AS (SELECT token FROM unif WHERE token <> ''),
+s AS (
+  SELECT unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w WHERE len(words) >= 2
+),
+cu AS (
+  SELECT token, COUNT(*) AS c_unigram FROM uni GROUP BY 1
+  HAVING COUNT(*) >= {min_count}
+),
+p AS (SELECT w2 AS token, COUNT(DISTINCT w1) AS n_prec_types FROM s GROUP BY 1),
+q AS (SELECT w1 AS token, COUNT(DISTINCT w2) AS n_succ_types FROM s GROUP BY 1)
+SELECT cu.token, cu.c_unigram,
+       CAST(COALESCE(p.n_prec_types, 0) AS BIGINT) AS n_prec_types,
+       CAST(COALESCE(q.n_succ_types, 0) AS BIGINT) AS n_succ_types
+FROM cu LEFT JOIN p USING (token) LEFT JOIN q USING (token)
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -3661,7 +3929,9 @@ def queries() -> dict:
     # length_quantiles, mixture_weights, token_windows,
     # cardinality_audit, cross_neardup, embedding_dim_stats,
     # source_boilerplate, source_overlap, embedding_covariance,
-    # embedding_outliers, event_key_skew.
+    # embedding_outliers, event_key_skew, posting_lists,
+    # pmi_collocations, continuation_counts, outlink_graph,
+    # domain_pagerank, anchor_text_topk.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -3741,6 +4011,12 @@ def queries() -> dict:
         "embedding_covariance": q_embedding_covariance,
         "embedding_outliers": q_embedding_outliers,
         "event_key_skew": q_event_key_skew,
+        "posting_lists": docs(lambda d: textstats.posting_lists(d, k=3)),
+        "pmi_collocations": docs(lambda d: textstats.pmi_collocations(d, k=50)),
+        "continuation_counts": docs(textstats.continuation_counts),
+        "outlink_graph": q_outlink_graph,
+        "domain_pagerank": q_domain_pagerank,
+        "anchor_text_topk": q_anchor_text_topk,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -3865,6 +4141,12 @@ def oracle_sql() -> dict:
         "embedding_covariance": _sql_embedding_covariance(),
         "embedding_outliers": _sql_embedding_outliers(),
         "event_key_skew": _sql_event_key_skew(),
+        "posting_lists": _sql_posting_lists(),
+        "pmi_collocations": _sql_pmi_collocations(),
+        "continuation_counts": _sql_continuation_counts(),
+        "outlink_graph": _sql_outlink_graph(),
+        "domain_pagerank": _sql_domain_pagerank(),
+        "anchor_text_topk": _sql_anchor_text_topk(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

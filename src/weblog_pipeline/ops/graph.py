@@ -1,0 +1,186 @@
+"""Link-graph operators over the documents table: outlink extraction,
+domain-level link-graph construction, fixed-iteration PageRank, and
+anchor-text indexing — the web-graph side of a crawl/curation pipeline
+(domain reputation for source weighting, anchor text as a relevance
+signal).
+
+All ranks are SCALED INTEGERS (no floats): the PageRank update is pure
+integer multiply/`div`, so the result is bit-identical across engines
+and partitionings — the same order-free-exact trick the LSH/IVF/bigram
+oracles rely on. PageRank follows Page et al. 1999 ("The PageRank
+citation ranking") with the standard drop-dangling-mass simplification.
+
+Scale shape:
+* extract_links: one codegen'd scan (regexp_extract_all both groups,
+  zip-shift explode) — embarrassingly parallel, no Python.
+* link_graph: groupBy (src,dst) — map-side combine collapses each
+  partition's edge multiset before the only shuffle; output is bounded
+  by the DISTINCT domain-pair set, not the page count.
+* pagerank: iterates over the DOMAIN-grain graph (edges ~ |domains|^2
+  worst case, millions of rows at web scale — never the page grain).
+  Each iteration is one equi-join + one aggregate; the iterate is
+  localCheckpoint'd so lineage (and Catalyst analysis time) stays O(1)
+  in the iteration count instead of O(iters) — the same reason
+  dup_clusters checkpoints its label frontier.
+* anchor_topk: rank window runs on per-(domain, token) AGGREGATED
+  counts — bounded by per-domain anchor vocabulary, never by raw link
+  volume, so a hub domain with 10^9 inlinks still ranks over a small
+  partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import WS_RE, ascii_lower
+
+#: href + anchor-text extractor. Syntax restricted to the Java-regex ∩
+#: RE2 common subset (character classes, `?`, `*` — no lookarounds) so
+#: Spark and the SQL oracle match identically.
+LINK_RE = '<a href="https?://([A-Za-z0-9.-]+)/[^"]*">([^<]*)</a>'
+
+#: PageRank geometry (shared with the SQL oracle generator — change
+#: together). scale=1e9 keeps the per-edge product
+#: rank * n_links * damping < 2^63 for domain graphs up to ~1e6 nodes
+#: and ~1e4 links per edge; shrink the scale to widen that headroom.
+PR_SCALE = 10**9
+PR_DAMPING_PCT = 85
+PR_ITERS = 4
+
+
+def extract_links(documents: DataFrame) -> DataFrame:
+    """Per-page outlinks: (doc_id, src_host, dst_host, anchor).
+
+    Both capture groups are extracted from ONE pattern so the two arrays
+    are position-aligned by construction; the zip-shift transform pairs
+    them without a join. Pages with no links produce no rows (both
+    engines agree). src_host is the page's own registered host
+    (`source` + '.example' in the fixture's URL scheme — see
+    webpages.py's doc-URL convention)."""
+    text = F.col("text")
+    pre = documents.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("src_host"),
+        F.regexp_extract_all(text, F.lit(LINK_RE), 1).alias("_h"),
+        F.regexp_extract_all(text, F.lit(LINK_RE), 2).alias("_a"),
+    )
+    zipped = F.when(
+        F.array_size(F.col("_h")) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(F.col("_h"))),
+            lambda i: F.struct(
+                F.element_at(F.col("_h"), i).alias("dst_host"),
+                F.element_at(F.col("_a"), i).alias("anchor"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<dst_host:string,anchor:string>>"))
+    return pre.select(
+        "doc_id", "src_host", F.explode(zipped).alias("_l")
+    ).select("doc_id", "src_host", "_l.dst_host", "_l.anchor")
+
+
+def link_graph(links: DataFrame) -> DataFrame:
+    """Domain-grain weighted edge list: (src_host, dst_host, n_links).
+
+    One aggregate; at web scale the shuffle key is the domain pair —
+    far smaller and far more uniform than page-grain keys."""
+    return links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a weighted domain edge list.
+
+    rank_0(v) = scale;
+    rank_{i+1}(v) = (100-d)*scale div 100
+                  + SUM over in-edges (u,v) of
+                      (rank_i(u) * n_links(u,v) * d) div (n_out(u) * 100)
+
+    Every step is integer multiply + integer `div` (operands are
+    non-negative, so Spark's truncating `div` and the oracle's floor
+    division agree) — the result is EXACT regardless of engine, task
+    count, or aggregation order. Dangling mass (domains with no
+    outlinks) is dropped, the standard simplification.
+
+    The iterate is localCheckpoint'd each round: lineage stays one
+    iteration deep, so plan analysis cost is flat in `iters` and a
+    failed run resumes from the last materialized iterate instead of
+    replaying the whole chain — the checkpoint discipline the pipeline's
+    lineage ledger (lineage.py) expects of iterative jobs.
+
+    Output: host, n_out, rank_scaled (all integers).
+    """
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outdeg = (
+        edges.groupBy("src_host")
+        .agg(F.sum("n_links").alias("n_out"))
+        .select(F.col("src_host").alias("host"), "n_out")
+    )
+    esrc = edges.join(
+        outdeg, edges["src_host"] == outdeg["host"]
+    ).select("src_host", "dst_host", "n_links", "n_out")
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = esrc.join(ranks, esrc["src_host"] == ranks["host"]).select(
+            F.col("dst_host").alias("host"),
+            F.expr(
+                f"(rank * n_links * {damping_pct}) div (n_out * 100)"
+            ).alias("c"),
+        )
+        inc = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inc, "host", "left")
+            .select(
+                "host",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(outdeg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.col("rank").alias("rank_scaled"),
+        )
+    )
+
+
+def anchor_topk(links: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k anchor-text tokens pointing AT each domain — the classic
+    inbound-relevance signal (what the web calls a page, not what the
+    page calls itself).
+
+    Output: dst_host, rank, token, n_occurrences; ties break on token
+    order for a deterministic cross-engine cut."""
+    toks = links.select(
+        "dst_host",
+        F.explode(
+            F.split(F.trim(ascii_lower(F.col("anchor"))), WS_RE)
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("dst_host", "token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dst_host", "rank", "token", "n_occurrences")
+    )

@@ -481,6 +481,181 @@ def quality_classifier(documents: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
+def posting_lists(
+    documents: DataFrame, k: int = 3, min_df: int = 2, salt_mod: int = 8
+) -> DataFrame:
+    """Inverted-index construction: for every term with document
+    frequency >= min_df, the top-k postings (documents) by term
+    frequency — the seed structure of a search/retrieval index over the
+    corpus.
+
+    Scale shape: tf and df are groupBy aggregates (map-side combine).
+    The per-term top-k CANNOT be a naive window partitioned by token —
+    natural-language df is Zipfian, so "the"'s partition would hold a
+    row per document (10^12 rows through one task at target scale).
+    Instead the rank is TWO-PHASE SALTED: phase 1 ranks within
+    (token, doc_id % salt_mod) — each salted partition holds at most
+    df/salt_mod rows — and keeps k; phase 2 ranks the <= k*salt_mod
+    survivors per token. Any doc in the true top-k is in its salt
+    bucket's top-k, so the result is EXACTLY the naive window's (the
+    oracle runs the naive form; equality is the proof).
+
+    Output: token, df, rank, doc_id, tf.
+    """
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") >= min_df
+    )
+    order = [F.col("tf").desc(), F.col("doc_id").asc()]
+    w_salt = Window.partitionBy(
+        "token", (F.col("doc_id") % salt_mod)
+    ).orderBy(*order)
+    survivors = (
+        tf.join(df_tbl, "token")
+        .withColumn("_r1", F.row_number().over(w_salt))
+        .where(F.col("_r1") <= k)
+    )
+    w_final = Window.partitionBy("token").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select("token", "df", "rank", "doc_id", "tf")
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information
+    — the statistic that separates true multi-word expressions from
+    merely frequent pairs (Church & Hanks 1990):
+
+        pmi = ln( p(w1,w2) / (p(w1) p(w2)) )
+            = ln c_bigram + 2 ln N_uni - ln N_bigram - ln c_w1 - ln c_w2
+
+    quantized ONCE per pair to integer micro-nats (floor), so the
+    ranking and the hash are cross-engine exact — the bigram_logprob /
+    tfidf quantization trick.
+
+    Scale shape: unigram and bigram counts are groupBy aggregates over
+    the same zip-shift pair stream bigram_logprob uses (map-side
+    combine absorbs Zipf skew); the two corpus totals ride broadcast
+    single-row cross joins; the min_count gate bounds the scored set
+    BEFORE the unigram joins; the final top-k is a
+    TakeOrderedAndProject, never a global sort.
+
+    Output: rank, w1, w2, c_bigram, pmi_micro.
+    """
+    toks = F.col("_w")  # materialized below — see dedup.shingles_over
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    uni = arr.select(F.explode(toks).alias("token")).where(F.col("token") != "")
+    bg = arr.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+
+    c_uni = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    n_bg = bg.agg(F.count(F.lit(1)).alias("n_bg"))
+
+    scored = (
+        c_bg.where(F.col("c_bigram") >= min_count)
+        .join(c_uni.select(F.col("token").alias("w1"), F.col("c_tok").alias("c_w1")), "w1")
+        .join(c_uni.select(F.col("token").alias("w2"), F.col("c_tok").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            F.floor(
+                (
+                    F.log(F.col("c_bigram").cast("double"))
+                    + F.lit(2.0) * F.log(F.col("n_uni").cast("double"))
+                    - F.log(F.col("n_bg").cast("double"))
+                    - F.log(F.col("c_w1").cast("double"))
+                    - F.log(F.col("c_w2").cast("double"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    order = [F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "w1", "w2", "c_bigram", "pmi_micro")
+    )
+
+
+def continuation_counts(documents: DataFrame, min_count: int = 5) -> DataFrame:
+    """Kneser-Ney continuation statistics per token: how many DISTINCT
+    left contexts precede it (the KN lower-order numerator N1+(. w)) and
+    how many distinct right contexts follow it — the counts that
+    separate genuinely productive words from words frequent only inside
+    one fixed phrase ("Francisco" is frequent but has one predecessor).
+
+    Scale shape: both type counts are countDistinct aggregates over the
+    zip-shift bigram stream — Spark plans them as two-phase partial
+    distincts, absorbing Zipf skew map-side; the min_count gate bounds
+    the output to the model vocabulary.
+
+    Output: token, c_unigram, n_prec_types, n_succ_types.
+    """
+    toks = F.col("_w")  # materialized below — see dedup.shingles_over
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    uni = arr.select(F.explode(toks).alias("token")).where(F.col("token") != "")
+    bg = arr.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+
+    c_uni = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_unigram")).where(
+        F.col("c_unigram") >= min_count
+    )
+    prec = bg.groupBy("w2").agg(F.countDistinct("w1").alias("n_prec_types")).select(
+        F.col("w2").alias("token"), "n_prec_types"
+    )
+    succ = bg.groupBy("w1").agg(F.countDistinct("w2").alias("n_succ_types")).select(
+        F.col("w1").alias("token"), "n_succ_types"
+    )
+    return (
+        c_uni.join(prec, "token", "left")
+        .join(succ, "token", "left")
+        .select(
+            "token",
+            "c_unigram",
+            F.coalesce("n_prec_types", F.lit(0)).cast("long").alias("n_prec_types"),
+            F.coalesce("n_succ_types", F.lit(0)).cast("long").alias("n_succ_types"),
+        )
+    )
+
+
 def bigram_logprob(documents: DataFrame) -> DataFrame:
     """Per-document bigram log-probability under the corpus's own bigram
     MLE model — the classic cheap LM-quality signal (low = unusual token

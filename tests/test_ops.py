@@ -2051,3 +2051,194 @@ def test_lsh_dedup_quality_catches_planted_neardup(spark):
     assert row["n_true"] == 1
     assert row["n_hits"] == 1
     assert row["recall_bp"] == 10000
+
+
+# ---------------------------------------------------------------- lexical index
+
+
+def test_posting_lists_salted_equals_naive(spark):
+    """The two-phase salted per-term top-k must equal the naive single
+    window exactly (any true top-k member wins its salt bucket), across
+    salt widths — including salt_mod=1, which IS the naive plan."""
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for d in range(24):
+        # doc d repeats words[d % 4] (d // 4 + 1) times plus one 'alpha'
+        body = " ".join([words[d % 4]] * (d // 4 + 1) + ["alpha"])
+        rows.append(Row(doc_id=d, text=body))
+    docs = spark.createDataFrame(rows)
+
+    def run(salt_mod):
+        return sorted(
+            (r["token"], r["rank"], r["doc_id"], r["tf"], r["df"])
+            for r in textstats.posting_lists(
+                docs, k=3, min_df=2, salt_mod=salt_mod
+            ).collect()
+        )
+
+    naive = run(1)
+    assert run(8) == naive and run(3) == naive
+    # python twin for one term: 'beta' appears in docs d%4==1 with tf d//4+1
+    beta = [t for t in naive if t[0] == "beta"]
+    # top tf: doc 21 (6), doc 17 (5), doc 13 (4)
+    assert [(r, d, tf) for (_, r, d, tf, _) in beta] == [
+        (1, 21, 6), (2, 17, 5), (3, 13, 4)
+    ]
+    assert all(df == 6 for (_, _, _, _, df) in beta)
+
+
+def test_pmi_collocations_python_twin(spark):
+    """PMI micro-nat ranking matches a from-scratch python computation."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="new york new york city"),
+            Row(doc_id=1, text="san francisco bay"),
+            Row(doc_id=2, text="new deal and new york again"),
+            Row(doc_id=3, text="bay area san francisco"),
+        ]
+    )
+    got = [
+        (r["rank"], r["w1"], r["w2"], r["c_bigram"], r["pmi_micro"])
+        for r in textstats.pmi_collocations(docs, k=10, min_count=2).collect()
+    ]
+    # python twin
+    toks = [t.split() for t in [
+        "new york new york city", "san francisco bay",
+        "new deal and new york again", "bay area san francisco"]]
+    uni, bg = {}, {}
+    n_uni = n_bg = 0
+    for ws in toks:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+            n_uni += 1
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            n_bg += 1
+    scored = []
+    for (a, b), c in bg.items():
+        if c < 2:
+            continue
+        pmi = (
+            math.log(c) + 2 * math.log(n_uni) - math.log(n_bg)
+            - math.log(uni[a]) - math.log(uni[b])
+        )
+        scored.append((math.floor(pmi * 1e6), a, b, c))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [
+        (i + 1, a, b, c, p) for i, (p, a, b, c) in enumerate(scored)
+    ]
+    assert got == want
+
+
+def test_continuation_counts_separates_fixed_phrases(spark):
+    """'francisco' is frequent but always follows 'san' -> 1 predecessor
+    type; 'york' follows only 'new'; 'new' precedes several tokens."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="new york and new jersey and new deal"),
+            Row(doc_id=1, text="san francisco loves san francisco"),
+            Row(doc_id=2, text="new york new haven"),
+        ]
+    )
+    got = {
+        r["token"]: (r["c_unigram"], r["n_prec_types"], r["n_succ_types"])
+        for r in textstats.continuation_counts(docs, min_count=2).collect()
+    }
+    assert got["francisco"] == (2, 1, 1)  # after 'san'; before 'loves' only
+    assert got["york"][1] == 1            # only 'new' precedes
+    assert got["new"][2] >= 4             # york, jersey, deal, haven
+    assert "and" in got and got["and"][0] == 2
+
+
+# ------------------------------------------------------------------ link graph
+
+
+def _link_docs(spark):
+    from weblog_pipeline.ops import graph  # noqa: F401
+
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, source="a", text='intro <a href="https://b.example/x">click here</a> tail'),
+            Row(doc_id=1, source="a", text='<a href="https://c.example/y">best guide</a>'),
+            Row(doc_id=2, source="b", text='<a href="https://c.example/z">guide here</a> and '
+                                           '<a href="https://a.example/">home link</a>'),
+            Row(doc_id=3, source="c", text="no links at all"),
+            Row(doc_id=4, source="b", text='<a href="https://c.example/z2">guide</a>'),
+        ]
+    )
+
+
+def test_extract_links_and_graph(spark):
+    from weblog_pipeline.ops import graph
+
+    links = graph.extract_links(_link_docs(spark))
+    got = sorted(
+        (r["src_host"], r["dst_host"], r["anchor"]) for r in links.collect()
+    )
+    assert got == [
+        ("a.example", "b.example", "click here"),
+        ("a.example", "c.example", "best guide"),
+        ("b.example", "a.example", "home link"),
+        ("b.example", "c.example", "guide"),
+        ("b.example", "c.example", "guide here"),
+    ]
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in graph.link_graph(links).collect()
+    }
+    assert edges == {
+        ("a.example", "b.example"): 1,
+        ("a.example", "c.example"): 1,
+        ("b.example", "c.example"): 2,
+        ("b.example", "a.example"): 1,
+    }
+
+
+def test_pagerank_integer_twin(spark):
+    """Integer PageRank matches an exact python recursion edge-for-edge
+    (per-edge floor division, then sum — the order-free-exact contract)."""
+    from weblog_pipeline.ops import graph
+
+    edge_rows = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "a", 1),
+        ("d", "c", 5),  # d has no in-links -> stays at base after iter 1
+    ]
+    edges = spark.createDataFrame(
+        [Row(src_host=s, dst_host=t, n_links=n) for s, t, n in edge_rows]
+    )
+    scale, d, iters = 10**9, 85, 4
+    got = {
+        r["host"]: (r["n_out"], r["rank_scaled"])
+        for r in graph.pagerank(edges, iters=iters, scale=scale,
+                                damping_pct=d).collect()
+    }
+    # python twin
+    nodes = {s for s, _, _ in edge_rows} | {t for _, t, _ in edge_rows}
+    n_out = {}
+    for s, _, n in edge_rows:
+        n_out[s] = n_out.get(s, 0) + n
+    base = (100 - d) * scale // 100
+    rank = {v: scale for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t, n in edge_rows:
+            inc[t] += rank[s] * n * d // (n_out[s] * 100)
+        rank = {v: base + inc[v] for v in nodes}
+    want = {v: (n_out.get(v, 0), rank[v]) for v in nodes}
+    assert got == want
+    # sanity: c (most in-mass) outranks the dangling-fed a and unloved d
+    assert got["c"][1] > got["a"][1] > got["d"][1] == base
+
+
+def test_anchor_topk_ranks_inbound_tokens(spark):
+    from weblog_pipeline.ops import graph
+
+    links = graph.extract_links(_link_docs(spark))
+    got = {
+        (r["dst_host"], r["rank"]): (r["token"], r["n_occurrences"])
+        for r in graph.anchor_topk(links, k=2).collect()
+    }
+    # c.example inbound anchors: 'best guide', 'guide here', 'guide'
+    assert got[("c.example", 1)] == ("guide", 3)
+    assert got[("c.example", 2)] == ("best", 1)  # tie with 'here' -> token asc
+    assert got[("b.example", 1)] == ("click", 1)

@@ -278,3 +278,47 @@ def test_embedding_covariance_partials_not_explode(emb_df):
     plan = _physical(similarity.embedding_covariance(emb_df))
     assert "Generate" not in plan  # no posexplode path
     assert "MapInPandas" in plan
+
+
+def test_posting_lists_first_window_is_salted(spark):
+    """The per-term top-k must rank within (token, salt) FIRST: natural
+    language df is Zipfian, so a single window partitioned by token funnels
+    every posting of 'the' through one task. The unsalted window may only
+    run on the <= k*salt_mod survivors."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="the quick the lazy the end") for i in range(6)]
+    )
+    plan = _physical(textstats.posting_lists(df, k=3, min_df=2, salt_mod=8))
+    # exactly two Window operators, and the one that executes FIRST (the
+    # deeper one, later in toString order) partitions by (token, salt) —
+    # two partition keys — while the survivor rank partitions by token only
+    wins = [
+        ln for ln in plan.splitlines()
+        if "Window [row_number()" in ln and "WindowGroupLimit" not in ln
+    ]
+    assert len(wins) == 2, plan
+    part_keys = [ln.split("], [")[1].split(", ") for ln in wins]
+    assert len(part_keys[0]) == 1 and len(part_keys[1]) == 2, plan
+
+
+def test_pagerank_lineage_flat_in_iteration_count(spark):
+    """The iterate must be localCheckpoint'd: without it the final plan
+    contains every iteration's joins (Catalyst analysis O(iters^2), no
+    failure cut-point). With it, the executed plan holds exactly ONE
+    iteration's join pair above a checkpointed scan."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import graph
+
+    edges = spark.createDataFrame(
+        [Row(src_host="a", dst_host="b", n_links=1),
+         Row(src_host="b", dst_host="a", n_links=2)]
+    )
+    p2 = _physical(graph.pagerank(edges, iters=2))
+    p6 = _physical(graph.pagerank(edges, iters=6))
+    assert p2.count("Join") == p6.count("Join"), "plan grows with iters"
+    assert "ExistingRDD" in p6  # the checkpointed iterate
