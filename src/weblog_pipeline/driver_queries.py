@@ -3811,6 +3811,57 @@ FROM cu LEFT JOIN p USING (token) LEFT JOIN q USING (token)
 """
 
 
+#: catalog probe list: the published Gopher set plus 'a' — the synthetic
+#: corpus vocabulary contains only {'the', 'a'} of common English
+#: stopwords, so the published 8 alone would fail EVERY fixture doc and
+#: the rule bit would carry no signal (op default stays the published set)
+GOPHER_PROBE = ("the", "a", "be", "to", "of", "and", "that", "with")
+
+
+def _sql_gopher_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in GOPHER_PROBE)
+    return f"""
+WITH pre AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text, ' ') = '' THEN 0 ELSE len({_TOKS}) END
+         AS BIGINT) AS n_words,
+    CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(CASE WHEN trim(text, ' ') = '' THEN 0
+         ELSE list_sum(list_transform({_TOKS}, t -> length(t))) END
+         AS BIGINT) AS sum_word_len,
+    CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_symbols,
+    CAST(len(list_filter(str_split(text, chr(10)),
+         l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(str_split(text, chr(10)),
+         l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect({_TOKS}, [{stop}])) AS BIGINT) AS n_stop_types
+  FROM documents
+),
+f AS (
+  SELECT pre.*,
+    CAST(
+      (CASE WHEN n_words >= {textstats.GOPHER_MIN_WORDS}
+             AND n_words <= {textstats.GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+    + (CASE WHEN n_words > 0 AND 3 * n_words <= sum_word_len
+             AND sum_word_len <= 10 * n_words THEN 2 ELSE 0 END)
+    + (CASE WHEN 10 * n_symbols <= n_words THEN 4 ELSE 0 END)
+    + (CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 8 ELSE 0 END)
+    + (CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 16 ELSE 0 END)
+    + (CASE WHEN n_words > 0 AND 5 * n_alpha_words >= 4 * n_words
+       THEN 32 ELSE 0 END)
+    + (CASE WHEN n_stop_types >= {textstats.GOPHER_MIN_STOP}
+       THEN 64 ELSE 0 END)
+    AS BIGINT) AS flags
+  FROM pre
+)
+SELECT f.*, flags = 127 AS "pass" FROM f
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -3931,7 +3982,7 @@ def queries() -> dict:
     # source_boilerplate, source_overlap, embedding_covariance,
     # embedding_outliers, event_key_skew, posting_lists,
     # pmi_collocations, continuation_counts, outlink_graph,
-    # domain_pagerank, anchor_text_topk.
+    # domain_pagerank, anchor_text_topk, gopher_quality_flags.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -4017,6 +4068,9 @@ def queries() -> dict:
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
         "anchor_text_topk": q_anchor_text_topk,
+        "gopher_quality_flags": docs(
+            lambda d: textstats.gopher_quality_flags(d, stopwords=GOPHER_PROBE)
+        ),
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -4147,6 +4201,7 @@ def oracle_sql() -> dict:
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),
         "anchor_text_topk": _sql_anchor_text_topk(),
+        "gopher_quality_flags": _sql_gopher_quality(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

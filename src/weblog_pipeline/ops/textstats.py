@@ -725,3 +725,99 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("lp_micro").alias("sum_lp_micro"),
     )
+
+
+#: Gopher-rule stopword probe (Rae et al. 2021 "Scaling Language Models" —
+#: the document must contain >= GOPHER_MIN_STOP of these to pass R_STOP).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_STOP = 2
+
+#: rule bit positions (flags bitmask; set bit = rule PASSED)
+GOPHER_BITS = (
+    "word_count",      # 0: GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+    "mean_word_len",   # 1: 3 <= mean <= 10 (integer cross-multiplied)
+    "symbol_ratio",    # 2: ('#' chars + '...' runs) <= 10% of words
+    "bullet_lines",    # 3: bullet-started lines <= 90% of lines
+    "ellipsis_lines",  # 4: '...'-ended lines <= 30% of lines
+    "alpha_words",     # 5: >= 80% of words contain [a-z]
+    "stopwords",       # 6: >= GOPHER_MIN_STOP distinct probe stopwords
+)
+
+
+def gopher_quality_flags(
+    documents: DataFrame,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop: int = GOPHER_MIN_STOP,
+) -> DataFrame:
+    """Gopher-rule document quality filter (Rae et al. 2021, Appendix A1.1),
+    re-expressed with INTEGER-EXACT predicates: every threshold is a
+    cross-multiplied integer inequality (3 <= sum/n <= 10 becomes
+    3n <= sum AND sum <= 10n), so the pass/fail bit is identical on any
+    engine — no float ratio ever materializes.
+
+    Output per doc: the count evidence (n_words, n_lines, sum_word_len,
+    n_symbols, n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+    n_stop_types), `flags` (bitmask, set bit = rule passed, bit order
+    GOPHER_BITS) and `pass` (all rules).
+
+    Scale shape: one scan, per-doc codegen'd expressions only — zero
+    shuffles, embarrassingly parallel; the filter this feeds
+    (clean_corpus/curate) stays a pushed-down predicate.
+    """
+    text = F.col("text")
+    toks = F.col("_toks")  # materialized once — see dedup.shingles_over
+    lines = F.col("_lines")
+    n_words = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.array_size(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    sum_len = F.when(F.trim(text) == "", F.lit(0)).otherwise(sum_len)
+    n_hash = F.length(text) - F.length(F.expr("replace(text, '#', '')"))
+    # `div`, not `/`: Column `/` is float division; the count must stay int
+    n_ell = F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    n_lines = F.array_size(lines)
+    n_bullet = F.array_size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    )
+    n_ell_lines = F.array_size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.array_size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop_types = F.array_size(F.array_intersect(toks, stop_arr))
+
+    pre = documents.select(
+        "doc_id",
+        "text",
+        _tokens(ascii_lower(text)).alias("_toks"),
+        F.split(text, "\n", -1).alias("_lines"),
+    ).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_lines.cast("long").alias("n_lines"),
+        sum_len.cast("long").alias("sum_word_len"),
+        (n_hash + n_ell).cast("long").alias("n_symbols"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ell_lines.cast("long").alias("n_ellipsis_lines"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop_types.cast("long").alias("n_stop_types"),
+    )
+    rules = [
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        (F.col("n_words") > 0)
+        & (F.lit(3) * F.col("n_words") <= F.col("sum_word_len"))
+        & (F.col("sum_word_len") <= F.lit(10) * F.col("n_words")),
+        F.lit(10) * F.col("n_symbols") <= F.col("n_words"),
+        F.lit(10) * F.col("n_bullet_lines") <= F.lit(9) * F.col("n_lines"),
+        F.lit(10) * F.col("n_ellipsis_lines") <= F.lit(3) * F.col("n_lines"),
+        (F.col("n_words") > 0)
+        & (F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")),
+        F.col("n_stop_types") >= min_stop,
+    ]
+    flags = F.lit(0)
+    for i, r in enumerate(rules):
+        flags = flags + F.when(r, F.lit(1 << i)).otherwise(F.lit(0))
+    return pre.withColumn("flags", flags.cast("long")).withColumn(
+        "pass", F.col("flags") == F.lit((1 << len(GOPHER_BITS)) - 1)
+    )

@@ -2242,3 +2242,38 @@ def test_anchor_topk_ranks_inbound_tokens(spark):
     assert got[("c.example", 1)] == ("guide", 3)
     assert got[("c.example", 2)] == ("best", 1)  # tie with 'here' -> token asc
     assert got[("b.example", 1)] == ("click", 1)
+
+
+def test_gopher_quality_flags_per_rule_bits(spark):
+    """Each Gopher rule bit flips on its own planted violation; a clean
+    50+-word document with stopwords passes all seven."""
+    good = ("the data " + "word " * 60 + "and that have with it ends").strip()
+    rows = [
+        Row(doc_id=0, text=good),                          # passes all
+        Row(doc_id=1, text="the and short"),               # word_count fails
+        Row(doc_id=2, text=("the and " + "a " * 100).strip()),  # mean len < 3
+        Row(doc_id=3, text=("the and " + "word " * 58).strip() + " " + "#" * 40),
+        Row(doc_id=4, text="- the bullet\n- and another\n- again\n"
+                           "- more\n- bullets\n- only\n- here\n- now\n- yes\n- end"),
+        Row(doc_id=5, text="the trail...\nand more...\nword line\nhm..."),
+        Row(doc_id=6, text=("the and " + "12345 " * 100).strip()),  # alpha fails
+        Row(doc_id=7, text=("word " * 80).strip()),        # no stopwords
+        Row(doc_id=8, text=""),                            # degenerate
+    ]
+    got = {
+        r["doc_id"]: (r["flags"], r["pass"])
+        for r in textstats.gopher_quality_flags(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    ALL = (1 << len(textstats.GOPHER_BITS)) - 1
+    assert got[0] == (ALL, True)
+    assert not got[1][0] & 1          # word_count bit off
+    assert not got[2][0] & 2          # mean_word_len bit off
+    assert not got[3][0] & 4, got[3]  # symbol_ratio bit off (40 '#' vs 68 words)
+    assert not got[4][0] & 8          # bullet_lines bit off (10/10 bulleted)
+    assert not got[5][0] & 16         # ellipsis_lines bit off (3/4 lines)
+    assert not got[6][0] & 32         # alpha_words bit off (digits only)
+    assert not got[7][0] & 64         # stopwords bit off
+    assert got[8] == (16 | 8 | 4, False)  # empty: only the ratio rules hold
+    assert all(not v[1] for k, v in got.items() if k != 0)
