@@ -3685,6 +3685,68 @@ FROM pr{iters} p LEFT JOIN outdeg o ON o.host = p.host
 """
 
 
+def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hubs/authorities over the planted domain graph."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.hits(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_hits(
+    iters: int = graph.HITS_ITERS, scale: int = graph.HITS_SCALE
+) -> str:
+    # the Spark loop unrolled: a{i}/h{i} CTE pairs; divide-first integer
+    # normalization (r // greatest(1, max_raw // scale)) matches `div`
+    # exactly because every operand is >= 0.
+    #
+    # NORMALIZATION VIA MAX() OVER (), NOT A SCALAR SUBQUERY: DuckDB
+    # inlines CTEs, so `(SELECT MAX(raw) FROM a{i}raw)` would make each
+    # unrolled level reference the previous one TWICE — 2^(2*iters)
+    # copies of the link-extraction scan (measured: 17 MINUTES at
+    # sf0.01). With the window form every CTE is referenced exactly
+    # once and the inlined plan stays linear (<1 s). The window max
+    # ranges over the nodes-left-join (coalesced zeros included), which
+    # equals the Spark side's max over raw rows because every raw >= 0;
+    # on an empty raw side both engines fall back to divisor 1.
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(f""",
+a{i}raw AS (
+  SELECT e.dst_host AS host, CAST(SUM(s.r * e.n_links) AS BIGINT) AS raw
+  FROM {prev_h} s JOIN edges e ON e.src_host = s.host GROUP BY 1
+),
+a{i} AS (
+  SELECT host,
+         CAST(raw // greatest(1, MAX(raw) OVER () // {scale}) AS BIGINT) AS r
+  FROM (
+    SELECT n.host, CAST(COALESCE(raw, 0) AS BIGINT) AS raw
+    FROM nodes n LEFT JOIN a{i}raw USING (host)
+  )
+),
+h{i}raw AS (
+  SELECT e.src_host AS host, CAST(SUM(s.r * e.n_links) AS BIGINT) AS raw
+  FROM a{i} s JOIN edges e ON e.dst_host = s.host GROUP BY 1
+),
+h{i} AS (
+  SELECT host,
+         CAST(raw // greatest(1, MAX(raw) OVER () // {scale}) AS BIGINT) AS r
+  FROM (
+    SELECT n.host, CAST(COALESCE(raw, 0) AS BIGINT) AS raw
+    FROM nodes n LEFT JOIN h{i}raw USING (host)
+  )
+)""")
+        prev_h = f"h{i}"
+    return f"""
+WITH {_links_cte()},
+nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+),
+h0 AS (SELECT host, CAST({scale} AS BIGINT) AS r FROM nodes){"".join(steps)}
+SELECT a.host, a.r AS auth_scaled, h.r AS hub_scaled
+FROM a{iters} a JOIN h{iters} h USING (host)
+"""
+
+
 def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top inbound anchor-text tokens per target domain."""
     docs = _link_planted(_read(spark, sf_dir, "documents"))
@@ -3982,7 +4044,8 @@ def queries() -> dict:
     # source_boilerplate, source_overlap, embedding_covariance,
     # embedding_outliers, event_key_skew, posting_lists,
     # pmi_collocations, continuation_counts, outlink_graph,
-    # domain_pagerank, anchor_text_topk, gopher_quality_flags.
+    # domain_pagerank, domain_hits, anchor_text_topk,
+    # gopher_quality_flags.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -4067,6 +4130,7 @@ def queries() -> dict:
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
+        "domain_hits": q_domain_hits,
         "anchor_text_topk": q_anchor_text_topk,
         "gopher_quality_flags": docs(
             lambda d: textstats.gopher_quality_flags(d, stopwords=GOPHER_PROBE)
@@ -4200,6 +4264,7 @@ def oracle_sql() -> dict:
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),
+        "domain_hits": _sql_domain_hits(),
         "anchor_text_topk": _sql_anchor_text_topk(),
         "gopher_quality_flags": _sql_gopher_quality(),
         "perplexity_buckets": _sql_perplexity_buckets(),

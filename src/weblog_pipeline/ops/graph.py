@@ -117,6 +117,10 @@ def pagerank(
 
     Output: host, n_out, rank_scaled (all integers).
     """
+    # Materialize the (tiny) domain edge list once — every iteration's
+    # contrib join re-references `edges`; without this the upstream link
+    # extraction re-scans the corpus `iters`+2 times.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
@@ -183,4 +187,77 @@ def anchor_topk(links: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("dst_host", "rank", "token", "n_occurrences")
+    )
+
+
+#: HITS geometry. scale=1e6 bounds every per-edge product
+#: rank * n_links <= scale * (1+eps) * max_links ~ 1e10, so a node summing
+#: 1e8 in-edges stays < 2^63 with no normalization multiply.
+HITS_SCALE = 10**6
+HITS_ITERS = 4
+
+
+def hits(
+    edges: DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment") over a weighted domain edge
+    list: authority(v) = sum of hub(u)*n_links over in-edges, hub(u) =
+    sum of authority(v)*n_links over out-edges, renormalized each half-
+    step so the maximum score returns to ~scale.
+
+    The normalization is DIVIDE-FIRST integer arithmetic:
+
+        norm(r) = r div max(1, max_raw div scale)
+
+    so no intermediate ever multiplies a raw sum by scale (overflow-free
+    by construction), and every operation is non-negative multiply /
+    truncating div / max — order-free and bit-identical across engines
+    and partitionings, like pagerank above. The max_raw scalar rides a
+    broadcast single-row cross join. Both score frames are
+    localCheckpoint'd per iteration (same lineage discipline as
+    pagerank).
+
+    Output: host, auth_scaled, hub_scaled (all integers).
+    """
+    # Materialize the (tiny) domain edge list ONCE: every half-step
+    # references `edges` twice (the score join and the max_raw scalar),
+    # so an un-checkpointed upstream (regex link extraction over the
+    # full corpus) would be re-scanned 2*2*iters times.
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = nodes.select("host", F.lit(scale).cast("long").alias("r"))
+
+    def _half_step(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            edges.join(scores, edges[key_in] == scores["host"])
+            .select(F.col(key_out).alias("host"), (F.col("r") * F.col("n_links")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "host",
+                F.expr(
+                    f"coalesce(raw, 0) div greatest(1, mx div {scale})"
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = _half_step(hubs, "src_host", "dst_host")
+        hubs = _half_step(auth, "dst_host", "src_host")
+    return (
+        auth.select("host", F.col("r").alias("auth_scaled"))
+        .join(hubs.select("host", F.col("r").alias("hub_scaled")), "host")
     )

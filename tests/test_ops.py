@@ -2230,6 +2230,47 @@ def test_pagerank_integer_twin(spark):
     assert got["c"][1] > got["a"][1] > got["d"][1] == base
 
 
+def test_hits_integer_twin(spark):
+    """Integer HITS matches an exact python recursion half-step for
+    half-step (divide-first normalization, truncating div — the
+    order-free-exact contract shared with pagerank)."""
+    from weblog_pipeline.ops import graph
+
+    edge_rows = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "a", 1),
+        ("d", "c", 5),  # d: pure hub (no in-links) -> auth pinned to 0
+    ]
+    edges = spark.createDataFrame(
+        [Row(src_host=s, dst_host=t, n_links=n) for s, t, n in edge_rows]
+    )
+    scale, iters = 10**6, 4
+    got = {
+        r["host"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in graph.hits(edges, iters=iters, scale=scale).collect()
+    }
+    # python twin
+    nodes = sorted({s for s, _, _ in edge_rows} | {t for _, t, _ in edge_rows})
+
+    def half(scores, inbound):
+        raw = {v: 0 for v in nodes}
+        for s, t, n in edge_rows:
+            tgt, src = (t, s) if inbound else (s, t)
+            raw[tgt] += scores[src] * n
+        mx = max(raw.values())
+        den = max(1, mx // scale)
+        return {v: raw[v] // den for v in nodes}
+
+    hub = {v: scale for v in nodes}
+    for _ in range(iters):
+        auth = half(hub, inbound=True)
+        hub = half(auth, inbound=False)
+    assert got == {v: (auth[v], hub[v]) for v in nodes}
+    # sanity: c is the dominant authority; d the dominant hub; d has 0 auth
+    assert got["c"][0] == max(a for a, _ in got.values())
+    assert got["d"][1] == max(h for _, h in got.values())
+    assert got["d"][0] == 0
+
+
 def test_anchor_topk_ranks_inbound_tokens(spark):
     from weblog_pipeline.ops import graph
 
