@@ -3924,6 +3924,177 @@ SELECT f.*, flags = 127 AS "pass" FROM f
 """
 
 
+
+# -- C4 cleaning rules (Raffel et al. 2020) --------------------------------
+
+#: badword probe for the C4 blocklist bit: 'spark' is real fixture vocab
+#: (bit exercises FALSE), 'xqzzy' never occurs (bit exercises TRUE).
+C4_PROBE = ("spark", "xqzzy")
+
+
+def _c4_planted(docs: DataFrame) -> DataFrame:
+    """Deterministic line markup appended to every doc (twin: the c4docs
+    CTE in _sql_c4_quality): the raw fixture has no newlines, braces,
+    terminal punctuation, or boilerplate phrases, so every C4 rule would
+    be a constant bit. The planted lines exercise each rule both ways —
+    a kept sentence line (terminal mark rotates ./!/none by doc_id%3), a
+    multi-sentence line on even ids, an always-dropped short line, a
+    javascript line (%4), a policy-phrase line (%11), a lorem-ipsum tail
+    (%7) and a curly-brace tail (%5)."""
+    d = F.col("doc_id")
+    term = (
+        F.when(d % 3 == 0, F.lit("."))
+        .when(d % 3 == 1, F.lit("!"))
+        .otherwise(F.lit(""))
+    )
+    parts = [
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\nPlanted mix one two three four five"),
+        term,
+        F.when(
+            d % 2 == 0, F.lit("\nNo. Go. So. Run on sentences here today.")
+        ).otherwise(F.lit("")),
+        F.lit("\ntiny."),
+        F.when(
+            d % 4 == 0,
+            F.lit("\nthis line mentions javascript inside it today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.lit("\nOur privacy policy applies to everything here."),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nsome Lorem Ipsum filler")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 5 == 0, F.lit("\ncurly { brace")).otherwise(F.lit("")),
+    ]
+    return docs.select("doc_id", F.concat(*parts).alias("text"))
+
+
+def q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule line/document filter over the planted-line corpus."""
+    docs = _c4_planted(_read(spark, sf_dir, "documents"))
+    return textstats.c4_quality_flags(docs, badwords=C4_PROBE)
+
+
+def _sql_c4_quality(
+    min_line_words: int = textstats.C4_MIN_LINE_WORDS,
+    min_sentences: int = textstats.C4_MIN_SENTENCES,
+) -> str:
+    bad = ", ".join(f"'{w}'" for w in C4_PROBE)
+    lt = "trim(l, ' ')"
+    low_lt = (
+        f"translate({lt}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
+    )
+    drop_phrases = " AND ".join(
+        f"NOT contains({low_lt}, '{p}')"
+        for p in ("javascript",) + textstats.C4_POLICY_PHRASES
+    )
+    return f"""
+WITH c4docs AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || chr(10) || 'Planted mix one two three four five'
+    || (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+        THEN chr(10) || 'No. Go. So. Run on sentences here today.' ELSE '' END)
+    || chr(10) || 'tiny.'
+    || (CASE WHEN doc_id % 4 = 0
+        THEN chr(10) || 'this line mentions javascript inside it today.' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0
+        THEN chr(10) || 'Our privacy policy applies to everything here.' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+        THEN chr(10) || 'some Lorem Ipsum filler' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN chr(10) || 'curly {{ brace' ELSE '' END)
+    AS text
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text,
+    str_split(text, chr(10)) AS lines,
+    list_filter(str_split(text, chr(10)), l ->
+      right({lt}, 1) IN ('.', '!', '?', '"')
+      AND {lt} <> ''
+      AND len(regexp_split_to_array({lt}, '{_SQL_WS}')) >= {min_line_words}
+      AND {drop_phrases}
+    ) AS kept
+  FROM c4docs
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    CAST(COALESCE(list_sum(list_transform(kept, l ->
+      3 * length(l) - length(replace(l, '.', ''))
+      - length(replace(l, '!', '')) - length(replace(l, '?', ''))
+    )), 0) AS BIGINT) AS n_sentences,
+    (NOT contains({_SQL_LOWER_TEXT}, 'lorem ipsum')) AS b0,
+    (NOT contains(text, '{{')) AS b1,
+    (len(list_intersect({_TOKS}, [{bad}])) = 0) AS b3
+  FROM k
+),
+f AS (
+  SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+    CAST((CASE WHEN b0 THEN 1 ELSE 0 END)
+       + (CASE WHEN b1 THEN 2 ELSE 0 END)
+       + (CASE WHEN n_sentences >= {min_sentences} THEN 4 ELSE 0 END)
+       + (CASE WHEN b3 THEN 8 ELSE 0 END) AS BIGINT) AS flags
+  FROM c
+)
+SELECT f.*, flags = 15 AS "pass" FROM f
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token heavy hitters audited against exact counts."""
+    return textstats.cms_heavy_hitters(_read(spark, sf_dir, "documents"))
+
+
+def _sql_heavy_hitters(
+    k: int = 20,
+    depth: int = textstats.CMS_DEPTH,
+    width: int = textstats.CMS_WIDTH,
+) -> str:
+    js = ", ".join(str(j) for j in range(depth))
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {t}), 1, 4))"
+        f" AS BIGINT) % {width}"
+    )
+    return f"""
+WITH tok AS (
+  SELECT t.token FROM (
+    SELECT unnest({_TOKS}) AS token FROM documents WHERE trim(text, ' ') <> ''
+  ) t WHERE t.token <> ''
+),
+cells AS (
+  SELECT j.j AS rix, {bucket.format(j="j.j", t="token")} AS bucket,
+         COUNT(*) AS cnt
+  FROM tok, (SELECT unnest([{js}]) AS j) j
+  GROUP BY 1, 2
+),
+exact AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY exact_n DESC, token ASC) AS INTEGER) AS rank,
+         token, exact_n
+  FROM exact ORDER BY exact_n DESC, token ASC LIMIT {k}
+),
+est AS (
+  SELECT t.rank, t.token, t.exact_n, MIN(c.cnt) AS cms_est
+  FROM top t, (SELECT unnest([{js}]) AS j) j
+  JOIN cells c
+    ON c.rix = j.j AND c.bucket = {bucket.format(j="j.j", t="t.token")}
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT COUNT(*) AS n_total FROM tok)
+SELECT rank, token, exact_n, cms_est,
+       cms_est - exact_n AS overest,
+       (cms_est - exact_n) * {width} <= 3 * tot.n_total AS within_bound
+FROM est, tot
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4045,7 +4216,7 @@ def queries() -> dict:
     # embedding_outliers, event_key_skew, posting_lists,
     # pmi_collocations, continuation_counts, outlink_graph,
     # domain_pagerank, domain_hits, anchor_text_topk,
-    # gopher_quality_flags.
+    # gopher_quality_flags, c4_quality_flags, heavy_hitters.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -4135,6 +4306,8 @@ def queries() -> dict:
         "gopher_quality_flags": docs(
             lambda d: textstats.gopher_quality_flags(d, stopwords=GOPHER_PROBE)
         ),
+        "c4_quality_flags": q_c4_quality_flags,
+        "heavy_hitters": q_heavy_hitters,
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -4267,6 +4440,8 @@ def oracle_sql() -> dict:
         "domain_hits": _sql_domain_hits(),
         "anchor_text_topk": _sql_anchor_text_topk(),
         "gopher_quality_flags": _sql_gopher_quality(),
+        "c4_quality_flags": _sql_c4_quality(),
+        "heavy_hitters": _sql_heavy_hitters(),
         "perplexity_buckets": _sql_perplexity_buckets(),
         "curate_corpus": _sql_curate_corpus(),
         "ann_cosine_topk": SQL_ANN_TOPK,

@@ -821,3 +821,204 @@ def gopher_quality_flags(
     return pre.withColumn("flags", flags.cast("long")).withColumn(
         "pass", F.col("flags") == F.lit((1 << len(GOPHER_BITS)) - 1)
     )
+
+
+#: C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits of
+#: Transfer Learning with a Unified Text-to-Text Transformer", §2.2).
+#: Line-keep rule: ends in terminal punctuation AND >= C4_MIN_LINE_WORDS
+#: words AND mentions neither "javascript" nor a policy phrase.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINALS = (".", "!", "?", '"')
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+C4_BITS = (
+    "no_lorem",      # 0: page does not contain "lorem ipsum"
+    "no_brace",      # 1: page does not contain '{'
+    "min_sentences", # 2: >= C4_MIN_SENTENCES sentence terminators in kept lines
+    "no_badwords",   # 3: no token from the blocklist anywhere on the page
+)
+
+
+def c4_quality_flags(
+    documents: DataFrame,
+    badwords: tuple[str, ...] = (),
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """C4-rule document filter (Raffel et al. 2020 §2.2) as count evidence
+    plus a pass bitmask — the line-level sibling of gopher_quality_flags'
+    document-level rules.
+
+    Line keep-rule (all of): the space-trimmed line ends in a terminal
+    punctuation mark (. ! ? "), has >= min_line_words whitespace tokens,
+    and its ASCII-lowered form contains neither "javascript" nor any
+    C4_POLICY_PHRASES entry. Document rules (bitmask, C4_BITS order):
+    no "lorem ipsum", no '{', >= min_sentences terminators ([.!?] chars)
+    across the KEPT lines, and no blocklist token anywhere on the page.
+    Every predicate is an integer/string comparison over the pinned
+    portable normalizers (space-only trim, explicit WS class, ASCII
+    fold), so the bits are engine-exact.
+
+    Scale shape: one scan, per-doc codegen'd array expressions — zero
+    shuffles; `pass` feeds curation as a pushed-down predicate. The kept
+    array is materialized in its own projection first (Spark codegen
+    does not CSE across HOF lambda boundaries — dedup.shingles_over).
+
+    Output: doc_id, n_lines, n_kept_lines, n_sentences, flags, pass.
+    """
+    text = F.col("text")
+
+    def _low(col):
+        return ascii_lower(col)
+
+    def _line_kept(line):
+        lt = F.trim(line)  # trim() == trim(x, ' ') — the pinned space-only trim
+        low = _low(lt)
+        kept = F.substring(lt, -1, 1).isin(*C4_TERMINALS)
+        kept &= (lt != "") & (F.size(F.split(lt, WS_RE)) >= min_line_words)
+        kept &= ~low.contains("javascript")
+        for p in C4_POLICY_PHRASES:
+            kept &= ~low.contains(p)
+        return kept
+
+    n_term = lambda line: (  # noqa: E731 — count of [.!?] chars in a line
+        F.lit(3) * F.length(line)
+        - F.length(F.regexp_replace(line, F.lit("\\."), F.lit("")))
+        - F.length(F.regexp_replace(line, F.lit("!"), F.lit("")))
+        - F.length(F.regexp_replace(line, F.lit("\\?"), F.lit("")))
+    )
+
+    pre = documents.select(
+        "doc_id",
+        "text",
+        F.split(text, "\n", -1).alias("_lines"),
+        lower_tokens_col().alias("_toks"),
+    ).select(
+        "doc_id",
+        "text",
+        "_lines",
+        "_toks",
+        F.filter(F.col("_lines"), _line_kept).alias("_kept"),
+    )
+    bad_arr = F.array(*[F.lit(w) for w in badwords]) if badwords else None
+    counted = pre.select(
+        "doc_id",
+        F.array_size("_lines").cast("long").alias("n_lines"),
+        F.array_size("_kept").cast("long").alias("n_kept_lines"),
+        F.aggregate(
+            F.col("_kept"), F.lit(0).cast("long"), lambda a, l: a + n_term(l)
+        ).alias("n_sentences"),
+        (~_low(text).contains("lorem ipsum")).alias("_b0"),
+        (~text.contains("{")).alias("_b1"),
+        (
+            F.array_size(F.array_intersect(F.col("_toks"), bad_arr)) == 0
+            if bad_arr is not None
+            else F.lit(True)
+        ).alias("_b3"),
+    )
+    flags = (
+        F.when(F.col("_b0"), F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.col("_b1"), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.col("n_sentences") >= min_sentences, F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.col("_b3"), F.lit(8)).otherwise(F.lit(0))
+    )
+    return counted.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        flags.cast("long").alias("flags"),
+        (flags == F.lit((1 << len(C4_BITS)) - 1)).alias("pass"),
+    )
+
+
+#: Count-min sketch geometry (Cormode & Muthukrishnan 2005). depth
+#: independent hash rows x width counters; estimate = min over rows.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_heavy_hitters(
+    documents: DataFrame,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-k token heavy hitters with a count-min-sketch estimate audited
+    against the exact count — the frequency-sketch twin of
+    corpus.cardinality_audit's HLL check.
+
+    The sketch: depth independent hash rows of width counters; row j
+    buckets token t at md5("j:" || t) first-4-hex mod width (the pinned
+    md5-conv idiom, canary_md5_conv); est(t) = min over rows of its
+    bucket's counter. The CMS side never keys a shuffle by token — the
+    counter table is a (row, bucket) aggregate with map-side combine
+    into <= depth*width cells, which is why it is the monitoring-path
+    shape at 100 TB. The exact side (one token-keyed aggregate +
+    TakeOrdered top-k) is this AUDIT's ground truth, the same role the
+    brute-force side plays in ann_recall.
+
+    Audit flag: overest * width <= 3 * n_total — the standard eps=3/width
+    CMS overestimate bound as a cross-multiplied integer inequality
+    (est >= exact always holds by construction; a flag flip means the
+    sketch plumbing is wrong, not that the corpus changed).
+
+    Output: rank, token, exact_n, cms_est, overest, within_bound.
+    """
+
+    def _bucket(j: int, tok):
+        h = F.md5(F.concat(F.lit(f"{j}:"), tok))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % width
+
+    toks = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select(F.explode(lower_tokens_col()).alias("token"))
+        .where(F.col("token") != "")
+    )
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _bucket(j, F.col("token")).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ])
+            ).alias("c")
+        )
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = _ranked_topk(exact, k, "token")
+    probes = top.select(
+        "rank",
+        "token",
+        F.col("n_occurrences").alias("exact_n"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    _bucket(j, F.col("token")).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("p"),
+    ).select("rank", "token", "exact_n", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("rank", "token", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    over = F.col("cms_est") - F.col("exact_n")
+    return est.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "exact_n",
+        "cms_est",
+        over.cast("long").alias("overest"),
+        (over * F.lit(width) <= F.lit(3) * F.col("n_total")).alias("within_bound"),
+    )

@@ -2318,3 +2318,60 @@ def test_gopher_quality_flags_per_rule_bits(spark):
     assert not got[7][0] & 64         # stopwords bit off
     assert got[8] == (16 | 8 | 4, False)  # empty: only the ratio rules hold
     assert all(not v[1] for k, v in got.items() if k != 0)
+
+
+def test_c4_quality_flags_line_rules(spark):
+    """C4 line keep-rule: terminal punctuation + >=5 words + no
+    javascript/policy boilerplate; document bits flip on lorem/brace/
+    sentence-count/badword violations independently."""
+    rows = [
+        # passes all: two kept sentence lines, >=3 terminators
+        Row(doc_id=0, text="One two three four five six.\nSeven eight nine ten eleven! Yes. Ok."),
+        # line dropped: no terminal punctuation -> 0 sentences
+        Row(doc_id=1, text="one two three four five six seven"),
+        # line dropped: too few words
+        Row(doc_id=2, text="tiny line here."),
+        # javascript line dropped even though it ends in '.'
+        Row(doc_id=3, text="please enable JavaScript to view this content."),
+        # policy phrase dropped (case-insensitive)
+        Row(doc_id=4, text="read our Privacy Policy before continuing today."),
+        # lorem ipsum bit off; the line itself is kept (ends in '.')
+        Row(doc_id=5, text="some Lorem Ipsum filler text sits here. More words arrive. End."),
+        # curly brace bit off
+        Row(doc_id=6, text="function code { return one two three. } Four five six. Done."),
+        # badword bit off
+        Row(doc_id=7, text="this page mentions badprobe openly and often. Twice more. Yes."),
+        Row(doc_id=8, text=""),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in textstats.c4_quality_flags(
+            spark.createDataFrame(rows), badwords=("badprobe",)
+        ).collect()
+    }
+    ALL = (1 << len(textstats.C4_BITS)) - 1
+    assert (got[0]["flags"], got[0]["pass"]) == (ALL, True)
+    assert got[0]["n_kept_lines"] == 2 and got[0]["n_sentences"] == 4
+    assert got[1]["n_kept_lines"] == 0 and not got[1]["pass"]
+    assert got[2]["n_kept_lines"] == 0
+    assert got[3]["n_kept_lines"] == 0  # javascript
+    assert got[4]["n_kept_lines"] == 0  # policy phrase
+    assert not got[5]["flags"] & 1      # lorem bit off
+    assert got[5]["n_kept_lines"] == 1
+    assert not got[6]["flags"] & 2      # brace bit off
+    assert not got[7]["flags"] & 8      # badword bit off
+    assert got[8]["n_lines"] == 1 and got[8]["n_kept_lines"] == 0
+
+
+def test_cms_heavy_hitters_overestimates_and_ranks(spark):
+    """CMS estimate >= exact count for every head token; ranks are the
+    exact-count order; the eps=3/width bound flag holds on a tiny corpus."""
+    rows = [Row(doc_id=i, text="alpha " * 9 + "beta " * 4 + f"uniq{i}") for i in range(6)]
+    got = textstats.cms_heavy_hitters(spark.createDataFrame(rows), k=3).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert [by_rank[i]["token"] for i in (1, 2)] == ["alpha", "beta"]
+    assert by_rank[1]["exact_n"] == 54 and by_rank[2]["exact_n"] == 24
+    for r in got:
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["overest"] == r["cms_est"] - r["exact_n"]
+        assert r["within_bound"]  # 64 tokens << width*... bound trivially holds
