@@ -2698,7 +2698,9 @@ SELECT d.doc_id, l.lang_guess, q.n_tokens
 FROM documents d
 JOIN ({SQL_QUALITY_STATS}) q USING (doc_id)
 JOIN ({_sql_lang_id()}) l USING (doc_id)
-WHERE d.doc_id NOT IN (SELECT doc_id FROM ({_sql_dedup_pipeline()}) dr)
+WHERE NOT EXISTS (
+    SELECT 1 FROM ({_sql_dedup_pipeline()}) dr WHERE dr.doc_id = d.doc_id
+  )
   AND l.lang_guess = {sql_str(keep_lang)}
   AND q.n_tokens >= {min_tokens} AND q.n_tokens <= {max_tokens}
   AND q.n_stopwords * 100 >= {min_stopword_pct} * q.n_tokens
