@@ -4199,26 +4199,22 @@ def queries() -> dict:
         return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries in dict order. Round-5 window budget (rotation schedule:
-    # every query's newest official row must stay <=2 rounds old):
-    #   1. the 8 single-semantic portability canaries (permanent residents:
+    # entries in dict order. Round-5 window budget, by information value
+    # of one official driver row:
+    #   1. the single-semantic portability canaries (permanent residents:
     #      one driver bit per divergence class, fixture-independent),
-    #   2. the 5 rows hash-red in r4 (HUGEINT oracle dtype, now CAST-fixed),
+    #   2. the 5 rows hash-red in r4 (HUGEINT oracle dtype, now CAST-fixed)
+    #      — must prove green officially,
     #   3. otlp_proto_roundtrip (missed the r4 window by one position),
-    #   4. the 33 queries whose last official row is r3 (rotated back in),
-    #   5. flagship e2e/enrich queries (kept fresh every round).
-    # Everything green in r4 rotates to the tail (still checked by
-    # scripts/check_queries.py and pytest every round) and rotates back
-    # into the window in r6 — along with the queries ADDED in r5, which
-    # have no official row yet: multimodal_alaw_decode,
-    # multimodal_adpcm_decode, multimodal_dib_avi_decode,
-    # length_quantiles, mixture_weights, token_windows,
-    # cardinality_audit, cross_neardup, embedding_dim_stats,
-    # source_boilerplate, source_overlap, embedding_covariance,
-    # embedding_outliers, event_key_skew, posting_lists,
-    # pmi_collocations, continuation_counts, outlink_graph,
-    # domain_pagerank, domain_hits, anchor_text_topk,
-    # gopher_quality_flags, c4_quality_flags, heavy_hitters.
+    #   4. every query ADDED in r5 (no official row EXISTS yet — and r3/r4
+    #      proved local-pass does not imply driver-pass),
+    #   5. ten r3-last-green queries picked for operator diversity
+    #      (html/robots/urlnorm string semantics, sessionization, salted
+    #      agg, anti-join ingest, LM scoring, vocab top-k, dedup family).
+    # Rotation schedule from r6 on: slots 17-50 cycle oldest-official-row
+    # first — r6 takes the remaining r3-last-green queries (the tail block
+    # right after the window) plus the oldest r4 greens; the canaries and
+    # any red row always stay in.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -4231,62 +4227,10 @@ def queries() -> dict:
         "cdc_chunks": q_cdc_chunks,
         # -- 3. missed the r4 window by one --
         "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
-        # -- 4. last official row r3 — rotated back into the window
-        #       (the two _planted twins wait for r6: their base queries
-        #       are in-window and share the same operators) --
-        "filter_include_names": q_filter_include_names,
-        "grouped_emission": q_grouped_emission,
-        "windowed_sink_counts": q_windowed_sink_counts,
-        "span_sessions": q_span_sessions,
-        "domain_route_counts": q_domain_route_counts,
-        "html_meta": q_html_meta,
-        "parse_quarantine": q_parse_quarantine,
-        "robots_decisions": q_robots_decisions,
-        "url_normalize": q_url_normalize,
-        "sitemap_coverage": q_sitemap_coverage,
-        "ingest_increment": q_ingest_increment,
-        "polite_crawl": q_polite_crawl,
-        "cdc_dup_stats": q_cdc_dup_stats,
-        "length_histogram": q_length_histogram,
-        "url_components": q_url_components,
-        "span_rollup": q_span_rollup,
-        "lang_length_stats": q_lang_length_stats,
-        "label_centroids": q_label_centroids,
-        "prototype_confusion": q_prototype_confusion,
-        "token_counts": docs(textstats.token_counts),
-        "quality_stats": docs(textstats.quality_stats),
-        "lang_id": docs(textstats.lang_id),
-        "fingerprint": docs(textstats.fingerprint),
-        "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
-        "winnow_fingerprints": docs(textstats.winnow_fingerprints),
-        "bigram_logprob": docs(textstats.bigram_logprob),
-        "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
-        "dedup_exact": docs(dedup.exact_duplicates),
-        "dedup_stats": q_dedup_stats,
-        "minhash_signatures": docs(dedup.minhash_signatures),
-        "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
-        # -- 5. flagship pipeline semantics (kept fresh every round) --
-        "e2e_sink_counts": q_e2e_sink_counts,
-        "e2e_records": q_e2e_records,
-        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
-        # ---- end of the driver's 50-query window ----
-        # -- green in r4; rotate back into the window in r6 --
-        "decontaminate": q_decontaminate,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "multimodal_wav_decode": q_multimodal_wav_decode,
-        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        # -- 4. added in r5: first official row --
         "multimodal_alaw_decode": q_multimodal_alaw_decode,
         "multimodal_adpcm_decode": q_multimodal_adpcm_decode,
-        "multimodal_avi_decode": q_multimodal_avi_decode,
         "multimodal_dib_avi_decode": q_multimodal_dib_avi_decode,
-        "avi_frame_samples": q_avi_frame_samples,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "dedup_lines": q_dedup_lines,
-        "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
         "length_quantiles": q_length_quantiles,
         "mixture_weights": q_mixture_weights,
         "token_windows": q_token_windows,
@@ -4310,6 +4254,62 @@ def queries() -> dict:
         ),
         "c4_quality_flags": q_c4_quality_flags,
         "heavy_hitters": q_heavy_hitters,
+        # -- 5. last official row r3 — operator-diverse picks --
+        "html_meta": q_html_meta,
+        "robots_decisions": q_robots_decisions,
+        "url_normalize": q_url_normalize,
+        "span_sessions": q_span_sessions,
+        "domain_route_counts": q_domain_route_counts,
+        "ingest_increment": q_ingest_increment,
+        "bigram_logprob": docs(textstats.bigram_logprob),
+        "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
+        # the planted twin, not dedup_exact: the base fixture has no exact
+        # duplicates at sf0.01, so the bare query's official row would
+        # hash an empty result — the twin proves the operator on real dups
+        "dedup_exact_planted": docs(
+            lambda d: dedup.exact_duplicates(_planted_docs(d))
+        ),
+        "minhash_signatures": docs(dedup.minhash_signatures),
+        # ---- end of the driver's 50-query window ----
+        # -- last official row r3; first in line for the r6 window --
+        "filter_include_names": q_filter_include_names,
+        "grouped_emission": q_grouped_emission,
+        "windowed_sink_counts": q_windowed_sink_counts,
+        "parse_quarantine": q_parse_quarantine,
+        "sitemap_coverage": q_sitemap_coverage,
+        "polite_crawl": q_polite_crawl,
+        "cdc_dup_stats": q_cdc_dup_stats,
+        "length_histogram": q_length_histogram,
+        "url_components": q_url_components,
+        "span_rollup": q_span_rollup,
+        "lang_length_stats": q_lang_length_stats,
+        "label_centroids": q_label_centroids,
+        "prototype_confusion": q_prototype_confusion,
+        "token_counts": docs(textstats.token_counts),
+        "quality_stats": docs(textstats.quality_stats),
+        "lang_id": docs(textstats.lang_id),
+        "fingerprint": docs(textstats.fingerprint),
+        "winnow_fingerprints": docs(textstats.winnow_fingerprints),
+        "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
+        "dedup_stats": q_dedup_stats,
+        "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
+        # -- green in r4; rotate back in after the r3 block --
+        "e2e_sink_counts": q_e2e_sink_counts,
+        "e2e_records": q_e2e_records,
+        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
+        "decontaminate": q_decontaminate,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
+        "multimodal_avi_decode": q_multimodal_avi_decode,
+        "avi_frame_samples": q_avi_frame_samples,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "dedup_lines": q_dedup_lines,
+        "tfidf_topk": docs(lambda d: textstats.tfidf_topk(d, k=3)),
         "curate_corpus": q_curate_corpus,
         "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf_refined_topk": ann_ivf_refined,
@@ -4346,9 +4346,7 @@ def queries() -> dict:
         "parse_roundtrip": q_parse_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "otlp_roundtrip": q_otlp_roundtrip,
-        "dedup_exact_planted": docs(
-            lambda d: dedup.exact_duplicates(_planted_docs(d))
-        ),
+        "dedup_exact": docs(dedup.exact_duplicates),
         "dedup_pipeline_planted": docs(
             lambda d: dedup.dedup_pipeline(_planted_docs(d))
         ),

@@ -39,9 +39,24 @@ def test_canaries_lead_the_correctness_window(entrymod):
     canaries = [k for k in keys if k.startswith("canary_")]
     assert keys[: len(canaries)] == canaries, "canaries must lead queries()"
     assert len(canaries) >= 8
-    # flagship e2e queries close the window at positions 48-50
-    assert keys[47:50] == ["e2e_sink_counts", "e2e_records",
-                           "enrich_kitchen_sink"]
+    window = set(keys[:50])
+    # the r4 hash-red rows must re-prove themselves officially
+    assert {"charclass_census", "quality_classifier", "pack_sequences",
+            "export_manifest", "cdc_chunks"} <= window
+    # every query added in r5 gets its FIRST official row this round
+    r5_new = {"multimodal_alaw_decode", "multimodal_adpcm_decode",
+              "multimodal_dib_avi_decode", "length_quantiles",
+              "mixture_weights", "token_windows", "cardinality_audit",
+              "cross_neardup", "embedding_dim_stats", "source_boilerplate",
+              "source_overlap", "embedding_covariance", "embedding_outliers",
+              "event_key_skew", "posting_lists", "pmi_collocations",
+              "continuation_counts", "outlink_graph", "domain_pagerank",
+              "domain_hits", "anchor_text_topk", "gopher_quality_flags",
+              "c4_quality_flags", "heavy_hitters"}
+    assert r5_new <= window, sorted(r5_new - window)
+    # the r3-stale rotation block closes the window; the planted dedup
+    # twin holds the slot (the bare query is 0-row at sf0.01)
+    assert keys[48:50] == ["dedup_exact_planted", "minhash_signatures"]
 
 
 def test_canary_oracles_are_literal(entrymod):
