@@ -710,3 +710,98 @@ def ngram_contamination(
         )
         .where(F.col("n_shared_grams") >= min_shared)
     )
+
+
+#: Bloom-filter geometry (Bloom 1970). depth hash functions over a
+#: width-bit array; a member sets depth bits, a probe must find all depth.
+BLOOM_DEPTH = 4
+BLOOM_WIDTH = 8192
+
+
+def bloom_prefilter(
+    existing: DataFrame,
+    incoming: DataFrame,
+    depth: int = BLOOM_DEPTH,
+    width: int = BLOOM_WIDTH,
+) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental ingest, audited
+    per-document against the exact anti-join — the membership sketch that
+    completes the tracked-sketch trio (HLL cardinality_audit, CMS
+    heavy_hitters).
+
+    The filter: the existing corpus's normalized content hashes each set
+    `depth` cells of a width-cell grid (cell j at md5("j:" || hash)
+    first-4-hex mod width — the pinned md5-conv idiom); an incoming doc
+    is `bloom_hit` iff ALL its depth cells are set. No false negatives by
+    construction (`present` implies `bloom_hit` — tested); false
+    positives are per-doc `is_fp` so the rate is TRACKED, not trusted.
+
+    Scale shape: the bit set is <= depth*width (j, cell) rows NO MATTER
+    the corpus size — built with one map-side-combined distinct, then
+    BROADCAST to every probe task, so the daily batch is pre-filtered
+    without shuffling the existing corpus at all. The exact side (the
+    distinct existing-hash join) is this AUDIT's ground truth, the same
+    role brute force plays in ann_recall; production runs the bloom side
+    only and sends the surviving minority to ingest_increment's
+    anti-join.
+
+    Output: one row per incoming doc — doc_id, bloom_hit, present, is_fp.
+    """
+
+    def _cell(j: int, h):
+        md = F.md5(F.concat(F.lit(f"{j}:"), h))
+        return F.conv(F.substring(md, 1, 4), 16, 10).cast("long") % width
+
+    exist_h = existing.select(
+        dedup.content_hash_col().alias("content_hash")
+    ).distinct()
+    bits = (
+        exist_h.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"), _cell(j, F.col("content_hash")).alias("cell")
+                    )
+                    for j in range(depth)
+                ])
+            ).alias("b")
+        )
+        .select("b.j", "b.cell")
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = incoming.select(
+        "doc_id", dedup.content_hash_col().alias("content_hash")
+    ).select(
+        "doc_id",
+        "content_hash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"), _cell(j, F.col("content_hash")).alias("cell")
+                )
+                for j in range(depth)
+            ])
+        ).alias("p"),
+    ).select("doc_id", "content_hash", "p.j", "p.cell")
+    hit = (
+        probes.join(F.broadcast(bits), ["j", "cell"], "left")
+        .groupBy("doc_id", "content_hash")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == depth).alias("bloom_hit"))
+    )
+    return (
+        # the exact side stays a plain equi-join (AQE broadcasts it at
+        # fixture sizes; at 100 TB the distinct hash set is NOT
+        # broadcastable and this audit join is the one deliberate shuffle)
+        hit.join(
+            exist_h.withColumn("_present", F.lit(1)),
+            "content_hash",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("_present").isNotNull().alias("present"),
+            (F.col("bloom_hit") & F.col("_present").isNull()).alias("is_fp"),
+        )
+    )

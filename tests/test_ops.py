@@ -2375,3 +2375,38 @@ def test_cms_heavy_hitters_overestimates_and_ranks(spark):
         assert r["cms_est"] >= r["exact_n"]
         assert r["overest"] == r["cms_est"] - r["exact_n"]
         assert r["within_bound"]  # 64 tokens << width*... bound trivially holds
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every present doc bloom-hits (Bloom's structural guarantee); a tiny
+    1-cell-wide grid makes every probe a hit, so misses become tracked
+    false positives rather than false negatives."""
+    existing = spark.createDataFrame(
+        [Row(doc_id=i, text=f"existing document number {i}") for i in range(20)]
+    )
+    incoming = spark.createDataFrame(
+        # 0-9 copies of existing content (re-keyed), 10-14 genuinely new
+        [Row(doc_id=100 + i, text=f"existing document number {i}") for i in range(10)]
+        + [Row(doc_id=200 + i, text=f"brand new content {i}") for i in range(5)]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.bloom_prefilter(existing, incoming, depth=3, width=4096).collect()
+    }
+    assert len(got) == 15
+    for i in range(10):
+        r = got[100 + i]
+        assert r["present"] and r["bloom_hit"] and not r["is_fp"]
+    # is_fp is exactly bloom_hit & ~present everywhere
+    for r in got.values():
+        assert r["is_fp"] == (r["bloom_hit"] and not r["present"])
+        assert not (r["present"] and not r["bloom_hit"]), "false negative"
+
+    # degenerate width=1: every cell set -> all 5 new docs are false
+    # positives, none are false negatives
+    tiny = {
+        r["doc_id"]: r
+        for r in corpus.bloom_prefilter(existing, incoming, depth=2, width=1).collect()
+    }
+    assert all(r["bloom_hit"] for r in tiny.values())
+    assert sum(r["is_fp"] for r in tiny.values()) == 5
