@@ -4167,6 +4167,53 @@ FROM hit t LEFT JOIN existing e ON e.content_hash = t.content_hash
 """
 
 
+# -- BPE tokenizer training -------------------------------------------------
+
+
+def _sql_bpe_train(n_merges: int = 6) -> str:
+    """Unrolled twin of textstats.bpe_train: each merge round is a
+    MATERIALIZED CTE pair (pick max pair / apply it), so DuckDB's CTE
+    inlining stays linear in rounds instead of 2^rounds (the same
+    guard as the HITS oracle). Empty p{k} CTEs (pair supply dry)
+    contribute no rows and leave w{k} = w{k-1} via the LEFT JOIN."""
+    sep = "chr(31)"
+    b = f"({sep} || {sep})"
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT {b} || array_to_string(regexp_extract_all(t.word, '.'), {b}) || {b} AS syms,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+  WHERE regexp_matches(t.word, '{textstats.BPE_WORD_RE}')
+  GROUP BY 1
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT lhs, rhs, s FROM (
+    SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS s
+    FROM (SELECT list_filter(str_split(syms, {b}), x -> x <> '') AS a, cnt
+          FROM w{k - 1}) t,
+         LATERAL (SELECT unnest(range(1, len(a))) AS i) ix
+    GROUP BY 1, 2)
+  ORDER BY s DESC, lhs ASC, rhs ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT CASE WHEN p.lhs IS NULL THEN w.syms
+         ELSE replace(w.syms, {sep} || p.lhs || {b} || p.rhs || {sep},
+                      {sep} || p.lhs || p.rhs || {sep}) END AS syms, w.cnt
+  FROM w{k - 1} w LEFT JOIN p{k} p ON TRUE
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, lhs, rhs, s AS pair_count FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4341,9 +4388,10 @@ def queries() -> dict:
         ),
         "minhash_signatures": docs(dedup.minhash_signatures),
         # ---- end of the driver's 50-query window ----
-        # -- added late in r5 (after the window was sealed); joins the
+        # -- added late in r5 (after the window was sealed); join the
         #    r3 block at the front of the r6 rotation --
         "bloom_prefilter": q_bloom_prefilter,
+        "bpe_train": docs(textstats.bpe_train),
         # -- last official row r3; first in line for the r6 window --
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
@@ -4460,6 +4508,7 @@ def oracle_sql() -> dict:
         "sitemap_coverage": _sql_sitemap_coverage(),
         "ingest_increment": SQL_INGEST_INCREMENT,
         "bloom_prefilter": _sql_bloom_prefilter(),
+        "bpe_train": _sql_bpe_train(),
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

@@ -1022,3 +1022,109 @@ def cms_heavy_hitters(
         over.cast("long").alias("overest"),
         (over * F.lit(width) <= F.lit(3) * F.col("n_total")).alias("within_bound"),
     )
+
+
+#: BPE symbol separator inside the working string representation. Words
+#: are gated to ^[a-z0-9]+$ before training, so \x1f can never collide.
+BPE_SEP = "\x1f"
+BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016): the
+    iterative-algorithm flagship for text, the full loop whose single
+    step bpe_pair_counts ranks.
+
+    Each round counts adjacent symbol pairs weighted by word frequency,
+    takes the max (count desc, then lexicographic — deterministic), and
+    merges that pair greedily left-to-right in every word. The working
+    representation is the DOUBLE-separator symbol string
+    `SEP SEP sym1 SEP SEP sym2 ... SEP SEP`: the merge is the literal
+    `replace(s, SEP||l||SEP SEP||r||SEP, SEP||l||r||SEP)`, which consumes
+    one SEP of each flanking boundary pair — so a match can never start
+    or end inside a multi-character symbol, and adjacent merge sites
+    never share consumed characters (plain left-to-right non-overlapping
+    replace IS greedy BPE, identically in Spark and DuckDB: "aaaa" under
+    a+a -> [aa, aa], [b an an a] under an+a -> [b an ana]).
+
+    Scale shape — the reason BPE training is cheap at 100 TB: the corpus
+    is scanned ONCE into the word-frequency table (map-side-combined
+    aggregate, localCheckpoint'd), which is bounded by VOCABULARY, not
+    corpus size; every merge round then runs on that bounded table. Per
+    round: one pair aggregate + a single-row driver pull (the max pair —
+    the same bounded-collect class as IVF's Lloyd step) + one codegen'd
+    replace projection, re-checkpointed so lineage stays one round deep
+    (the pagerank pattern).
+
+    Output: one row per executed merge — step, lhs, rhs, pair_count —
+    fewer than n_merges rows iff the pair supply runs dry.
+    """
+    from pyspark.sql import types as T
+
+    spark = documents.sparkSession
+    words = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select(F.explode(lower_tokens_col()).alias("word"))
+        .where(F.col("word").rlike(BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(BPE_SEP * 2),
+                F.array_join(
+                    F.regexp_extract_all("word", F.lit("."), 0), BPE_SEP * 2
+                ),
+                F.lit(BPE_SEP * 2),
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        arr = F.col("_a")
+        pair_structs = F.when(
+            F.array_size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.array_size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("lhs"),
+                    F.element_at(arr, i + 1).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        top = (
+            words.select(
+                F.filter(
+                    F.split("syms", BPE_SEP * 2), lambda x: x != ""
+                ).alias("_a"),
+                "cnt",
+            )
+            .select(F.explode(pair_structs).alias("p"), "cnt")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+        merges.append((step, lhs, rhs, int(cnt)))
+        words = words.select(
+            F.replace(
+                "syms",
+                F.lit(BPE_SEP + lhs + BPE_SEP * 2 + rhs + BPE_SEP),
+                F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint()
+    schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("lhs", T.StringType()),
+            T.StructField("rhs", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

@@ -2410,3 +2410,23 @@ def test_bloom_prefilter_no_false_negatives(spark):
     }
     assert all(r["bloom_hit"] for r in tiny.values())
     assert sum(r["is_fp"] for r in tiny.values()) == 5
+
+
+def test_bpe_train_greedy_merge_sequence(spark):
+    """Hand-computed BPE run on {banana x2, band x1}: merges follow
+    max-count with lexicographic tie-break, greedy left-to-right
+    application, and the loop stops when the pair supply dries up."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="banana band"), Row(doc_id=1, text="banana")]
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in textstats.bpe_train(df, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a", "n", 5),      # an: 2x2 in banana + 1 in band
+        (2, "b", "an", 3),
+        (3, "an", "a", 2),     # tie with (ban, an): 'an' < 'ban'
+        (4, "ban", "ana", 2),
+        (5, "ban", "d", 1),
+    ]  # step 6+: banana and band are single symbols -> supply dry
