@@ -4214,6 +4214,40 @@ def _sql_bpe_train(n_merges: int = 6) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+#: fixed merge table for the bpe_apply catalog query — common-English
+#: merges so the chain fires on any fixture (and harmlessly no-ops on
+#: vocab it misses); applied in order, exactly as bpe_train emits them.
+BPE_APPLY_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"), ("o", "n")
+)
+
+
+def _sql_bpe_apply(merges: tuple = BPE_APPLY_MERGES) -> str:
+    sep = "chr(31)"
+    b = f"({sep} || {sep})"
+    enc = f"{b} || array_to_string(regexp_extract_all(x, '.'), {b}) || {b}"
+    chain = enc
+    for lhs, rhs in merges:
+        chain = (
+            f"replace({chain}, {sep} || '{lhs}' || {b} || '{rhs}' || {sep},"
+            f" {sep} || '{lhs}{rhs}' || {sep})"
+        )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter({_TOKS}, x -> regexp_matches(x, '{textstats.BPE_WORD_RE}')) AS w
+  FROM documents
+),
+s AS (SELECT doc_id, w, list_transform(w, x -> {chain}) AS sf FROM w)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS n_chars,
+  CAST(COALESCE(list_sum(list_transform(sf, x ->
+    len(list_filter(str_split(x, {b}), y -> y <> '')))), 0) AS BIGINT) AS n_pieces
+FROM s
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4392,6 +4426,9 @@ def queries() -> dict:
         #    r3 block at the front of the r6 rotation --
         "bloom_prefilter": q_bloom_prefilter,
         "bpe_train": docs(textstats.bpe_train),
+        "bpe_apply": docs(
+            lambda d: textstats.bpe_apply(d, BPE_APPLY_MERGES)
+        ),
         # -- last official row r3; first in line for the r6 window --
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
@@ -4509,6 +4546,7 @@ def oracle_sql() -> dict:
         "ingest_increment": SQL_INGEST_INCREMENT,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "bpe_train": _sql_bpe_train(),
+        "bpe_apply": _sql_bpe_apply(),
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

@@ -1128,3 +1128,59 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
         ]
     )
     return spark.createDataFrame(merges, schema)
+
+
+def bpe_apply(
+    documents: DataFrame, merges: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Encode every document with a FIXED merge table — bpe_train's
+    inference half. Each word is re-expressed in the double-separator
+    symbol representation and the merge list is applied IN TRAINING
+    ORDER as a chain of literal replaces (same greedy semantics as
+    training, see bpe_train); the output counts pieces before/after so
+    compression is tracked per doc.
+
+    Scale shape: a pure projection chain — zero shuffles, zero joins;
+    the merge table rides inside the codegen'd expressions as literals
+    (at real scale: a broadcast variable feeding generated SQL, same
+    plan shape).
+
+    Output: doc_id, n_words, n_chars, n_pieces (piece count after all
+    merges; equals n_chars when the merge list never fires).
+    """
+    words = F.filter(
+        lower_tokens_col(), lambda w: w.rlike(BPE_WORD_RE)
+    )
+    b = BPE_SEP * 2
+    enc = lambda w: F.concat(  # noqa: E731
+        F.lit(b), F.array_join(F.regexp_extract_all(w, F.lit("."), 0), b), F.lit(b)
+    )
+    pre = documents.select("doc_id", words.alias("_w")).select(
+        "doc_id", "_w", F.transform(F.col("_w"), enc).alias("_s")
+    )
+    col = F.col("_s")
+    for lhs, rhs in merges:
+        col = F.transform(
+            col,
+            lambda s: F.replace(
+                s,
+                F.lit(BPE_SEP + lhs + b + rhs + BPE_SEP),
+                F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
+            ),
+        )
+    n_pieces = F.aggregate(
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.array_size(F.filter(F.split(s, b), lambda x: x != "")),
+    )
+    n_chars = F.aggregate(
+        F.col("_w"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    return pre.select(
+        "doc_id",
+        F.array_size("_w").cast("long").alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_pieces.alias("n_pieces"),
+    )

@@ -2430,3 +2430,19 @@ def test_bpe_train_greedy_merge_sequence(spark):
         (4, "ban", "ana", 2),
         (5, "ban", "d", 1),
     ]  # step 6+: banana and band are single symbols -> supply dry
+
+
+def test_bpe_apply_fixed_merge_table(spark):
+    """Applying a fixed merge list reproduces training-time greedy
+    segmentation: banana -> [ban, an, a], band -> [ban, d]."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="banana band"), Row(doc_id=1, text="banana"),
+         Row(doc_id=2, text="")]
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_pieces"])
+        for r in textstats.bpe_apply(df, (("a", "n"), ("b", "an"))).collect()
+    }
+    assert got[0] == (2, 10, 5)   # [ban, an, a] + [ban, d]
+    assert got[1] == (1, 6, 3)
+    assert got[2] == (0, 0, 0)

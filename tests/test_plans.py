@@ -322,3 +322,17 @@ def test_pagerank_lineage_flat_in_iteration_count(spark):
     p6 = _physical(graph.pagerank(edges, iters=6))
     assert p2.count("Join") == p6.count("Join"), "plan grows with iters"
     assert "ExistingRDD" in p6  # the checkpointed iterate
+
+
+def test_bloom_prefilter_bits_side_broadcasts(spark):
+    """The bloom bit set must ride a BroadcastHashJoin (it is <=
+    depth*width rows regardless of corpus size); the exact audit join
+    stays a plain equi-join for AQE to plan."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    ex = spark.createDataFrame([Row(doc_id=i, text=f"doc {i}") for i in range(10)])
+    inc = spark.createDataFrame([Row(doc_id=100, text="doc 3")])
+    plan = _physical(corpus.bloom_prefilter(ex, inc, depth=2, width=64))
+    assert "BroadcastHashJoin" in plan, plan
