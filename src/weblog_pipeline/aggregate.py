@@ -155,3 +155,36 @@ def trace_rollup(events: DataFrame, key: str = "trace_id") -> DataFrame:
             ).alias("names_md5"),
         )
     )
+
+
+def keyed_quota(
+    events: DataFrame, k: int = 3, key: str = "user_id"
+) -> DataFrame:
+    """Per-key daily quota enforcement — the crawl-budget/rate-cap
+    operator: within each (key, event-time day) the first `k` arrivals
+    (by ts, then event_id — deterministic) are `allowed`, the rest are
+    deferred. The batch twin of streaming.keyed_quota_stateful, and the
+    oracle-checked definition both must satisfy.
+
+    Scale shape: ONE window partitioned by (key, day) — a bounded
+    stratum (a key's single day), never a key's full history and never
+    SinglePartition; the quota decision therefore shuffles each event
+    exactly once on the same key the downstream per-key work would use.
+
+    Output: event_id, user_id, win_start (epoch s), seq, allowed.
+    """
+    from pyspark.sql import Window
+
+    win = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("win_start")
+    w = Window.partitionBy(key, "win_start").orderBy("ts", "event_id")
+    return (
+        events.select("event_id", key, "ts", win)
+        .withColumn("seq", F.row_number().over(w))
+        .select(
+            "event_id",
+            key,
+            "win_start",
+            "seq",
+            (F.col("seq") <= k).alias("allowed"),
+        )
+    )

@@ -4273,6 +4273,30 @@ FROM db LEFT JOIN nb ON nb.b = db.b
 """
 
 
+def q_daily_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily quota verdicts over the events stream (k=3): the
+    batch twin of streaming.keyed_quota_stateful — seq/allowed must agree
+    between the two (pinned by tests/test_streaming.py) AND with the SQL
+    oracle here."""
+    from weblog_pipeline.aggregate import keyed_quota
+
+    return keyed_quota(_read(spark, sf_dir, "events"), k=3)
+
+
+SQL_DAILY_QUOTA = """
+SELECT event_id, user_id, win_start, seq, seq <= 3 AS allowed
+FROM (
+  SELECT event_id, user_id,
+    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+    CAST(row_number() OVER (
+      PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts, event_id
+    ) AS INTEGER) AS seq
+  FROM events
+) t
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4455,6 +4479,7 @@ def queries() -> dict:
             lambda d: textstats.bpe_apply(d, BPE_APPLY_MERGES)
         ),
         "vocab_growth": docs(textstats.vocab_growth),
+        "daily_quota": q_daily_quota,
         # -- last official row r3; first in line for the r6 window --
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
@@ -4574,6 +4599,7 @@ def oracle_sql() -> dict:
         "bpe_train": _sql_bpe_train(),
         "bpe_apply": _sql_bpe_apply(),
         "vocab_growth": _sql_vocab_growth(),
+        "daily_quota": SQL_DAILY_QUOTA,
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

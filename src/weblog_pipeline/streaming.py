@@ -256,3 +256,67 @@ def streaming_otlp_logs(
         )
     logs = enrich_events(events, cfg, observed_ts_us)
     return with_sink(logs, routes, default_sink)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-key daily quota (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+QUOTA_SCHEMA = (
+    "event_id long, user_id long, win_start long, seq integer, allowed boolean"
+)
+_QUOTA_STATE_SCHEMA = "cnt long"
+
+
+def keyed_quota_stateful(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming twin of aggregate.keyed_quota: per-(key, event-time day)
+    arrival counter in the state store, emitting every event's quota
+    verdict as it arrives (output mode `append` — a verdict never
+    changes once issued).
+
+    The state KEY is (user_id, win_start), not user_id alone: one long
+    per live (key, day), no window ordering assumption across days, and
+    day strata expire from the state store independently. Within a
+    micro-batch the group is sorted by (ts, event_id) before sequencing,
+    so replaying time-ordered files reproduces the batch twin exactly
+    (the same ordered-arrival contract the sessionization test uses).
+
+    At 100 TB-equivalent rates the state is ONE counter per active
+    (key, day) — fixed width, hash-partitioned by the grouping key.
+    """
+    import pandas as pd
+
+    def quota(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            seqs = list(range(cnt + 1, cnt + len(pdf) + 1))
+            cnt += len(pdf)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].astype("int64"),
+                        "user_id": [key[0]] * len(pdf),
+                        "win_start": [key[1]] * len(pdf),
+                        "seq": pd.Series(seqs, dtype="int32"),
+                        "allowed": [s <= k for s in seqs],
+                    }
+                )
+            )
+        state.update((cnt,))
+        yield from out
+
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("win_start"),
+    )
+    return keyed.groupBy("user_id", "win_start").applyInPandasWithState(
+        quota,
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

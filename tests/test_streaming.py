@@ -275,3 +275,63 @@ def test_streaming_otlp_ingest_equals_batch(spark, tmp_path):
     assert g_rows == w_rows and len(g_rows) == 4
     sinks = {r["sink"] for r in got.collect()}
     assert "sink_errors" in sinks and "sink_retries" in sinks
+
+
+def test_keyed_quota_stateful_equals_batch_twin(spark, tmp_path):
+    """Cross-batch quota state: a user's day spanning two micro-batches
+    must keep counting where the first batch stopped; the final rows
+    equal the batch twin exactly (same seq, same allowed verdicts)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import keyed_quota
+    from weblog_pipeline.streaming import keyed_quota_stateful
+
+    base = datetime.datetime(2025, 7, 4)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def ev(i, user, secs):
+        return Row(event_id=i, user_id=user, ts=base + datetime.timedelta(seconds=secs))
+
+    # user 7: 5 events on day 1 (k=3 -> 2 deferred), split across files
+    # 1 and 2; plus a day-2 event (fresh counter). user 8: 2 events.
+    f1 = [ev(0, 7, 10), ev(1, 7, 20), ev(2, 8, 30)]
+    f2 = [ev(3, 7, 40), ev(4, 7, 50), ev(5, 7, 60), ev(6, 8, 70),
+          ev(7, 7, 90000)]  # 90000 s > 1 day -> new window
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        keyed_quota_stateful(stream, k=3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = keyed_quota(
+        spark.createDataFrame(f1 + f2, schema), k=3
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["win_start"], r["seq"], r["allowed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["win_start"], r["seq"], r["allowed"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert [want[i][2] for i in (0, 1, 3, 4, 5)] == [1, 2, 3, 4, 5]
+    assert [want[i][3] for i in (0, 1, 3, 4, 5)] == [True, True, True, False, False]
+    assert want[7][2] == 1 and want[7][3]  # day-2 counter starts fresh
