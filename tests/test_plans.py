@@ -336,3 +336,23 @@ def test_bloom_prefilter_bits_side_broadcasts(spark):
     inc = spark.createDataFrame([Row(doc_id=100, text="doc 3")])
     plan = _physical(corpus.bloom_prefilter(ex, inc, depth=2, width=64))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_keyed_quota_window_partitioned_by_key_and_day(spark):
+    """The quota window must partition by (key, day) — a bounded stratum —
+    never by key alone (a hot key's full history in one sort) and never
+    SinglePartition."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import keyed_quota
+
+    df = spark.createDataFrame(
+        [Row(event_id=1, user_id=1,
+             ts=__import__("datetime").datetime(2025, 1, 1))]
+    )
+    plan = _physical(keyed_quota(df, k=3))
+    wins = [ln for ln in plan.splitlines() if "Window" in ln and "[" in ln]
+    assert wins, plan
+    assert "SinglePartition" not in plan
+    part = wins[0].split("], [")[1]
+    assert "user_id" in part and "win_start" in part, plan
