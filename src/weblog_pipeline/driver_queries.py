@@ -4408,13 +4408,13 @@ def queries() -> dict:
     #   3. otlp_proto_roundtrip (missed the r4 window by one position),
     #   4. every query ADDED in r5 (no official row EXISTS yet — and r3/r4
     #      proved local-pass does not imply driver-pass),
-    #   5. ten r3-last-green queries picked for operator diversity
+    #   5. five r3-last-green queries picked for operator diversity
     #      (html/robots/urlnorm string semantics, sessionization, salted
-    #      agg, anti-join ingest, LM scoring, vocab top-k, dedup family).
+    #      agg; the dedup/LM/vocab families already hold fresh r4 rows).
     # Rotation schedule from r6 on: slots 17-50 cycle oldest-official-row
-    # first — r6 takes the remaining r3-last-green queries (the tail block
-    # right after the window) plus the oldest r4 greens; the canaries and
-    # any red row always stay in.
+    # first — r6 takes the r3-last-green block right after the window
+    # (ingest_increment .. lsh_candidate_pairs) plus the oldest r4 greens;
+    # the canaries and any red row always stay in.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
@@ -4454,25 +4454,7 @@ def queries() -> dict:
         ),
         "c4_quality_flags": q_c4_quality_flags,
         "heavy_hitters": q_heavy_hitters,
-        # -- 5. last official row r3 — operator-diverse picks --
-        "html_meta": q_html_meta,
-        "robots_decisions": q_robots_decisions,
-        "url_normalize": q_url_normalize,
-        "span_sessions": q_span_sessions,
-        "domain_route_counts": q_domain_route_counts,
-        "ingest_increment": q_ingest_increment,
-        "bigram_logprob": docs(textstats.bigram_logprob),
-        "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
-        # the planted twin, not dedup_exact: the base fixture has no exact
-        # duplicates at sf0.01, so the bare query's official row would
-        # hash an empty result — the twin proves the operator on real dups
-        "dedup_exact_planted": docs(
-            lambda d: dedup.exact_duplicates(_planted_docs(d))
-        ),
-        "minhash_signatures": docs(dedup.minhash_signatures),
-        # ---- end of the driver's 50-query window ----
-        # -- added late in r5 (after the window was sealed); join the
-        #    r3 block at the front of the r6 rotation --
+        # -- 5. also added in r5 (late): first official row --
         "bloom_prefilter": q_bloom_prefilter,
         "bpe_train": docs(textstats.bpe_train),
         "bpe_apply": docs(
@@ -4480,7 +4462,27 @@ def queries() -> dict:
         ),
         "vocab_growth": docs(textstats.vocab_growth),
         "daily_quota": q_daily_quota,
+        # -- 6. last official row r3 — operator-diverse picks (string
+        #       semantics, robots mapInPandas, sessionization, salted agg;
+        #       dedup/LM/vocab families already hold fresh r4 rows) --
+        "html_meta": q_html_meta,
+        "robots_decisions": q_robots_decisions,
+        "url_normalize": q_url_normalize,
+        "span_sessions": q_span_sessions,
+        "domain_route_counts": q_domain_route_counts,
+        # ---- end of the driver's 50-query window ----
         # -- last official row r3; first in line for the r6 window --
+        "ingest_increment": q_ingest_increment,
+        "bigram_logprob": docs(textstats.bigram_logprob),
+        "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
+        # the planted twin ahead of dedup_exact in the rotation queue: the
+        # base fixture has no exact duplicates at sf0.01, so the bare
+        # query's official row would hash an empty result — the twin
+        # proves the operator on real dups
+        "dedup_exact_planted": docs(
+            lambda d: dedup.exact_duplicates(_planted_docs(d))
+        ),
+        "minhash_signatures": docs(dedup.minhash_signatures),
         "filter_include_names": q_filter_include_names,
         "grouped_emission": q_grouped_emission,
         "windowed_sink_counts": q_windowed_sink_counts,

@@ -52,11 +52,11 @@ def test_canaries_lead_the_correctness_window(entrymod):
               "event_key_skew", "posting_lists", "pmi_collocations",
               "continuation_counts", "outlink_graph", "domain_pagerank",
               "domain_hits", "anchor_text_topk", "gopher_quality_flags",
-              "c4_quality_flags", "heavy_hitters"}
+              "c4_quality_flags", "heavy_hitters", "bloom_prefilter",
+              "bpe_train", "bpe_apply", "vocab_growth", "daily_quota"}
     assert r5_new <= window, sorted(r5_new - window)
-    # the r3-stale rotation block closes the window; the planted dedup
-    # twin holds the slot (the bare query is 0-row at sf0.01)
-    assert keys[48:50] == ["dedup_exact_planted", "minhash_signatures"]
+    # the r3-stale rotation block closes the window
+    assert keys[48:50] == ["span_sessions", "domain_route_counts"]
 
 
 def test_canary_oracles_are_literal(entrymod):
