@@ -356,3 +356,47 @@ def test_keyed_quota_window_partitioned_by_key_and_day(spark):
     assert "SinglePartition" not in plan
     part = wins[0].split("], [")[1]
     assert "user_id" in part and "win_start" in part, plan
+
+
+def test_c4_quality_flags_is_single_scan_zero_exchanges(spark):
+    """Every C4 rule bit must be a codegen'd expression over one scan —
+    no joins, no shuffles."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a line here today.")])
+    plan = _physical(textstats.c4_quality_flags(df, badwords=("x",)))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cms_heavy_hitters_cells_aggregate_is_partial(spark):
+    """The CMS counter grid must be a partial->final hash aggregate (map-
+    side combine bounds it at depth*width cells) and the exact top-k cut
+    must be TakeOrderedAndProject, not a global sort."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b a")])
+    plan = _physical(textstats.cms_heavy_hitters(df, k=2))
+    assert "TakeOrderedAndProject" in plan, plan
+    # partial/final pairs: more HashAggregate nodes than Exchanges feeding them
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_vocab_growth_single_corpus_scan_per_side(spark):
+    """The growth curve must come from ONE first-appearance aggregate —
+    no per-prefix-point scans: the plan holds a bounded number of parquet
+    scans (token side + doc-count sides), not one per bucket."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"tok{i} common") for i in range(4)]
+    )
+    p8 = _physical(textstats.vocab_growth(df, n_buckets=8))
+    p2 = _physical(textstats.vocab_growth(df, n_buckets=2))
+    assert p8.count("Scan") == p2.count("Scan"), "scan count grows with buckets"
