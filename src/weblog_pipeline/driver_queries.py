@@ -4297,6 +4297,24 @@ FROM (
 """
 
 
+MIXTURE_BUDGET = 1000
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+s AS (SELECT source, n_docs,
+        CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS s_kilo
+      FROM c),
+t AS (SELECT CAST(SUM(s_kilo) AS BIGINT) AS total_s FROM s),
+q AS (SELECT source, n_docs, ({MIXTURE_BUDGET} * s_kilo) // total_s AS quota FROM s, t)
+SELECT d.doc_id, d.source,
+  CAST(q.quota // q.n_docs
+   + CASE WHEN CAST(('0x' || substr(md5('mx:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+              % q.n_docs < q.quota % q.n_docs
+     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM documents d JOIN q USING (source)
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4408,9 +4426,9 @@ def queries() -> dict:
     #   3. otlp_proto_roundtrip (missed the r4 window by one position),
     #   4. every query ADDED in r5 (no official row EXISTS yet — and r3/r4
     #      proved local-pass does not imply driver-pass),
-    #   5. five r3-last-green queries picked for operator diversity
-    #      (html/robots/urlnorm string semantics, sessionization, salted
-    #      agg; the dedup/LM/vocab families already hold fresh r4 rows).
+    #   5. four r3-last-green queries picked for operator diversity
+    #      (html/robots/urlnorm string semantics, sessionization; the
+    #      dedup/LM/vocab families already hold fresh r4 rows).
     # Rotation schedule from r6 on: slots 17-50 cycle oldest-official-row
     # first — r6 takes the r3-last-green block right after the window
     # (ingest_increment .. lsh_candidate_pairs) plus the oldest r4 greens;
@@ -4462,16 +4480,19 @@ def queries() -> dict:
         ),
         "vocab_growth": docs(textstats.vocab_growth),
         "daily_quota": q_daily_quota,
+        "mixture_sample": docs(
+            lambda d: corpus.mixture_sample(d, budget=MIXTURE_BUDGET)
+        ),
         # -- 6. last official row r3 — operator-diverse picks (string
-        #       semantics, robots mapInPandas, sessionization, salted agg;
+        #       semantics, robots mapInPandas, sessionization;
         #       dedup/LM/vocab families already hold fresh r4 rows) --
         "html_meta": q_html_meta,
         "robots_decisions": q_robots_decisions,
         "url_normalize": q_url_normalize,
         "span_sessions": q_span_sessions,
-        "domain_route_counts": q_domain_route_counts,
         # ---- end of the driver's 50-query window ----
         # -- last official row r3; first in line for the r6 window --
+        "domain_route_counts": q_domain_route_counts,
         "ingest_increment": q_ingest_increment,
         "bigram_logprob": docs(textstats.bigram_logprob),
         "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
@@ -4602,6 +4623,7 @@ def oracle_sql() -> dict:
         "bpe_apply": _sql_bpe_apply(),
         "vocab_growth": _sql_vocab_growth(),
         "daily_quota": SQL_DAILY_QUOTA,
+        "mixture_sample": SQL_MIXTURE_SAMPLE,
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

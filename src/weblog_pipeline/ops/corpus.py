@@ -805,3 +805,61 @@ def bloom_prefilter(
             (F.col("bloom_hit") & F.col("_present").isNull()).alias("is_fp"),
         )
     )
+
+
+def mixture_sample(documents: DataFrame, budget: int = 1000) -> DataFrame:
+    """Materialize mixture_weights as per-document EPOCH COUNTS: given a
+    total budget of `budget` document slots, source i receives
+    quota_i = budget * s_kilo_i div total_s slots (the temperature
+    weights, used end-to-end), realized as k_i = quota_i div n_i copies
+    of every doc plus one extra copy for ~r_i = quota_i mod n_i docs —
+    low-resource sources repeat (k >= 1), oversized sources downsample
+    (k = 0 and most docs get n_copies = 0).
+
+    The extra-copy subset is chosen by hash threshold —
+    md5("mx:" || doc_id) bucket mod n_i < r_i — NOT by rank: a
+    per-source rank window would funnel the Zipf-head source's full doc
+    list through one task, while the threshold is a stateless per-row
+    predicate (deterministic, resume-stable, engine-exact; the realized
+    extra count is hash-binomial around r_i rather than exactly r_i —
+    the documented trade for a window-free plan).
+
+    Scale shape: one map-side-combined per-source count, broadcast
+    quotas joined back onto the scan, zero windows, zero wide shuffles.
+
+    Output: doc_id, source, n_copies.
+    """
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "s_kilo",
+        F.floor(F.sqrt((F.col("n_docs") * F.lit(1_000_000)).cast("double")))
+        .cast("long"),
+    )
+    total = scaled.agg(F.sum("s_kilo").cast("long").alias("total_s"))
+    quotas = scaled.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({budget} * s_kilo) div total_s").alias("_quota"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mx:"), F.col("doc_id"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n_docs")
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr("_quota div n_docs")
+                + F.when(bucket < F.expr("_quota % n_docs"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("n_copies"),
+        )
+    )

@@ -53,10 +53,11 @@ def test_canaries_lead_the_correctness_window(entrymod):
               "continuation_counts", "outlink_graph", "domain_pagerank",
               "domain_hits", "anchor_text_topk", "gopher_quality_flags",
               "c4_quality_flags", "heavy_hitters", "bloom_prefilter",
-              "bpe_train", "bpe_apply", "vocab_growth", "daily_quota"}
+              "bpe_train", "bpe_apply", "vocab_growth", "daily_quota",
+              "mixture_sample"}
     assert r5_new <= window, sorted(r5_new - window)
     # the r3-stale rotation block closes the window
-    assert keys[48:50] == ["span_sessions", "domain_route_counts"]
+    assert keys[48:50] == ["url_normalize", "span_sessions"]
 
 
 def test_canary_oracles_are_literal(entrymod):

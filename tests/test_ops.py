@@ -2465,3 +2465,28 @@ def test_vocab_growth_first_appearance_cumsum(spark):
         ).orderBy("bucket").collect()
     ]
     assert got == [(1, 2, 3, 3), (2, 4, 4, 1)]
+
+
+def test_mixture_sample_epoch_counts(spark):
+    """Budget 6 over sources {A: 4 docs, B: 1 doc} with alpha=0.5 weights
+    (s_kilo 2000/1000): A's quota 4 -> one copy each, B's quota 2 -> the
+    low-resource doc repeats twice. Budget 3 downsamples A by the
+    documented hash threshold."""
+    rows = [Row(doc_id=i, text="t", source="A") for i in range(4)] + [
+        Row(doc_id=10, text="t", source="B")
+    ]
+    df = spark.createDataFrame(rows)
+    got6 = {r["doc_id"]: r["n_copies"]
+            for r in corpus.mixture_sample(df, budget=6).collect()}
+    assert got6 == {0: 1, 1: 1, 2: 1, 3: 1, 10: 2}
+
+    got3 = {r["doc_id"]: r["n_copies"]
+            for r in corpus.mixture_sample(df, budget=3).collect()}
+    assert got3[10] == 1                      # B: quota 1, k=1, r=0
+    expect_extra = {
+        i: int(hashlib.md5(f"mx:{i}".encode()).hexdigest()[:4], 16) % 4 < 2
+        for i in range(4)
+    }  # A: quota 2, k=0, r=2 -> hash-threshold extras
+    assert {i: got3[i] for i in range(4)} == {
+        i: int(v) for i, v in expect_extra.items()
+    }
