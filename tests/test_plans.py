@@ -400,3 +400,19 @@ def test_vocab_growth_single_corpus_scan_per_side(spark):
     p8 = _physical(textstats.vocab_growth(df, n_buckets=8))
     p2 = _physical(textstats.vocab_growth(df, n_buckets=2))
     assert p8.count("Scan") == p2.count("Scan"), "scan count grows with buckets"
+
+
+def test_mixture_sample_has_no_windows(spark):
+    """The epoch-count realization must be window-free (a per-source rank
+    would funnel the Zipf-head source through one task): broadcast quota
+    join + stateless hash threshold only."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="t", source=f"s{i % 2}") for i in range(6)]
+    )
+    plan = _physical(corpus.mixture_sample(df, budget=10))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
