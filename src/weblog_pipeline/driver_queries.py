@@ -4315,6 +4315,48 @@ FROM documents d JOIN q USING (source)
 """
 
 
+def q_domain_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS depth over the planted domain graph — the
+    shortest-path member of the graph family."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.bfs_depth(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_reach(
+    seeds_k: int = graph.BFS_SEEDS, iters: int = graph.BFS_ITERS
+) -> str:
+    """Unrolled twin of graph.bfs_depth: one MATERIALIZED CTE pair per
+    hop (new frontier / accumulated visited) so CTE inlining stays
+    linear; NOT EXISTS (not NOT IN) for the null-robust anti-join."""
+    steps = []
+    for d in range(1, iters + 1):
+        steps.append(
+            f""",
+n{d} AS MATERIALIZED (
+  SELECT DISTINCT e.dst_host AS host
+  FROM edges e JOIN f{d - 1} f ON e.src_host = f.host
+  WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v WHERE v.host = e.dst_host)
+),
+v{d} AS MATERIALIZED (
+  SELECT host, depth FROM v{d - 1}
+  UNION ALL SELECT host, CAST({d} AS BIGINT) AS depth FROM n{d}
+),
+f{d} AS (SELECT host FROM n{d})"""
+        )
+    return f"""
+WITH {_links_cte()},
+seeds AS MATERIALIZED (
+  SELECT src_host AS host FROM (
+    SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS w
+    FROM edges GROUP BY 1
+    ORDER BY w DESC, src_host ASC LIMIT {seeds_k}) t
+),
+v0 AS MATERIALIZED (SELECT host, CAST(0 AS BIGINT) AS depth FROM seeds),
+f0 AS (SELECT host FROM v0){"".join(steps)}
+SELECT host, depth FROM v{iters}
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4426,9 +4468,9 @@ def queries() -> dict:
     #   3. otlp_proto_roundtrip (missed the r4 window by one position),
     #   4. every query ADDED in r5 (no official row EXISTS yet — and r3/r4
     #      proved local-pass does not imply driver-pass),
-    #   5. four r3-last-green queries picked for operator diversity
-    #      (html/robots/urlnorm string semantics, sessionization; the
-    #      dedup/LM/vocab families already hold fresh r4 rows).
+    #   5. three r3-last-green queries picked for operator diversity
+    #      (html/robots/urlnorm string semantics; the dedup/LM/vocab
+    #      families already hold fresh r4 rows).
     # Rotation schedule from r6 on: slots 17-50 cycle oldest-official-row
     # first — r6 takes the r3-last-green block right after the window
     # (ingest_increment .. lsh_candidate_pairs) plus the oldest r4 greens;
@@ -4483,15 +4525,16 @@ def queries() -> dict:
         "mixture_sample": docs(
             lambda d: corpus.mixture_sample(d, budget=MIXTURE_BUDGET)
         ),
+        "domain_reach": q_domain_reach,
         # -- 6. last official row r3 — operator-diverse picks (string
-        #       semantics, robots mapInPandas, sessionization;
-        #       dedup/LM/vocab families already hold fresh r4 rows) --
+        #       semantics, robots mapInPandas; dedup/LM/vocab families
+        #       already hold fresh r4 rows) --
         "html_meta": q_html_meta,
         "robots_decisions": q_robots_decisions,
         "url_normalize": q_url_normalize,
-        "span_sessions": q_span_sessions,
         # ---- end of the driver's 50-query window ----
         # -- last official row r3; first in line for the r6 window --
+        "span_sessions": q_span_sessions,
         "domain_route_counts": q_domain_route_counts,
         "ingest_increment": q_ingest_increment,
         "bigram_logprob": docs(textstats.bigram_logprob),
@@ -4624,6 +4667,7 @@ def oracle_sql() -> dict:
         "vocab_growth": _sql_vocab_growth(),
         "daily_quota": SQL_DAILY_QUOTA,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "domain_reach": _sql_domain_reach(),
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

@@ -261,3 +261,57 @@ def hits(
         auth.select("host", F.col("r").alias("auth_scaled"))
         .join(hubs.select("host", F.col("r").alias("hub_scaled")), "host")
     )
+
+
+#: BFS geometry: seed count and hop budget (shared with the SQL oracle
+#: generator — change together).
+BFS_SEEDS = 3
+BFS_ITERS = 4
+
+
+def bfs_depth(
+    edges: DataFrame, seeds_k: int = BFS_SEEDS, iters: int = BFS_ITERS
+) -> DataFrame:
+    """Multi-source BFS over the domain link graph: crawl-frontier
+    reachability from the seeds_k best-connected domains (total outlink
+    weight desc, host asc — deterministic), depth = min hops from any
+    seed, unreached domains excluded. The shortest-path member of the
+    graph family (pagerank / hits / duplicate_clusters are the other
+    fixed-point exemplars).
+
+    Iteration k joins the previous FRONTIER (not the visited set)
+    against the edge list, anti-joins out already-visited hosts, and
+    localCheckpoints — lineage stays one hop deep and each round's work
+    is bounded by the frontier, the textbook distributed-BFS shape. At
+    domain grain every join side is tiny vs the corpus; the edge list is
+    checkpointed once so the upstream link extraction never re-scans.
+
+    Output: host, depth (0 for seeds).
+    """
+    edges = edges.localCheckpoint()
+    seeds = (
+        edges.groupBy("src_host")
+        .agg(F.sum("n_links").alias("_w"))
+        .orderBy(F.desc("_w"), F.asc("src_host"))
+        .limit(seeds_k)
+        .select(F.col("src_host").alias("host"))
+    )
+    visited = seeds.select(
+        "host", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint()
+    frontier = visited.select("host")
+    for d in range(1, iters + 1):
+        nxt = (
+            edges.join(frontier, edges["src_host"] == frontier["host"])
+            .select(F.col("dst_host").alias("host"))
+            .distinct()
+            .join(visited, "host", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.select("host", F.lit(d).cast("long").alias("depth"))
+        ).localCheckpoint()
+        # next frontier reads back from the CHECKPOINTED visited set so
+        # the loop's lineage stays one hop deep (frontier = nxt would
+        # chain every prior hop's anti-join into the next plan)
+        frontier = visited.where(F.col("depth") == d).select("host")
+    return visited

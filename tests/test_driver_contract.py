@@ -54,10 +54,10 @@ def test_canaries_lead_the_correctness_window(entrymod):
               "domain_hits", "anchor_text_topk", "gopher_quality_flags",
               "c4_quality_flags", "heavy_hitters", "bloom_prefilter",
               "bpe_train", "bpe_apply", "vocab_growth", "daily_quota",
-              "mixture_sample"}
+              "mixture_sample", "domain_reach"}
     assert r5_new <= window, sorted(r5_new - window)
     # the r3-stale rotation block closes the window
-    assert keys[48:50] == ["url_normalize", "span_sessions"]
+    assert keys[48:50] == ["robots_decisions", "url_normalize"]
 
 
 def test_canary_oracles_are_literal(entrymod):

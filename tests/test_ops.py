@@ -2490,3 +2490,26 @@ def test_mixture_sample_epoch_counts(spark):
     assert {i: got3[i] for i in range(4)} == {
         i: int(v) for i, v in expect_extra.items()
     }
+
+
+def test_bfs_depth_multi_source_min_hops(spark):
+    """Hand-drawn graph: seeds are the 2 heaviest outlink sources; depth
+    is min hops from ANY seed; nodes beyond the hop budget and unreached
+    nodes are absent."""
+    from weblog_pipeline.ops import graph
+
+    E = [
+        ("a", "b", 5), ("a", "c", 5),   # a: weight 10 (seed)
+        ("b", "d", 9),                  # b: weight 9  (seed)
+        ("c", "e", 1), ("d", "e", 1),   # e reachable at depth 2
+        ("e", "f", 1),                  # f at depth 3
+        ("f", "g", 1),                  # g at depth 4
+        ("g", "h", 1),                  # h at depth 5 -> EXCLUDED (iters=4)
+        ("z", "z2", 1),                 # z component unreached from seeds
+    ]
+    edges = spark.createDataFrame(E, "src_host string, dst_host string, n_links long")
+    got = {
+        r["host"]: r["depth"]
+        for r in graph.bfs_depth(edges, seeds_k=2, iters=4).collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 2, "f": 3, "g": 4}
