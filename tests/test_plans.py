@@ -416,3 +416,21 @@ def test_mixture_sample_has_no_windows(spark):
     plan = _physical(corpus.mixture_sample(df, budget=10))
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bfs_depth_lineage_flat_in_hop_count(spark):
+    """Each BFS hop must be localCheckpoint'd: the final plan's join
+    count is constant in the hop budget (frontier reads back from the
+    materialized visited set, never the whole chain)."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import graph
+
+    edges = spark.createDataFrame(
+        [Row(src_host="a", dst_host="b", n_links=2),
+         Row(src_host="b", dst_host="c", n_links=1)]
+    )
+    p2 = _physical(graph.bfs_depth(edges, seeds_k=1, iters=2))
+    p6 = _physical(graph.bfs_depth(edges, seeds_k=1, iters=6))
+    assert p2.count("Join") == p6.count("Join"), "plan grows with hops"
+    assert "ExistingRDD" in p6
