@@ -2513,3 +2513,55 @@ def test_bfs_depth_multi_source_min_hops(spark):
         for r in graph.bfs_depth(edges, seeds_k=2, iters=4).collect()
     }
     assert got == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 2, "f": 3, "g": 4}
+
+
+def _ref_bpe(word_counts, n_merges):
+    """20-line reference BPE (Sennrich et al.): symbol-list greedy merges,
+    max pair count with (lhs, rhs) lexicographic tie-break."""
+    reps = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for w, c in word_counts.items():
+            s = reps[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, lhs, rhs, cnt))
+        for w, s in reps.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            reps[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_on_random_corpora(spark):
+    """Seeded randomized equivalence: tiny-alphabet corpora maximize
+    merge ties, self-overlaps (aaa), and multi-char-symbol boundary
+    traps — the Spark double-separator implementation must match the
+    symbol-list reference merge-for-merge on every one."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(12):
+        vocab = {
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 6))
+        }
+        word_counts = {w: rng.randint(1, 3) for w in vocab}
+        text_parts = [w for w, c in sorted(word_counts.items()) for _ in range(c)]
+        df = spark.createDataFrame([Row(doc_id=0, text=" ".join(text_parts))])
+        got = [
+            (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in textstats.bpe_train(df, n_merges=5).orderBy("step").collect()
+        ]
+        want = _ref_bpe(word_counts, 5)
+        assert got == want, (trial, word_counts, got, want)
