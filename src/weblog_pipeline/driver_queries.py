@@ -4357,6 +4357,18 @@ SELECT host, depth FROM v{iters}
 """
 
 
+SQL_HASHED_TF = f"""
+SELECT doc_id,
+  CAST(('0x' || substr(md5(t.token), 1, 4)) AS BIGINT) % {textstats.HASHTF_BUCKETS} AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS tf
+FROM (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents WHERE trim(text, ' ') <> ''
+) t
+WHERE t.token <> ''
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict:
     """name -> callable(spark, sf_dir) -> DataFrame."""
     docs = lambda fn: (lambda spark, sf_dir: fn(_read(spark, sf_dir, "documents")))  # noqa: E731
@@ -4534,6 +4546,7 @@ def queries() -> dict:
         "url_normalize": q_url_normalize,
         # ---- end of the driver's 50-query window ----
         # -- last official row r3; first in line for the r6 window --
+        "hashed_tf": docs(textstats.hashed_tf),
         "span_sessions": q_span_sessions,
         "domain_route_counts": q_domain_route_counts,
         "ingest_increment": q_ingest_increment,
@@ -4668,6 +4681,7 @@ def oracle_sql() -> dict:
         "daily_quota": SQL_DAILY_QUOTA,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "domain_reach": _sql_domain_reach(),
+        "hashed_tf": SQL_HASHED_TF,
         "polite_crawl": _sql_polite_crawl(),
         "cdc_chunks": _sql_cdc_chunks(),
         "cdc_dup_stats": _sql_cdc_dup_stats(),

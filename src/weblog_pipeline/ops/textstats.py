@@ -1261,3 +1261,37 @@ def vocab_growth(
         ).cast("long").alias("vocab_cum"),
         "new_tokens",
     )
+
+
+#: feature-hashing grid for hashed_tf (Weinberger et al. 2009 /
+#: Spark MLlib HashingTF): token -> md5-conv bucket, counts per bucket.
+HASHTF_BUCKETS = 256
+
+
+def hashed_tf(documents: DataFrame, n_buckets: int = HASHTF_BUCKETS) -> DataFrame:
+    """Feature-hashed term-frequency document vectors (the HashingTF
+    featurizer, exposed): token t lands in bucket md5(t) first-4-hex mod
+    n_buckets (the pinned md5-conv idiom, canary_md5_conv), emitted as
+    the SPARSE (doc_id, bucket, tf) triple stream — the input shape for
+    any hashed linear model or the quality classifier's weight join.
+
+    Scale shape: one explode + one (doc_id, bucket) aggregate with
+    map-side combine; output bounded by docs x n_buckets, no vocabulary
+    table, no global state — why the hash trick exists.
+
+    Output: doc_id, bucket, tf.
+    """
+    toks = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(lower_tokens_col()).alias("token"))
+        .where(F.col("token") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )

@@ -2565,3 +2565,17 @@ def test_bpe_train_matches_reference_on_random_corpora(spark):
         ]
         want = _ref_bpe(word_counts, 5)
         assert got == want, (trial, word_counts, got, want)
+
+
+def test_hashed_tf_sparse_counts(spark):
+    """Same token -> same bucket across docs; tf counts duplicates; the
+    bucket is the pinned md5-conv idiom."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha alpha beta"), Row(doc_id=1, text="alpha")]
+    )
+    rows = textstats.hashed_tf(df, n_buckets=64).collect()
+    b = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 64  # noqa: E731
+    got = {(r["doc_id"], r["bucket"]): r["tf"] for r in rows}
+    assert got == {
+        (0, b("alpha")): 2, (0, b("beta")): 1, (1, b("alpha")): 1,
+    }
