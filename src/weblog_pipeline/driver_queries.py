@@ -4471,91 +4471,32 @@ def queries() -> dict:
         return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # entries in dict order. Round-5 window budget, by information value
-    # of one official driver row:
+    # entries in dict order. Round-6 window = oldest-official-row first:
     #   1. the single-semantic portability canaries (permanent residents:
     #      one driver bit per divergence class, fixture-independent),
-    #   2. the 5 rows hash-red in r4 (HUGEINT oracle dtype, now CAST-fixed)
-    #      — must prove green officially,
-    #   3. otlp_proto_roundtrip (missed the r4 window by one position),
-    #   4. every query ADDED in r5 (no official row EXISTS yet — and r3/r4
-    #      proved local-pass does not imply driver-pass),
-    #   5. three r3-last-green queries picked for operator diversity
-    #      (html/robots/urlnorm string semantics; the dedup/LM/vocab
-    #      families already hold fresh r4 rows).
-    # Rotation schedule from r6 on: slots 17-50 cycle oldest-official-row
-    # first — r6 takes the r3-last-green block right after the window
-    # (ingest_increment .. lsh_candidate_pairs) plus the oldest r4 greens;
-    # the canaries and any red row always stay in.
+    #   2. hashed_tf — added late r5, the ONLY catalog query with no
+    #      official row ever,
+    #   3. the 30 queries whose newest official row is r3 (everything
+    #      else is r4/r5-green; r3/r4 proved local-pass != driver-pass,
+    #      so stale rows rotate back in before anything fresh),
+    #   4. the oldest r4 greens fill the remaining slots; any query
+    #      ADDED in r6 displaces from the END of that fill block so it
+    #      gets a first official row without evicting a stale one.
+    # After r6: no catalog query's newest official row predates r4.
     return {
         # -- 1. portability canaries (permanent) --
         **_CANARY_QUERIES,
-        # -- 2. hash-red in r4: DuckDB SUM(BIGINT)->HUGEINT oracle dtype,
-        #       oracles now CAST to BIGINT --
-        "charclass_census": q_charclass_census,
-        "quality_classifier": q_quality_classifier,
-        "pack_sequences": q_pack_sequences,
-        "export_manifest": q_export_manifest,
-        "cdc_chunks": q_cdc_chunks,
-        # -- 3. missed the r4 window by one --
-        "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
-        # -- 4. added in r5: first official row --
-        "multimodal_alaw_decode": q_multimodal_alaw_decode,
-        "multimodal_adpcm_decode": q_multimodal_adpcm_decode,
-        "multimodal_dib_avi_decode": q_multimodal_dib_avi_decode,
-        "length_quantiles": q_length_quantiles,
-        "mixture_weights": q_mixture_weights,
-        "token_windows": q_token_windows,
-        "cardinality_audit": q_cardinality_audit,
-        "cross_neardup": q_cross_neardup,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "source_boilerplate": q_source_boilerplate,
-        "source_overlap": q_source_overlap,
-        "embedding_covariance": q_embedding_covariance,
-        "embedding_outliers": q_embedding_outliers,
-        "event_key_skew": q_event_key_skew,
-        "posting_lists": docs(lambda d: textstats.posting_lists(d, k=3)),
-        "pmi_collocations": docs(lambda d: textstats.pmi_collocations(d, k=50)),
-        "continuation_counts": docs(textstats.continuation_counts),
-        "outlink_graph": q_outlink_graph,
-        "domain_pagerank": q_domain_pagerank,
-        "domain_hits": q_domain_hits,
-        "anchor_text_topk": q_anchor_text_topk,
-        "gopher_quality_flags": docs(
-            lambda d: textstats.gopher_quality_flags(d, stopwords=GOPHER_PROBE)
-        ),
-        "c4_quality_flags": q_c4_quality_flags,
-        "heavy_hitters": q_heavy_hitters,
-        # -- 5. also added in r5 (late): first official row --
-        "bloom_prefilter": q_bloom_prefilter,
-        "bpe_train": docs(textstats.bpe_train),
-        "bpe_apply": docs(
-            lambda d: textstats.bpe_apply(d, BPE_APPLY_MERGES)
-        ),
-        "vocab_growth": docs(textstats.vocab_growth),
-        "daily_quota": q_daily_quota,
-        "mixture_sample": docs(
-            lambda d: corpus.mixture_sample(d, budget=MIXTURE_BUDGET)
-        ),
-        "domain_reach": q_domain_reach,
-        # -- 6. last official row r3 — operator-diverse picks (string
-        #       semantics, robots mapInPandas; dedup/LM/vocab families
-        #       already hold fresh r4 rows) --
-        "html_meta": q_html_meta,
-        "robots_decisions": q_robots_decisions,
-        "url_normalize": q_url_normalize,
-        # ---- end of the driver's 50-query window ----
-        # -- last official row r3; first in line for the r6 window --
+        # -- 2. no official row ever (added late r5) --
         "hashed_tf": docs(textstats.hashed_tf),
+        # -- 3. newest official row r3 --
         "span_sessions": q_span_sessions,
         "domain_route_counts": q_domain_route_counts,
         "ingest_increment": q_ingest_increment,
         "bigram_logprob": docs(textstats.bigram_logprob),
         "vocab_topk": docs(lambda d: textstats.vocab_topk(d, k=100)),
-        # the planted twin ahead of dedup_exact in the rotation queue: the
-        # base fixture has no exact duplicates at sf0.01, so the bare
-        # query's official row would hash an empty result — the twin
-        # proves the operator on real dups
+        # planted twin ahead of dedup_exact in value: the base fixture
+        # has no exact duplicates at sf0.01, so the bare query's row
+        # hashes a near-empty result — the twin proves the operator
         "dedup_exact_planted": docs(
             lambda d: dedup.exact_duplicates(_planted_docs(d))
         ),
@@ -4581,7 +4522,11 @@ def queries() -> dict:
         "bpe_pair_counts": docs(lambda d: textstats.bpe_pair_counts(d, k=50)),
         "dedup_stats": q_dedup_stats,
         "lsh_candidate_pairs": docs(dedup.lsh_candidate_pairs),
-        # -- green in r4; rotate back in after the r3 block --
+        "dedup_exact": docs(dedup.exact_duplicates),
+        "dedup_pipeline_planted": docs(
+            lambda d: dedup.dedup_pipeline(_planted_docs(d))
+        ),
+        # -- 4. oldest r4 greens / new-in-r6 fill (window ends after these) --
         "e2e_sink_counts": q_e2e_sink_counts,
         "e2e_records": q_e2e_records,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
@@ -4591,6 +4536,8 @@ def queries() -> dict:
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        # ---- end of the driver's 50-query window ----
+        # -- out-of-window remainder, oldest official row first (r7 queue) --
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "multimodal_avi_decode": q_multimodal_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
@@ -4634,10 +4581,52 @@ def queries() -> dict:
         "parse_roundtrip": q_parse_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "otlp_roundtrip": q_otlp_roundtrip,
-        "dedup_exact": docs(dedup.exact_duplicates),
-        "dedup_pipeline_planted": docs(
-            lambda d: dedup.dedup_pipeline(_planted_docs(d))
+        "charclass_census": q_charclass_census,
+        "quality_classifier": q_quality_classifier,
+        "pack_sequences": q_pack_sequences,
+        "export_manifest": q_export_manifest,
+        "cdc_chunks": q_cdc_chunks,
+        "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
+        "multimodal_alaw_decode": q_multimodal_alaw_decode,
+        "multimodal_adpcm_decode": q_multimodal_adpcm_decode,
+        "multimodal_dib_avi_decode": q_multimodal_dib_avi_decode,
+        "length_quantiles": q_length_quantiles,
+        "mixture_weights": q_mixture_weights,
+        "token_windows": q_token_windows,
+        "cardinality_audit": q_cardinality_audit,
+        "cross_neardup": q_cross_neardup,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "source_boilerplate": q_source_boilerplate,
+        "source_overlap": q_source_overlap,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_outliers": q_embedding_outliers,
+        "event_key_skew": q_event_key_skew,
+        "posting_lists": docs(lambda d: textstats.posting_lists(d, k=3)),
+        "pmi_collocations": docs(lambda d: textstats.pmi_collocations(d, k=50)),
+        "continuation_counts": docs(textstats.continuation_counts),
+        "outlink_graph": q_outlink_graph,
+        "domain_pagerank": q_domain_pagerank,
+        "domain_hits": q_domain_hits,
+        "anchor_text_topk": q_anchor_text_topk,
+        "gopher_quality_flags": docs(
+            lambda d: textstats.gopher_quality_flags(d, stopwords=GOPHER_PROBE)
         ),
+        "c4_quality_flags": q_c4_quality_flags,
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_prefilter": q_bloom_prefilter,
+        "bpe_train": docs(textstats.bpe_train),
+        "bpe_apply": docs(
+            lambda d: textstats.bpe_apply(d, BPE_APPLY_MERGES)
+        ),
+        "vocab_growth": docs(textstats.vocab_growth),
+        "daily_quota": q_daily_quota,
+        "mixture_sample": docs(
+            lambda d: corpus.mixture_sample(d, budget=MIXTURE_BUDGET)
+        ),
+        "domain_reach": q_domain_reach,
+        "html_meta": q_html_meta,
+        "robots_decisions": q_robots_decisions,
+        "url_normalize": q_url_normalize,
     }
 
 

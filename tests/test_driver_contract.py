@@ -40,24 +40,24 @@ def test_canaries_lead_the_correctness_window(entrymod):
     assert keys[: len(canaries)] == canaries, "canaries must lead queries()"
     assert len(canaries) >= 8
     window = set(keys[:50])
-    # the r4 hash-red rows must re-prove themselves officially
-    assert {"charclass_census", "quality_classifier", "pack_sequences",
-            "export_manifest", "cdc_chunks"} <= window
-    # every query added in r5 gets its FIRST official row this round
-    r5_new = {"multimodal_alaw_decode", "multimodal_adpcm_decode",
-              "multimodal_dib_avi_decode", "length_quantiles",
-              "mixture_weights", "token_windows", "cardinality_audit",
-              "cross_neardup", "embedding_dim_stats", "source_boilerplate",
-              "source_overlap", "embedding_covariance", "embedding_outliers",
-              "event_key_skew", "posting_lists", "pmi_collocations",
-              "continuation_counts", "outlink_graph", "domain_pagerank",
-              "domain_hits", "anchor_text_topk", "gopher_quality_flags",
-              "c4_quality_flags", "heavy_hitters", "bloom_prefilter",
-              "bpe_train", "bpe_apply", "vocab_growth", "daily_quota",
-              "mixture_sample", "domain_reach"}
-    assert r5_new <= window, sorted(r5_new - window)
-    # the r3-stale rotation block closes the window
-    assert keys[48:50] == ["robots_decisions", "url_normalize"]
+    # r6 rotation: hashed_tf (only query with NO official row ever) leads
+    # the rotating slots, followed by every query whose newest official
+    # row is r3 — after this round no row may predate r4
+    assert keys[len(canaries)] == "hashed_tf"
+    r3_stale = {"span_sessions", "domain_route_counts", "ingest_increment",
+                "bigram_logprob", "vocab_topk", "dedup_exact_planted",
+                "minhash_signatures", "filter_include_names",
+                "grouped_emission", "windowed_sink_counts",
+                "parse_quarantine", "sitemap_coverage", "polite_crawl",
+                "cdc_dup_stats", "length_histogram", "url_components",
+                "span_rollup", "lang_length_stats", "label_centroids",
+                "prototype_confusion", "token_counts", "quality_stats",
+                "lang_id", "fingerprint", "winnow_fingerprints",
+                "bpe_pair_counts", "dedup_stats", "lsh_candidate_pairs",
+                "dedup_exact", "dedup_pipeline_planted"}
+    assert r3_stale <= window, sorted(r3_stale - window)
+    # remaining slots: oldest r4 greens / queries added in r6
+    assert "e2e_sink_counts" in window and "e2e_records" in window
 
 
 def test_canary_oracles_are_literal(entrymod):
