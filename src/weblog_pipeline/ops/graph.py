@@ -253,6 +253,8 @@ def hits(
             .localCheckpoint()
         )
 
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     auth = None
     for _ in range(iters):
         auth = _half_step(hubs, "src_host", "dst_host")

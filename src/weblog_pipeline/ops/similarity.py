@@ -202,7 +202,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 sign-LSH band bucket;
     exact cosine re-rank on candidates only; two-phase final rank.
-    Defaults: 4 bands x 6-bit buckets (see LSH_TOPK_PLANES note).
+    Defaults: 6 bands x 6-bit buckets (see LSH_TOPK_PLANES note).
 
     probe_bits=1 enables MULTI-PROBE (Lv et al., VLDB'07): each query
     additionally probes every bucket at Hamming distance 1 (one flipped

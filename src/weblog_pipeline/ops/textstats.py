@@ -1181,8 +1181,10 @@ def bpe_apply(
     return pre.select(
         "doc_id",
         F.array_size("_w").cast("long").alias("n_words"),
-        n_chars.alias("n_chars"),
-        n_pieces.alias("n_pieces"),
+        # NULL-text docs: F.aggregate over a NULL array yields NULL; the
+        # oracle COALESCEs to 0 — mirror it so the engines agree
+        F.coalesce(n_chars, F.lit(0).cast("long")).alias("n_chars"),
+        F.coalesce(n_pieces, F.lit(0).cast("long")).alias("n_pieces"),
     )
 
 
@@ -1214,9 +1216,6 @@ def vocab_growth(
         _fan_out(documents.select("doc_id", "text"))
         .select("doc_id", F.explode(lower_tokens_col()).alias("token"))
         .where(F.col("token") != "")
-    )
-    n_total = documents.agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
     )
     # bucket of a doc: 1 + (its rank-by-doc_id - 1) * n_buckets / N — but a
     # rank would be a global sort; doc_ids are dense in the fixtures and

@@ -288,24 +288,28 @@ def keyed_quota_stateful(events: DataFrame, k: int = 3) -> DataFrame:
 
     def quota(key, pdfs, state):
         cnt = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            seqs = list(range(cnt + 1, cnt + len(pdf) + 1))
-            cnt += len(pdf)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "event_id": pdf["event_id"].astype("int64"),
-                        "user_id": [key[0]] * len(pdf),
-                        "win_start": [key[1]] * len(pdf),
-                        "seq": pd.Series(seqs, dtype="int32"),
-                        "allowed": [s <= k for s in seqs],
-                    }
-                )
-            )
-        state.update((cnt,))
-        yield from out
+        # Materialize the whole group first: applyInPandasWithState may
+        # deliver one (user_id, win_start) group as multiple Arrow chunks
+        # in a single micro-batch with NO ordering guarantee, so sorting
+        # chunks independently would make seq/allowed depend on chunk
+        # boundaries. One group per (key, day) is micro-batch-bounded —
+        # concat is safe for a day stratum.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # reset_index matters: pandas aligns Series by index when building
+        # the output frame, so a permuted post-sort index would silently
+        # pair seq values with ARRIVAL-order rows
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        seqs = list(range(cnt + 1, cnt + len(pdf) + 1))
+        state.update((cnt + len(pdf),))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": [key[0]] * len(pdf),
+                "win_start": [key[1]] * len(pdf),
+                "seq": pd.Series(seqs, dtype="int32"),
+                "allowed": [s <= k for s in seqs],
+            }
+        )
 
     keyed = events.select(
         "event_id",

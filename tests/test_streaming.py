@@ -335,3 +335,60 @@ def test_keyed_quota_stateful_equals_batch_twin(spark, tmp_path):
     assert [want[i][2] for i in (0, 1, 3, 4, 5)] == [1, 2, 3, 4, 5]
     assert [want[i][3] for i in (0, 1, 3, 4, 5)] == [True, True, True, False, False]
     assert want[7][2] == 1 and want[7][3]  # day-2 counter starts fresh
+
+
+def test_keyed_quota_stateful_group_spanning_arrow_chunks(spark, tmp_path):
+    """One (user, day) group larger than an Arrow batch arrives as
+    MULTIPLE pandas chunks in a single micro-batch, in no guaranteed
+    order. seq/allowed must come from one global (ts, event_id) sort of
+    the whole group, not chunk-local sorts (regression: rows are written
+    in DESCENDING ts order, so any chunk-local sequencing diverges)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import keyed_quota
+    from weblog_pipeline.streaming import keyed_quota_stateful
+
+    base = datetime.datetime(2025, 7, 4)
+    schema = "event_id long, user_id long, ts timestamp"
+    n = 100
+    rows = [
+        Row(event_id=i, user_id=7,
+            ts=base + datetime.timedelta(seconds=10 * (n - i)))
+        for i in range(n)  # event_id 99 is EARLIEST; written first-to-last
+    ]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        q = (
+            keyed_quota_stateful(
+                spark.readStream.schema(schema).parquet(inp), k=3
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r["event_id"]: (r["seq"], r["allowed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_id"]: (r["seq"], r["allowed"])
+        for r in keyed_quota(spark.createDataFrame(rows, schema), k=3).collect()
+    }
+    assert got == want
+    # earliest ts (highest event_id) holds seq 1 and is allowed
+    assert got[n - 1] == (1, True)
+    assert got[0] == (n, False)
