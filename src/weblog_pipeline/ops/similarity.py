@@ -142,25 +142,60 @@ def hyperplane_signs(band: int, plane: int, dim: int = DIM) -> list[int]:
     return signs
 
 
-def band_bucket_sql(band: int, dim: int = DIM, n_planes: int = N_PLANES) -> str:
-    """8-bit bucket id for one band over per-dimension QUANTIZED scalar
-    columns _q0.._q{dim-1} and their total _t: bit p = [integer projection
-    onto plane_{band,p} is > 0]. Pure integer arithmetic — bit-identical in
-    Spark and any SQL engine.
+def _quantize_batch(vals, quant: int):
+    """float vectors -> int64 matrix, the numpy twin of the engines' rule
+    floor(CAST(x AS DOUBLE) * quant): float32->float64 widening is exact,
+    the double product is IEEE-identical everywhere, floor is unambiguous
+    — so the integers match Spark SQL and DuckDB bit-for-bit."""
+    import numpy as np
 
-    Since signs are +-1, proj = sum(q[pos]) - sum(q[neg])
-    = 2*sum(q[pos]) - total(q): each plane is a FLAT half-size sum inside
-    whole-stage codegen. Built as ONE SQL string: the Column-algebra
-    formulation spent seconds per query on py4j round-trips (one JVM call
-    per operator node), and the earlier zip_with/aggregate lambdas fell
-    back to interpreted evaluation on top of that."""
-    bits = []
-    for p in range(n_planes):
-        signs = hyperplane_signs(band, p, dim)
-        pos = [f"_q{d}" for d, s in enumerate(signs) if s == 1]
-        possum = "(" + " + ".join(pos) + ")" if pos else "0L"
-        bits.append(f"(CASE WHEN 2 * {possum} - _t > 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
+    return np.floor(
+        np.stack([np.asarray(a, dtype=np.float64) for a in vals])
+        * float(quant)
+    ).astype(np.int64)
+
+
+def _with_matmul_column(df: DataFrame, vec: str, out_field, fn) -> DataFrame:
+    """Append one column computed per Arrow batch by `fn(Q)` over the
+    quantization-ready vector column — the repo's vectorized map-stage
+    pattern (embedding_covariance). All input columns pass through; zero
+    shuffle; no per-row Python.
+
+    Why not a codegen'd literal expression: the n_cells x dim (or
+    n_bands x n_planes x dim) multiply-add unrolls to a ~1000-term single
+    expression tree, which overflows Janino's 64 KB method limit —
+    Spark then silently falls back to per-row INTERPRETED evaluation
+    (`ERROR CodeGenerator: Failed to compile`), the worst of both worlds
+    on the hottest inner loop. An int64 numpy matmul per Arrow batch is
+    exact (see _quantize_batch) and BLAS-fast, and the surrounding plan
+    (scan, joins, ranks) stays whole-stage-codegen'd JVM."""
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(df.schema.fields + [out_field])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf[out_field.name] = fn(pdf[vec])
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _sign_matrix(n_bands: int, n_planes: int, dim: int):
+    """(n_bands * n_planes, dim) +-1 int64 matrix of hyperplane_signs."""
+    import numpy as np
+
+    return np.asarray(
+        [
+            hyperplane_signs(b, p, dim)
+            for b in range(n_bands)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
 
 
 def with_band_buckets(
@@ -171,24 +206,34 @@ def with_band_buckets(
     n_bands: int = N_LSH_BANDS,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """(id_col, <vec>, band, bucket) — one row per (row, band)."""
-    base = df.selectExpr(
-        f"`{id_col}`",
-        f"`{vec}`",
-        *[
-            f"floor(`{vec}`[{d}] * {float(LSH_QUANT)}D) AS _q{d}"
-            for d in range(dim)
-        ],
-    ).selectExpr(
-        "*", "(" + " + ".join(f"_q{d}" for d in range(dim)) + ") AS _t"
+    """(id_col, <vec>, band, bucket) — one row per (row, band).
+
+    bucket bit p of band b = [integer projection of the quantized vector
+    onto plane_{b,p} > 0]; computed as one int64 matmul per Arrow batch
+    (see _with_matmul_column for why not a literal codegen expression),
+    returned as an n_bands array so the (band, bucket) fan-out is a
+    JVM-side posexplode — the vector column crosses Arrow exactly once."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField
+
+    S = _sign_matrix(n_bands, n_planes, dim)
+    weights = np.asarray([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    def buckets(vals):
+        Q = _quantize_batch(vals, LSH_QUANT)
+        bits = (Q @ S.T > 0).reshape(len(Q), n_bands, n_planes)
+        bk = (bits * weights).sum(axis=2).astype(np.int32)
+        return list(bk)
+
+    out = _with_matmul_column(
+        df.select(id_col, vec),
+        vec,
+        StructField("_buckets", ArrayType(IntegerType()), False),
+        buckets,
     )
-    bands = "array(" + ", ".join(
-        f"struct({b} AS band, {band_bucket_sql(b, dim, n_planes)} AS bucket)"
-        for b in range(n_bands)
-    ) + ")"
-    return base.selectExpr(
-        f"`{id_col}`", f"`{vec}`", f"explode({bands}) AS bb"
-    ).selectExpr(f"`{id_col}`", f"`{vec}`", "bb.band AS band", "bb.bucket AS bucket")
+    return out.select(
+        id_col, vec, F.posexplode("_buckets").alias("band", "bucket")
+    )
 
 
 def lsh_topk(
@@ -282,31 +327,33 @@ def quantize_centroid(c: list[float], quant: int = IVF_QUANT) -> list[int]:
     return [math.floor(x * quant) for x in c]
 
 
-def nearest_cells_from_quantized(
-    vec_name: str, qcents: list[list[int]], top_n: int
-):
-    """Array of the top_n nearest centroid indices, by INTEGER dot product
-    of the quantized vector with PRE-QUANTIZED integer centroid components
-    (ties -> lower cell index). Exact in any engine; a flat codegen'd
-    multiply-add over broadcast-literal centroid components, built as one
-    SQL string (a single py4j call) — at 100 TB this is a narrow int
-    computed in the scan stage."""
-    structs = []
-    for i, qc in enumerate(qcents):
-        terms = " + ".join(
-            f"floor(`{vec_name}`[{d}] * {float(IVF_QUANT)}D) * {x}L"
-            for d, x in enumerate(qc)
-            if x != 0
-        ) or "0L"
-        structs.append(f"struct(-({terms}) AS negdot, {i} AS cell)")
-    arr = "array(" + ", ".join(structs) + ")"
-    return F.expr(f"slice(transform(array_sort({arr}), s -> s.cell), 1, {top_n})")
+def with_nearest_cells(
+    df: DataFrame,
+    vec: str,
+    qcents: list[list[int]],
+    top_n: int,
+    out_col: str = "_cells",
+) -> DataFrame:
+    """Append `out_col` = array of the top_n nearest centroid indices, by
+    INTEGER dot product of the quantized vector with the PRE-QUANTIZED
+    integer centroid components (ties -> lower cell index). Exact in any
+    engine (_quantize_batch); one int64 matmul per Arrow batch against the
+    (n_cells, dim) centroid matrix (see _with_matmul_column for why not a
+    literal codegen expression). All input columns pass through; at 100 TB
+    this is a narrow column computed in a map stage — no shuffle."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField
 
+    C = np.asarray(qcents, dtype=np.int64)
 
-def nearest_cells_col(vec_name: str, centroids: list[list[float]], top_n: int):
-    """nearest_cells_from_quantized over float centroids (quantized here)."""
-    return nearest_cells_from_quantized(
-        vec_name, [quantize_centroid(c) for c in centroids], top_n
+    def cells(vals):
+        dots = _quantize_batch(vals, IVF_QUANT) @ C.T
+        # descending dot; stable sort keeps ties in ascending cell order
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :top_n]
+        return list(order.astype(np.int32))
+
+    return _with_matmul_column(
+        df, vec, StructField(out_col, ArrayType(IntegerType()), False), cells
     )
 
 
@@ -323,10 +370,10 @@ def ivf_topk(
     Coarse quantizer: n_cells hash-sampled centroids (sample_centroids),
     or caller-supplied `seeds` (so a caller training both the plain and
     refined variants samples the corpus once).
-    Each corpus vector is assigned to its nearest centroid with a codegen'd
-    integer argmax over the broadcast centroid table; a query probes its
-    n_probe nearest cells and re-ranks exactly within them. At 100 TB the
-    cell assignment is a narrow int column computed in the scan stage, the
+    Each corpus vector is assigned to its nearest centroid with an exact
+    integer argmax over the centroid matrix (with_nearest_cells); a query
+    probes its n_probe nearest cells and re-ranks exactly within them. At
+    100 TB the cell assignment is a narrow int column from a map stage, the
     probe join is an equi-join on cell id, and only ~n_probe/n_cells of the
     corpus is scored per query.
     """
@@ -348,17 +395,17 @@ def lloyd_step(embeddings: DataFrame, qcents: list[list[int]]) -> list[list[int]
     attract no vectors keep their previous centroid (same rule in the SQL
     twin).
 
-    Spark shape: one pass over the corpus (assignment is a codegen'd
-    literal expression in the scan stage), posexplode to (cell, dim)
-    grain, map-side-combined aggregate; only n_cells x DIM tiny rows reach
+    Spark shape: one pass over the corpus (assignment is a vectorized
+    map stage, with_nearest_cells), posexplode to (cell, dim) grain,
+    map-side-combined aggregate; only n_cells x DIM tiny rows reach
     the driver."""
     quant_expr = (
         f"transform(embedding, x -> cast(floor(x * {float(IVF_QUANT)}D) as long))"
     )
-    assigned = embeddings.select(
-        F.element_at(
-            nearest_cells_from_quantized("embedding", qcents, 1), 1
-        ).alias("cell"),
+    assigned = with_nearest_cells(
+        embeddings.select("embedding"), "embedding", qcents, 1
+    ).select(
+        F.element_at("_cells", 1).alias("cell"),
         F.expr(quant_expr).alias("q"),
     )
     stats = (
@@ -409,26 +456,29 @@ def _ivf_rank(
     k: int,
     n_probe: int,
 ) -> DataFrame:
-    """Shared IVF probe chain: cell assignment (scan-stage literal
-    expression), broadcast probe equi-join, exact cosine re-rank."""
-    # NOTE: the centroid dot products are LITERAL expressions over
-    # `embedding[d]` (one py4j string), NOT a two-step projection of
-    # quantized _q columns — a pre-projected variant sent the optimizer
-    # into a non-converging projection-collapse over the array_sort
-    # lambda (hung >4 min at sf0.01). Keep the flat literal form.
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("vec"),
-        F.element_at(
-            nearest_cells_from_quantized("embedding", qcents, 1), 1
-        ).alias("cell"),
+    """Shared IVF probe chain: cell assignment (vectorized map stage),
+    broadcast probe equi-join, exact cosine re-rank.
+
+    History note: assignment was previously a flat literal SQL expression
+    (a pre-projected _q-column variant sent the optimizer into a
+    non-converging projection collapse), but at 16 cells x 64 dims the
+    literal unrolled past Janino's method limit and silently fell back to
+    per-row interpreted eval — with_nearest_cells is the fix."""
+    corpus = with_nearest_cells(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "vec",
+        qcents,
+        1,
+    ).select(
+        "neighbor_id", "vec", F.element_at("_cells", 1).alias("cell")
     )
-    probes = queries.select(
-        "query_id",
-        "query_vec",
-        F.explode(
-            nearest_cells_from_quantized("query_vec", qcents, n_probe)
-        ).alias("cell"),
+    probes = with_nearest_cells(
+        queries.select("query_id", "query_vec"), "query_vec", qcents, n_probe
+    ).select(
+        "query_id", "query_vec", F.explode("_cells").alias("cell")
     )
     cands = corpus.join(F.broadcast(probes), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
