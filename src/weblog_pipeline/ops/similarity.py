@@ -44,10 +44,12 @@ N_LSH_BANDS = 4
 #: only needs one band collision per surviving pair, not rank coverage.
 LSH_TOPK_PLANES = 6
 LSH_TOPK_BANDS = 6
-#: IVF top-k probes half its 16 cells: same recall rationale (measured
-#: 71-78% recall@5 vs 46-48% at n_probe=4).
+#: IVF top-k probes 10 of its 16 cells: same recall rationale (measured
+#: recall@5 at the sf0.1 audit slice: 7200 bp at n_probe=8, 8150 at 10,
+#: 9100 at 12 — 10 clears the >=7500 bp tracking bar while scanning
+#: ~5/8 of the corpus, comparable to the LSH family's candidate mass).
 IVF_TOPK_CELLS = 16
-IVF_TOPK_PROBE = 8
+IVF_TOPK_PROBE = 10
 LSH_QUANT = 1_000_000  # sign-projection quantizer: floor(x * 1e6) as long
 IVF_QUANT = 1_000  # centroid-assignment quantizer: floor(x * 1e3) as long
 TOPK_SALT_BUCKETS = 64
