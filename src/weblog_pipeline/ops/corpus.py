@@ -389,8 +389,12 @@ def source_overlap(documents: DataFrame, src_cap: int = 5) -> DataFrame:
     than src_cap sources is a stop-gram (common phrase / global
     boilerplate) excluded from pair GENERATION, capping the fan-out at
     src_cap^2 rows per gram where millions of sources would otherwise go
-    quadratic. Per-source totals are NOT capped (only the join is) and
-    ride broadcast joins onto the pair table.
+    quadratic. Per-source totals are NOT capped (only the join is); the
+    totals joins carry no broadcast hint on purpose — at catalog scale
+    AQE turns them into broadcast joins at runtime (the side is tiny),
+    while at web scale (millions of sources, totals too big to ship to
+    every executor) the same plan degrades gracefully to a shuffle join
+    instead of OOMing on a forced broadcast.
 
     Output: source_a, source_b, n_shared, n_grams_a, n_grams_b.
     """
@@ -434,8 +438,8 @@ def source_overlap(documents: DataFrame, src_cap: int = 5) -> DataFrame:
         F.col("source").alias("source_b"), F.col("n_grams").alias("n_grams_b")
     )
     return (
-        pairs.join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
         .select("source_a", "source_b", "n_shared", "n_grams_a", "n_grams_b")
     )
 
