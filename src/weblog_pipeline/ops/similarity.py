@@ -497,6 +497,67 @@ def _ivf_rank(
     return _topk_per_query(scored, k)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = IVF_TOPK_CELLS,
+    n_iter: int = 1,
+    seeds: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer
+    (hash-sampled seeds + n_iter integer-exact Lloyd steps — the same
+    trained cells ann_ivf_refined uses), then WITHIN each cell mark every
+    vector that has a lower-id neighbor at cosine >= threshold as a
+    semantic duplicate. Deterministic keep rule: the lowest vec_id of a
+    near-dup pair survives (the dedup.py family's convention).
+
+    Scale shape: cell assignment is the zero-shuffle map stage
+    (with_nearest_cells); pair generation is an equi-join ON CELL — never
+    all-pairs. Within-cell volume is (n/n_cells)^2 * n_cells, so the
+    scale knob is SemDeDup's own: n_cells grows with the corpus
+    (~sqrt(n) keeps pair generation near-linear); the catalog default 16
+    fits the test fixtures.
+
+    Output: vec_id, cell, is_dup — one row per corpus vector.
+    """
+    if seeds is None:
+        seeds = sample_centroids(embeddings, n_cells)
+    qcents = [quantize_centroid(c) for c in seeds]
+    for _ in range(n_iter):
+        qcents = lloyd_step(embeddings, qcents)
+    assigned = with_nearest_cells(
+        embeddings.select("vec_id", "embedding"), "embedding", qcents, 1
+    ).select(
+        "vec_id",
+        "embedding",
+        F.element_at("_cells", 1).alias("cell"),
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6) >= threshold
+        )
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned["vec_id"] == dups["id_b"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("id_b").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float, dim: int = DIM
 ) -> DataFrame:

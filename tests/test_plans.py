@@ -434,3 +434,29 @@ def test_bfs_depth_lineage_flat_in_hop_count(spark):
     p6 = _physical(graph.bfs_depth(edges, seeds_k=1, iters=6))
     assert p2.count("Join") == p6.count("Join"), "plan grows with hops"
     assert "ExistingRDD" in p6
+
+
+def test_semantic_dedup_pairs_are_per_cell_never_global(emb_df):
+    """SemDeDup's pair generation must be an equi-join ON CELL (within-
+    cluster only) — a cartesian / nested-loop pair stage would pass value
+    checks at 60 vectors and die at corpus scale."""
+    df = similarity.semantic_dedup(emb_df, threshold=0.9, n_cells=4)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan  # the equi-join key
+
+
+def test_semantic_dedup_flags_planted_pair_lowest_id_survives(emb_df):
+    rows = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            emb_df, threshold=0.9, n_cells=4
+        ).collect()
+    }
+    assert len(rows) == 60  # one row per corpus vector
+    # planted ~parallel pair (4, 9): same nearest cell by construction,
+    # cosine ~1.0 -> the higher id is the duplicate, the lower survives
+    assert rows[4]["cell"] == rows[9]["cell"]
+    assert rows[9]["is_dup"] is True
+    assert rows[4]["is_dup"] is False
