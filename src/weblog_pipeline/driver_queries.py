@@ -4215,14 +4215,33 @@ def _sql_bpe_train(n_merges: int = 6) -> str:
     inlining stays linear in rounds instead of 2^rounds (the same
     guard as the HITS oracle). Empty p{k} CTEs (pair supply dry)
     contribute no rows and leave w{k} = w{k-1} via the LEFT JOIN."""
+    return _sql_bpe_merge_chain(
+        "regexp_extract_all(t.word, '.')",
+        f"regexp_matches(t.word, '{textstats.BPE_WORD_RE}')",
+        n_merges,
+    )
+
+
+def _sql_bpe_train_bytes(n_merges: int = 6) -> str:
+    """Unrolled twin of textstats.bpe_train_bytes: identical merge-round
+    CTE chain, but w0 symbols are the hex-encoded UTF-8 bytes of every
+    non-empty whitespace token — no word gate, zero OOV."""
+    return _sql_bpe_merge_chain(
+        "regexp_extract_all(hex(encode(t.word)), '..')",
+        "t.word <> ''",
+        n_merges,
+    )
+
+
+def _sql_bpe_merge_chain(sym_list: str, word_gate: str, n_merges: int) -> str:
     sep = "chr(31)"
     b = f"({sep} || {sep})"
     ctes = [
         f"""w0 AS MATERIALIZED (
-  SELECT {b} || array_to_string(regexp_extract_all(t.word, '.'), {b}) || {b} AS syms,
+  SELECT {b} || array_to_string({sym_list}, {b}) || {b} AS syms,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
-  WHERE regexp_matches(t.word, '{textstats.BPE_WORD_RE}')
+  WHERE {word_gate}
   GROUP BY 1
 )"""
     ]
@@ -4578,6 +4597,7 @@ def queries() -> dict:
         "dedup_lsh_recall": q_dedup_lsh_recall,
         # new in r6 (first official row this round):
         "semantic_dedup": q_semantic_dedup,
+        "bpe_train_bytes": docs(textstats.bpe_train_bytes),
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -4712,6 +4732,7 @@ def oracle_sql() -> dict:
         "ingest_increment": SQL_INGEST_INCREMENT,
         "bloom_prefilter": _sql_bloom_prefilter(),
         "bpe_train": _sql_bpe_train(),
+        "bpe_train_bytes": _sql_bpe_train_bytes(),
         "bpe_apply": _sql_bpe_apply(),
         "vocab_growth": _sql_vocab_growth(),
         "daily_quota": SQL_DAILY_QUOTA,

@@ -1059,8 +1059,6 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     Output: one row per executed merge — step, lhs, rhs, pair_count —
     fewer than n_merges rows iff the pair supply runs dry.
     """
-    from pyspark.sql import types as T
-
     spark = documents.sparkSession
     words = (
         _fan_out(documents.select("doc_id", "text"))
@@ -1080,6 +1078,58 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return _bpe_merge_loop(spark, words, n_merges)
+
+
+def bpe_train_bytes(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Byte-level BPE trainer (GPT-2 style, Radford et al. 2019): the
+    initial symbols are the UTF-8 BYTES of each whitespace token —
+    hex-encoded two-char symbols ('68', 'C3', ...) — so ANY input
+    tokenizes with zero OOV: no word gate, no character alphabet
+    assumption; non-ASCII, emoji, and control characters all reduce to
+    byte symbols. Merges then grow multi-byte symbols ('68C3') exactly
+    as the character-level trainer grows multi-char ones.
+
+    The double-separator working representation and the merge loop are
+    shared with bpe_train verbatim (_bpe_merge_loop): hex symbols are
+    drawn from [0-9A-F] so the \\x1f separator can never collide, and
+    the greedy literal-replace argument holds unchanged. Same scale
+    shape too — ONE corpus scan into the vocabulary-bounded word table,
+    then per-round work bounded by vocabulary, not corpus size.
+
+    Output: one row per executed merge — step, lhs, rhs (hex byte
+    strings), pair_count."""
+    spark = documents.sparkSession
+    hexed = F.hex(F.encode(F.col("word"), "UTF-8"))
+    words = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select(F.explode(lower_tokens_col()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(BPE_SEP * 2),
+                F.array_join(
+                    F.regexp_extract_all(hexed, F.lit(".."), 0), BPE_SEP * 2
+                ),
+                F.lit(BPE_SEP * 2),
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    return _bpe_merge_loop(spark, words, n_merges)
+
+
+def _bpe_merge_loop(spark, words: DataFrame, n_merges: int) -> DataFrame:
+    """The shared BPE merge loop over a double-separator symbol-string
+    word-frequency table (see bpe_train for the representation and the
+    greedy-replace argument). Per round: one pair aggregate + a 1-row
+    driver pull + one codegen'd replace, re-localCheckpoint'd so lineage
+    stays one round deep."""
+    from pyspark.sql import types as T
+
     merges = []
     for step in range(1, n_merges + 1):
         arr = F.col("_a")

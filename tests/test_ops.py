@@ -2567,6 +2567,67 @@ def test_bpe_train_matches_reference_on_random_corpora(spark):
         assert got == want, (trial, word_counts, got, want)
 
 
+def test_bpe_train_bytes_matches_reference_on_nonascii_corpora(spark):
+    """Byte-level twin of the fuzz above on a deliberately hostile
+    alphabet — multi-byte UTF-8 (é = C3A9, ✓ = E29C93) plus a repeated
+    ASCII byte for self-overlap runs: the hex-symbol representation must
+    match the symbol-list reference merge-for-merge, with zero OOV and
+    no word gate."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(12):
+        vocab = {
+            "".join(rng.choice("aé✓") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(1, 6))
+        }
+        word_counts = {w: rng.randint(1, 3) for w in vocab}
+        byte_counts = {
+            "".join(f"{b:02X}" for b in w.encode("utf-8")): c
+            for w, c in word_counts.items()
+        }
+        # reference symbols = hex byte pairs, not characters
+        ref_reps = {
+            h: [h[i : i + 2] for i in range(0, len(h), 2)] for h in byte_counts
+        }
+        want = _ref_bpe_symbols(byte_counts, ref_reps, 5)
+        text_parts = [w for w, c in sorted(word_counts.items()) for _ in range(c)]
+        df = spark.createDataFrame([Row(doc_id=0, text=" ".join(text_parts))])
+        got = [
+            (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in textstats.bpe_train_bytes(df, n_merges=5)
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == want, (trial, word_counts, got, want)
+
+
+def _ref_bpe_symbols(word_counts, reps, n_merges):
+    """_ref_bpe generalized to caller-supplied initial symbol lists."""
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for w, c in word_counts.items():
+            s = reps[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, lhs, rhs, cnt))
+        for w, s in reps.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            reps[w] = out
+    return merges
+
+
 def test_hashed_tf_sparse_counts(spark):
     """Same token -> same bucket across docs; tf counts duplicates; the
     bucket is the pinned md5-conv idiom."""
