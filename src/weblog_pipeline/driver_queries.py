@@ -3349,6 +3349,51 @@ FROM documents
 """
 
 
+def q_multimodal_dib_depths_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-depth uncompressed-video decode: the clip for doc id is
+    8-bit palette / 24-bit BGR / 32-bit BGRX DIB by id % 3
+    (multimodal.DIB_DEPTH_CYCLE), exercising palette expansion, X-byte
+    drop, and pass-through in ONE catalog query. Every decoded BGR byte
+    stays doc_id-recomputable: stored byte i of frame 0 is (id%256 + i)
+    % 256 and the fixture palette is channel-linear in the index
+    (dib_palette_entry), so the oracle recomputes the leading
+    FEATURE_DIM decoded bytes per depth."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_avi_dib_depths_from_documents(docs)
+    meta = multimodal.extract_media_metadata(media, fake=False)
+    return meta.select("media_id", "width", "height", "n_frames", *_px_cols(meta))
+
+
+def _sql_multimodal_dib_depths() -> str:
+    # FEATURE_DIM (8) < 3 * min-width (12), so decoded byte j always
+    # lives in the FIRST stored (bottom) row: pixel x = j//3, channel
+    # c = j%3, and the row-stride term is zero for every depth.
+    cols = []
+    for j in range(multimodal.FEATURE_DIM):
+        x, c = divmod(j, 3)
+        v24 = f"(s + {j}) % 256"  # BGR triples, pass-through
+        v32 = f"(s + {4 * x + c}) % 256"  # BGRX quads, X dropped
+        v8 = f"({c + 1} * ((s + {x}) % 256)) % 256"  # palette: ch c = (c+1)*p
+        cols.append(
+            f"CAST(CASE bpp WHEN 24 THEN {v24} WHEN 32 THEN {v32} "
+            f"ELSE {v8} END AS INTEGER) AS px{j}"
+        )
+    body = ",\n  ".join(cols)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS s,
+    CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 8 ELSE 32 END AS bpp
+  FROM documents
+)
+SELECT media_id,
+  CAST(4 + media_id % 12 AS INTEGER) AS width,
+  CAST(2 + media_id % 6 AS INTEGER) AS height,
+  CAST(1 + media_id % 5 AS INTEGER) AS n_frames,
+  {body}
+FROM pre
+"""
+
+
 def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: every 2nd frame of each AVI is individually
     JPEG-decoded; the oracle reproduces the sampled (media_id, frame_idx)
@@ -4592,9 +4637,6 @@ def queries() -> dict:
         # -- 4. oldest r4 greens / new-in-r6 fill (window ends after these) --
         "e2e_sink_counts": q_e2e_sink_counts,
         "e2e_records": q_e2e_records,
-        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
-        "decontaminate": q_decontaminate,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
         # new in r6 (first official row this round):
         "semantic_dedup": q_semantic_dedup,
         "bpe_train_bytes": docs(textstats.bpe_train_bytes),
@@ -4602,8 +4644,12 @@ def queries() -> dict:
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
+        "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
+        "decontaminate": q_decontaminate,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "multimodal_avi_decode": q_multimodal_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
@@ -4810,6 +4856,7 @@ def oracle_sql() -> dict:
         "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG,
         "multimodal_avi_decode": SQL_MULTIMODAL_AVI,
         "multimodal_dib_avi_decode": _sql_multimodal_dib_avi(),
+        "multimodal_dib_depths_decode": _sql_multimodal_dib_depths(),
         "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_mulaw_decode": _sql_multimodal_mulaw(),

@@ -67,6 +67,14 @@ def bmp_stride(width: int, bpp: int = 24) -> int:
     return ((width * (bpp // 8) + 3) // 4) * 4
 
 
+def dib_palette_entry(p: int) -> tuple[int, int, int]:
+    """Fixture palette for 8-bit DIB clips: index p -> (B, G, R) =
+    (p, 2p mod 256, 3p mod 256). Distinct channels per index so a wrong
+    channel order or off-by-one lookup changes the decoded bytes, and
+    plain doc_id arithmetic so a SQL oracle recomputes the expansion."""
+    return (p % 256, (2 * p) % 256, (3 * p) % 256)
+
+
 def encode_bmp(width: int, height: int, pixel_byte: int) -> bytes:
     """Minimal real 24-bit uncompressed BMP (stdlib-only): standard
     file + info headers, rows padded to 4 bytes, solid pixel fill.
@@ -2696,7 +2704,8 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def encode_avi(
-    width: int, height: int, n_frames: int, seed: int, codec: str = "MJPG"
+    width: int, height: int, n_frames: int, seed: int, codec: str = "MJPG",
+    bpp: int = 24,
 ) -> bytes:
     """Minimal real AVI video (stdlib + the in-repo JPEG encoder): RIFF
     'AVI ' container with an avih main header and one 'vids' stream.
@@ -2704,17 +2713,22 @@ def encode_avi(
     codec='MJPG' (default): a movi list of '00dc' chunks each holding one
     baseline grayscale JPEG frame (frame f uses gradient seed+f).
     codec='DIB ': UNCOMPRESSED frames — '00db' chunks of raw bottom-up
-    24-bit BGR rows (BMP row layout, stride padded to 4 bytes), pixel-data
-    byte i of frame f = (seed + f + i) % 256, strf biCompression=0. The
-    raw layout makes every decoded byte SQL-recomputable from the seed.
-    Fixture generator for the real video-decode round trip."""
+    rows (BMP row layout, stride padded to 4 bytes), stored pixel-data
+    byte i of frame f = (seed + f + i) % 256, strf biCompression=0.
+    bpp selects the DIB layout: 24 (BGR triples), 8 (palette indices —
+    the strf carries the 256-entry RGBQUAD table DIB_PALETTE_ENTRY), or
+    32 (BGRX quads). The raw layout makes every decoded byte
+    SQL-recomputable from the seed. Fixture generator for the real
+    video-decode round trip."""
     if codec == "MJPG":
         frames = [
             encode_jpeg(width, height, (seed + f) % 256) for f in range(n_frames)
         ]
         fcc, frame_tag, bit_compression = b"MJPG", b"00dc", b"MJPG"
     elif codec == "DIB ":
-        stride = bmp_stride(width)
+        if bpp not in (8, 24, 32):
+            raise ValueError(f"encode_avi DIB bpp must be 8, 24 or 32, got {bpp}")
+        stride = bmp_stride(width, bpp)
         frames = [
             bytes((seed + f + i) % 256 for i in range(stride * height))
             for f in range(n_frames)
@@ -2745,27 +2759,38 @@ def encode_avi(
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0)
         + struct.pack("<4h", 0, 0, width, height)
     )
+    dib_bpp = bpp if codec == "DIB " else 24
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, bit_compression,
-        width * height * 3, 0, 0, 0, 0,
+        "<IiiHH4sIiiII", 40, width, height, 1, dib_bpp, bit_compression,
+        bmp_stride(width, dib_bpp) * height, 0, 0,
+        256 if dib_bpp == 8 else 0, 0,
     )
+    if dib_bpp == 8:
+        strf += b"".join(
+            bytes(dib_palette_entry(p)) + b"\x00" for p in range(256)
+        )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(frame_tag, f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _avi_frames(payload: bytes) -> tuple[list[bytes], str, tuple[int, int]]:
+def _avi_frames(
+    payload: bytes,
+) -> tuple[list[bytes], str, tuple[int, int], tuple | None]:
     """RIFF/AVI chunk-tree walk -> (the '00dc'/'00db' frame chunks, the
-    stream kind 'mjpeg'|'dib', the strf (width, height)), with the
+    stream kind 'mjpeg'|'dib', the strf (width, height), the DIB layout
+    (bpp, palette) — None for mjpeg, palette None unless bpp=8), with the
     corruption-vs-codec classification both callers need:
 
     * ValueError — truncated/corrupt containers, no frames, a frame whose
-      signature is not JPEG while the stream header DECLARES MJPEG, or a
+      signature is not JPEG while the stream header DECLARES MJPEG, a
       raw DIB frame whose byte count contradicts the strf dimensions
-      (a bit-flipped length or cut frame is corrupt data, quarantine it);
-    * NotImplementedError — the strh fccHandler names another codec
-      (a real codec gap, configuration-level).
+      (a bit-flipped length or cut frame is corrupt data, quarantine it),
+      or an 8-bit DIB strf too short to hold its color table;
+    * NotImplementedError — the strh fccHandler names another codec, or
+      a DIB depth outside {8, 24, 32} (a real codec gap,
+      configuration-level).
 
     The walk honors the RIFF declared size (trailing transfer padding
     after the declared body is legal and ignored)."""
@@ -2776,6 +2801,7 @@ def _avi_frames(payload: bytes) -> tuple[list[bytes], str, tuple[int, int]]:
     frames: list[bytes] = []
     handlers: list[bytes] = []
     strfs: list[tuple] = []
+    strf_raws: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -2793,6 +2819,7 @@ def _avi_frames(payload: bytes) -> tuple[list[bytes], str, tuple[int, int]]:
             elif tag == b"strf" and length >= 20 and len(handlers) > len(strfs):
                 # the strf following a vids strh is a BITMAPINFOHEADER
                 strfs.append(struct.unpack_from("<IiiHH4s", buf, pos + 8))
+                strf_raws.append(buf[pos + 8 : pos + 8 + length])
             elif tag[2:4] in (b"dc", b"db"):
                 frames.append(buf[pos + 8 : pos + 8 + length])
             pos += 8 + length + (length & 1)  # chunks are word-aligned
@@ -2806,47 +2833,92 @@ def _avi_frames(payload: bytes) -> tuple[list[bytes], str, tuple[int, int]]:
         for f in frames:
             if f[:2] != b"\xff\xd8":
                 raise ValueError("corrupt AVI frame (not a JPEG signature)")
-        return frames, "mjpeg", dims
+        return frames, "mjpeg", dims, None
     if handler in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00"):
         # uncompressed device-independent bitmap frames: the strf is
-        # authoritative for layout; only 24-bit BI_RGB is meaningful here
+        # authoritative for layout; BI_RGB at 8 (palette), 24 (BGR) or
+        # 32 (BGRX) bits decodes natively
         if not strfs:
             raise ValueError("DIB AVI stream missing its strf header")
         _, w, h, _, bpp, compression = strfs[0]
         if compression not in (b"\x00\x00\x00\x00",):
             raise ValueError("DIB AVI strf declares a compressed layout")
-        if bpp != 24:
+        if bpp not in (8, 24, 32):
             raise NotImplementedError(
-                f"{bpp}-bit DIB AVI not supported (24-bit decodes natively)"
+                f"{bpp}-bit DIB AVI not supported (8/24/32-bit decode "
+                "natively)"
             )
-        expected = bmp_stride(abs(w)) * abs(h)
+        palette = None
+        if bpp == 8:
+            raw = strf_raws[0]
+            (clr_used,) = struct.unpack_from("<I", raw, 32)
+            n_pal = clr_used or 256  # biClrUsed=0 means a full table
+            if len(raw) < 40 + 4 * n_pal:
+                raise ValueError(
+                    "8-bit DIB AVI strf too short for its color table"
+                )
+            palette = [
+                raw[40 + 4 * p : 40 + 4 * p + 3] for p in range(n_pal)
+            ]
+        expected = bmp_stride(abs(w), bpp) * abs(h)
         for f in frames:
             if len(f) != expected:
                 raise ValueError(
                     f"corrupt AVI frame ({len(f)} bytes, strf declares "
-                    f"{abs(w)}x{abs(h)}@24bpp = {expected})"
+                    f"{abs(w)}x{abs(h)}@{bpp}bpp = {expected})"
                 )
-        return frames, "dib", (abs(w), abs(h))
+        return frames, "dib", (abs(w), abs(h)), (bpp, palette)
     raise NotImplementedError(
         f"AVI codec {handlers[0]!r} requires ffmpeg "
         "(MJPEG and uncompressed DIB decode natively)"
     )
 
 
+def _dib_bgr_prefix(
+    frame: bytes, w: int, h: int, bpp: int, palette, n: int
+) -> bytes:
+    """First n DECODED BGR bytes of a raw DIB frame, in stored
+    (bottom-up) row order with stride padding dropped: 8-bit indices go
+    through the palette, 32-bit BGRX drops X, 24-bit passes through.
+    An index past the color table is corrupt data (ValueError)."""
+    out = bytearray()
+    stride = bmp_stride(w, bpp)
+    for r in range(h):
+        row = frame[r * stride : (r + 1) * stride]
+        for x in range(w):
+            if bpp == 8:
+                if row[x] >= len(palette):
+                    raise ValueError(
+                        f"DIB palette index {row[x]} past the "
+                        f"{len(palette)}-entry color table"
+                    )
+                out += palette[row[x]]
+            elif bpp == 32:
+                out += row[4 * x : 4 * x + 3]
+            else:
+                out += row[3 * x : 3 * x + 3]
+            if len(out) >= n:
+                return bytes(out[:n])
+    return bytes(out)
+
+
 def decode_avi(payload: bytes) -> dict:
     """REAL decoder for AVI video: walks the RIFF chunk tree
     (_avi_frames), counts the frame chunks (real frame count), and
     decodes the FIRST frame for dimensions + feature — through the
-    baseline JPEG pipeline for MJPEG streams, or directly from the raw
-    bottom-up BGR rows for uncompressed DIB streams (feature = first
-    FEATURE_DIM pixel-data bytes / 255, the BMP convention).
+    baseline JPEG pipeline for MJPEG streams, or from the raw bottom-up
+    rows for uncompressed DIB streams (feature = first FEATURE_DIM
+    DECODED BGR bytes / 255: palette-expanded for 8-bit, X dropped for
+    32-bit, pass-through for 24-bit; stride padding never leaks in).
 
     Raises ValueError for truncated/corrupt containers or corrupt frames
-    (bad JPEG signature / DIB size mismatch); NotImplementedError when
-    the stream header names another codec (needs a real library)."""
-    frames, kind, (w, h) = _avi_frames(payload)
+    (bad JPEG signature / DIB size or palette mismatch);
+    NotImplementedError when the stream header names another codec or an
+    unsupported DIB depth (needs a real library)."""
+    frames, kind, (w, h), layout = _avi_frames(payload)
     if kind == "dib":
-        pix = frames[0][:FEATURE_DIM]
+        bpp, palette = layout
+        pix = _dib_bgr_prefix(frames[0], w, h, bpp, palette, FEATURE_DIM)
         feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
         return {
             "width": w,
@@ -3030,10 +3102,13 @@ def sample_frames(
                                 }
                             )
                     else:
-                        frames, kind, _dims = _avi_frames(blob)
+                        frames, kind, (fw, fh), layout = _avi_frames(blob)
                         for idx in range(0, len(frames), every_n):
                             if kind == "dib":
-                                pix = frames[idx][:FEATURE_DIM]
+                                pix = _dib_bgr_prefix(
+                                    frames[idx], fw, fh,
+                                    layout[0], layout[1], FEATURE_DIM,
+                                )
                                 feat = [b / 255.0 for b in pix]
                                 feat += [0.0] * (FEATURE_DIM - len(pix))
                             else:
@@ -3254,6 +3329,40 @@ def media_avi_dib_from_documents(documents: "DataFrame") -> "DataFrame":
                         encode_avi(
                             4 + i % 12, 2 + i % 6, 1 + i % 5, i % 256,
                             codec="DIB ",
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["video"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+#: doc_id % 3 -> DIB bit depth for the mixed-depth fixture
+DIB_DEPTH_CYCLE = (24, 8, 32)
+
+
+def media_avi_dib_depths_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Mixed-depth twin of media_avi_dib_from_documents: the clip for doc
+    id uses bpp = DIB_DEPTH_CYCLE[id % 3] (24-bit BGR, 8-bit palette with
+    the dib_palette_entry color table, 32-bit BGRX), same dimension/
+    frame-count/seed arithmetic. Every decoded BGR byte stays
+    SQL-recomputable: stored byte i of frame f is (id%256 + f + i) % 256,
+    and the palette channels are linear in the index."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_avi(
+                            4 + i % 12, 2 + i % 6, 1 + i % 5, i % 256,
+                            codec="DIB ", bpp=DIB_DEPTH_CYCLE[i % 3],
                         )
                         for i in ids
                     ],

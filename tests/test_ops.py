@@ -615,7 +615,7 @@ def test_gif_corruption_is_quarantined():
 def test_avi_dib_roundtrip_and_corruption():
     """Uncompressed AVI: raw bottom-up BGR frames decode pixel-exactly,
     frame sampling reads raw bytes, size mismatches quarantine, and
-    non-24-bit DIB is a declared codec gap."""
+    a DIB depth outside {8, 24, 32} is a declared codec gap."""
     import struct as _struct
 
     payload = multimodal.encode_avi(6, 4, 3, 17, codec="DIB ")
@@ -626,23 +626,68 @@ def test_avi_dib_roundtrip_and_corruption():
     stride = multimodal.bmp_stride(6)
     assert meta["frames"][2] == bytes((19 + i) % 256 for i in range(stride * 4))
     # frame-level sha/feature from raw bytes via the shared walk
-    frames, kind, dims = multimodal._avi_frames(payload)
-    assert kind == "dib" and dims == (6, 4)
+    frames, kind, dims, layout = multimodal._avi_frames(payload)
+    assert kind == "dib" and dims == (6, 4) and layout == (24, None)
+    # width 1 -> 24-bit stride pads each 3-byte row to 4; the padding
+    # byte must never leak into the decoded BGR stream
+    narrow = multimodal.encode_avi(1, 4, 1, 5, codec="DIB ")
+    got = [round(f * 255) for f in multimodal.decode_avi(narrow)["feature"]]
+    assert got == [(5 + (j // 3) * 4 + j % 3) % 256 for j in range(8)]
     # strf width mutated -> every frame contradicts the declared layout
     bad = bytearray(payload)
     _struct.pack_into("<i", bad, payload.index(b"strf") + 12, 7)
     with pytest.raises(ValueError, match="corrupt AVI frame"):
         multimodal.decode_avi(bytes(bad))
-    # 8-bit DIB is a genuine codec gap, not corruption
+    # 16-bit DIB is a genuine codec gap, not corruption
+    bad = bytearray(payload)
+    _struct.pack_into("<H", bad, payload.index(b"strf") + 22, 16)
+    with pytest.raises(NotImplementedError, match="16-bit DIB"):
+        multimodal.decode_avi(bytes(bad))
+    # declaring 8bpp on a table-less 40-byte strf -> corrupt, quarantine
     bad = bytearray(payload)
     _struct.pack_into("<H", bad, payload.index(b"strf") + 22, 8)
-    with pytest.raises(NotImplementedError, match="8-bit DIB"):
+    with pytest.raises(ValueError, match="color table"):
         multimodal.decode_avi(bytes(bad))
     # compressed strf under a DIB handler is contradictory -> quarantine
     bad = bytearray(payload)
     bad[payload.index(b"strf") + 24 : payload.index(b"strf") + 28] = b"MJPG"
     with pytest.raises(ValueError, match="compressed layout"):
         multimodal.decode_avi(bytes(bad))
+
+
+def test_avi_dib_8bit_palette_roundtrip():
+    """8-bit palette DIB: stored indices expand through the strf RGBQUAD
+    table (B=p, G=2p, R=3p in the fixture), stride padding dropped, and
+    an index past a short color table quarantines as corrupt data."""
+    payload = multimodal.encode_avi(6, 4, 2, 17, codec="DIB ", bpp=8)
+    meta = multimodal.decode_avi(payload)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (6, 4, 2)
+    got = [round(f * 255) for f in meta["feature"]]
+    # decoded BGR byte j of frame 0 (one row covers 3*6=18 >= 8 bytes):
+    # pixel x = j//3, channel c = j%3, index p = (17 + x) % 256
+    assert got == [((j % 3 + 1) * ((17 + j // 3) % 256)) % 256 for j in range(8)]
+    # width 1 -> 8-bit stride pads each 1-byte row to 4; rows advance
+    narrow = multimodal.encode_avi(1, 4, 1, 9, codec="DIB ", bpp=8)
+    got = [round(f * 255) for f in multimodal.decode_avi(narrow)["feature"]]
+    assert got == [((j % 3 + 1) * ((9 + (j // 3) * 4) % 256)) % 256 for j in range(8)]
+    frames, kind, dims, (bpp, palette) = multimodal._avi_frames(payload)
+    assert bpp == 8 and len(palette) == 256
+    assert palette[5] == bytes(multimodal.dib_palette_entry(5))
+    with pytest.raises(ValueError, match="past the"):
+        multimodal._dib_bgr_prefix(frames[0], 6, 4, 8, palette[:10], 8)
+
+
+def test_avi_dib_32bit_roundtrip():
+    """32-bit BGRX DIB: every 4th stored byte (X) is dropped from the
+    decoded BGR stream."""
+    payload = multimodal.encode_avi(5, 3, 2, 40, codec="DIB ", bpp=32)
+    meta = multimodal.decode_avi(payload)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 3, 2)
+    got = [round(f * 255) for f in meta["feature"]]
+    # stride = 4*5 = 20; decoded byte j -> stored 4*(j//3) + j%3
+    assert got == [(40 + 4 * (j // 3) + j % 3) % 256 for j in range(8)]
+    _, _, _, layout = multimodal._avi_frames(payload)
+    assert layout == (32, None)
 
 
 def test_mulaw_wav_decode():
