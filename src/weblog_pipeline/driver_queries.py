@@ -1884,6 +1884,75 @@ FROM c ORDER BY n_occurrences DESC, token ASC LIMIT {k}
 """
 
 
+def _sql_freq_spectrum() -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents WHERE trim(text, ' ') <> ''
+),
+c AS (SELECT token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY 1)
+SELECT CAST(freq AS BIGINT) AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+FROM c GROUP BY 1
+"""
+
+
+def _sql_sentence_stats() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(regexp_split_to_array(coalesce(text, ''),
+                                        '{textstats.SENT_SPLIT_RE}'),
+                  x -> trim(x, ' ') <> ''),
+      x -> length(trim(x, ' '))) AS lens
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(lens) AS BIGINT) AS n_sentences,
+  CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_sent_len,
+  CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS sum_sent_len
+FROM s
+"""
+
+
+#: 'e' + U+0301 combining acute — composes to a single 'é' under NFC, so a
+#: planted doc loses exactly one codepoint when normalized.
+NFD_PLANT = "e\u0301"
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC audit over documents with a PLANTED decomposed slice: the base
+    fixtures are already fully composed (is_nfc constant 1), so docs with
+    id % 7 == 0 get a trailing NFD sequence appended — the audit must
+    flag exactly those and report nfc_len = raw_len - 1 for them, proving
+    the composition path on every fixture, not just adversarial ones."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" " + NFD_PLANT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.unicode_nfc(docs)
+
+
+SQL_UNICODE_NFC = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN coalesce(text, '') || ' e' || chr(769)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(coalesce(text, '') = nfc_normalize(coalesce(text, '')) AS INTEGER) AS is_nfc,
+  CAST(length(coalesce(text, '')) AS BIGINT) AS raw_len,
+  CAST(length(nfc_normalize(coalesce(text, ''))) AS BIGINT) AS nfc_len
+FROM d
+"""
+
+
 def _sql_bpe_pair_counts(k: int = 50) -> str:
     return f"""
 WITH w AS (
@@ -4647,6 +4716,10 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
+        # added late r6 (no official row yet — lead the r7 rotation):
+        "freq_spectrum": docs(textstats.freq_spectrum),
+        "sentence_stats": docs(textstats.sentence_stats),
+        "unicode_nfc": q_unicode_nfc,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -4799,6 +4872,9 @@ def oracle_sql() -> dict:
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "vocab_topk": _sql_vocab_topk(),
+        "freq_spectrum": _sql_freq_spectrum(),
+        "sentence_stats": _sql_sentence_stats(),
+        "unicode_nfc": SQL_UNICODE_NFC,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

@@ -1056,6 +1056,14 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     replace projection, re-checkpointed so lineage stays one round deep
     (the pagerank pattern).
 
+    Ceiling: rounds are SEQUENTIAL driver-coordinated jobs (two per
+    merge), so a production 32k-merge vocab means ~64k tiny Spark jobs
+    on the vocab-bounded table — hours of scheduler latency, not data
+    cost. That grain suits the analytics/audit merge counts this catalog
+    targets; a full tokenizer build would hoist the merge loop driver-
+    side after the ONE corpus scan (collect the word table — it is
+    vocabulary-bounded — and run the classic in-memory loop).
+
     Output: one row per executed merge — step, lhs, rhs, pair_count —
     fewer than n_merges rows iff the pair supply runs dry.
     """
@@ -1343,4 +1351,110 @@ def hashed_tf(documents: DataFrame, n_buckets: int = HASHTF_BUCKETS) -> DataFram
         toks.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def freq_spectrum(documents: DataFrame) -> DataFrame:
+    """Zipf frequency-of-frequencies spectrum: how many distinct token
+    TYPES occur exactly f times, for every observed corpus frequency f —
+    the diagnostic curve behind Good-Turing smoothing and the standard
+    sanity check that a scraped corpus is natural language (log-log
+    slope ~ -2) rather than boilerplate or spam floods.
+
+    Scale shape: the classic two-level aggregation — explode + (token)
+    count with map-side combine (shuffle volume = vocabulary, never the
+    corpus), then a second aggregate over the count DOMAIN (distinct
+    frequencies: thousands at any corpus size). No windows, no joins.
+
+    Output: freq, n_types.
+    """
+    toks = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select(F.explode(lower_tokens_col()).alias("token"))
+        .where(F.col("token") != "")
+    )
+    per_token = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return per_token.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    ).select(F.col("freq").cast("long").alias("freq"), "n_types")
+
+
+#: sentence boundary class shared with the SQL oracle — a literal char
+#: class, so Java regex and RE2 agree by construction.
+SENT_SPLIT_RE = "[.!?]+"
+
+
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation stats: split on terminal
+    punctuation runs, keep pieces with non-space content, report count /
+    longest / total trimmed length — the inputs to readability-style
+    quality rules (avg sentence length bounds) a curation pass applies
+    after the Gopher/C4 word-level rules.
+
+    Each array stage is materialized in its OWN projection before the
+    next higher-order function touches it (codegen does not CSE across
+    HOF lambda boundaries — the dedup.shingles_over contract).
+
+    Scale shape: a single codegen'd scan, zero shuffles, zero joins.
+
+    Output: doc_id, n_sentences, max_sent_len, sum_sent_len.
+    """
+    pieces = F.split(F.coalesce(F.col("text"), F.lit("")), SENT_SPLIT_RE)
+    kept = F.filter(F.col("_p"), lambda x: F.trim(x) != "")
+    lens = F.transform(F.col("_k"), lambda x: F.length(F.trim(x)))
+    return (
+        documents.select("doc_id", pieces.alias("_p"))
+        .select("doc_id", kept.alias("_k"))
+        .select("doc_id", F.array_size("_k").alias("_n"), lens.alias("_l"))
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_sentences"),
+            F.coalesce(F.array_max("_l"), F.lit(0)).cast("long").alias("max_sent_len"),
+            F.aggregate(
+                "_l", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("sum_sent_len"),
+        )
+    )
+
+
+def unicode_nfc(documents: DataFrame) -> DataFrame:
+    """Unicode NFC normalization audit: is each document already in
+    canonical composed form, and how long is it after composing? Web
+    text mixes NFC and NFD producers (macOS filenames, some CMSes emit
+    decomposed accents), and every dedup/fingerprint key upstream
+    assumes one canonical form — this op measures how much of the corpus
+    would change under the normalize-first policy.
+
+    The one Python stage in this module: Spark has no built-in Unicode
+    normalizer, so this is an Arrow-batched mapInPandas over
+    unicodedata.normalize (NFC is stability-frozen by the Unicode
+    standard, so Python's tables and the oracle engine's utf8proc agree
+    on every assigned codepoint). Integer outputs only.
+
+    Scale shape: pure map stage — no shuffle, no state; the Python cost
+    is one vectorized pass per Arrow batch.
+
+    Output: doc_id, is_nfc (1/0), raw_len, nfc_len (codepoints).
+    """
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            txt = pdf["text"].fillna("")
+            nfc = txt.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "is_nfc": (txt == nfc).astype("int32"),
+                    "raw_len": txt.str.len().astype("int64"),
+                    "nfc_len": nfc.str.len().astype("int64"),
+                }
+            )
+
+    return (
+        _fan_out(documents.select("doc_id", "text"))
+        .mapInPandas(run, "doc_id long, is_nfc int, raw_len long, nfc_len long")
     )

@@ -2685,3 +2685,58 @@ def test_hashed_tf_sparse_counts(spark):
     assert got == {
         (0, b("alpha")): 2, (0, b("beta")): 1, (1, b("alpha")): 1,
     }
+
+
+def test_freq_spectrum(spark, docs_df):
+    rows = {r["freq"]: r["n_types"] for r in textstats.freq_spectrum(docs_df).collect()}
+    # recompute from the shared tokenizer semantics
+    from collections import Counter
+
+    counts = Counter(
+        t for _, text, _ in DOCS for t in text.strip().lower().split() if t
+    )
+    expected = Counter(counts.values())
+    assert rows == dict(expected)
+    # spectrum identity: sum(freq * n_types) == total token count
+    assert sum(f * n for f, n in rows.items()) == sum(counts.values())
+
+
+def test_sentence_stats(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="One. Two two! Three three three?? Trailing."),
+            Row(doc_id=1, text="no terminal punctuation at all"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="..!?"),  # only boundaries, no content
+            Row(doc_id=4, text=None),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in textstats.sentence_stats(df).collect()}
+    assert (rows[0]["n_sentences"], rows[0]["max_sent_len"], rows[0]["sum_sent_len"]) \
+        == (4, len("three three three"), len("One") + len("Two two") + len("three three three".title()) + len("Trailing"))
+    assert rows[1]["n_sentences"] == 1 and rows[1]["max_sent_len"] == len(df.collect()[1]["text"])
+    assert (rows[2]["n_sentences"], rows[2]["max_sent_len"], rows[2]["sum_sent_len"]) == (0, 0, 0)
+    assert (rows[3]["n_sentences"], rows[3]["max_sent_len"], rows[3]["sum_sent_len"]) == (0, 0, 0)
+    assert (rows[4]["n_sentences"], rows[4]["max_sent_len"], rows[4]["sum_sent_len"]) == (0, 0, 0)
+
+
+def test_unicode_nfc(spark):
+    nfd = "Caf" + "e\u0301" + " du Monde"  # decomposed: one cp shorter after NFC
+    nfc = "Caf" + "\u00e9" + " du Monde"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=nfd),
+            Row(doc_id=1, text=nfc),
+            Row(doc_id=2, text="plain ascii"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in textstats.unicode_nfc(df).collect()}
+    assert rows[0]["is_nfc"] == 0
+    assert rows[0]["raw_len"] == len(nfd) and rows[0]["nfc_len"] == len(nfd) - 1
+    assert rows[1]["is_nfc"] == 1 and rows[1]["nfc_len"] == len(nfc)
+    assert rows[2]["is_nfc"] == 1
+    assert rows[3]["is_nfc"] == 1 and rows[3]["raw_len"] == 0
+    # NULL text audits as empty (matches the SQL twin's coalesce)
+    assert rows[4]["is_nfc"] == 1 and rows[4]["raw_len"] == 0 and rows[4]["nfc_len"] == 0

@@ -460,3 +460,33 @@ def test_semantic_dedup_flags_planted_pair_lowest_id_survives(emb_df):
     assert rows[4]["cell"] == rows[9]["cell"]
     assert rows[9]["is_dup"] is True
     assert rows[4]["is_dup"] is False
+
+
+def test_sentence_stats_is_single_scan_zero_exchanges(spark):
+    """Sentence segmentation must stay one codegen'd projection chain —
+    no joins, no shuffles; each HOF stage materialized in its own select
+    (the shingles_over CSE contract)."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame([Row(doc_id=0, text="One. Two two! ok")])
+    plan = _physical(textstats.sentence_stats(df))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_freq_spectrum_aggregates_are_partial(spark):
+    """Both aggregation levels must map-side combine (partial_count
+    before each exchange): shuffle volume is vocabulary then the count
+    domain — never the exploded token stream."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="common words here") for i in range(4)]
+    )
+    plan = _physical(textstats.freq_spectrum(df))
+    assert plan.count("partial_count") >= 2, plan
+    assert "Join" not in plan, plan
