@@ -81,6 +81,22 @@ CLAIMS = {
     "bloom_prefilter": "bit-grid side (<= depth*width rows regardless of "
     "corpus size) rides a BroadcastHashJoin into the probe stream; only "
     "the exact AUDIT join shuffles",
+    "semantic_dedup": "candidate pairs generated PER IVF CELL (cell "
+    "equi-join, never a global pair join); integer-cosine filter runs on "
+    "cell-collision survivors only; no CartesianProduct anywhere",
+    "freq_spectrum": "two-level aggregation, BOTH map-side combined "
+    "(partial_count before each exchange): shuffle volume is vocabulary "
+    "then the count domain — never the exploded token stream",
+    "sentence_stats": "one codegen'd scan, ZERO exchanges: each "
+    "higher-order-function stage materialized in its own projection "
+    "(the shingles_over CSE contract)",
+    "unicode_nfc": "pure Arrow-batched map stage (mapInPandas) — no "
+    "join, no state; the single Exchange is _fan_out's small-input "
+    "repartition (a no-op at real scale by its size guard); the only "
+    "Python is the vectorized normalizer pass",
+    "multimodal_dib_depths_decode": "mapInPandas batch decode directly "
+    "over the media table — no shuffle before the projection; all three "
+    "DIB layouts decode in the same single pass",
 }
 
 
