@@ -493,6 +493,61 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_classifier(docs, textstats.classifier_weights(spark))
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: the hashed linear scorer's
+    length-normalized quality bins drive per-doc epoch counts (worst
+    quartile thins 4x, best repeats 3x); fractional rates realize via the
+    stateless md5 threshold, so the plan is window-free."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.importance_sample(docs, textstats.classifier_weights(spark))
+
+
+def _sql_importance_sample() -> str:
+    r0, r1, r2, r3 = corpus.IMPORTANCE_RATES_PCT
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT)
+           % {textstats.CLS_BUCKETS} AS bucket
+  FROM toks WHERE token <> ''
+),
+w AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         (b * {textstats._CLS_MULT}) % 4294967296 % {textstats.CLS_W_MOD}
+           - 1000 AS weight
+  FROM (SELECT unnest(range({textstats.CLS_BUCKETS})) AS b)
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_scored, CAST(SUM(weight) AS BIGINT) AS score
+  FROM bucketed JOIN w USING (bucket) GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN 4 * score < -n_scored THEN 0
+         WHEN 4 * score < 0 THEN 1
+         WHEN 4 * score < n_scored THEN 2
+         ELSE 3 END AS bin
+  FROM sc
+),
+rr AS (
+  SELECT doc_id, bin,
+    CASE bin WHEN 0 THEN {r0} WHEN 1 THEN {r1}
+             WHEN 2 THEN {r2} ELSE {r3} END AS rate_pct
+  FROM r
+)
+SELECT doc_id, CAST(bin AS INTEGER) AS bin,
+  CAST(rate_pct AS INTEGER) AS rate_pct,
+  CAST(rate_pct // 100
+       + CASE WHEN CAST(('0x' || substr(md5('is:' || doc_id), 1, 4)) AS BIGINT)
+                   % 100 < rate_pct % 100
+              THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM rr
+"""
+
+
 def _sql_quality_classifier() -> str:
     return f"""
 WITH toks AS (
@@ -4720,6 +4775,7 @@ def queries() -> dict:
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
+        "importance_sample": q_importance_sample,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -4875,6 +4931,7 @@ def oracle_sql() -> dict:
         "freq_spectrum": _sql_freq_spectrum(),
         "sentence_stats": _sql_sentence_stats(),
         "unicode_nfc": SQL_UNICODE_NFC,
+        "importance_sample": _sql_importance_sample(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

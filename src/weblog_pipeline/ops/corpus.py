@@ -867,3 +867,79 @@ def mixture_sample(documents: DataFrame, budget: int = 1000) -> DataFrame:
             ).cast("long").alias("n_copies"),
         )
     )
+
+
+#: per-bin sampling rates (percent of one epoch) for importance_sample:
+#: worst quality quartile thins to 1/4, below-average passes through,
+#: above-average repeats 1.5x, best repeats 3x.
+IMPORTANCE_RATES_PCT = (25, 100, 150, 300)
+
+
+def importance_sample(
+    documents: DataFrame,
+    weights: DataFrame,
+    rates_pct: tuple[int, int, int, int] = IMPORTANCE_RATES_PCT,
+) -> DataFrame:
+    """Quality-weighted importance resampling — the model-based curation
+    pass that reshapes the token distribution AFTER the rule filters:
+    each scored document lands in one of four LENGTH-NORMALIZED quality
+    bins (4*score vs ±n_scored, i.e. mean per-token weight below -1/4,
+    [-1/4, 0), [0, +1/4), >= +1/4) and is re-emitted n_copies times at
+    the bin's sampling rate — high-scoring docs repeat, low-scoring docs
+    thin out (the DSIR/PaLM quality-upsampling shape, realized with the
+    integer-exact hashed linear scorer).
+
+    The fractional part of a rate is realized per doc by the stateless
+    md5 hash-threshold predicate ("is:"-salted bucket mod 100 < rate%100)
+    — the mixture_sample idiom: deterministic, resume-stable, and
+    window-free, so no bin ever funnels its full doc list through one
+    task; the realized fraction is hash-binomial around rate%100, the
+    documented trade for a stateless plan.
+
+    Scale shape: the classifier's explode + broadcast weight join + one
+    map-side-combined doc_id aggregate are the ONLY wide stages; binning,
+    rates, and copy counts are codegen'd per-row expressions on top.
+    Docs with no tokens have no rows (both engines agree).
+
+    Output: doc_id, bin, rate_pct, n_copies.
+    """
+    if len(rates_pct) != 4:
+        raise ValueError(f"importance_sample needs 4 bin rates, got {rates_pct!r}")
+    scored = textstats.quality_classifier(documents, weights)
+    s4 = F.col("score") * 4
+    n = F.col("n_scored")
+    bin_col = (
+        F.when(s4 < -n, F.lit(0))
+        .when(s4 < 0, F.lit(1))
+        .when(s4 < n, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rate = (
+        F.when(F.col("bin") == 0, F.lit(rates_pct[0]))
+        .when(F.col("bin") == 1, F.lit(rates_pct[1]))
+        .when(F.col("bin") == 2, F.lit(rates_pct[2]))
+        .otherwise(F.lit(rates_pct[3]))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("is:"), F.col("doc_id"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        scored.select("doc_id", "n_scored", "score", bin_col.alias("bin"))
+        .select("doc_id", "bin", rate.cast("int").alias("rate_pct"))
+        .select(
+            "doc_id",
+            "bin",
+            "rate_pct",
+            (
+                F.expr("rate_pct div 100")
+                + F.when(bucket < F.col("rate_pct") % 100, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("n_copies"),
+        )
+    )

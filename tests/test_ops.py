@@ -2740,3 +2740,42 @@ def test_unicode_nfc(spark):
     assert rows[3]["is_nfc"] == 1 and rows[3]["raw_len"] == 0
     # NULL text audits as empty (matches the SQL twin's coalesce)
     assert rows[4]["is_nfc"] == 1 and rows[4]["raw_len"] == 0 and rows[4]["nfc_len"] == 0
+
+
+def test_importance_sample_bins_and_copy_realization(spark):
+    """Custom two-token weight table steers docs into known bins; copy
+    counts must equal rate div 100 plus the md5-threshold extra."""
+    from pyspark.sql import types as T
+
+    from weblog_pipeline.ops import corpus
+
+    def bucket_of(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % textstats.CLS_BUCKETS
+
+    # weights: token 'good' strongly positive, 'bad' strongly negative,
+    # 'meh' mildly positive (mean weight < 1/4 of a token)
+    w = {bucket_of("good"): 1000, bucket_of("bad"): -1000, bucket_of("meh"): 0}
+    weights = spark.createDataFrame(
+        [(b, w.get(b, 0)) for b in range(textstats.CLS_BUCKETS)],
+        T.StructType(
+            [
+                T.StructField("bucket", T.LongType()),
+                T.StructField("weight", T.LongType()),
+            ]
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="good good good"),   # mean +1000 -> bin 3
+            Row(doc_id=1, text="bad bad"),          # mean -1000 -> bin 0
+            Row(doc_id=2, text="meh meh"),          # mean 0     -> bin 2
+            Row(doc_id=3, text="good bad bad"),     # mean -333  -> bin 0
+        ]
+    )
+    rows = {r["doc_id"]: r for r in corpus.importance_sample(df, weights).collect()}
+    assert [rows[i]["bin"] for i in range(4)] == [3, 0, 2, 0]
+    assert [rows[i]["rate_pct"] for i in range(4)] == [300, 25, 150, 25]
+    for i in range(4):
+        rate = rows[i]["rate_pct"]
+        extra = int(hashlib.md5(f"is:{i}".encode()).hexdigest()[:4], 16) % 100 < rate % 100
+        assert rows[i]["n_copies"] == rate // 100 + extra, i

@@ -490,3 +490,19 @@ def test_freq_spectrum_aggregates_are_partial(spark):
     plan = _physical(textstats.freq_spectrum(df))
     assert plan.count("partial_count") >= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_importance_sample_is_window_free_broadcast_weights(spark):
+    """Resampling must stay stateless: the weight table broadcasts, the
+    copy-count realization is a per-row hash predicate — no Window, no
+    extra exchange beyond the classifier's own doc_id aggregate."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus, textstats
+
+    df = spark.createDataFrame([Row(doc_id=i, text="some words") for i in range(4)])
+    plan = _physical(
+        corpus.importance_sample(df, textstats.classifier_weights(spark))
+    )
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
