@@ -1489,6 +1489,72 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.ngram_contamination(train, probes)
 
 
+#: planted-contamination geometry for decontaminate_fuzzy: offset is a
+#: multiple of 97 plus 1, so planted ids fall OUT of the probe residue
+#: class (id%97 == 4) and far above any fixture doc_id; 4 appended tokens
+#: keep shingle Jaccard ~ (n-2)/(n+2) — above the 50% bar for real docs.
+DECON_PLANT_OFFSET = 97_000_001
+DECON_PLANT_SUFFIX = " zq0 zq1 zq2 zq3"
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination — the fuzzy twin of `decontaminate`'s
+    exact-3-gram audit (the GPT-3 appendix-C filter generalized to
+    MinHash): a train doc is contaminated iff it shares an LSH band
+    bucket with a benchmark probe AND exact shingle Jaccard >= 50%.
+    Runs dedup.cross_neardup with probes as the existing side, so
+    train x train and probe x probe pairs never form. Every 3rd probe
+    is re-planted into train with 4 appended tokens, guaranteeing
+    contaminated docs exist at every SF."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.where(F.col("doc_id") % 97 == 3)
+    planted = probes.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + DECON_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(DECON_PLANT_SUFFIX)).alias("text"),
+    )
+    train = docs.where(F.col("doc_id") % 97 != 3).unionByName(planted)
+    return dedup.cross_neardup(probes, train, jaccard_pct=50)
+
+
+def _sql_decontaminate_fuzzy() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DECON_PLANT_OFFSET} AS doc_id,
+         text || '{DECON_PLANT_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 97 = 3 AND doc_id % 3 = 0
+),
+{_sig_cte("aug")},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 97 <> 3 AND b.doc_id % 97 = 3
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+near AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_intersect * 100 >= 50 * (za.n + zb.n - i.n_intersect)
+)
+SELECT doc_a AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(doc_b) AS first_match
+FROM near GROUP BY doc_a
+"""
+
+
 def _sql_decontaminate() -> str:
     return f"""
 WITH {_shingle_cte("documents")},
@@ -4776,6 +4842,7 @@ def queries() -> dict:
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
         "importance_sample": q_importance_sample,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -4932,6 +4999,7 @@ def oracle_sql() -> dict:
         "sentence_stats": _sql_sentence_stats(),
         "unicode_nfc": SQL_UNICODE_NFC,
         "importance_sample": _sql_importance_sample(),
+        "decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

@@ -2779,3 +2779,23 @@ def test_importance_sample_bins_and_copy_realization(spark):
         rate = rows[i]["rate_pct"]
         extra = int(hashlib.md5(f"is:{i}".encode()).hexdigest()[:4], 16) % 100 < rate % 100
         assert rows[i]["n_copies"] == rate // 100 + extra, i
+
+
+def test_decontaminate_fuzzy_catches_planted_probes(spark):
+    """At least one planted near-copy must be detected, every detected
+    plant must name its source probe as first_match, and no probe-side
+    doc may appear as contaminated (the cross join is one-directional).
+    Plants with Jaccard barely at the 50% bar may legitimately miss the
+    band collision — LSH recall at the threshold is probabilistic, which
+    is the documented trade (dedup_lsh_recall tracks it)."""
+    from weblog_pipeline import driver_queries as dq
+
+    df = dq.q_decontaminate_fuzzy(spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    planted = {k: v for k, v in rows.items() if k >= dq.DECON_PLANT_OFFSET}
+    assert planted, "no planted contamination detected"
+    for k, v in planted.items():
+        assert v["first_match"] == k - dq.DECON_PLANT_OFFSET
+    for k in rows:
+        if k < dq.DECON_PLANT_OFFSET:
+            assert k % 97 != 3, f"probe {k} reported as contaminated train doc"
