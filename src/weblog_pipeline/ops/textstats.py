@@ -938,6 +938,37 @@ CMS_DEPTH = 4
 CMS_WIDTH = 512
 
 
+def _cms_bucket(j: int, tok, width: int):
+    """CMS row-j bucket of a token column: md5("j:" || t) first-4-hex mod
+    width (the pinned md5-conv idiom, canary_md5_conv)."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), tok))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % width
+
+
+def cms_cell_rows(
+    tokens: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(row, bucket) CMS cell-hit stream for a token column — the shared
+    derivation of the batch aggregate (cms_heavy_hitters) and the
+    streaming stateful counter (streaming.cms_stream): row j buckets
+    token t at md5("j:" || t) first-4-hex mod width. No aggregation here
+    so a streaming caller can count statefully; no fan-out either (batch
+    callers apply _fan_out to the token source, streaming sources cannot
+    answer the size probe)."""
+
+    return tokens.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    _cms_bucket(j, F.col("token"), width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+
+
 def cms_heavy_hitters(
     documents: DataFrame,
     k: int = 20,
@@ -966,28 +997,13 @@ def cms_heavy_hitters(
     Output: rank, token, exact_n, cms_est, overest, within_bound.
     """
 
-    def _bucket(j: int, tok):
-        h = F.md5(F.concat(F.lit(f"{j}:"), tok))
-        return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % width
-
     toks = (
         _fan_out(documents.select("doc_id", "text"))
         .select(F.explode(lower_tokens_col()).alias("token"))
         .where(F.col("token") != "")
     )
     cells = (
-        toks.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        _bucket(j, F.col("token")).alias("bucket"),
-                    )
-                    for j in range(depth)
-                ])
-            ).alias("c")
-        )
-        .select("c.row", "c.bucket")
+        cms_cell_rows(toks, depth=depth, width=width)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1002,7 +1018,7 @@ def cms_heavy_hitters(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("row"),
-                    _bucket(j, F.col("token")).alias("bucket"),
+                    _cms_bucket(j, F.col("token"), width).alias("bucket"),
                 )
                 for j in range(depth)
             ])

@@ -324,3 +324,58 @@ def keyed_quota_stateful(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+#: emitted per updated CMS cell per micro-batch; counters are monotone so
+#: the final grid is max(cnt) per (row, bucket) over the emitted log.
+CMS_CELL_SCHEMA = "row int, bucket long, cnt long"
+_CMS_STATE_SCHEMA = "cnt long"
+
+
+def cms_stream(documents: DataFrame, depth: int | None = None,
+               width: int | None = None) -> DataFrame:
+    """Streaming count-min sketch — the continuous-monitoring twin of
+    textstats.cms_heavy_hitters' batch grid: token cell hits derive from
+    the SAME cms_cell_rows expression, and each (row, bucket) cell keeps
+    one running counter in the state store, emitting its new total every
+    micro-batch it is touched (append-safe: each emission is a new,
+    strictly larger total — the final grid is max(cnt) per cell).
+
+    The 100 TB story is the STATE BOUND: the store holds at most
+    depth*width keys (the sketch geometry) no matter how long the stream
+    runs or how large the token vocabulary grows — the property that
+    makes CMS the monitoring sketch. Contrast dedup_stream, whose state
+    is one key per distinct content hash inside the watermark.
+    """
+    import pandas as pd
+
+    from .ops.dedup import lower_tokens_col
+    from .ops.textstats import CMS_DEPTH, CMS_WIDTH, cms_cell_rows
+
+    def bump(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        cnt += sum(len(p) for p in pdfs)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {
+                "row": pd.array([key[0]], dtype="int32"),
+                "bucket": pd.array([key[1]], dtype="int64"),
+                "cnt": pd.array([cnt], dtype="int64"),
+            }
+        )
+
+    toks = documents.select(
+        F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    cells = cms_cell_rows(
+        toks,
+        depth=CMS_DEPTH if depth is None else depth,
+        width=CMS_WIDTH if width is None else width,
+    )
+    return cells.groupBy("row", "bucket").applyInPandasWithState(
+        bump,
+        outputStructType=CMS_CELL_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -392,3 +392,71 @@ def test_keyed_quota_stateful_group_spanning_arrow_chunks(spark, tmp_path):
     # earliest ts (highest event_id) holds seq 1 and is allowed
     assert got[n - 1] == (1, True)
     assert got[0] == (n, False)
+
+
+def test_cms_stream_equals_batch_grid(spark, tmp_path):
+    """The streaming CMS counters, replayed over two micro-batches, must
+    converge to EXACTLY the batch sketch grid (max emitted total per
+    cell == the batch (row, bucket) aggregate), and a cell hit in both
+    batches must emit strictly growing totals — cross-batch state, not
+    per-batch recount. State is bounded by depth*width by construction."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.dedup import lower_tokens_col
+    from weblog_pipeline.ops.textstats import cms_cell_rows
+    from weblog_pipeline.streaming import cms_stream
+
+    schema = "doc_id long, text string"
+    f1 = [Row(doc_id=0, text="alpha beta alpha"), Row(doc_id=1, text="gamma")]
+    f2 = [Row(doc_id=2, text="alpha delta"), Row(doc_id=3, text="beta beta")]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        cms_stream(stream, depth=3, width=16)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    final = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in emitted.groupBy("row", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    batch_docs = spark.createDataFrame(f1 + f2, schema)
+    toks = batch_docs.select(F.explode(lower_tokens_col()).alias("token")).where(
+        F.col("token") != ""
+    )
+    grid = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_cell_rows(toks, depth=3, width=16)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert final == grid
+    assert len(final) <= 3 * 16  # the sketch state bound
+    # 'alpha' and 'beta' appear in both files: their cells must have
+    # emitted two strictly increasing totals
+    multi = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in emitted.groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("cnt").alias("d"))
+        .where((F.col("n") >= 2) & (F.col("n") == F.col("d")))
+        .collect()
+    }
+    assert multi, "no cell recorded cross-batch growth"
