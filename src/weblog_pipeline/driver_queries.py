@@ -1555,6 +1555,26 @@ FROM near GROUP BY doc_a
 """
 
 
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+per AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+    CAST(SUM(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1000000) AS BIGINT))
+         AS BIGINT) AS s
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n_chars,
+  CAST(CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+       - s // n_chars AS BIGINT) AS entropy_micro
+FROM agg
+"""
+
+
 def _sql_decontaminate() -> str:
     return f"""
 WITH {_shingle_cte("documents")},
@@ -4843,6 +4863,7 @@ def queries() -> dict:
         "unicode_nfc": q_unicode_nfc,
         "importance_sample": q_importance_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "char_entropy": docs(textstats.char_entropy),
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5000,6 +5021,7 @@ def oracle_sql() -> dict:
         "unicode_nfc": SQL_UNICODE_NFC,
         "importance_sample": _sql_importance_sample(),
         "decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
+        "char_entropy": SQL_CHAR_ENTROPY,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

@@ -1474,3 +1474,52 @@ def unicode_nfc(documents: DataFrame) -> DataFrame:
         _fan_out(documents.select("doc_id", "text"))
         .mapInPandas(run, "doc_id long, is_nfc int, raw_len long, nfc_len long")
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy in integer micro-nats
+    — the gibberish/binary-junk quality signal (natural prose sits around
+    2.5-4.5 nats; base64 blobs and key-mash spam push toward ln(alphabet),
+    single-char floods toward 0).
+
+    H = ln(n) - (1/n) * sum_i c_i ln c_i over per-character counts c_i,
+    realized as floor(1e6*ln(n)) - (sum_i floor(1e6 * c_i * ln(c_i)))
+    div n. EVERY transcendental term is floored to an INTEGER before the
+    sum (the bigram_logprob lp_micro idiom): the distributed sum is then
+    order-free, and ln of the same integer-valued double is bit-identical
+    across engines (parity-swept over 1..3000, 1e6, 1e9).
+
+    Scale shape: char explode -> (doc_id, char) count with map-side
+    combine (bounded by each doc's alphabet) -> one doc_id aggregate.
+    Zero joins, zero windows. The char split is codepoint-grain in BOTH
+    engines (verified incl. astral plane + combining marks).
+
+    Output: doc_id, n_chars, entropy_micro. Empty/NULL-text docs have no
+    rows (both engines agree).
+    """
+    chars = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = F.floor(
+        F.log(F.col("c").cast("double")) * F.col("c") * F.lit(1000000)
+    ).cast("long")
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum(term).cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.floor(
+                    F.log(F.col("n_chars").cast("double")) * F.lit(1000000)
+                ).cast("long")
+                - F.expr("_s div n_chars")
+            ).alias("entropy_micro"),
+        )
+    )

@@ -2799,3 +2799,29 @@ def test_decontaminate_fuzzy_catches_planted_probes(spark):
     for k in rows:
         if k < dq.DECON_PLANT_OFFSET:
             assert k % 97 != 3, f"probe {k} reported as contaminated train doc"
+
+
+def test_char_entropy_integer_micro_nats(spark):
+    """Hand-computed entropy on planted alphabets: single-char flood -> 0,
+    uniform alphabet -> ln(k), and the integer realization matches the
+    per-term floor formula exactly."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="aaaaaaaa"),        # H = 0
+            Row(doc_id=1, text="abcd"),            # uniform 4: H = ln(4)
+            Row(doc_id=2, text="aab"),             # H = ln(3) - (2 ln 2)/3
+            Row(doc_id=3, text=""),                # no rows
+            Row(doc_id=4, text=None),              # no rows
+        ]
+    )
+    rows = {r["doc_id"]: r for r in textstats.char_entropy(df).collect()}
+    assert set(rows) == {0, 1, 2}
+
+    def h_micro(counts):
+        n = sum(counts)
+        s = sum(math.floor(math.log(c) * c * 1000000) for c in counts)
+        return math.floor(math.log(n) * 1000000) - s // n
+
+    assert rows[0]["entropy_micro"] == 0 and rows[0]["n_chars"] == 8
+    assert rows[1]["entropy_micro"] == h_micro([1, 1, 1, 1]) == 1386294
+    assert rows[2]["entropy_micro"] == h_micro([2, 1])
