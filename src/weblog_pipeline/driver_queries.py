@@ -1575,6 +1575,20 @@ FROM agg
 """
 
 
+SQL_DATA_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('sp:' || doc_id), 1, 4)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 98 THEN 'train'
+       WHEN bucket < 99 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+"""
+
+
 def _sql_decontaminate() -> str:
     return f"""
 WITH {_shingle_cte("documents")},
@@ -4864,6 +4878,7 @@ def queries() -> dict:
         "importance_sample": q_importance_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "char_entropy": docs(textstats.char_entropy),
+        "data_split": docs(corpus.data_split),
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5022,6 +5037,7 @@ def oracle_sql() -> dict:
         "importance_sample": _sql_importance_sample(),
         "decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
         "char_entropy": SQL_CHAR_ENTROPY,
+        "data_split": SQL_DATA_SPLIT,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

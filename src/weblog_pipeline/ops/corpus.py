@@ -943,3 +943,43 @@ def importance_sample(
             ).cast("long").alias("n_copies"),
         )
     )
+
+
+#: (train, val, test) percentages for data_split.
+DATA_SPLIT_PCT = (98, 1, 1)
+
+
+def data_split(
+    documents: DataFrame, pct: tuple[int, int, int] = DATA_SPLIT_PCT
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every corpus
+    needs before training: md5("sp:" || doc_id) bucket mod 100 lands each
+    doc in train (< pct[0]), val (< pct[0]+pct[1]) or test. Keyed by
+    doc_id, not content: stable under re-partitioning, re-runs, and text
+    edits (a doc never migrates between splits when its text is cleaned),
+    with no RNG state to checkpoint — the same salted-hash idiom as
+    mixture_sample / importance_sample, so the three samplers compose
+    without correlation (distinct salts).
+
+    Scale shape: a pure codegen'd projection — zero shuffles, zero joins.
+
+    Output: doc_id, bucket, split.
+    """
+    if sum(pct) != 100 or len(pct) != 3:
+        raise ValueError(f"data_split pct must be 3 shares summing to 100: {pct!r}")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sp:"), F.col("doc_id"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return documents.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < pct[0], F.lit("train"))
+        .when(F.col("bucket") < pct[0] + pct[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -2825,3 +2825,23 @@ def test_char_entropy_integer_micro_nats(spark):
     assert rows[0]["entropy_micro"] == 0 and rows[0]["n_chars"] == 8
     assert rows[1]["entropy_micro"] == h_micro([1, 1, 1, 1]) == 1386294
     assert rows[2]["entropy_micro"] == h_micro([2, 1])
+
+
+def test_data_split_deterministic_and_exhaustive(spark, docs_df):
+    """Every doc gets exactly one split, assignment matches the salted
+    md5 bucket, and a second run (different partitioning) is identical."""
+    from weblog_pipeline.ops import corpus
+
+    rows = {r["doc_id"]: r for r in corpus.data_split(docs_df).collect()}
+    assert set(rows) == {i for i, _, _ in DOCS}
+    for i, r in rows.items():
+        b = int(hashlib.md5(f"sp:{i}".encode()).hexdigest()[:4], 16) % 100
+        assert r["bucket"] == b
+        assert r["split"] == ("train" if b < 98 else "val" if b < 99 else "test")
+    again = {
+        r["doc_id"]: r["split"]
+        for r in corpus.data_split(docs_df.repartition(7)).collect()
+    }
+    assert again == {i: r["split"] for i, r in rows.items()}
+    with pytest.raises(ValueError):
+        corpus.data_split(docs_df, pct=(90, 5, 4))
