@@ -3995,6 +3995,85 @@ FROM pr{iters} p LEFT JOIN outdeg o ON o.host = p.host
 """
 
 
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-seed prioritization — the composition a crawler uses to rank
+    which hosts deserve recrawl budget: per-domain PageRank authority
+    joined with the domain's model-based quality keep-rate, priority =
+    rank_scaled * n_keep div n_docs (integer; authority weighted by the
+    fraction of the host's docs the classifier keeps). The link graph
+    runs over the planted markup; quality over the RAW text, so markup
+    never leaks into the quality signal. Docs the classifier cannot
+    score (no tokens) count as not-keep on both engines."""
+    raw = _read(spark, sf_dir, "documents")
+    docs = _link_planted(raw)
+    pr = graph.pagerank(graph.link_graph(graph.extract_links(docs)))
+    scored = textstats.quality_classifier(raw, textstats.classifier_weights(spark))
+    host_docs = raw.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"), "doc_id"
+    )
+    stats = (
+        host_docs.join(scored.select("doc_id", "label"), "doc_id", "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("label") == "keep").cast("long").alias("n_keep"),
+        )
+    )
+    return (
+        pr.select("host", "rank_scaled")
+        .join(stats, "host", "left")
+        .select(
+            "host",
+            "rank_scaled",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_keep", F.lit(0)).cast("long").alias("n_keep"),
+            F.expr(
+                "rank_scaled * coalesce(n_keep, 0)"
+                " div greatest(coalesce(n_docs, 0), 1)"
+            ).cast("long").alias("priority"),
+        )
+    )
+
+
+def _sql_domain_quality() -> str:
+    return f"""
+WITH pr AS (
+  {_sql_domain_pagerank()}
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT)
+           % {textstats.CLS_BUCKETS} AS bucket
+  FROM toks WHERE token <> ''
+),
+w AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         (b * {textstats._CLS_MULT}) % 4294967296 % {textstats.CLS_W_MOD}
+           - 1000 AS weight
+  FROM (SELECT unnest(range({textstats.CLS_BUCKETS})) AS b)
+),
+sc AS (
+  SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score
+  FROM bucketed JOIN w USING (bucket) GROUP BY doc_id
+),
+hd AS (SELECT source || '.example' AS host, doc_id FROM documents),
+st AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(CASE WHEN sc.score >= 0 THEN 1 END) AS BIGINT) AS n_keep
+  FROM hd LEFT JOIN sc USING (doc_id) GROUP BY host
+)
+SELECT p.host, p.rank_scaled,
+  CAST(COALESCE(st.n_docs, 0) AS BIGINT) AS n_docs,
+  CAST(COALESCE(st.n_keep, 0) AS BIGINT) AS n_keep,
+  CAST(p.rank_scaled * COALESCE(st.n_keep, 0)
+       // GREATEST(COALESCE(st.n_docs, 0), 1) AS BIGINT) AS priority
+FROM pr p LEFT JOIN st ON st.host = p.host
+"""
+
+
 def q_domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer HITS hubs/authorities over the planted domain graph."""
     docs = _link_planted(_read(spark, sf_dir, "documents"))
@@ -4871,7 +4950,8 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — lead the r7 rotation):
+        # added late r6 (no official row yet — these eight lead the r7
+        # rotation right after the canaries, before any stale greens):
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
@@ -4879,6 +4959,7 @@ def queries() -> dict:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "char_entropy": docs(textstats.char_entropy),
         "data_split": docs(corpus.data_split),
+        "domain_quality": q_domain_quality,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5038,6 +5119,7 @@ def oracle_sql() -> dict:
         "decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
         "char_entropy": SQL_CHAR_ENTROPY,
         "data_split": SQL_DATA_SPLIT,
+        "domain_quality": _sql_domain_quality(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),
