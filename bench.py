@@ -171,6 +171,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         runs=2,
     )
 
+    def semdedup():
+        emb_d = embs.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        return similarity.semantic_dedup(emb_d, threshold=0.4).count()
+
+    timed("semantic_dedup", semdedup, runs=2)
+
     def ann_lsh():
         q = embs.where(F.col("vec_id") % 500 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
