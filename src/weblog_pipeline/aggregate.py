@@ -188,3 +188,70 @@ def keyed_quota(
             (F.col("seq") <= k).alias("allowed"),
         )
     )
+
+
+#: default conversion funnel over the events table.
+FUNNEL_STAGES = ("view", "click", "purchase")
+#: default conversion window: each stage must complete within a day of
+#: the previous one.
+FUNNEL_WINDOW_S = 86_400
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str] = FUNNEL_STAGES,
+    window_s: int = FUNNEL_WINDOW_S,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel — per user, how deep into the stage
+    sequence did they get, where stage i only counts if its FIRST
+    qualifying event is STRICTLY after the user's stage-(i-1) completion
+    time and within the window_s conversion window (a purchase before
+    any click does not complete the funnel; one a month later does not
+    either).
+
+    Shape: one conditional-min aggregate per stage, chained — stage i's
+    completion time is min(ts) of stage-i events joined against the
+    stage-(i-1) table and filtered to ts > t_{i-1}. Everything is
+    user-grain aggregates and equi-joins (bounded, uniform keys): no
+    windows, no per-user collect_list, so one hyperactive user never
+    funnels a task and memory stays flat. Since reaching stage i implies
+    stage i-1, stage = sum of reached-flags.
+
+    Output: user_id, stage (0..len(stages)).
+    """
+    if not stages:
+        raise ValueError("funnel_stages needs at least one stage")
+    users = events.select(user_col).distinct()
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, s in enumerate(stages):
+        ev = events.where(F.col(type_col) == s).select(user_col, ts_col)
+        if prev is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias(f"_t{i}"))
+        else:
+            prev_t = F.col(f"_t{i - 1}")
+            cur = (
+                ev.join(prev, user_col)
+                .where(
+                    (F.col(ts_col) > prev_t)
+                    & (
+                        F.col(ts_col)
+                        <= prev_t + F.expr(f"INTERVAL {window_s} SECOND")
+                    )
+                )
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"_t{i}"))
+            )
+        reached.append(cur.select(user_col, F.lit(1).alias(f"_s{i}")))
+        prev = cur
+    out = users
+    for r in reached:
+        out = out.join(r, user_col, "left")
+    stage = None
+    for i in range(len(stages)):
+        flag = F.coalesce(F.col(f"_s{i}"), F.lit(0))
+        stage = flag if stage is None else stage + flag
+    return out.select(user_col, stage.cast("int").alias("stage"))

@@ -30,7 +30,7 @@ from .config import (
     SinkRoute,
     route_event,
 )
-from .aggregate import domain_counts, trace_rollup
+from .aggregate import domain_counts, funnel_stages, trace_rollup
 from .enrich import attrs_rendered, enrich_events
 from .generate import (
     BASE_TS_NS,
@@ -873,6 +873,42 @@ assigned AS (
 )
 SELECT label, assigned_label, COUNT(*) AS n_vecs
 FROM assigned GROUP BY label, assigned_label
+"""
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase conversion funnel over the events
+    table: stage i counts only when its first qualifying event is
+    STRICTLY after the user's stage-(i-1) completion AND within the
+    one-day conversion window — chained conditional-min aggregates, no
+    rank windows, no per-user collect."""
+    return funnel_stages(_read(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL_STAGES = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1\n    AND e.ts <= v.t1 + INTERVAL 86400 SECOND GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2\n    AND e.ts <= c.t2 + INTERVAL 86400 SECOND GROUP BY 1
+)
+SELECT u.user_id,
+  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS INTEGER) AS stage
+FROM u LEFT JOIN v USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
 """
 
 
@@ -4960,6 +4996,7 @@ def queries() -> dict:
         "char_entropy": docs(textstats.char_entropy),
         "data_split": docs(corpus.data_split),
         "domain_quality": q_domain_quality,
+        "funnel_stages": q_funnel_stages,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5120,6 +5157,7 @@ def oracle_sql() -> dict:
         "char_entropy": SQL_CHAR_ENTROPY,
         "data_split": SQL_DATA_SPLIT,
         "domain_quality": _sql_domain_quality(),
+        "funnel_stages": SQL_FUNNEL_STAGES,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

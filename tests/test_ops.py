@@ -2845,3 +2845,38 @@ def test_data_split_deterministic_and_exhaustive(spark, docs_df):
     assert again == {i: r["split"] for i, r in rows.items()}
     with pytest.raises(ValueError):
         corpus.data_split(docs_df, pct=(90, 5, 4))
+
+
+def test_funnel_stages_ordering_and_window(spark):
+    """Out-of-order completions don't count; the conversion window bounds
+    each hop; first-occurrence times chain (not any-occurrence)."""
+    import datetime
+
+    from weblog_pipeline.aggregate import funnel_stages
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, typ, secs):
+        return Row(
+            event_id=i, user_id=user, event_type=typ,
+            ts=t0 + datetime.timedelta(seconds=secs),
+        )
+
+    rows = [
+        # user 1: full funnel in order
+        ev(0, 1, "view", 0), ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        # user 2: purchase BEFORE click -> stage 2 only
+        ev(3, 2, "view", 0), ev(4, 2, "purchase", 5), ev(5, 2, "click", 10),
+        # user 3: click outside the window -> stage 1
+        ev(6, 3, "view", 0), ev(7, 3, "click", 90000),
+        # user 4: no view at all -> stage 0 (click/purchase don't help)
+        ev(8, 4, "click", 0), ev(9, 4, "purchase", 10),
+        # user 5: FIRST view starts the clock; click before it ignored,
+        # click after it counts
+        ev(10, 5, "click", 0), ev(11, 5, "view", 5), ev(12, 5, "click", 9),
+        # user 6: purchase exactly at t2 (ts == t2) is NOT strictly after
+        ev(13, 6, "view", 0), ev(14, 6, "click", 7), ev(15, 6, "purchase", 7),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(df, window_s=86400).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2, 6: 2}
