@@ -97,6 +97,19 @@ CLAIMS = {
     "multimodal_dib_depths_decode": "mapInPandas batch decode directly "
     "over the media table — no shuffle before the projection; all three "
     "DIB layouts decode in the same single pass",
+    "cohort_retention": "user-grain min-aggregate joined back on the "
+    "user key, then a distinct over the bounded (cohort, offset, user) "
+    "triple — hash aggregates and one equi-join, NO windows, no "
+    "per-user history",
+    "attribution_last_touch": "as-of join as a bounded RANGE-BUCKET "
+    "equi-join: conversion side exploded into exactly 2 probe buckets, "
+    "winner = one max(struct) hash aggregate — never a per-user "
+    "full-history window",
+    "event_transitions": "lag window partitioned by bounded (user, day) "
+    "strata; the |types|^2 totals table joins back BROADCAST",
+    "value_percentiles": "cumulative window runs over the AGGREGATED "
+    "(key, bucket) histogram — bounded domain, never per-event; the "
+    "keys x quantiles threshold table joins back BROADCAST",
 }
 
 

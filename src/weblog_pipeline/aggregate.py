@@ -255,3 +255,227 @@ def funnel_stages(
         flag = F.coalesce(F.col(f"_s{i}"), F.lit(0))
         stage = flag if stage is None else stage + flag
     return out.select(user_col, stage.cast("int").alias("stage"))
+
+
+#: default last-touch attribution lookback: 7 days, in microseconds.
+ATTRIBUTION_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic retention triangle: users are cohorted by the day of their
+    first `cohort_type` event; a cohort's day-N retention is the number
+    of distinct cohort members with ANY activity N days after cohorting
+    (day 0 = the cohort day itself; pre-cohort activity is excluded).
+
+    Shape: one user-grain min-aggregate (the cohort table), one equi-join
+    back to events on the user key, then a distinct over the bounded
+    triple (cohort_day, offset, user) and a count — every stage is an
+    algebraic aggregate or a uniform-key join; no windows, no per-user
+    history materialization, so the plan is the same at 150 users and
+    10^9 users (the distinct's key-space is users x horizon-days, the
+    same order as the input).
+
+    Output: cohort_day_s (epoch s, BIGINT), day_offset (INT),
+    n_users (BIGINT).
+    """
+    day_s = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    cohort = (
+        events.where(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(day_s).alias("cohort_day_s"))
+    )
+    return (
+        events.select(user_col, day_s.alias("_day_s"))
+        .join(cohort, user_col)
+        .where(F.col("_day_s") >= F.col("cohort_day_s"))
+        .select(
+            "cohort_day_s",
+            F.expr("CAST((_day_s - cohort_day_s) DIV 86400 AS INT)").alias(
+                "day_offset"
+            ),
+            user_col,
+        )
+        .distinct()
+        .groupBy("cohort_day_s", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = ATTRIBUTION_WINDOW_US,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Last-touch attribution — an as-of join: each conversion is matched
+    to the user's latest touch event (view/click) that is strictly
+    earlier (in (ts, event_id) order) and within the lookback window;
+    conversions with no qualifying touch stay unattributed (-1 / 'none').
+
+    Shape: a bounded RANGE-BUCKET join, not a per-user history window.
+    Both sides are bucketed by floor(ts / window); a conversion in bucket
+    b can only match touches in buckets {b-1, b}, so the conversion side
+    is exploded into exactly two probe rows and equi-joined on
+    (user, bucket). Candidates per conversion are bounded by the user's
+    touches in <= 2 windows — a hyperactive user's multi-year history is
+    never scanned, unlike the naive Window.partitionBy(user) as-of plan.
+    The winner is one max(struct) aggregate per conversion (struct
+    ordering = (ts_us, event_id): deterministic under ts ties).
+
+    Output: conv_id, user_id, touch_id (-1 if none), touch_type ('none'
+    if none), delta_us (-1 if none) — nullables coalesced in-engine so
+    the oracle dtypes stay integral.
+    """
+    # parquet timestamps read as NTZ, which unix_micros rejects; the UTC
+    # session timezone makes the LTZ cast an identical-instant no-op
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col(user_col),
+        ts_us.alias("conv_us"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col("event_id").alias("touch_id"),
+        F.col(user_col),
+        ts_us.alias("touch_us"),
+        F.col(type_col).alias("touch_type"),
+    )
+    probes = conv.select(
+        "conv_id",
+        user_col,
+        "conv_us",
+        F.explode(
+            F.array(
+                F.expr(f"conv_us DIV {window_us}"),
+                F.expr(f"conv_us DIV {window_us} - 1"),
+            )
+        ).alias("_bucket"),
+    )
+    cand = (
+        probes.join(
+            touch.withColumn("_bucket", F.expr(f"touch_us DIV {window_us}")),
+            [user_col, "_bucket"],
+        )
+        .where(
+            (
+                (F.col("touch_us") < F.col("conv_us"))
+                | (
+                    (F.col("touch_us") == F.col("conv_us"))
+                    & (F.col("touch_id") < F.col("conv_id"))
+                )
+            )
+            & (F.col("conv_us") - F.col("touch_us") <= F.lit(window_us))
+        )
+        .groupBy("conv_id")
+        .agg(F.max(F.struct("touch_us", "touch_id", "touch_type")).alias("_t"))
+    )
+    return conv.join(cand, "conv_id", "left").select(
+        "conv_id",
+        user_col,
+        F.coalesce(F.col("_t.touch_id"), F.lit(-1)).alias("touch_id"),
+        F.coalesce(F.col("_t.touch_type"), F.lit("none")).alias("touch_type"),
+        F.coalesce(
+            F.col("conv_us") - F.col("_t.touch_us"), F.lit(-1)
+        ).alias("delta_us"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-scoped user-journey transition matrix: for each user, order
+    the day's events by (ts, event_id) and count consecutive
+    (from_type -> to_type) pairs, then normalize each row of the matrix
+    to basis points of its from-state total. Cross-midnight edges are
+    dropped BY DESIGN: the lag window is partitioned by (user, day) — a
+    bounded stratum, never a user's full history — the same discipline
+    as keyed_quota, so one hyperactive multi-year user cannot funnel a
+    task.
+
+    p_bp is integer floor division (n * 10000 DIV from_total): bit-exact
+    across engines, no float summation order to disagree on.
+
+    Output: from_type, to_type, n (BIGINT), p_bp (BIGINT).
+    """
+    from pyspark.sql import Window
+
+    day_s = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    w = Window.partitionBy(user_col, "_day_s").orderBy(ts_col, "event_id")
+    pairs = (
+        events.select(user_col, "event_id", ts_col, day_s.alias("_day_s"),
+                      F.col(type_col).alias("to_type"))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000 DIV _tot").alias("p_bp"),
+    )
+
+
+def value_percentiles(
+    events: DataFrame,
+    bucket_width: float = 10.0,
+    qs: Sequence[int] = (50, 95, 99),
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """HDR-histogram percentiles — the production latency-SLO shape: the
+    raw double is quantized to fixed-width buckets with floor(value /
+    width) (one IEEE divide + floor, bit-identical across engines — no
+    round(), whose half-up/half-even rules differ), the per-(key, bucket)
+    histogram is a map-side-combined aggregate, and percentile q is the
+    smallest bucket whose running count reaches ceil(q% of total),
+    computed with integer arithmetic ((q*total + 99) DIV 100).
+
+    Shape: the cumulative window runs over the AGGREGATED histogram —
+    bounded by keys x buckets, never per-event — so shuffle volume after
+    the first aggregate is the histogram size, independent of row count;
+    the same fixed-memory sketch discipline as heavy_hitters' CMS grid.
+
+    Output: <key_col>, q (INT), bucket (INT) — bucket * width is the
+    percentile's lower bound.
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int")
+    hist = (
+        events.select(key_col, b.alias("bucket"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    totals = hist.groupBy(key_col).agg(F.sum("n").alias("_total"))
+    q_rows = totals.select(
+        key_col,
+        "_total",
+        F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+    ).withColumn("_thresh", F.expr("(q * _total + 99) DIV 100"))
+    return (
+        cum.join(F.broadcast(q_rows), key_col)
+        .where(F.col("cum") >= F.col("_thresh"))
+        .groupBy(key_col, "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )

@@ -912,6 +912,207 @@ FROM u LEFT JOIN v USING (user_id)
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-signup day; day-N
+    retention = distinct cohort members with any activity N days later.
+    User-grain min-agg + equi-join + bounded distinct — no windows."""
+    from weblog_pipeline.aggregate import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH cohort AS (
+  SELECT user_id,
+         MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT)) AS cohort_day_s
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT c.cohort_day_s,
+    CAST((CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) - c.cohort_day_s)
+         // 86400 AS INTEGER) AS day_offset,
+    e.user_id
+  FROM events e JOIN cohort c USING (user_id)
+  WHERE CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) >= c.cohort_day_s
+)
+SELECT cohort_day_s, day_offset, COUNT(*) AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest
+    strictly-earlier view/click within a 7-day lookback. Range-bucket
+    join (conversion probes exactly 2 buckets) + one max(struct) agg —
+    never a per-user full-history window."""
+    from weblog_pipeline.aggregate import attribution_last_touch
+
+    return attribution_last_touch(_read(spark, sf_dir, "events"))
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, epoch_us(ts) AS touch_us,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+m AS (
+  SELECT p.conv_id, p.user_id, t.touch_id, t.touch_type,
+         p.conv_us - t.touch_us AS delta_us,
+         row_number() OVER (
+           PARTITION BY p.conv_id
+           ORDER BY t.touch_us DESC, t.touch_id DESC
+         ) AS rn
+  FROM conv p LEFT JOIN touch t ON t.user_id = p.user_id
+    AND (t.touch_us < p.conv_us
+         OR (t.touch_us = p.conv_us AND t.touch_id < p.conv_id))
+    AND p.conv_us - t.touch_us <= 604800000000
+)
+SELECT conv_id, user_id,
+  COALESCE(touch_id, -1) AS touch_id,
+  COALESCE(touch_type, 'none') AS touch_type,
+  COALESCE(delta_us, -1) AS delta_us
+FROM m WHERE rn = 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-scoped user-journey Markov matrix: consecutive event-type
+    pairs per (user, day) with integer basis-point row normalization.
+    Lag window over bounded (user, day) strata only."""
+    from weblog_pipeline.aggregate import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id
+         ) AS from_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n, p.n * 10000 // t.tot AS p_bp
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram latency percentiles per event type (p50/p95/p99):
+    bit-exact floor-bucketing of the raw double, cumulative window over
+    the bounded histogram, integer ceil-threshold — fixed-memory sketch
+    shape, shuffle volume independent of event count."""
+    from weblog_pipeline.aggregate import value_percentiles
+
+    return value_percentiles(_read(spark, sf_dir, "events"))
+
+
+SQL_VALUE_PERCENTILES = """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         CAST(SUM(n) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM hist GROUP BY 1
+),
+qs AS (SELECT * FROM (VALUES (50), (95), (99)) AS t(q)),
+th AS (
+  SELECT event_type, q, (q * total + 99) // 100 AS thresh
+  FROM tot CROSS JOIN qs
+)
+SELECT c.event_type, CAST(t.q AS INTEGER) AS q, MIN(c.bucket) AS bucket
+FROM cum c JOIN th t ON c.event_type = t.event_type AND c.cum >= t.thresh
+GROUP BY 1, 2
+"""
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log-template mining with a PLANTED log slice: webtext
+    prose has no repeated line skeletons (the op returns empty on the raw
+    fixture), so docs with id % 5 == 0 get a request-log line whose
+    numbers vary per doc, and docs with id % 7 == 0 a session line with a
+    hex id — the miner must collapse each family to ONE masked template
+    with the planted counts, proving the masking path on every fixture."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("\nreq "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" served in "),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(" ms"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit("\nsession "),
+                    F.md5(F.col("doc_id").cast("string")),
+                    F.lit(" expired"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.log_templates(docs)
+
+
+SQL_LOG_TEMPLATES = """
+WITH d AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'req ' || CAST(doc_id AS VARCHAR)
+                 || ' served in ' || CAST(doc_id % 97 AS VARCHAR) || ' ms'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'session ' || md5(CAST(doc_id AS VARCHAR))
+                 || ' expired'
+            ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+  FROM d
+),
+t AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(line, '\\b[0-9a-f]{8,}\\b', '<HEX>', 'g'),
+           '\\d+', '<NUM>', 'g') AS template
+  FROM l
+)
+SELECT template, COUNT(*) AS n_lines, COUNT(DISTINCT doc_id) AS n_docs
+FROM t WHERE template <> ''
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -4986,8 +5187,10 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these eight lead the r7
-        # rotation right after the canaries, before any stale greens):
+        # added late r6 (no official row yet — these FOURTEEN lead the r7
+        # rotation right after the canaries, before any stale greens; the
+        # last six — funnel_stages through log_templates, the
+        # product-analytics family — were added after the r6 window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
@@ -4997,6 +5200,11 @@ def queries() -> dict:
         "data_split": docs(corpus.data_split),
         "domain_quality": q_domain_quality,
         "funnel_stages": q_funnel_stages,
+        "cohort_retention": q_cohort_retention,
+        "attribution_last_touch": q_attribution_last_touch,
+        "event_transitions": q_event_transitions,
+        "value_percentiles": q_value_percentiles,
+        "log_templates": q_log_templates,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5158,6 +5366,11 @@ def oracle_sql() -> dict:
         "data_split": SQL_DATA_SPLIT,
         "domain_quality": _sql_domain_quality(),
         "funnel_stages": SQL_FUNNEL_STAGES,
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
+        "value_percentiles": SQL_VALUE_PERCENTILES,
+        "log_templates": SQL_LOG_TEMPLATES,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

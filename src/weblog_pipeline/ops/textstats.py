@@ -1523,3 +1523,48 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             ).alias("entropy_micro"),
         )
     )
+
+
+# Log-template mining masks, shared with the SQL oracle. Java∩RE2 syntax
+# only (the PII discipline): character classes, bounded repetition, \b.
+# HEX runs first (8+ lowercase hex chars — ids, hashes, session tokens)
+# so a long id is one <HEX>, not a <NUM>-splintered mess; pure digit runs
+# of 8+ also read as <HEX>, a deterministic tie both engines share.
+TPL_HEX = r"\b[0-9a-f]{8,}\b"
+TPL_NUM = r"\d+"
+
+
+def log_templates(documents: DataFrame, min_count: int = 2) -> DataFrame:
+    """Drain/Spell-style log-template mining, the flagship log-analytics
+    reduction: every newline-delimited line is normalized by masking the
+    variable parts (hex ids then digit runs) and the surviving constant
+    skeletons are counted — 10^12 raw lines collapse to the template
+    vocabulary an operator can actually read.
+
+    Staged deterministically like pii_scrub (HEX mask applied before NUM
+    on the trimmed line) so overlap resolves identically in any engine.
+    Shape: explode -> one (template) hash aggregate with map-side
+    combine absorbing the template skew (the dedup_lines discipline);
+    count-distinct docs is the standard two-phase expansion. Templates
+    below `min_count` lines are noise and dropped in-aggregate, so the
+    output is the template dictionary, not a second copy of the corpus.
+
+    Output: template, n_lines (BIGINT), n_docs (BIGINT).
+    """
+    line = F.trim(F.col("line"))
+    tpl = F.regexp_replace(
+        F.regexp_replace(line, TPL_HEX, "<HEX>"), TPL_NUM, "<NUM>"
+    )
+    return (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+        )
+        .select("doc_id", tpl.alias("template"))
+        .where(F.col("template") != "")
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_lines") >= min_count)
+    )

@@ -379,3 +379,51 @@ def cms_stream(documents: DataFrame, depth: int | None = None,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+#: streaming HDR histogram cells: running totals are append-safe because
+#: each emission is strictly larger; final histogram = max(cnt) per cell.
+HDR_CELL_SCHEMA = "event_type string, bucket int, cnt long"
+_HDR_STATE_SCHEMA = "cnt long"
+
+
+def hdr_stream(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
+    """Streaming HDR latency histogram — the continuous-monitoring twin
+    of aggregate.value_percentiles' batch histogram: bucket assignment is
+    the SAME floor(value / width) expression, and each (event_type,
+    bucket) cell keeps one running counter in the state store, emitting
+    its new total every micro-batch it is touched (append-safe: each
+    emission is a new, strictly larger total — the final histogram is
+    max(cnt) per cell, and percentiles read off its cumulative sums).
+
+    The 100 TB story is the STATE BOUND: like cms_stream, the store
+    holds at most |event types| x |buckets| keys — the histogram
+    geometry — no matter how long the stream runs or how many events
+    pass; that is what makes fixed-width histograms THE production
+    latency-SLO sketch (HDR/DDSketch shape).
+    """
+    import pandas as pd
+
+    def bump(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        cnt += sum(len(p) for p in pdfs)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "bucket": pd.array([key[1]], dtype="int32"),
+                "cnt": pd.array([cnt], dtype="int64"),
+            }
+        )
+
+    cells = events.select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(bucket_width)).cast("int").alias("bucket"),
+    )
+    return cells.groupBy("event_type", "bucket").applyInPandasWithState(
+        bump,
+        outputStructType=HDR_CELL_SCHEMA,
+        stateStructType=_HDR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -2880,3 +2880,175 @@ def test_funnel_stages_ordering_and_window(spark):
     df = spark.createDataFrame(rows)
     got = {r["user_id"]: r["stage"] for r in funnel_stages(df, window_s=86400).collect()}
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2, 6: 2}
+
+
+def test_cohort_retention_triangle(spark):
+    """Cohort day = first-signup day; pre-signup activity excluded; a
+    user active twice on the same offset day counts once; users who
+    never sign up are absent."""
+    import datetime
+
+    from weblog_pipeline.aggregate import cohort_retention
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, typ, days, secs=0):
+        return Row(
+            event_id=i, user_id=user, event_type=typ,
+            ts=t0 + datetime.timedelta(days=days, seconds=secs),
+        )
+
+    rows = [
+        # user 1: signs up day 0, active day 0 (twice) and day 2
+        ev(0, 1, "signup", 0), ev(1, 1, "view", 0, 60),
+        ev(2, 1, "click", 0, 120), ev(3, 1, "view", 2),
+        # user 2: same cohort day, active day 0 only; a PRE-signup view
+        # the day before must not create a negative offset
+        ev(4, 2, "view", -1), ev(5, 2, "signup", 0, 30),
+        # user 3: cohorts a day later, active days 0 and 1
+        ev(6, 3, "signup", 1), ev(7, 3, "purchase", 2),
+        # user 4: never signs up -> not cohorted at all
+        ev(8, 4, "view", 0), ev(9, 4, "click", 5),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["cohort_day_s"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    d0 = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    d1 = d0 + 86400
+    assert got == {(d0, 0): 2, (d0, 2): 1, (d1, 0): 1, (d1, 1): 1}
+
+
+def test_attribution_last_touch_asof(spark):
+    """Latest strictly-earlier touch wins (ties broken by event_id);
+    touches outside the lookback or after the conversion don't count;
+    unattributed conversions surface with the -1/'none' sentinels; a
+    touch in the PREVIOUS range bucket is still found."""
+    import datetime
+
+    from weblog_pipeline.aggregate import attribution_last_touch
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, typ, secs):
+        return Row(
+            event_id=i, user_id=user, event_type=typ,
+            ts=t0 + datetime.timedelta(seconds=secs),
+        )
+
+    day = 86400
+    rows = [
+        # user 1: view then click then purchase -> click (latest) wins
+        ev(0, 1, "view", 0), ev(1, 1, "click", 50), ev(2, 1, "purchase", 100),
+        # user 2: touch exactly AT the conversion ts with smaller
+        # event_id -> counts (strictly earlier in (ts, event_id) order);
+        # larger event_id at same ts must NOT count
+        ev(3, 2, "view", 200), ev(4, 2, "purchase", 200), ev(5, 2, "click", 200),
+        # user 3: only touch is 8 days before -> outside 7-day lookback
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 8 * day),
+        # user 4: no touches at all
+        ev(8, 4, "purchase", 500),
+        # user 5: touch 6.9 days earlier (previous bucket) still matches
+        ev(9, 5, "click", 0), ev(10, 5, "purchase", 6 * day + 80000),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["conv_id"]: (r["touch_id"], r["touch_type"], r["delta_us"])
+        for r in attribution_last_touch(df).collect()
+    }
+    assert got[2] == (1, "click", 50_000_000)
+    assert got[4] == (3, "view", 0)
+    assert got[7] == (-1, "none", -1)
+    assert got[8] == (-1, "none", -1)
+    assert got[10] == (9, "click", (6 * day + 80000) * 1_000_000)
+
+
+def test_event_transitions_day_scoped(spark):
+    """Consecutive pairs within a (user, day) stratum, ordered by
+    (ts, event_id); cross-midnight edges dropped; p_bp is integer
+    floor-division of the from-state row total."""
+    import datetime
+
+    from weblog_pipeline.aggregate import event_transitions
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, typ, days, secs):
+        return Row(
+            event_id=i, user_id=user, event_type=typ,
+            ts=t0 + datetime.timedelta(days=days, seconds=secs),
+        )
+
+    rows = [
+        # user 1 day 0: view -> click -> view (ts tie broken by event_id)
+        ev(0, 1, "view", 0, 0), ev(1, 1, "click", 0, 10),
+        ev(2, 1, "view", 0, 10),
+        # user 1 day 1: purchase alone -> no pair; the view->purchase
+        # cross-midnight edge must NOT appear
+        ev(3, 1, "purchase", 1, 0),
+        # user 2 day 0: view -> error
+        ev(4, 2, "view", 0, 0), ev(5, 2, "error", 0, 5),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p_bp"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 5000),
+        ("view", "error"): (1, 5000),
+        ("click", "view"): (1, 10000),
+    }
+
+
+def test_value_percentiles_hdr_buckets(spark):
+    """Percentile q = smallest bucket whose cumulative count reaches
+    ceil(q% of total); floor-bucketing, integer thresholds."""
+    from weblog_pipeline.aggregate import value_percentiles
+
+    rows = [
+        # type a: 10 events, values 0..9 land in bucket 0 with width 10
+        *[Row(event_id=i, event_type="a", value=float(i)) for i in range(9)],
+        Row(event_id=9, event_type="a", value=95.0),  # bucket 9
+        # type b: 4 events in distinct buckets 0,1,2,3
+        *[
+            Row(event_id=10 + i, event_type="b", value=10.0 * i + 5.0)
+            for i in range(4)
+        ],
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["event_type"], r["q"]): r["bucket"]
+        for r in value_percentiles(df).collect()
+    }
+    # a: total 10 -> p50 needs cum>=5 (bucket 0), p95 cum>=10 (bucket 9),
+    # p99 cum>=10 (bucket 9)
+    # b: total 4 -> p50 cum>=2 (bucket 1), p95 cum>=4 (bucket 3), p99 same
+    assert got == {
+        ("a", 50): 0, ("a", 95): 9, ("a", 99): 9,
+        ("b", 50): 1, ("b", 95): 3, ("b", 99): 3,
+    }
+
+
+def test_log_templates_masking_and_counts(spark):
+    """HEX mask (8+ lowercase hex) applies before NUM; templates below
+    min_count drop; n_docs is distinct; blank lines never template."""
+    from weblog_pipeline.ops.textstats import log_templates
+
+    rows = [
+        Row(doc_id=0, text="GET /api/42 took 120 ms\n"
+                           "GET /api/7 took 9 ms\n\n"),
+        Row(doc_id=1, text="GET /api/1 took 1 ms\n"
+                           "session deadbeef01 expired"),
+        Row(doc_id=2, text="session cafebabe99 expired\n"
+                           "only-once line"),
+    ]
+    got = {
+        r["template"]: (r["n_lines"], r["n_docs"])
+        for r in log_templates(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {
+        "GET /api/<NUM> took <NUM> ms": (3, 2),
+        "session <HEX> expired": (2, 2),
+    }

@@ -506,3 +506,74 @@ def test_importance_sample_is_window_free_broadcast_weights(spark):
     )
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_attribution_last_touch_is_window_free_bounded_join(spark):
+    """The as-of join must stay a bounded range-bucket equi-join: no
+    per-user full-history Window, no cartesian/broadcast-nested-loop —
+    the probe explode bounds candidates to <= 2 buckets per conversion."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import attribution_last_touch
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=i % 2, event_type=t,
+                ts=t0 + datetime.timedelta(seconds=i))
+            for i, t in enumerate(["view", "click", "purchase", "purchase"])
+        ]
+    )
+    plan = _physical(attribution_last_touch(df))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_event_transitions_window_is_day_bounded(spark):
+    """The lag window must partition by (user, day) — a bounded stratum —
+    never by the bare user key, and the totals join back broadcast."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import event_transitions
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=1, event_type="view",
+                ts=t0 + datetime.timedelta(seconds=i))
+            for i in range(4)
+        ]
+    )
+    plan = _physical(event_transitions(df))
+    win = [l for l in plan.splitlines() if "Window [lag(" in l]
+    assert win, plan
+    # partition key list (the segment after the frame spec) holds BOTH keys
+    assert all("_day_s" in l.split("], [")[1] for l in win), win
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cohort_retention_is_window_free(spark):
+    """Retention must stay aggregates + one equi-join: no Window, no
+    cartesian — the (cohort, offset, user) distinct bounds the plan."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import cohort_retention
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=i % 3, event_type=t,
+                ts=t0 + datetime.timedelta(hours=i))
+            for i, t in enumerate(["signup", "view", "signup", "click"])
+        ]
+    )
+    plan = _physical(cohort_retention(df))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

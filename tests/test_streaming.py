@@ -460,3 +460,61 @@ def test_cms_stream_equals_batch_grid(spark, tmp_path):
         .collect()
     }
     assert multi, "no cell recorded cross-batch growth"
+
+
+def test_hdr_stream_equals_batch_histogram(spark, tmp_path):
+    """The streaming HDR counters, replayed over two micro-batches, must
+    converge to EXACTLY the batch (event_type, bucket) histogram that
+    value_percentiles aggregates; a cell hit in both batches emits
+    strictly growing totals (cross-batch state, not per-batch recount)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from weblog_pipeline.streaming import hdr_stream
+
+    schema = "event_id long, event_type string, value double"
+    f1 = [
+        Row(event_id=0, event_type="a", value=3.0),
+        Row(event_id=1, event_type="a", value=7.0),
+        Row(event_id=2, event_type="b", value=25.0),
+    ]
+    f2 = [
+        Row(event_id=3, event_type="a", value=5.0),
+        Row(event_id=4, event_type="a", value=95.0),
+    ]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        hdr_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    final = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in emitted.groupBy("event_type", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    assert final == {("a", 0): 3, ("a", 9): 1, ("b", 2): 1}
+    # the ("a", 0) cell was hit in BOTH micro-batches: totals must grow
+    a0 = sorted(
+        r["cnt"]
+        for r in emitted.where(
+            (F.col("event_type") == "a") & (F.col("bucket") == 0)
+        ).collect()
+    )
+    assert a0 == [2, 3]
