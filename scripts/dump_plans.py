@@ -108,8 +108,9 @@ CLAIMS = {
     "event_transitions": "lag window partitioned by bounded (user, day) "
     "strata; the |types|^2 totals table joins back BROADCAST",
     "value_percentiles": "cumulative window runs over the AGGREGATED "
-    "(key, bucket) histogram — bounded domain, never per-event; the "
-    "keys x quantiles threshold table joins back BROADCAST",
+    "(key, bucket) histogram — bounded domain, never per-event; per-key "
+    "totals ride a second window over the SAME partition key, so the "
+    "whole op is one scan, one histogram exchange, ZERO joins",
 }
 
 

@@ -449,6 +449,10 @@ def value_percentiles(
     bounded by keys x buckets, never per-event — so shuffle volume after
     the first aggregate is the histogram size, independent of row count;
     the same fixed-memory sketch discipline as heavy_hitters' CMS grid.
+    Per-key totals come from a SECOND window over the same partition key
+    (unbounded frame) rather than a separate aggregate branch: one events
+    scan, one histogram exchange, zero joins — the naive totals-join plan
+    scans the event stream twice.
 
     Output: <key_col>, q (INT), bucket (INT) — bucket * width is the
     percentile's lower bound.
@@ -461,21 +465,27 @@ def value_percentiles(
         .groupBy(key_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = (
+    w_cum = (
         Window.partitionBy(key_col)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.withColumn("cum", F.sum("n").over(w))
-    totals = hist.groupBy(key_col).agg(F.sum("n").alias("_total"))
-    q_rows = totals.select(
+    w_all = Window.partitionBy(key_col)
+    cum = hist.select(
         key_col,
-        "_total",
-        F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
-    ).withColumn("_thresh", F.expr("(q * _total + 99) DIV 100"))
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("_total"),
+    )
     return (
-        cum.join(F.broadcast(q_rows), key_col)
-        .where(F.col("cum") >= F.col("_thresh"))
+        cum.select(
+            key_col,
+            "bucket",
+            "cum",
+            "_total",
+            F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+        )
+        .where(F.col("cum") >= F.expr("(q * _total + 99) DIV 100"))
         .groupBy(key_col, "q")
         .agg(F.min("bucket").alias("bucket"))
     )

@@ -577,3 +577,18 @@ def test_cohort_retention_is_window_free(spark):
     plan = _physical(cohort_retention(df))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_value_percentiles_single_scan_no_joins(spark):
+    """Totals must come from a second window over the same partition key,
+    not a separate aggregate branch: one scan, zero joins."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import value_percentiles
+
+    df = spark.createDataFrame(
+        [Row(event_id=i, event_type="a", value=float(i)) for i in range(20)]
+    )
+    plan = _physical(value_percentiles(df))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 1, plan
