@@ -111,6 +111,11 @@ CLAIMS = {
     "(key, bucket) histogram — bounded domain, never per-event; per-key "
     "totals ride a second window over the SAME partition key, so the "
     "whole op is one scan, one histogram exchange, ZERO joins",
+    "bm25_topk": "token stream explodes once; corpus stats attach as a "
+    "broadcast single-row cross join (no driver collect); tf is "
+    "pre-filtered to the query's own terms; final top-k is the "
+    "two-phase SALTED rank — never a single-reducer window over every "
+    "matching document",
 }
 
 

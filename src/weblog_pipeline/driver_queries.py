@@ -1113,6 +1113,62 @@ GROUP BY 1 HAVING COUNT(*) >= 2
 """
 
 
+#: BM25 catalog query terms (present in the fixture vocabulary with a
+#: df spread) and result depth — shared with the SQL oracle.
+BM25_TERMS = ("hash", "join", "spark")
+BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query: Lucene idf in
+    floored integer micro-nats, integer fixed-point (k1=1.2, b=0.75)
+    length-normalized saturation, two-phase salted top-k."""
+    return textstats.bm25_topk(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
+    )
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = textstats.BM25_K1_X100, textstats.BM25_B_X100
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  WHERE trim(text, ' ') <> ''
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+st AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dlt
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+  WHERE token IN ({terms}) GROUP BY 1, 2
+),
+dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+    CAST(floor(ln((2 * n_docs + 2.0) / (2 * df + 1.0)) * 1000000.0)
+         AS BIGINT)
+    * (tf.tf * {(k1 + 100) * 10000}
+       // (tf.tf * 100 + ({k1} * ({100 - b}
+           + ({b} * dlt.dl * n_docs) // total_len)) // 100)) AS term_score
+  FROM tf JOIN dfx USING (token) JOIN dlt USING (doc_id) CROSS JOIN st
+),
+ds AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(term_score) AS BIGINT) AS score
+  FROM s GROUP BY 1
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_terms, score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ds
+)
+WHERE rank <= {BM25_K}
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -5205,6 +5261,7 @@ def queries() -> dict:
         "event_transitions": q_event_transitions,
         "value_percentiles": q_value_percentiles,
         "log_templates": q_log_templates,
+        "bm25_topk": q_bm25_topk,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5371,6 +5428,7 @@ def oracle_sql() -> dict:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "value_percentiles": SQL_VALUE_PERCENTILES,
         "log_templates": SQL_LOG_TEMPLATES,
+        "bm25_topk": _sql_bm25_topk(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

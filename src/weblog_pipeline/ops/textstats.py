@@ -9,6 +9,8 @@ whole-stage-codegen'd scan with full column pruning.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1567,4 +1569,101 @@ def log_templates(documents: DataFrame, min_count: int = 2) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
         .where(F.col("n_lines") >= min_count)
+    )
+
+
+#: BM25 constants in fixed-point hundredths (k1=1.2, b=0.75) — shared with
+#: the SQL oracle; change together.
+BM25_K1_X100 = 120
+BM25_B_X100 = 75
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """BM25 ranked retrieval — the web-search scoring function over the
+    corpus's own statistics: score(d) = sum over matched query terms of
+    idf(t) * tf_saturation(t, d), with the Lucene always-positive idf
+    ln(1 + (N - df + .5)/(df + .5)) = ln((2N + 2)/(2df + 1)) and the
+    (k1, b) length-normalized saturation.
+
+    All arithmetic is engine-exact: idf is floored ONCE per term to
+    integer micro-nats from a ratio of exact integers (the tfidf_topk
+    idiom), and the saturation term is integer fixed-point — dl/avgdl
+    becomes (b100 * dl * N) DIV total_len, the denominator lives at
+    scale 100, and the term score is one integer DIV in basis points, so
+    no float summation order exists for the engines to disagree on.
+
+    Scale shape: the token stream explodes ONCE; dl/N/avgdl are map-side
+    combined aggregates (corpus stats attach as a broadcast single-row
+    cross join, no driver collect); tf is pre-filtered to the query's
+    own terms, so the scored relation is |matching docs x terms|, not
+    the corpus; the final top-k is the two-phase SALTED rank (phase 1
+    inside doc_id % salt buckets, phase 2 over <= salt*k survivors) —
+    never a single-reducer window over every matching document.
+
+    Output: rank (INT), doc_id, n_terms (BIGINT), score (BIGINT).
+    """
+    terms = [str(t) for t in query_terms]
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = (
+        toks.where(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = BM25_K1_X100, BM25_B_X100
+    scored = (
+        tf.join(df_tbl, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    F.log(
+                        (2 * F.col("n_docs") + F.lit(2)).cast("double")
+                        / (2 * F.col("df") + F.lit(1)).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long")
+                * F.expr(
+                    f"tf * {(k1 + 100) * 10000} DIV "
+                    f"(tf * 100 + ({k1} * ({100 - b} + "
+                    f"({b} * dl * n_docs) DIV total_len)) DIV 100)"
+                )
+            ).alias("term_score"),
+        )
+    )
+    ds = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_score").alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(salt_mod))).orderBy(
+        *order
+    )
+    survivors = ds.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy().orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "n_terms",
+            "score",
+        )
     )

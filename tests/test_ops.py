@@ -3052,3 +3052,32 @@ def test_log_templates_masking_and_counts(spark):
         "GET /api/<NUM> took <NUM> ms": (3, 2),
         "session <HEX> expired": (2, 2),
     }
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """Multi-term match beats single-term; higher tf beats lower at equal
+    length; rarer term (higher idf) beats commoner; non-matching docs
+    absent; ranks contiguous from 1."""
+    from weblog_pipeline.ops.textstats import bm25_topk
+
+    filler = [
+        Row(doc_id=10 + i, text="x y z w v") for i in range(6)
+    ]
+    rows = [
+        Row(doc_id=0, text="apple apple apple x x"),
+        Row(doc_id=1, text="apple x x x x"),
+        Row(doc_id=2, text="banana x x x x"),
+        Row(doc_id=3, text="apple banana x x x"),
+        Row(doc_id=4, text="x x x x x"),
+        *filler,
+    ]
+    got = bm25_topk(
+        spark.createDataFrame(rows), ("apple", "banana"), k=10
+    ).collect()
+    order = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    # df(apple)=3 < idf of df(banana)=2; equal doc lengths:
+    # two-term doc 3 > tf=3 doc 0 > rare-term doc 2 > common-term doc 1
+    assert order == [3, 0, 2, 1]
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+    n_terms = {r["doc_id"]: r["n_terms"] for r in got}
+    assert n_terms == {3: 2, 0: 1, 2: 1, 1: 1}
