@@ -5243,10 +5243,11 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these FOURTEEN lead the r7
+        # added late r6 (no official row yet — these FIFTEEN lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last six — funnel_stages through log_templates, the
-        # product-analytics family — were added after the r6 window froze):
+        # last seven — funnel_stages through bm25_topk, the
+        # product-analytics/retrieval family — were added after the r6
+        # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
