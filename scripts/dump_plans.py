@@ -116,6 +116,10 @@ CLAIMS = {
     "pre-filtered to the query's own terms; final top-k is the "
     "two-phase SALTED rank — never a single-reducer window over every "
     "matching document",
+    "pq_codes": "ONE Arrow-batched block-diagonal int64 matmul assigns "
+    "all m subspace codes in a single map stage — zero shuffle, no "
+    "per-row Python; the codebook sample is a TakeOrdered scan "
+    "collecting n_codes rows",
 }
 
 

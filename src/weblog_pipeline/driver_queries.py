@@ -3055,6 +3055,53 @@ WHERE rank <= {k}
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (IVF-PQ's compression layer):
+    hash-sampled per-subspace codebooks, integer dot-product argmax over
+    floor-quantized subvectors, one block-diagonal Arrow matmul."""
+    return similarity.pq_codes(_read(spark, sf_dir, "embeddings"))
+
+
+def _sql_pq_codes(
+    m: int = similarity.PQ_SUBSPACES, n_codes: int = similarity.PQ_CODES
+) -> str:
+    """SQL twin of similarity.pq_codes: same md5-ordered codebook sample,
+    same floor-quantized integer dots per subvector slice, same
+    dot-desc/code-asc tie rule."""
+    slen = 64 // m  # fixture embedding dim is 64
+    subs = ", ".join(f"({j})" for j in range(m))
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
+  FROM embeddings
+),
+samp AS (
+  SELECT row_number() OVER (ORDER BY ord) - 1 AS code, q AS cq
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS ord, q
+        FROM qv ORDER BY 1 LIMIT {n_codes})
+),
+sub AS (SELECT * FROM (VALUES {subs}) t(j)),
+dots AS (
+  SELECT qv.vec_id, sub.j, samp.code,
+         list_dot_product(
+           list_slice(qv.q, sub.j * {slen} + 1, (sub.j + 1) * {slen}),
+           list_slice(samp.cq, sub.j * {slen} + 1, (sub.j + 1) * {slen})
+         ) AS dot
+  FROM qv CROSS JOIN sub CROSS JOIN samp
+)
+SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code
+FROM (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dot DESC, code ASC) AS rnk
+  FROM dots
+)
+WHERE rnk = 1
+"""
+
+
 def _sql_neardup_emb(threshold: float = 0.5) -> str:
     """SQL twin of the LSH-bucketed cosine_near_dup_pairs (candidates from
     the band-bucket equi-join, exact cosine filter on candidates only)."""
@@ -5243,10 +5290,10 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these FIFTEEN lead the r7
+        # added late r6 (no official row yet — these SIXTEEN lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last seven — funnel_stages through bm25_topk, the
-        # product-analytics/retrieval family — were added after the r6
+        # last eight — funnel_stages through pq_codes, the
+        # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
@@ -5263,6 +5310,7 @@ def queries() -> dict:
         "value_percentiles": q_value_percentiles,
         "log_templates": q_log_templates,
         "bm25_topk": q_bm25_topk,
+        "pq_codes": q_pq_codes,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5430,6 +5478,7 @@ def oracle_sql() -> dict:
         "value_percentiles": SQL_VALUE_PERCENTILES,
         "log_templates": SQL_LOG_TEMPLATES,
         "bm25_topk": _sql_bm25_topk(),
+        "pq_codes": _sql_pq_codes(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

@@ -813,3 +813,69 @@ def prototype_confusion(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFr
         .groupBy("label", "assigned_label")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+#: product-quantization geometry: m subspaces x n_codes centroids each.
+#: 64-dim embeddings -> 4 x 16-dim subvectors, 16 codes per book = a
+#: 4-nibble code replacing 256 bytes of float32 (128x compression).
+PQ_SUBSPACES = 4
+PQ_CODES = 16
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011) — the
+    compression layer under every billion-scale ANN index (IVF-PQ): the
+    vector splits into m contiguous subvectors and each is assigned to
+    its nearest per-subspace codebook entry, so a 64-dim float32 vector
+    is carried by m small integers and distance evaluation at query time
+    reads codebook lookup tables instead of raw vectors.
+
+    Determinism contract (the ivf_topk recipe, per subspace): codebooks
+    are the n_codes corpus vectors with the smallest md5(vec_id) —
+    hash-ordered, one TakeOrdered scan, n_codes rows collected — and
+    assignment is the INTEGER dot-product argmax of the floor-quantized
+    subvectors (ties -> lower code), bit-identical in any engine.
+
+    Scale shape: ONE Arrow-batched int64 matmul per batch against a
+    block-diagonal (m * n_codes, dim) codebook matrix computes all m
+    subspace assignments in a single map stage — zero shuffle, no
+    per-row Python, and the plan stays flat however large the corpus.
+
+    Output: vec_id, subspace (INT), code (INT).
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField
+
+    sample = sample_centroids(embeddings, n_codes)
+    qcents = [quantize_centroid(c) for c in sample]
+    dim = len(qcents[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    C = np.zeros((m * n_codes, dim), dtype=np.int64)
+    for j in range(m):
+        for c in range(n_codes):
+            C[j * n_codes + c, j * sub:(j + 1) * sub] = qcents[c][
+                j * sub:(j + 1) * sub
+            ]
+
+    def codes(vals):
+        dots = _quantize_batch(vals, IVF_QUANT) @ C.T
+        d3 = dots.reshape(len(dots), m, n_codes)
+        # argmax takes the FIRST maximum: ties resolve to the lower code,
+        # matching the oracle's ORDER BY dot DESC, code ASC
+        return list(d3.argmax(axis=2).astype(np.int32))
+
+    out = _with_matmul_column(
+        embeddings.select("vec_id", "embedding"),
+        "embedding",
+        StructField("_codes", ArrayType(IntegerType()), False),
+        codes,
+    )
+    return out.select(
+        "vec_id", F.posexplode("_codes").alias("subspace", "code")
+    ).select("vec_id", F.col("subspace").cast("int").alias("subspace"), "code")

@@ -3081,3 +3081,38 @@ def test_bm25_topk_ranking_semantics(spark):
     assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 4]
     n_terms = {r["doc_id"]: r["n_terms"] for r in got}
     assert n_terms == {3: 2, 0: 1, 2: 1, 1: 1}
+
+
+def test_pq_codes_match_independent_recipe(spark):
+    """PQ assignment must equal an independently-computed twin of the
+    public recipe: md5-ordered codebook sample, floor-quantized integer
+    dots per contiguous subvector, argmax with lower-code ties."""
+    import hashlib
+
+    import numpy as np
+
+    from weblog_pipeline.ops.similarity import IVF_QUANT, pq_codes
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(30)]
+    )
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_codes(df, m=2, n_codes=4).collect()
+    }
+
+    order = sorted(
+        range(30), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:4]
+    q = np.floor(vecs.astype(np.float64) * IVF_QUANT).astype(np.int64)
+    cents = q[order]
+    expected = {}
+    for j in range(2):
+        sl = slice(j * 4, (j + 1) * 4)
+        dots = q[:, sl] @ cents[:, sl].T
+        for i in range(30):
+            expected[(i, j)] = int(dots[i].argmax())
+    assert got == expected
+    assert len(got) == 60
