@@ -120,6 +120,10 @@ CLAIMS = {
     "all m subspace codes in a single map stage — zero shuffle, no "
     "per-row Python; the codebook sample is a TakeOrdered scan "
     "collecting n_codes rows",
+    "pq_adc_topk": "corpus side touches ONLY the codes relation; the "
+    "per-query LUT attaches by BROADCAST (subspace, code) equi-join; "
+    "per-doc score is a map-side-combined sum; top-k is the two-phase "
+    "salted rank — raw corpus floats are never read at query time",
 }
 
 

@@ -3062,16 +3062,15 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(_read(spark, sf_dir, "embeddings"))
 
 
-def _sql_pq_codes(
-    m: int = similarity.PQ_SUBSPACES, n_codes: int = similarity.PQ_CODES
-) -> str:
-    """SQL twin of similarity.pq_codes: same md5-ordered codebook sample,
-    same floor-quantized integer dots per subvector slice, same
-    dot-desc/code-asc tie rule."""
+def _sql_pq_common(m: int, n_codes: int) -> str:
+    """Shared PQ CTE block (quantized vectors, md5-ordered codebook
+    sample, per-subspace sliced integer dots, argmax assignment) — one
+    definition for the pq_codes and pq_adc_topk twins so they can never
+    diverge."""
     slen = 64 // m  # fixture embedding dim is 64
     subs = ", ".join(f"({j})" for j in range(m))
     return f"""
-WITH qv AS (
+qv AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
@@ -3090,15 +3089,75 @@ dots AS (
            list_slice(samp.cq, sub.j * {slen} + 1, (sub.j + 1) * {slen})
          ) AS dot
   FROM qv CROSS JOIN sub CROSS JOIN samp
-)
+),
+pc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dot DESC, code ASC) AS rnk
+    FROM dots
+  ) WHERE rnk = 1
+)"""
+
+
+def _sql_pq_codes(
+    m: int = similarity.PQ_SUBSPACES, n_codes: int = similarity.PQ_CODES
+) -> str:
+    """SQL twin of similarity.pq_codes: same md5-ordered codebook sample,
+    same floor-quantized integer dots per subvector slice, same
+    dot-desc/code-asc tie rule."""
+    return f"""
+WITH {_sql_pq_common(m, n_codes)}
 SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code
-FROM (
-  SELECT vec_id, j, code,
-         row_number() OVER (PARTITION BY vec_id, j
-                            ORDER BY dot DESC, code ASC) AS rnk
-  FROM dots
+FROM pc
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ codes (the IVF-PQ query path): per-query
+    integer lookup tables, broadcast (subspace, code) join onto the
+    codes relation — corpus floats never read at query time."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.pq_adc_topk(emb, q, k=5)
+
+
+def _sql_pq_adc_topk(
+    m: int = similarity.PQ_SUBSPACES,
+    n_codes: int = similarity.PQ_CODES,
+    k: int = 5,
+) -> str:
+    """SQL twin of similarity.pq_adc_topk: LUT entries are the same
+    sliced integer dots, document score = sum of its m code lookups."""
+    slen = 64 // m
+    return f"""
+WITH {_sql_pq_common(m, n_codes)},
+lut AS (
+  SELECT qv.vec_id AS query_id, sub.j, samp.code,
+         CAST(list_dot_product(
+           list_slice(qv.q, sub.j * {slen} + 1, (sub.j + 1) * {slen}),
+           list_slice(samp.cq, sub.j * {slen} + 1, (sub.j + 1) * {slen})
+         ) AS BIGINT) AS part_dot
+  FROM qv CROSS JOIN sub CROSS JOIN samp
+  WHERE qv.vec_id % 50 = 0
+),
+adc AS (
+  SELECT l.query_id, pc.vec_id AS neighbor_id,
+         CAST(SUM(l.part_dot) AS BIGINT) AS adc_dot
+  FROM pc JOIN lut l ON l.j = pc.j AND l.code = pc.code
+  WHERE pc.vec_id <> l.query_id
+  GROUP BY 1, 2
 )
-WHERE rnk = 1
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc_dot
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dot DESC, neighbor_id ASC) AS rank
+  FROM adc
+)
+WHERE rank <= {k}
 """
 
 
@@ -5290,9 +5349,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these SIXTEEN lead the r7
+        # added late r6 (no official row yet — these SEVENTEEN lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last eight — funnel_stages through pq_codes, the
+        # last nine — funnel_stages through pq_adc_topk, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5311,6 +5370,7 @@ def queries() -> dict:
         "log_templates": q_log_templates,
         "bm25_topk": q_bm25_topk,
         "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5479,6 +5539,7 @@ def oracle_sql() -> dict:
         "log_templates": SQL_LOG_TEMPLATES,
         "bm25_topk": _sql_bm25_topk(),
         "pq_codes": _sql_pq_codes(),
+        "pq_adc_topk": _sql_pq_adc_topk(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

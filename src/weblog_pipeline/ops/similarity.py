@@ -879,3 +879,91 @@ def pq_codes(
     return out.select(
         "vec_id", F.posexplode("_codes").alias("subspace", "code")
     ).select("vec_id", F.col("subspace").cast("int").alias("subspace"), "code")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    k: int = 5,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k — the IVF-PQ query
+    path over pq_codes: each query precomputes an m x n_codes lookup
+    table of partial dots against the codebooks, and a document's score
+    is m TABLE LOOKUPS summed by its codes — the corpus's raw vectors
+    are never read at query time, which is the entire point of PQ at
+    10^12 vectors (the index is codes + one tiny LUT per query).
+
+    Exactness: the LUT entries are the same block-diagonal int64 matmul
+    as the code assignment (floor-quantized, integer dots), so scores
+    are exact integers and rank ties resolve on vec_id — bit-identical
+    in any engine.
+
+    Scale shape: the corpus side touches ONLY the codes relation (m
+    small ints per vector); the LUT (|queries| * m * n_codes rows)
+    attaches by BROADCAST equi-join on (subspace, code); the per-doc
+    score is a map-side-combined sum; top-k is the two-phase salted
+    rank. Zero scans of corpus floats after code assignment.
+
+    Output: query_id, rank (INT), neighbor_id, adc_dot (BIGINT).
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField
+
+    sample = sample_centroids(embeddings, n_codes)
+    qcents = [quantize_centroid(c) for c in sample]
+    dim = len(qcents[0])
+    sub = dim // m
+    C = np.zeros((m * n_codes, dim), dtype=np.int64)
+    for j in range(m):
+        for c in range(n_codes):
+            C[j * n_codes + c, j * sub:(j + 1) * sub] = qcents[c][
+                j * sub:(j + 1) * sub
+            ]
+
+    def lut_rows(vals):
+        return list(_quantize_batch(vals, IVF_QUANT) @ C.T)
+
+    lut = (
+        _with_matmul_column(
+            queries.select("query_id", "query_vec"),
+            "query_vec",
+            StructField("_lut", ArrayType(LongType()), False),
+            lut_rows,
+        )
+        .select("query_id", F.posexplode("_lut").alias("_i", "part_dot"))
+        .select(
+            "query_id",
+            F.expr(f"CAST(_i DIV {n_codes} AS INT)").alias("subspace"),
+            F.expr(f"CAST(_i % {n_codes} AS INT)").alias("code"),
+            "part_dot",
+        )
+    )
+    codes = pq_codes(embeddings, m=m, n_codes=n_codes)
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("part_dot").alias("adc_dot"))
+    )
+    order = [F.col("adc_dot").desc(), F.col("neighbor_id").asc()]
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS))
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    partial = (
+        scored.withColumn("salt", salt)
+        .withColumn("pr", F.row_number().over(w1))
+        .where(F.col("pr") <= k)
+        .drop("salt", "pr")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "adc_dot",
+        )
+    )

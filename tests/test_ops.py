@@ -3116,3 +3116,52 @@ def test_pq_codes_match_independent_recipe(spark):
             expected[(i, j)] = int(dots[i].argmax())
     assert got == expected
     assert len(got) == 60
+
+
+def test_pq_adc_topk_matches_independent_recipe(spark):
+    """The ADC ranking must equal an independently-computed numpy twin:
+    codebook sample, code assignment, per-query LUT, summed lookups,
+    (-adc, neighbor_id) ordering."""
+    import hashlib
+
+    import numpy as np
+
+    from weblog_pipeline.ops.similarity import IVF_QUANT, pq_adc_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(25, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(25)]
+    )
+    qids = [0, 7]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dot"])
+        for r in pq_adc_topk(emb, queries, m=2, n_codes=4, k=4).collect()
+    }
+
+    order = sorted(
+        range(25), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:4]
+    q = np.floor(vecs.astype(np.float64) * IVF_QUANT).astype(np.int64)
+    cents = q[order]
+    codes = np.zeros((25, 2), dtype=int)
+    for j in range(2):
+        sl = slice(j * 4, (j + 1) * 4)
+        codes[:, j] = (q[:, sl] @ cents[:, sl].T).argmax(1)
+    expected = {}
+    for qid in qids:
+        scores = []
+        for i in range(25):
+            if i == qid:
+                continue
+            adc = sum(
+                int(q[qid, j * 4:(j + 1) * 4] @ cents[codes[i, j], j * 4:(j + 1) * 4])
+                for j in range(2)
+            )
+            scores.append((-adc, i))
+        for rank, (neg, i) in enumerate(sorted(scores)[:4], start=1):
+            expected[(qid, rank)] = (i, -neg)
+    assert got == expected
