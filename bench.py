@@ -198,6 +198,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timed("ann_ivf_topk", ann_ivf, runs=2)
 
+    def pq_adc():
+        q = embs.where(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.pq_adc_topk(embs, q, k=5).count()
+
+    timed("pq_adc_topk", pq_adc, runs=2)
+
     # tracked recall@5 (basis points) per approximate ANN method against
     # brute force — the quality side of the speed/recall trade, recorded
     # every round so a bucket/centroid regression shows up as a NUMBER
