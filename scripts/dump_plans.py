@@ -124,6 +124,9 @@ CLAIMS = {
     "per-query LUT attaches by BROADCAST (subspace, code) equi-join; "
     "per-doc score is a map-side-combined sum; top-k is the two-phase "
     "salted rank — raw corpus floats are never read at query time",
+    "pq_adc_refined": "ADC nominates a CONSTANT candidate count per "
+    "query; the exact-cosine join fetches raw floats for those rows "
+    "ONLY, then the shared two-phase salted rank keeps k",
 }
 
 

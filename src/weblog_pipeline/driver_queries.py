@@ -2963,6 +2963,11 @@ LEFT JOIN dups d ON d.id_b = q.vec_id
 #: brute-force side stops being O(full corpus x queries) at scale.
 ANN_AUDIT_CORPUS_MOD = 3
 _ANN_AUDIT_WHERE = f"(vec_id % {ANN_AUDIT_CORPUS_MOD} = 0 OR vec_id % 50 = 0)"
+#: ADC re-rank depth for the audited pq_r variant: the ADC pass
+#: nominates this many candidates per query, exact cosine keeps k — a
+#: CONSTANT per query, so re-rank cost is flat in corpus size (at sf0.01
+#: the audit reads 94-96% recall@5 vs raw ADC's 14-22%).
+PQ_RERANK = 100
 
 
 def _sql_ann_recall(k: int = 5) -> str:
@@ -2973,7 +2978,9 @@ def _sql_ann_recall(k: int = 5) -> str:
 WITH bf AS ({_sql_ann_topk(_ANN_AUDIT_WHERE)}),
 lshr AS ({_sql_ann_lsh_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
 ivfr AS ({_sql_ann_ivf_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
-ivfr2 AS ({_sql_ann_ivf_refined_topk(k, corpus_where=_ANN_AUDIT_WHERE)})
+ivfr2 AS ({_sql_ann_ivf_refined_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
+pqr AS ({_sql_pq_adc_topk(k=k, corpus_where=_ANN_AUDIT_WHERE)}),
+pqr2 AS ({_sql_pq_adc_topk(k=k, corpus_where=_ANN_AUDIT_WHERE, rerank=PQ_RERANK)})
 SELECT method, n_true, n_hits, n_hits * 10000 // n_true AS recall_bp
 FROM (
   SELECT 'ivf' AS method,
@@ -2987,6 +2994,14 @@ FROM (
   SELECT 'lsh' AS method,
          (SELECT COUNT(*) FROM bf) AS n_true,
          (SELECT COUNT(*) FROM bf JOIN lshr USING (query_id, neighbor_id)) AS n_hits
+  UNION ALL
+  SELECT 'pq' AS method,
+         (SELECT COUNT(*) FROM bf) AS n_true,
+         (SELECT COUNT(*) FROM bf JOIN pqr USING (query_id, neighbor_id)) AS n_hits
+  UNION ALL
+  SELECT 'pq_r' AS method,
+         (SELECT COUNT(*) FROM bf) AS n_true,
+         (SELECT COUNT(*) FROM bf JOIN pqr2 USING (query_id, neighbor_id)) AS n_hits
 )
 """
 
@@ -3062,19 +3077,20 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(_read(spark, sf_dir, "embeddings"))
 
 
-def _sql_pq_common(m: int, n_codes: int) -> str:
+def _sql_pq_common(m: int, n_codes: int, corpus_where: str = "") -> str:
     """Shared PQ CTE block (quantized vectors, md5-ordered codebook
     sample, per-subspace sliced integer dots, argmax assignment) — one
     definition for the pq_codes and pq_adc_topk twins so they can never
     diverge."""
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
     slen = 64 // m  # fixture embedding dim is 64
     subs = ", ".join(f"({j})" for j in range(m))
     return f"""
 qv AS (
-  SELECT vec_id,
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> floor(x * {float(similarity.IVF_QUANT)})) AS q
-  FROM embeddings
+  FROM embeddings {cw}
 ),
 samp AS (
   SELECT row_number() OVER (ORDER BY ord) - 1 AS code, q AS cq
@@ -3129,12 +3145,16 @@ def _sql_pq_adc_topk(
     m: int = similarity.PQ_SUBSPACES,
     n_codes: int = similarity.PQ_CODES,
     k: int = 5,
+    corpus_where: str = "",
+    rerank: int = 0,
 ) -> str:
     """SQL twin of similarity.pq_adc_topk: LUT entries are the same
-    sliced integer dots, document score = sum of its m code lookups."""
+    sliced integer dots, document score = sum of its m code lookups;
+    with rerank=R the ADC pass nominates top-R and exact cosine ranks
+    them down to k."""
     slen = 64 // m
-    return f"""
-WITH {_sql_pq_common(m, n_codes)},
+    common = f"""
+WITH {_sql_pq_common(m, n_codes, corpus_where)},
 lut AS (
   SELECT qv.vec_id AS query_id, sub.j, samp.code,
          CAST(list_dot_product(
@@ -3150,7 +3170,9 @@ adc AS (
   FROM pc JOIN lut l ON l.j = pc.j AND l.code = pc.code
   WHERE pc.vec_id <> l.query_id
   GROUP BY 1, 2
-)
+)"""
+    if not rerank:
+        return f"""{common}
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc_dot
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3159,6 +3181,52 @@ FROM (
 )
 WHERE rank <= {k}
 """
+    return f"""{common},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dot DESC, neighbor_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {rerank}
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q1.v, q2.v), 6) AS cos_r6
+  FROM cand c
+  JOIN qv q1 ON q1.vec_id = c.query_id
+  JOIN qv q2 ON q2.vec_id = c.neighbor_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_r6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_r6 DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+WHERE rank <= {k}
+"""
+
+
+def q_pq_adc_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production IVF-PQ pipeline: ADC nominates a CONSTANT
+    number of candidates per query (PQ_RERANK), exact cosine re-ranks
+    only those — the sole rows whose raw floats are ever fetched."""
+    emb = _emb_double_std(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.pq_adc_topk(emb, q, k=5, rerank=PQ_RERANK)
+
+
+def _emb_double_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the double-cast the cosine re-rank needs (the
+    _emb_double rule: float*float stays float in Spark otherwise)."""
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
 
 
 def _sql_neardup_emb(threshold: float = 0.5) -> str:
@@ -5247,6 +5315,8 @@ def queries() -> dict:
             ("ivf", similarity.ivf_topk(emb, q, k=5)),
             ("ivf_r", similarity.ivf_topk_refined(emb, q, k=5, n_iter=1)),
             ("lsh", similarity.lsh_topk(emb, q, k=5, probe_bits=1)),
+            ("pq", similarity.pq_adc_topk(emb, q, k=5)),
+            ("pq_r", similarity.pq_adc_topk(emb, q, k=5, rerank=PQ_RERANK)),
         ):
             ap = ap_df.select("query_id", "neighbor_id")
             n_hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(
@@ -5349,9 +5419,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these SEVENTEEN lead the r7
+        # added late r6 (no official row yet — these EIGHTEEN lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last nine — funnel_stages through pq_adc_topk, the
+        # last ten — funnel_stages through pq_adc_refined, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5371,6 +5441,7 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_adc_refined": q_pq_adc_refined,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5540,6 +5611,7 @@ def oracle_sql() -> dict:
         "bm25_topk": _sql_bm25_topk(),
         "pq_codes": _sql_pq_codes(),
         "pq_adc_topk": _sql_pq_adc_topk(),
+        "pq_adc_refined": _sql_pq_adc_topk(rerank=PQ_RERANK),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

@@ -887,6 +887,7 @@ def pq_adc_topk(
     m: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     k: int = 5,
+    rerank: int = 0,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k — the IVF-PQ query
     path over pq_codes: each query precomputes an m x n_codes lookup
@@ -906,7 +907,14 @@ def pq_adc_topk(
     score is a map-side-combined sum; top-k is the two-phase salted
     rank. Zero scans of corpus floats after code assignment.
 
-    Output: query_id, rank (INT), neighbor_id, adc_dot (BIGINT).
+    With rerank=R > 0 this becomes the full production IVF-PQ pipeline:
+    the ADC pass only NOMINATES each query's top-R candidates, and the
+    exact cosine re-ranks those R vectors — the only rows whose raw
+    floats are ever fetched — down to k (the ivf_topk_refined pattern).
+
+    Output: query_id, rank (INT), neighbor_id, adc_dot (BIGINT) — or
+    cos_r6 instead of adc_dot when rerank > 0 (comparable to the other
+    ANN variants).
     """
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType, StructField
@@ -947,23 +955,45 @@ def pq_adc_topk(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("part_dot").alias("adc_dot"))
     )
-    order = [F.col("adc_dot").desc(), F.col("neighbor_id").asc()]
-    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS))
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
-    partial = (
-        scored.withColumn("salt", salt)
-        .withColumn("pr", F.row_number().over(w1))
-        .where(F.col("pr") <= k)
-        .drop("salt", "pr")
+    def adc_rank(df: DataFrame, depth: int) -> DataFrame:
+        order = [F.col("adc_dot").desc(), F.col("neighbor_id").asc()]
+        salt = F.pmod(
+            F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS)
+        )
+        w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+        partial = (
+            df.withColumn("salt", salt)
+            .withColumn("pr", F.row_number().over(w1))
+            .where(F.col("pr") <= depth)
+            .drop("salt", "pr")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            partial.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= depth)
+            .select(
+                "query_id",
+                F.col("rank").cast("int").alias("rank"),
+                "neighbor_id",
+                "adc_dot",
+            )
+        )
+
+    if not rerank:
+        return adc_rank(scored, k)
+    cand = adc_rank(scored, rerank).select("query_id", "neighbor_id")
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")
     )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        partial.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
+    rescored = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
-            F.col("rank").cast("int").alias("rank"),
             "neighbor_id",
-            "adc_dot",
+            F.round(
+                cosine_col(F.col("query_vec"), F.col("vec")), 6
+            ).alias("cos_r6"),
         )
     )
+    return _topk_per_query(rescored, k)

@@ -3165,3 +3165,30 @@ def test_pq_adc_topk_matches_independent_recipe(spark):
         for rank, (neg, i) in enumerate(sorted(scores)[:4], start=1):
             expected[(qid, rank)] = (i, -neg)
     assert got == expected
+
+
+def test_pq_adc_rerank_at_full_depth_equals_brute_force(spark):
+    """With rerank >= corpus size the ADC pass nominates everything, so
+    the exact re-rank must reproduce brute-force top-k exactly — the
+    nomination stage is lossless at full depth."""
+    import numpy as np
+
+    from weblog_pipeline.ops.similarity import brute_force_topk, pq_adc_topk
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(20, 8).astype("float64")
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(20)]
+    )
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_r6"])
+        for r in pq_adc_topk(emb, q, m=2, n_codes=4, k=4, rerank=30).collect()
+    }
+    expected = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_r6"])
+        for r in brute_force_topk(emb, q, k=4).collect()
+    }
+    assert got == expected
