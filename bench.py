@@ -239,6 +239,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             ("ivf_r", similarity.ivf_topk_refined(audit, q, k=5, n_iter=1,
                                                   seeds=seeds)),
             ("lsh", similarity.lsh_topk(audit, q, k=5, probe_bits=1)),
+            ("pq", similarity.pq_adc_topk(audit, q, k=5)),
+            ("pq_r", similarity.pq_adc_topk(audit, q, k=5,
+                                            rerank=similarity.PQ_RERANK)),
         )
 
         def hits_of(item):
@@ -252,7 +255,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=5) as ex:
             out = dict(ex.map(hits_of, methods))
         return out
 

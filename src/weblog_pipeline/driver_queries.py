@@ -2963,11 +2963,10 @@ LEFT JOIN dups d ON d.id_b = q.vec_id
 #: brute-force side stops being O(full corpus x queries) at scale.
 ANN_AUDIT_CORPUS_MOD = 3
 _ANN_AUDIT_WHERE = f"(vec_id % {ANN_AUDIT_CORPUS_MOD} = 0 OR vec_id % 50 = 0)"
-#: ADC re-rank depth for the audited pq_r variant: the ADC pass
-#: nominates this many candidates per query, exact cosine keeps k — a
-#: CONSTANT per query, so re-rank cost is flat in corpus size (at sf0.01
-#: the audit reads 94-96% recall@5 vs raw ADC's 14-22%).
-PQ_RERANK = 100
+#: ADC re-rank depth for the audited pq_r variant — single-sourced from
+#: the operator module (see similarity.PQ_RERANK for the cost/recall
+#: rationale).
+PQ_RERANK = similarity.PQ_RERANK
 
 
 def _sql_ann_recall(k: int = 5) -> str:

@@ -820,6 +820,11 @@ def prototype_confusion(embeddings: DataFrame, quant: int = LSH_QUANT) -> DataFr
 #: 4-nibble code replacing 256 bytes of float32 (128x compression).
 PQ_SUBSPACES = 4
 PQ_CODES = 16
+#: ADC re-rank nomination depth (pq_adc_topk(rerank=...)): a CONSTANT
+#: per query, so re-rank cost is flat in corpus size; 200 = 40x k=5 —
+#: the production-shaped ratio (audited recall@5: 94-96% at sf0.01's
+#: ~680-doc slice, 78% at sf0.1's ~2000-doc slice, vs raw ADC's 14-22%).
+PQ_RERANK = 200
 
 
 def pq_codes(
