@@ -127,6 +127,9 @@ CLAIMS = {
     "pq_adc_refined": "ADC nominates a CONSTANT candidate count per "
     "query; the exact-cosine join fetches raw floats for those rows "
     "ONLY, then the shared two-phase salted rank keeps k",
+    "domain_trustrank": "the pagerank iterate with seed-gated teleport: "
+    "localCheckpoint'd each round (lineage one iteration deep), pure "
+    "integer updates, domain-grain joins",
 }
 
 

@@ -4461,6 +4461,68 @@ FROM pr{iters} p LEFT JOIN outdeg o ON o.host = p.host
 """
 
 
+def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer TrustRank over the planted domain graph:
+    PageRank propagation with teleport restricted to a deterministic
+    md5-ordered seed set — the crawl spam-mass signal (high PageRank,
+    low TrustRank = spam suspect)."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.trustrank(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_trustrank(
+    n_seeds: int = graph.TRUST_SEEDS,
+    iters: int = graph.PR_ITERS,
+    scale: int = graph.PR_SCALE,
+    d: int = graph.PR_DAMPING_PCT,
+) -> str:
+    # the Spark loop unrolled as tr0..tr{iters} CTEs (the
+    # _sql_domain_pagerank pattern); the seed indicator gates both the
+    # initial mass and the per-round teleport term
+    base = (100 - d) * scale // 100
+    trs = []
+    for i in range(iters):
+        trs.append(
+            f""",
+tr{i + 1} AS (
+  SELECT n.host,
+         CAST(n.is_seed * {base} + COALESCE(c.s, 0) AS BIGINT) AS rank
+  FROM nodes2 n LEFT JOIN (
+    SELECT e.dst_host AS host,
+           CAST(SUM((p.rank * e.n_links * {d}) // (o.n_out * 100)) AS BIGINT) AS s
+    FROM tr{i} p JOIN edges e ON e.src_host = p.host
+                 JOIN outdeg o ON o.host = e.src_host
+    GROUP BY 1
+  ) c ON c.host = n.host
+)"""
+        )
+    return f"""
+WITH {_links_cte()},
+nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+),
+seeds AS (SELECT host FROM nodes ORDER BY md5(host) LIMIT {n_seeds}),
+nodes2 AS (
+  SELECT host,
+         CAST(host IN (SELECT host FROM seeds) AS INTEGER) AS is_seed
+  FROM nodes
+),
+outdeg AS (
+  SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_out
+  FROM edges GROUP BY 1
+),
+tr0 AS (
+  SELECT host, CAST(is_seed * {scale} AS BIGINT) AS rank FROM nodes2
+){"".join(trs)}
+SELECT p.host, n.is_seed,
+       CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+       p.rank AS rank_scaled
+FROM tr{iters} p
+JOIN nodes2 n ON n.host = p.host
+LEFT JOIN outdeg o ON o.host = p.host
+"""
+
+
 def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-seed prioritization — the composition a crawler uses to rank
     which hosts deserve recrawl budget: per-domain PageRank authority
@@ -5418,9 +5480,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these EIGHTEEN lead the r7
+        # added late r6 (no official row yet — these NINETEEN lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last ten — funnel_stages through pq_adc_refined, the
+        # last eleven — funnel_stages through domain_trustrank, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5441,6 +5503,7 @@ def queries() -> dict:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "pq_adc_refined": q_pq_adc_refined,
+        "domain_trustrank": q_domain_trustrank,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5611,6 +5674,7 @@ def oracle_sql() -> dict:
         "pq_codes": _sql_pq_codes(),
         "pq_adc_topk": _sql_pq_adc_topk(),
         "pq_adc_refined": _sql_pq_adc_topk(rerank=PQ_RERANK),
+        "domain_trustrank": _sql_domain_trustrank(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

@@ -317,3 +317,93 @@ def bfs_depth(
         # chain every prior hop's anti-join into the next plan)
         frontier = visited.where(F.col("depth") == d).select("host")
     return visited
+
+
+#: TrustRank seed count: the n hosts with the smallest md5(host) act as
+#: the trusted seed set — the hash-ordered deterministic sample idiom.
+TRUST_SEEDS = 4
+
+
+def trustrank(
+    edges: DataFrame,
+    n_seeds: int = TRUST_SEEDS,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """Fixed-iteration integer TrustRank (Gyöngyi et al. 2004) — the
+    crawl spam-mass classic: identical propagation to `pagerank`, but
+    both the initial mass and the per-round teleport term flow ONLY to a
+    trusted seed set, so trust decays with link distance from the seeds
+    and a host with high PageRank but low TrustRank is a spam suspect.
+
+    rank_0(v)     = scale * [v in seeds]
+    rank_{i+1}(v) = [v in seeds] * ((100-d)*scale div 100)
+                  + SUM over in-edges (u,v) of
+                      (rank_i(u) * n_links(u,v) * d) div (n_out(u) * 100)
+
+    Seeds are the n_seeds hosts with the smallest md5(host) — the
+    deterministic hash-ordered sample any engine reproduces. All integer
+    multiply + truncating div on non-negative operands (the pagerank
+    exactness contract); iterates localCheckpoint'd so lineage stays one
+    iteration deep.
+
+    Output: host, is_seed (INT), n_out (BIGINT), rank_scaled (BIGINT).
+    """
+    edges = edges.localCheckpoint()
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seed_set = hosts.orderBy(F.md5(F.col("host"))).limit(n_seeds).select(
+        "host", F.lit(1).alias("is_seed")
+    )
+    nodes = (
+        hosts.join(seed_set, "host", "left")
+        .select("host", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    outdeg = (
+        edges.groupBy("src_host")
+        .agg(F.sum("n_links").alias("n_out"))
+        .select(F.col("src_host").alias("host"), "n_out")
+    )
+    esrc = edges.join(
+        outdeg, edges["src_host"] == outdeg["host"]
+    ).select("src_host", "dst_host", "n_links", "n_out")
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        "host", (F.col("is_seed") * scale).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = esrc.join(ranks, esrc["src_host"] == ranks["host"]).select(
+            F.col("dst_host").alias("host"),
+            F.expr(
+                f"(rank * n_links * {damping_pct}) div (n_out * 100)"
+            ).alias("c"),
+        )
+        inc = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inc, "host", "left")
+            .select(
+                "host",
+                (
+                    F.col("is_seed") * base
+                    + F.coalesce(F.col("s"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(nodes, "host")
+        .join(outdeg, "host", "left")
+        .select(
+            "host",
+            F.col("is_seed").cast("int").alias("is_seed"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.col("rank").alias("rank_scaled"),
+        )
+    )

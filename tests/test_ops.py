@@ -3192,3 +3192,57 @@ def test_pq_adc_rerank_at_full_depth_equals_brute_force(spark):
         for r in brute_force_topk(emb, q, k=4).collect()
     }
     assert got == expected
+
+
+def test_trustrank_matches_independent_recurrence(spark):
+    """TrustRank must equal an independently-computed twin of the
+    integer recurrence: md5-ordered seed pick, teleport gated to seeds,
+    truncating-div propagation; hosts unreachable from the seed end at
+    rank 0."""
+    import hashlib
+
+    from weblog_pipeline.ops.graph import PR_DAMPING_PCT, PR_SCALE, trustrank
+
+    edges = spark.createDataFrame(
+        [
+            Row(src_host="a.example", dst_host="b.example", n_links=2),
+            Row(src_host="b.example", dst_host="c.example", n_links=1),
+            Row(src_host="d.example", dst_host="a.example", n_links=1),
+        ]
+    )
+    iters, scale, d = 3, PR_SCALE, PR_DAMPING_PCT
+    got = {
+        r["host"]: (r["is_seed"], r["n_out"], r["rank_scaled"])
+        for r in trustrank(edges, n_seeds=1, iters=iters).collect()
+    }
+
+    hosts = ["a.example", "b.example", "c.example", "d.example"]
+    seed = min(hosts, key=lambda h: hashlib.md5(h.encode()).hexdigest())
+    e = [("a.example", "b.example", 2), ("b.example", "c.example", 1),
+         ("d.example", "a.example", 1)]
+    n_out = {}
+    for s, _, n in e:
+        n_out[s] = n_out.get(s, 0) + n
+    base = (100 - d) * scale // 100
+    rank = {h: (scale if h == seed else 0) for h in hosts}
+    for _ in range(iters):
+        inc = {h: 0 for h in hosts}
+        for s, t, n in e:
+            inc[t] += (rank[s] * n * d) // (n_out[s] * 100)
+        rank = {h: (base if h == seed else 0) + inc[h] for h in hosts}
+    expected = {
+        h: (1 if h == seed else 0, n_out.get(h, 0), rank[h]) for h in hosts
+    }
+    assert got == expected
+    # trust never reaches hosts with no path from the seed
+    from_seed = {seed}
+    changed = True
+    while changed:
+        changed = False
+        for s, t, _ in e:
+            if s in from_seed and t not in from_seed:
+                from_seed.add(t)
+                changed = True
+    for h in hosts:
+        if h not in from_seed:
+            assert got[h][2] == 0, (h, got[h])
