@@ -130,6 +130,9 @@ CLAIMS = {
     "domain_trustrank": "the pagerank iterate with seed-gated teleport: "
     "localCheckpoint'd each round (lineage one iteration deep), pure "
     "integer updates, domain-grain joins",
+    "readability": "single codegen'd scan, ZERO exchanges: words, "
+    "sentences, and syllables all from higher-order functions over "
+    "arrays materialized in their own projections",
 }
 
 

@@ -2362,6 +2362,36 @@ FROM s
 """
 
 
+def _sql_readability() -> str:
+    """SQL twin of textstats.readability: same tokenizer, same [.!?]+
+    sentence rule, same vowel-group syllables, same guarded integer
+    floor divisions."""
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    list_filter({_TOKS}, x -> x <> '') AS w,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                          '{textstats.SENT_SPLIT_RE}'),
+                    x -> trim(x, ' ') <> '')) AS ns
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(w) AS nw, ns,
+    CAST(coalesce(list_sum(list_transform(
+      w, x -> greatest(1, len(regexp_extract_all(x, '{textstats.SYLLABLE_RE}')))
+    )), 0) AS BIGINT) AS ny
+  FROM s
+)
+SELECT doc_id,
+  CAST(nw AS BIGINT) AS n_words,
+  CAST(ns AS BIGINT) AS n_sents,
+  ny AS n_syll,
+  CAST(20683 - (1015 * nw) // (10 * greatest(ns, 1))
+             - (8460 * ny) // greatest(nw, 1) AS BIGINT) AS fre_centi
+FROM c
+"""
+
+
 #: 'e' + U+0301 combining acute — composes to a single 'é' under NFC, so a
 #: planted doc loses exactly one codepoint when normalized.
 NFD_PLANT = "e\u0301"
@@ -5480,9 +5510,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these NINETEEN lead the r7
+        # added late r6 (no official row yet — these TWENTY lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last eleven — funnel_stages through domain_trustrank, the
+        # last twelve — funnel_stages through readability, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5504,6 +5534,7 @@ def queries() -> dict:
         "pq_adc_topk": q_pq_adc_topk,
         "pq_adc_refined": q_pq_adc_refined,
         "domain_trustrank": q_domain_trustrank,
+        "readability": docs(textstats.readability),
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5675,6 +5706,7 @@ def oracle_sql() -> dict:
         "pq_adc_topk": _sql_pq_adc_topk(),
         "pq_adc_refined": _sql_pq_adc_topk(rerank=PQ_RERANK),
         "domain_trustrank": _sql_domain_trustrank(),
+        "readability": _sql_readability(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

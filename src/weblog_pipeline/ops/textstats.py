@@ -1667,3 +1667,74 @@ def bm25_topk(
             "score",
         )
     )
+
+
+#: vowel-group syllable heuristic (ASCII, Java∩RE2): each maximal
+#: [aeiouy]+ run is one syllable, floor 1 per word — the standard
+#: Flesch-style approximation; shared with the SQL oracle.
+SYLLABLE_RE = "[aeiouy]+"
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease in integer centi-points — the classic
+    readability quality signal (206.835 - 1.015*(W/S) - 84.6*(Y/W)),
+    computed with the corpus's shared deterministic rules: words from
+    the common whitespace tokenizer, sentences from the sentence_stats
+    [.!?]+ split (non-blank pieces), syllables as lowercase vowel-group
+    runs with a floor of one per word. The three ratios are integer
+    floor divisions on guarded denominators (greatest(1, ...)), so the
+    score is bit-identical across engines:
+
+      fre_centi = 20683 - (1015 * W) DIV (10 * max(S, 1))
+                        - (8460 * Y) DIV max(W, 1)
+
+    Scale shape: every stage is a higher-order function over arrays
+    materialized in their OWN projections (the shingles_over CSE
+    contract) — a single codegen'd scan, zero shuffles, zero joins,
+    zero Python.
+
+    Output: doc_id, n_words, n_sents, n_syll (BIGINT), fre_centi (BIGINT).
+    """
+    toks = lower_tokens_col()
+    sents = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), SENT_SPLIT_RE),
+        lambda x: F.trim(x) != "",
+    )
+    staged = (
+        documents.select("doc_id", toks.alias("_t"), sents.alias("_s"))
+        .select(
+            "doc_id",
+            F.filter(F.col("_t"), lambda x: x != "").alias("_w"),
+            F.array_size("_s").alias("_ns"),
+        )
+        .select(
+            "doc_id",
+            F.array_size("_w").alias("_nw"),
+            "_ns",
+            F.transform(
+                F.col("_w"),
+                lambda x: F.greatest(
+                    F.lit(1),
+                    F.array_size(F.regexp_extract_all(x, F.lit(SYLLABLE_RE), 0)),
+                ),
+            ).alias("_sy"),
+        )
+        .select(
+            "doc_id",
+            "_nw",
+            "_ns",
+            F.aggregate(
+                "_sy", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("_ny"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_nw").cast("long").alias("n_words"),
+        F.col("_ns").cast("long").alias("n_sents"),
+        F.col("_ny").alias("n_syll"),
+        F.expr(
+            "20683 - (1015 * _nw) DIV (10 * greatest(_ns, 1))"
+            " - (8460 * _ny) DIV greatest(_nw, 1)"
+        ).cast("long").alias("fre_centi"),
+    )

@@ -3246,3 +3246,26 @@ def test_trustrank_matches_independent_recurrence(spark):
     for h in hosts:
         if h not in from_seed:
             assert got[h][2] == 0, (h, got[h])
+
+
+def test_readability_flesch_centi(spark):
+    """Hand-checked Flesch centi-points: vowel-group syllables with the
+    one-per-word floor, guarded denominators for empty docs."""
+    from weblog_pipeline.ops.textstats import readability
+
+    rows = [
+        # hello(2) world(1). it(1) is(1) sunny(2)! -> W=5 S=2 Y=7
+        Row(doc_id=0, text="Hello world. It is sunny!"),
+        # vowelless word floors at 1 syllable: grr(1). -> W=1 S=1 Y=1
+        Row(doc_id=1, text="Grr."),
+        # empty text: all guards engage
+        Row(doc_id=2, text=""),
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sents"], r["n_syll"], r["fre_centi"])
+        for r in readability(spark.createDataFrame(rows)).collect()
+    }
+    assert got[0] == (5, 2, 7, 20683 - (1015 * 5) // 20 - (8460 * 7) // 5)
+    assert got[0][3] == 8586
+    assert got[1] == (1, 1, 1, 20683 - 101 - 8460)
+    assert got[2] == (0, 0, 0, 20683)
