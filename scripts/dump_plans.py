@@ -133,6 +133,10 @@ CLAIMS = {
     "readability": "single codegen'd scan, ZERO exchanges: words, "
     "sentences, and syllables all from higher-order functions over "
     "arrays materialized in their own projections",
+    "drift_psi": "one scan into a (key, bucket) map-side-combined "
+    "aggregate with conditional side counts; per-key totals broadcast "
+    "back; everything after the first aggregate bounded by keys x "
+    "buckets, independent of event count",
 }
 
 

@@ -489,3 +489,77 @@ def value_percentiles(
         .groupBy(key_col, "q")
         .agg(F.min("bucket").alias("bucket"))
     )
+
+
+def drift_psi(
+    events: DataFrame,
+    bucket_width: float = 10.0,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population-stability-index drift monitor — the production check
+    that a metric's distribution has not shifted between two periods:
+    events split into baseline/current by epoch-day parity (a
+    content-independent rule), values histogram by the shared
+    floor(value/width) bucketing, and
+
+      PSI = sum over buckets of (pA - pB) * ln(pA / pB)
+
+    computed entirely in integers: Laplace add-one smoothing on counts,
+    probabilities in parts-per-million by integer DIV (floored at 1 so
+    the log never sees zero), and each ln of the exact-integer ppm ratio
+    floored ONCE per bucket to micro-nats (the char_entropy idiom) — so
+    the distributed sum is order-free and bit-identical across engines.
+
+    Shape: one scan, one (key, bucket) map-side-combined aggregate with
+    conditional counts for the two sides, per-key totals broadcast back,
+    and a final per-key sum — everything after the first aggregate is
+    bounded by keys x buckets, independent of event count (the
+    value_percentiles sketch discipline).
+
+    Output: <key_col>, n_base, n_cur, psi_sum (all BIGINT; psi_sum is in
+    ppm x micro-nat units — 1e-12 of a natural PSI point).
+    """
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int")
+    g = (
+        events.select(
+            key_col, b.alias("bucket"), (day % 2 == 0).alias("_is_base")
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count_if(F.col("_is_base")).alias("ca"),
+            F.count_if(~F.col("_is_base")).alias("cb"),
+        )
+    )
+    tot = g.groupBy(key_col).agg(
+        F.sum(F.col("ca") + 1).alias("ta"),
+        F.sum(F.col("cb") + 1).alias("tb"),
+    )
+    joined = (
+        g.join(F.broadcast(tot), key_col)
+        .withColumn(
+            "pa", F.expr("greatest(1, (ca + 1) * 1000000 DIV ta)")
+        )
+        .withColumn(
+            "pb", F.expr("greatest(1, (cb + 1) * 1000000 DIV tb)")
+        )
+        .withColumn(
+            "_term",
+            (F.col("pa") - F.col("pb"))
+            * F.floor(
+                F.log(
+                    F.col("pa").cast("double") / F.col("pb").cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return joined.groupBy(key_col).agg(
+        F.sum("ca").alias("n_base"),
+        F.sum("cb").alias("n_cur"),
+        F.sum("_term").alias("psi_sum"),
+    )

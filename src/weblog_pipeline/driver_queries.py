@@ -1169,6 +1169,45 @@ WHERE rank <= {BM25_K}
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor per event type:
+    baseline/current by epoch-day parity, shared HDR bucketing, Laplace
+    smoothing, ppm probabilities by integer DIV, ln of the exact ppm
+    ratio floored once per bucket to micro-nats."""
+    from weblog_pipeline.aggregate import drift_psi
+
+    return drift_psi(_read(spark, sf_dir, "events"))
+
+
+SQL_DRIFT_PSI = """
+WITH g AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bucket,
+    SUM(CASE WHEN CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 % 2 = 0
+             THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 % 2 = 0
+             THEN 0 ELSE 1 END) AS cb
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(ca + 1) AS BIGINT) AS ta,
+         CAST(SUM(cb + 1) AS BIGINT) AS tb
+  FROM g GROUP BY 1
+),
+j AS (
+  SELECT g.event_type, g.ca, g.cb,
+         greatest(1, (g.ca + 1) * 1000000 // t.ta) AS pa,
+         greatest(1, (g.cb + 1) * 1000000 // t.tb) AS pb
+  FROM g JOIN tot t USING (event_type)
+)
+SELECT event_type,
+  CAST(SUM(ca) AS BIGINT) AS n_base,
+  CAST(SUM(cb) AS BIGINT) AS n_cur,
+  CAST(SUM((pa - pb) * CAST(floor(ln(CAST(pa AS DOUBLE) / pb) * 1000000.0)
+                            AS BIGINT)) AS BIGINT) AS psi_sum
+FROM j GROUP BY 1
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -5510,9 +5549,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these TWENTY lead the r7
+        # added late r6 (no official row yet — these TWENTY-ONE lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last twelve — funnel_stages through readability, the
+        # last thirteen — funnel_stages through drift_psi, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5535,6 +5574,7 @@ def queries() -> dict:
         "pq_adc_refined": q_pq_adc_refined,
         "domain_trustrank": q_domain_trustrank,
         "readability": docs(textstats.readability),
+        "drift_psi": q_drift_psi,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5707,6 +5747,7 @@ def oracle_sql() -> dict:
         "pq_adc_refined": _sql_pq_adc_topk(rerank=PQ_RERANK),
         "domain_trustrank": _sql_domain_trustrank(),
         "readability": _sql_readability(),
+        "drift_psi": SQL_DRIFT_PSI,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

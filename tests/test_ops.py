@@ -3269,3 +3269,31 @@ def test_readability_flesch_centi(spark):
     assert got[0][3] == 8586
     assert got[1] == (1, 1, 1, 20683 - 101 - 8460)
     assert got[2] == (0, 0, 0, 20683)
+
+
+def test_drift_psi_hand_computed(spark):
+    """PSI with Laplace smoothing, ppm integer probabilities, and
+    floored micro-nat log terms — hand-checked on a planted shift."""
+    import datetime
+
+    from weblog_pipeline.aggregate import drift_psi
+
+    t0 = datetime.datetime(2025, 7, 4)          # epoch day 20273 (odd -> cur)
+    t1 = t0 + datetime.timedelta(days=1)        # even -> base
+
+    def ev(i, ts, value):
+        return Row(event_id=i, event_type="a", ts=ts, value=value)
+
+    rows = [
+        ev(0, t1, 5.0), ev(1, t1, 5.0),          # base: bucket 0 x2
+        ev(2, t0, 5.0), ev(3, t0, 95.0),         # cur: bucket 0, bucket 9
+    ]
+    got = {
+        r["event_type"]: (r["n_base"], r["n_cur"], r["psi_sum"])
+        for r in drift_psi(spark.createDataFrame(rows)).collect()
+    }
+    # buckets: (0): ca=2 cb=1; (9): ca=0 cb=1; ta=tb=4
+    # pa0=750000 pb0=500000 ln(1.5)->405465 ; pa9=250000 pb9=500000
+    # ln(0.5)-> -693148 (floored)
+    expected = 250000 * 405465 + (-250000) * (-693148)
+    assert got == {"a": (2, 2, expected)}
