@@ -137,6 +137,9 @@ CLAIMS = {
     "aggregate with conditional side counts; per-key totals broadcast "
     "back; everything after the first aggregate bounded by keys x "
     "buckets, independent of event count",
+    "bot_gap_stats": "lag window partitioned by the bounded (user, day) "
+    "stratum — never a user's full history — then one map-side-combined "
+    "moments aggregate; zero joins",
 }
 
 

@@ -563,3 +563,70 @@ def drift_psi(
         F.sum("cb").alias("n_cur"),
         F.sum("_term").alias("psi_sum"),
     )
+
+
+def bot_gap_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bot/automation signal from inter-event timing — the log-security
+    classic: humans produce bursty, irregular gaps; scripted clients
+    produce many events at near-constant intervals. Per (user, day) the
+    consecutive-event gaps (milliseconds) are reduced to integer moments
+    (n, sum, sum of squares, min, max), from which the caller reads the
+    variance via n*sum2 - sum^2 without ever materializing a float.
+
+    is_regular flags strata whose gaps are both numerous (>= 5) and
+    near-constant — scaled variance below (mean/4)^2 per gap, expressed
+    as the integer inequality n*sum2 - sum*sum < n * (sum DIV (4*n))^2 *
+    n — engine-exact, no float thresholds.
+
+    Shape: the lag window is partitioned by the bounded (user, day)
+    stratum (the keyed_quota discipline — never a user's full history),
+    then one map-side-combined aggregate; gap units are milliseconds, so
+    sum-of-squares is day-bounded (<= day_ms * max_gap_ms ~ 7.5e15) and
+    n * sum2 stays inside int64 up to ~1200 gaps per stratum — beyond
+    that (pathological single-key floods) narrow the stratum to hours or
+    widen the moments to DECIMAL.
+
+    Output: user_id, win_start (epoch s), n_gaps, sum_gap_ms,
+    sum_gap2_ms, min_gap_ms, max_gap_ms (BIGINT), is_regular (INT).
+    """
+    from pyspark.sql import Window
+
+    win = F.unix_timestamp(F.date_trunc("day", F.col(ts_col))).alias(
+        "win_start"
+    )
+    ts_ms = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP_LTZ)) DIV 1000"
+    )
+    w = Window.partitionBy(user_col, "win_start").orderBy(
+        "_ts_ms", "event_id"
+    )
+    gaps = (
+        events.select("event_id", user_col, win, ts_ms.alias("_ts_ms"))
+        .withColumn("_gap", F.col("_ts_ms") - F.lag("_ts_ms").over(w))
+        .where(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy(user_col, "win_start").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_gap").alias("sum_gap_ms"),
+        F.sum(F.col("_gap") * F.col("_gap")).alias("sum_gap2_ms"),
+        F.min("_gap").alias("min_gap_ms"),
+        F.max("_gap").alias("max_gap_ms"),
+    )
+    return agg.withColumn(
+        "is_regular",
+        (
+            (F.col("n_gaps") >= 5)
+            & (
+                F.col("n_gaps") * F.col("sum_gap2_ms")
+                - F.col("sum_gap_ms") * F.col("sum_gap_ms")
+                < F.col("n_gaps")
+                * F.expr("(sum_gap_ms DIV (4 * n_gaps))")
+                * F.expr("(sum_gap_ms DIV (4 * n_gaps))")
+                * F.col("n_gaps")
+            )
+        ).cast("int"),
+    )

@@ -1208,6 +1208,50 @@ FROM j GROUP BY 1
 """
 
 
+def q_bot_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation timing signal: per (user, day) integer moments of
+    consecutive-event gaps (ms) plus the engine-exact regularity flag —
+    lag window over bounded strata, one map-side-combined aggregate."""
+    from weblog_pipeline.aggregate import bot_gap_stats
+
+    return bot_gap_stats(_read(spark, sf_dir, "events"))
+
+
+SQL_BOT_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+         epoch_us(ts) // 1000 AS ts_ms,
+         event_id
+  FROM events
+),
+d AS (
+  SELECT user_id, win_start,
+         ts_ms - lag(ts_ms) OVER (
+           PARTITION BY user_id, win_start ORDER BY ts_ms, event_id
+         ) AS gap
+  FROM g
+),
+a AS (
+  SELECT user_id, win_start,
+         COUNT(*) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sum_gap_ms,
+         CAST(SUM(gap * gap) AS BIGINT) AS sum_gap2_ms,
+         CAST(MIN(gap) AS BIGINT) AS min_gap_ms,
+         CAST(MAX(gap) AS BIGINT) AS max_gap_ms
+  FROM d WHERE gap IS NOT NULL GROUP BY 1, 2
+)
+SELECT user_id, win_start, n_gaps, sum_gap_ms, sum_gap2_ms,
+       min_gap_ms, max_gap_ms,
+  CAST(n_gaps >= 5
+       AND n_gaps * sum_gap2_ms - sum_gap_ms * sum_gap_ms
+           < n_gaps * (sum_gap_ms // (4 * n_gaps))
+                    * (sum_gap_ms // (4 * n_gaps)) * n_gaps
+       AS INTEGER) AS is_regular
+FROM a
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -5549,9 +5593,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these TWENTY-ONE lead the r7
+        # added late r6 (no official row yet — these TWENTY-TWO lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last thirteen — funnel_stages through drift_psi, the
+        # last fourteen — funnel_stages through bot_gap_stats, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5575,6 +5619,7 @@ def queries() -> dict:
         "domain_trustrank": q_domain_trustrank,
         "readability": docs(textstats.readability),
         "drift_psi": q_drift_psi,
+        "bot_gap_stats": q_bot_gap_stats,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5748,6 +5793,7 @@ def oracle_sql() -> dict:
         "domain_trustrank": _sql_domain_trustrank(),
         "readability": _sql_readability(),
         "drift_psi": SQL_DRIFT_PSI,
+        "bot_gap_stats": SQL_BOT_GAP_STATS,
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),

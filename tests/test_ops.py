@@ -3297,3 +3297,35 @@ def test_drift_psi_hand_computed(spark):
     # ln(0.5)-> -693148 (floored)
     expected = 250000 * 405465 + (-250000) * (-693148)
     assert got == {"a": (2, 2, expected)}
+
+
+def test_bot_gap_stats_regularity(spark):
+    """Scripted near-constant gaps flag as regular; human-bursty gaps do
+    not; strata with < 5 gaps never flag; moments are exact integers."""
+    import datetime
+
+    from weblog_pipeline.aggregate import bot_gap_stats
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, secs):
+        return Row(event_id=i, user_id=user,
+                   ts=t0 + datetime.timedelta(seconds=secs))
+
+    rows = [
+        # user 1: metronome — 6 events exactly 10 s apart -> regular
+        *[ev(i, 1, 10 * i) for i in range(6)],
+        # user 2: bursty — gaps 1, 1, 600, 1, 1200 s -> not regular
+        *[ev(10 + j, 2, s) for j, s in
+          enumerate([0, 1, 2, 602, 603, 1803])],
+        # user 3: only 3 events (2 gaps) -> below the n >= 5 floor
+        *[ev(20 + j, 3, 100 * j) for j in range(3)],
+    ]
+    got = {
+        r["user_id"]: (r["n_gaps"], r["sum_gap_ms"], r["sum_gap2_ms"],
+                       r["is_regular"])
+        for r in bot_gap_stats(spark.createDataFrame(rows)).collect()
+    }
+    assert got[1] == (5, 50_000, 5 * 10_000**2, 1)
+    assert got[2][0] == 5 and got[2][3] == 0
+    assert got[3] == (2, 200_000, 2 * 100_000**2, 0)
