@@ -592,3 +592,50 @@ def test_value_percentiles_single_scan_no_joins(spark):
     plan = _physical(value_percentiles(df))
     assert "Join" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_drift_psi_is_window_free_broadcast_totals(spark):
+    """PSI must stay pure aggregates: no Window, totals broadcast, no
+    cartesian — everything after the first aggregate is histogram-sized."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import drift_psi
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, event_type="a", value=float(i),
+                ts=t0 + datetime.timedelta(days=i % 3))
+            for i in range(12)
+        ]
+    )
+    plan = _physical(drift_psi(df))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bot_gap_window_is_day_bounded(spark):
+    """The gap lag window must partition by (user, day) — the bounded
+    stratum — never the bare user key; no joins anywhere."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import bot_gap_stats
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=1,
+                ts=t0 + datetime.timedelta(seconds=10 * i))
+            for i in range(6)
+        ]
+    )
+    plan = _physical(bot_gap_stats(df))
+    win = [l for l in plan.splitlines() if "Window [lag(" in l]
+    assert win, plan
+    assert all("win_start" in l.split("], [")[1] for l in win), win
+    assert "Join" not in plan, plan
