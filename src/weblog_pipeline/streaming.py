@@ -427,3 +427,96 @@ def hdr_stream(events: DataFrame, bucket_width: float = 10.0) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+#: emitted once per conversion, as it arrives (append-safe: an
+#: attribution verdict never changes once issued under ordered replay).
+ATTR_SCHEMA = (
+    "conv_id long, user_id long, touch_id long, touch_type string, "
+    "delta_us long"
+)
+_ATTR_STATE_SCHEMA = "touch_us long, touch_id long, touch_type string"
+
+
+def attribution_stateful(
+    events: DataFrame,
+    window_us: int | None = None,
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Streaming twin of aggregate.attribution_last_touch: one
+    (touch_us, touch_id, touch_type) triple per live user in the state
+    store — the user's latest touch so far — and every conversion emits
+    its verdict the moment it arrives (append mode). Within a
+    micro-batch the group is concat'd then sorted by (ts_us, event_id)
+    — the keyed_quota chunk discipline — so processing order IS the
+    strictly-earlier order: a touch sharing the conversion's timestamp
+    with a lower event_id lands in state before the conversion, one
+    with a higher id after it, reproducing the batch twin's tie rule
+    exactly under ordered replay.
+
+    The 100 TB story: state is ONE fixed-width row per live user
+    (contrast the batch side's range-bucket join, which re-derives
+    candidates from scratch each run); the lookback window applies at
+    emit time, so stale touches cost nothing but their row.
+    """
+    import pandas as pd
+
+    from .aggregate import ATTRIBUTION_WINDOW_US
+
+    win = ATTRIBUTION_WINDOW_US if window_us is None else window_us
+    touches = set(touch_types)
+
+    def attrib(key, pdfs, state):
+        if state.exists:
+            cur_us, cur_id, cur_type = state.get
+        else:
+            cur_us, cur_id, cur_type = None, None, None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        out = {k: [] for k in
+               ("conv_id", "touch_id", "touch_type", "delta_us")}
+        for eid, etype, us in zip(
+            pdf["event_id"], pdf["event_type"], pdf["ts_us"]
+        ):
+            if etype in touches:
+                if cur_us is None or (us, eid) > (cur_us, cur_id):
+                    cur_us, cur_id, cur_type = int(us), int(eid), etype
+            elif etype == conversion_type:
+                if cur_us is not None and int(us) - cur_us <= win:
+                    out["conv_id"].append(int(eid))
+                    out["touch_id"].append(cur_id)
+                    out["touch_type"].append(cur_type)
+                    out["delta_us"].append(int(us) - cur_us)
+                else:
+                    out["conv_id"].append(int(eid))
+                    out["touch_id"].append(-1)
+                    out["touch_type"].append("none")
+                    out["delta_us"].append(-1)
+        if cur_us is not None:
+            state.update((cur_us, cur_id, cur_type))
+        yield pd.DataFrame(
+            {
+                "conv_id": pd.array(out["conv_id"], dtype="int64"),
+                "user_id": pd.array(
+                    [key[0]] * len(out["conv_id"]), dtype="int64"
+                ),
+                "touch_id": pd.array(out["touch_id"], dtype="int64"),
+                "touch_type": out["touch_type"],
+                "delta_us": pd.array(out["delta_us"], dtype="int64"),
+            }
+        )
+
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        attrib,
+        outputStructType=ATTR_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

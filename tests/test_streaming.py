@@ -518,3 +518,76 @@ def test_hdr_stream_equals_batch_histogram(spark, tmp_path):
         ).collect()
     )
     assert a0 == [2, 3]
+
+
+def test_attribution_stateful_equals_batch_twin(spark, tmp_path):
+    """Streaming last-touch attribution over time-ordered micro-batches
+    must equal the batch range-bucket twin exactly — including the
+    (ts, event_id) tie rule, the lookback cutoff, the unattributed
+    sentinels, and state carried ACROSS micro-batches (a touch in file 1
+    attributing a purchase in file 2)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import attribution_last_touch
+    from weblog_pipeline.streaming import attribution_stateful
+
+    t0 = datetime.datetime(2025, 7, 4)
+    day = 86400
+
+    def ev(i, user, typ, secs):
+        return Row(event_id=i, user_id=user, event_type=typ,
+                   ts=t0 + datetime.timedelta(seconds=secs))
+
+    f1 = [
+        ev(0, 1, "view", 0), ev(1, 1, "click", 50),
+        ev(2, 2, "view", 10),                      # cross-batch touch
+        ev(3, 3, "view", 0),                       # 8 days before its conv
+        ev(4, 4, "purchase", 5),                   # no touch at all
+    ]
+    f2 = [
+        ev(5, 1, "purchase", 100),                 # click 1 wins
+        ev(6, 2, "purchase", day),                 # attributed from file 1
+        ev(7, 3, "purchase", 8 * day),             # outside lookback
+        ev(8, 2, "click", day + 10),
+        ev(9, 2, "purchase", day + 10),            # ts tie, id 8 < 9 counts
+    ]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        attribution_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["conv_id"]: (r["user_id"], r["touch_id"], r["touch_type"],
+                       r["delta_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(f1 + f2, schema)
+    expected = {
+        r["conv_id"]: (r["user_id"], r["touch_id"], r["touch_type"],
+                       r["delta_us"])
+        for r in attribution_last_touch(batch).collect()
+    }
+    assert got == expected
+    assert got[5] == (1, 1, "click", 50_000_000)
+    assert got[6][1] == 2                        # cross-batch state
+    assert got[7] == (3, -1, "none", -1)
+    assert got[9] == (2, 8, "click", 0)
