@@ -1252,6 +1252,98 @@ FROM a
 """
 
 
+def q_parity_ln_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-independent guard for the floored-ln idiom every
+    log-scored operator leans on (tfidf/bm25 idf, PSI terms, entropy,
+    bigram LM): floor(ln(x)*1e6) over a 1..500 sweep plus large
+    literals, in all three shapes the catalog uses — ln(n), ln of an
+    up-ratio, ln of a down-ratio (negative branch, floor toward -inf).
+    A red row isolates an ENGINE libm/floor divergence, never data."""
+    ns = spark.range(1, 501).unionAll(
+        spark.createDataFrame(
+            [(1_000_000,), (1_000_000_000,), (1_000_000_000_000,)],
+            "id long",
+        )
+    )
+    n = F.col("id")
+    return ns.select(
+        n.alias("n"),
+        F.floor(F.log(n.cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("ln_micro"),
+        F.floor(
+            F.log((n + 1).cast("double") / n.cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("ln_up_micro"),
+        F.floor(
+            F.log(n.cast("double") / (n + 7).cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("ln_dn_micro"),
+    )
+
+
+SQL_PARITY_LN_FLOOR = """
+WITH ns AS (
+  SELECT n FROM range(1, 501) t(n)
+  UNION ALL
+  SELECT * FROM (VALUES (1000000), (1000000000), (1000000000000)) v(n)
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS ln_micro,
+  CAST(floor(ln(CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+       AS BIGINT) AS ln_up_micro,
+  CAST(floor(ln(CAST(n AS DOUBLE) / CAST(n + 7 AS DOUBLE)) * 1000000.0)
+       AS BIGINT) AS ln_dn_micro
+FROM ns
+"""
+
+#: timestamp literals for the epoch-microsecond parity guard: pre-epoch,
+#: the epoch itself, a leap-day with fractional seconds, the int32
+#: rollover, and the pandas datetime64[ns] ceiling era.
+_EPOCH_US_STAMPS = (
+    "1969-12-31 23:59:59.999999",
+    "1970-01-01 00:00:00",
+    "2000-02-29 12:00:00.5",
+    "2024-02-29 23:59:59.999999",
+    "2038-01-19 03:14:08",
+    "2262-04-11 23:47:16.854775",
+)
+
+
+def q_parity_epoch_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-independent guard for timestamp-microsecond parity
+    (attribution, bot timing): unix_micros over literal instants —
+    pre-epoch negative values included — plus the day-truncation epoch
+    the quota/retention family uses, all under the UTC session rule."""
+    cols = [
+        F.expr(f"unix_micros(TIMESTAMP '{s}')").alias(f"us_{i}")
+        for i, s in enumerate(_EPOCH_US_STAMPS)
+    ]
+    cols.append(
+        F.expr(
+            f"unix_timestamp(date_trunc('day', TIMESTAMP "
+            f"'{_EPOCH_US_STAMPS[3]}'))"
+        ).alias("day_s")
+    )
+    return spark.range(1).select(*cols)
+
+
+def _sql_parity_epoch_us() -> str:
+    cols = ", ".join(
+        f"epoch_us(TIMESTAMP '{s}') AS us_{i}"
+        for i, s in enumerate(_EPOCH_US_STAMPS)
+    )
+    return f"""
+SELECT {cols},
+  CAST(epoch(date_trunc('day', TIMESTAMP '{_EPOCH_US_STAMPS[3]}'))
+       AS BIGINT) AS day_s
+"""
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram."""
     docs = _read(spark, sf_dir, "documents")
@@ -5593,9 +5685,9 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these TWENTY-TWO lead the r7
+        # added late r6 (no official row yet — these TWENTY-FOUR lead the r7
         # rotation right after the canaries, before any stale greens; the
-        # last fourteen — funnel_stages through bot_gap_stats, the
+        # last sixteen — funnel_stages through parity_epoch_us, the
         # product-analytics/retrieval/PQ family — were added after the r6
         # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
@@ -5620,6 +5712,10 @@ def queries() -> dict:
         "readability": docs(textstats.readability),
         "drift_psi": q_drift_psi,
         "bot_gap_stats": q_bot_gap_stats,
+        # fixture-independent parity guards (canary-grade literal
+        # oracles; promote right after the canaries in the r7 window):
+        "parity_ln_floor": q_parity_ln_floor,
+        "parity_epoch_us": q_parity_epoch_us,
         "enrich_kitchen_sink": _events_q(CFG_KITCHEN),
         "decontaminate": q_decontaminate,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -5794,6 +5890,8 @@ def oracle_sql() -> dict:
         "readability": _sql_readability(),
         "drift_psi": SQL_DRIFT_PSI,
         "bot_gap_stats": SQL_BOT_GAP_STATS,
+        "parity_ln_floor": SQL_PARITY_LN_FLOOR,
+        "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),
