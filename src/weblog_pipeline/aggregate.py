@@ -630,3 +630,270 @@ def bot_gap_stats(
             )
         ).cast("int"),
     )
+
+
+def anomaly_days(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Robust daily-volume anomaly monitor — the on-call dashboard
+    classic: per key, flag days whose event count sits more than k MADs
+    from the median. Median and MAD (median absolute deviation) are the
+    robust location/scale pair that a single incident day cannot drag,
+    unlike mean/stddev.
+
+    Exactness: both medians are LOWER medians — the value at
+    row_number (n+1) DIV 2 under a total order ((cnt, day) then
+    (dev, day)) — so every statistic is an integer the engines agree on
+    bit-for-bit; no float percentile interpolation. The anomaly rule
+    dev > k * mad is a pure integer inequality (with mad = 0 it
+    degenerates to dev > 0, exactly what a constant series wants).
+
+    Shape: one events scan into a (key, day) map-side-combined count —
+    after that everything is bounded by keys x days (a few thousand rows
+    at any corpus size), so the two median windows partition by key over
+    day-grain strata; per-event data never enters a window. The same
+    aggregate-first discipline as value_percentiles.
+
+    Output: <key_col>, n_days, med_cnt, mad, n_anomalies, max_dev
+    (all BIGINT).
+    """
+    from pyspark.sql import Window
+
+    day_s = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    daily = (
+        events.select(key_col, day_s.alias("day_s"))
+        .groupBy(key_col, "day_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy(key_col)
+    w_cnt = Window.partitionBy(key_col).orderBy("cnt", "day_s")
+    # staged: window functions cannot nest, so rank/size land first and
+    # the pick-the-median max-over runs in a second projection
+    ranked = daily.select(
+        key_col,
+        "day_s",
+        "cnt",
+        F.row_number().over(w_cnt).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    med = ranked.select(
+        key_col,
+        "day_s",
+        "cnt",
+        F.max(
+            F.when(F.col("_rn") == F.expr("(_n + 1) DIV 2"), F.col("cnt"))
+        )
+        .over(w_all)
+        .alias("med_cnt"),
+    ).withColumn("dev", F.abs(F.col("cnt") - F.col("med_cnt")))
+    w_dev = Window.partitionBy(key_col).orderBy("dev", "day_s")
+    ranked_dev = med.select(
+        key_col,
+        "med_cnt",
+        "dev",
+        F.row_number().over(w_dev).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    scored = ranked_dev.select(
+        key_col,
+        "med_cnt",
+        "dev",
+        F.max(
+            F.when(F.col("_rn") == F.expr("(_n + 1) DIV 2"), F.col("dev"))
+        )
+        .over(w_all)
+        .alias("mad"),
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("med_cnt").alias("med_cnt"),
+        F.max("mad").alias("mad"),
+        F.count_if(F.col("dev") > F.lit(k_mad) * F.col("mad")).alias(
+            "n_anomalies"
+        ),
+        F.max("dev").alias("max_dev"),
+    )
+
+
+def dau_wau(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU stickiness — the growth metric every product
+    dashboard leads with: for each day, the distinct users active that
+    day (DAU) and in the trailing `window_days`-day window ending that
+    day (WAU), plus stickiness = DAU/WAU in basis points (integer DIV).
+
+    Shape: the event stream collapses FIRST to distinct (user, day) —
+    map-side-combined, the only pass over raw events — then each
+    user-day explodes into the `window_days` trailing windows it
+    contributes to (a fixed 7x fan-out of the already-deduplicated
+    user-day relation, NOT of the event stream), and a count-distinct
+    per window day finishes the job. Phantom windows past the observed
+    day range are dropped by an inner join against the tiny distinct-day
+    relation (broadcast — it is bounded by the calendar). No windows over
+    user histories, no range self-join; everything after the first
+    aggregate is user-day grain.
+
+    Output: day_s (epoch seconds, BIGINT), dau, wau (BIGINT),
+    stickiness_bp (BIGINT).
+    """
+    d = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    ud = events.select(user_col, d.alias("d")).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(
+        F.count_distinct(F.col(user_col)).alias("dau")
+    )
+    wau = (
+        ud.select(
+            user_col,
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+            ).alias("wd"),
+        )
+        .join(F.broadcast(days.withColumnRenamed("d", "wd")), "wd")
+        .groupBy("wd")
+        .agg(F.count_distinct(F.col(user_col)).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            (F.col("d") * 86400).alias("day_s"),
+            "dau",
+            "wau",
+            F.expr("dau * 10000 DIV wau").alias("stickiness_bp"),
+        )
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    path_len: int = 5,
+    k: int = 20,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """Top-k user-journey prefixes — the product-analytics "what do
+    sessions look like" query: each (user, day) session is reduced to
+    the '>'-joined sequence of its first `path_len` event types (ordered
+    by ts, then event_id for engine-exact ties), identical prefixes are
+    counted, and the k most common are ranked.
+
+    Shape: the ordering window is partitioned by the bounded (user, day)
+    stratum (the keyed_quota discipline); the prefix is assembled by
+    sorting the collected (rn, type) structs INSIDE each group —
+    array_sort on <= path_len elements, no second window. The final
+    global top-k uses the bm25_topk two-phase salted rank: phase 1 ranks
+    inside hash(path) % salt_mod partitions and keeps k per partition,
+    phase 2 ranks the <= k * salt_mod survivors — no single-task global
+    sort over the (unbounded) distinct-path domain.
+
+    Output: rank (INT), path (STRING), n_sessions (BIGINT).
+    """
+    from pyspark.sql import Window
+
+    day_s = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    w = Window.partitionBy(user_col, "_day_s").orderBy(ts_col, "event_id")
+    paths = (
+        events.select(
+            user_col,
+            "event_id",
+            ts_col,
+            day_s.alias("_day_s"),
+            F.col(type_col).alias("_et"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= path_len)
+        .groupBy(user_col, "_day_s")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "_et"))
+                    ),
+                    lambda x: x["_et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    order = [F.col("n_sessions").desc(), F.col("path").asc()]
+    w1 = Window.partitionBy(
+        F.pmod(F.hash("path"), F.lit(salt_mod))
+    ).orderBy(*order)
+    survivors = paths.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy().orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(F.col("rank").cast("int").alias("rank"), "path", "n_sessions")
+    )
+
+
+#: hex digits whose low bit is 0 — md5-parity arm assignment shared
+#: with the SQL oracle (Spark md5 == DuckDB md5, lowercase hex).
+AB_EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+def ab_metrics(
+    events: DataFrame,
+    user_col: str = "user_id",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Deterministic A/B experiment readout — the growth-engineering
+    staple: users are assigned an arm by the parity of the first hex
+    digit of md5(user_id) (sticky, uniform, engine-portable — both
+    engines produce identical lowercase-hex md5), then per event type
+    the per-arm user counts, event counts, and value totals (floored to
+    integer cents: one IEEE multiply + floor, bit-identical) are
+    aggregated, with the events-per-user lift between arms in basis
+    points by integer DIV.
+
+    Shape: a single events scan into one map-side-combined aggregate
+    with conditional branches per arm; count_distinct expands to the
+    standard two-phase expand-aggregate. No joins, no windows, no
+    per-user state — grain is event types.
+
+    Output: <key_col>, a_users, b_users, a_events, b_events,
+    a_value_c, b_value_c, lift_bp (all BIGINT).
+    """
+    is_a = F.substring(F.md5(F.col(user_col).cast("string")), 1, 1).isin(
+        *AB_EVEN_HEX
+    )
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    per_arm = events.select(
+        key_col,
+        F.col(user_col).alias("_u"),
+        is_a.alias("_a"),
+        cents.alias("_c"),
+    ).groupBy(key_col).agg(
+        F.count_distinct(F.when(F.col("_a"), F.col("_u"))).alias("a_users"),
+        F.count_distinct(F.when(~F.col("_a"), F.col("_u"))).alias("b_users"),
+        F.count_if(F.col("_a")).alias("a_events"),
+        F.count_if(~F.col("_a")).alias("b_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("_a"), F.col("_c"))), F.lit(0)
+        ).alias("a_value_c"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_a"), F.col("_c"))), F.lit(0)
+        ).alias("b_value_c"),
+    )
+    return per_arm.withColumn(
+        "lift_bp",
+        F.expr("a_events * 10000 DIV greatest(a_users, 1)")
+        - F.expr("b_events * 10000 DIV greatest(b_users, 1)"),
+    )

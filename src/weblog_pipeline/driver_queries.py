@@ -1252,6 +1252,158 @@ FROM a
 """
 
 
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly monitor per event type: exact lower
+    median + MAD over the (key, day) count series, integer k-MAD flag —
+    aggregate-first, windows only over day-grain strata."""
+    from weblog_pipeline.aggregate import anomaly_days
+
+    return anomaly_days(_read(spark, sf_dir, "events"))
+
+
+SQL_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day_s, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt, day_s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+m AS (
+  SELECT event_type, day_s, cnt,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+           OVER (PARTITION BY event_type) AS med_cnt
+  FROM r
+),
+d AS (
+  SELECT event_type, day_s, med_cnt, abs(cnt - med_cnt) AS dev FROM m
+),
+r2 AS (
+  SELECT event_type, med_cnt, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, day_s) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+s AS (
+  SELECT event_type, med_cnt, dev,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+           OVER (PARTITION BY event_type) AS mad
+  FROM r2
+)
+SELECT event_type, COUNT(*) AS n_days, MAX(med_cnt) AS med_cnt,
+       MAX(mad) AS mad,
+       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       MAX(dev) AS max_dev
+FROM s GROUP BY 1
+"""
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness: distinct user-days first,
+    fixed 7x explode of that relation, broadcast day-dim join to drop
+    phantom windows."""
+    from weblog_pipeline.aggregate import dau_wau
+
+    return dau_wau(_read(spark, sf_dir, "events"))
+
+
+SQL_DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+w AS (
+  SELECT user_id, unnest(generate_series(d, d + 6)) AS wd FROM ud
+),
+wau AS (
+  SELECT wd AS d, COUNT(DISTINCT user_id) AS wau
+  FROM w WHERE wd IN (SELECT d FROM days) GROUP BY 1
+)
+SELECT dau.d * 86400 AS day_s, dau.dau AS dau, wau.wau AS wau,
+       dau.dau * 10000 // wau.wau AS stickiness_bp
+FROM dau JOIN wau USING (d)
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey prefixes: first 5 event types per (user, day)
+    session joined by '>', counted, two-phase salted global rank."""
+    from weblog_pipeline.aggregate import session_paths
+
+    return session_paths(_read(spark, sf_dir, "events"))
+
+
+SQL_SESSION_PATHS = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         event_type,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, day_s,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM e WHERE rn <= 5 GROUP BY 1, 2
+),
+c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+SELECT CAST(rank AS INTEGER) AS rank, path, n_sessions
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM c
+)
+WHERE rank <= 20
+"""
+
+
+def q_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-parity A/B readout per event type: per-arm
+    distinct users, event counts, integer-cent value totals, and the
+    events-per-user lift in basis points — one conditional aggregate."""
+    from weblog_pipeline.aggregate import ab_metrics
+
+    return ab_metrics(_read(spark, sf_dir, "events"))
+
+
+SQL_AB_METRICS = """
+WITH e AS (
+  SELECT event_type, user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+           IN ('0', '2', '4', '6', '8', 'a', 'c', 'e') AS is_a,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         COUNT(DISTINCT CASE WHEN is_a THEN user_id END) AS a_users,
+         COUNT(DISTINCT CASE WHEN NOT is_a THEN user_id END) AS b_users,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a_events,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b_events,
+         COALESCE(CAST(SUM(CASE WHEN is_a THEN cents END) AS BIGINT), 0)
+           AS a_value_c,
+         COALESCE(CAST(SUM(CASE WHEN NOT is_a THEN cents END) AS BIGINT), 0)
+           AS b_value_c
+  FROM e GROUP BY 1
+)
+SELECT event_type, a_users, b_users, a_events, b_events,
+       a_value_c, b_value_c,
+       a_events * 10000 // greatest(a_users, 1)
+       - b_events * 10000 // greatest(b_users, 1) AS lift_bp
+FROM g
+"""
+
+
 def q_parity_ln_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-independent guard for the floored-ln idiom every
     log-scored operator leans on (tfidf/bm25 idf, PSI terms, entropy,
@@ -5685,11 +5837,11 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these TWENTY-FOUR lead the r7
-        # rotation right after the canaries, before any stale greens; the
-        # last sixteen — funnel_stages through parity_epoch_us, the
-        # product-analytics/retrieval/PQ family — were added after the r6
-        # window froze):
+        # added late r6 (no official row yet — these TWENTY-EIGHT lead the
+        # r7 rotation right after the canaries, before any stale greens;
+        # everything from funnel_stages through parity_epoch_us — the
+        # product-analytics/retrieval/PQ family plus anomaly_days/dau_wau/
+        # session_paths/ab_metrics — was added after the r6 window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
@@ -5712,6 +5864,10 @@ def queries() -> dict:
         "readability": docs(textstats.readability),
         "drift_psi": q_drift_psi,
         "bot_gap_stats": q_bot_gap_stats,
+        "anomaly_days": q_anomaly_days,
+        "dau_wau": q_dau_wau,
+        "session_paths": q_session_paths,
+        "ab_metrics": q_ab_metrics,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -5890,6 +6046,10 @@ def oracle_sql() -> dict:
         "readability": _sql_readability(),
         "drift_psi": SQL_DRIFT_PSI,
         "bot_gap_stats": SQL_BOT_GAP_STATS,
+        "anomaly_days": SQL_ANOMALY_DAYS,
+        "dau_wau": SQL_DAU_WAU,
+        "session_paths": SQL_SESSION_PATHS,
+        "ab_metrics": SQL_AB_METRICS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

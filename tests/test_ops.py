@@ -3329,3 +3329,127 @@ def test_bot_gap_stats_regularity(spark):
     assert got[1] == (5, 50_000, 5 * 10_000**2, 1)
     assert got[2][0] == 5 and got[2][3] == 0
     assert got[3] == (2, 200_000, 2 * 100_000**2, 0)
+
+
+def test_anomaly_days_median_mad(spark):
+    """Planted spike: counts [1,1,1,1,10] -> lower median 1, MAD 0, the
+    spike day is the single anomaly, max_dev 9."""
+    import datetime
+
+    from weblog_pipeline.aggregate import anomaly_days
+
+    t0 = datetime.datetime(2025, 7, 4)
+    rows = []
+    eid = 0
+    for day, n in enumerate([1, 1, 1, 1, 10]):
+        for _ in range(n):
+            rows.append(
+                Row(event_id=eid, event_type="a",
+                    ts=t0 + datetime.timedelta(days=day))
+            )
+            eid += 1
+    got = anomaly_days(spark.createDataFrame(rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_days"], r["med_cnt"], r["mad"], r["n_anomalies"],
+            r["max_dev"]) == (5, 1, 0, 1, 9)
+
+
+def test_dau_wau_trailing_window(spark):
+    """Three days, overlapping users: WAU is the distinct-user union of
+    the trailing window, stickiness integer basis points."""
+    import datetime
+
+    from weblog_pipeline.aggregate import dau_wau
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, day):
+        return Row(event_id=i, user_id=user,
+                   ts=t0 + datetime.timedelta(days=day, minutes=i))
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 1), ev(2, 1, 2),
+        ev(3, 2, 0), ev(4, 2, 0),            # duplicate user-day collapses
+        ev(5, 3, 2),
+    ]
+    day0 = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    got = {
+        r["day_s"]: (r["dau"], r["wau"], r["stickiness_bp"])
+        for r in dau_wau(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {
+        day0: (2, 2, 10000),
+        day0 + 86400: (1, 2, 5000),
+        day0 + 2 * 86400: (2, 3, 6666),
+    }
+
+
+def test_session_paths_prefix_and_ranks(spark):
+    """Paths are ts-ordered '>'-joined prefixes capped at 5 events;
+    ranking is (count desc, path asc), engine-deterministic."""
+    import datetime
+
+    from weblog_pipeline.aggregate import session_paths
+
+    t0 = datetime.datetime(2025, 7, 4)
+
+    def ev(i, user, sec, et):
+        return Row(event_id=i, user_id=user, event_type=et,
+                   ts=t0 + datetime.timedelta(seconds=sec))
+
+    rows = []
+    for u in (1, 2):
+        rows += [ev(u * 10 + j, u, j, t) for j, t in enumerate("abc")]
+    rows += [ev(30 + j, 3, j, t) for j, t in enumerate("aaaaabc")]
+    rows += [ev(50, 4, 0, "z")]
+    got = [
+        (r["rank"], r["path"], r["n_sessions"])
+        for r in session_paths(spark.createDataFrame(rows)).collect()
+    ]
+    assert sorted(got) == [
+        (1, "a>b>c", 2),
+        (2, "a>a>a>a>a", 1),
+        (3, "z", 1),
+    ]
+
+
+def test_ab_metrics_against_hashlib_twin(spark):
+    """Arm assignment must equal an independent hashlib.md5 twin; counts
+    and cent totals are exact; lift is integer DIV basis points."""
+    import datetime
+    import hashlib
+    import math
+
+    from weblog_pipeline.aggregate import ab_metrics
+
+    t0 = datetime.datetime(2025, 7, 4)
+    evs = [  # (event_id, user, value)
+        (0, 1, 1.25), (1, 1, 2.50), (2, 2, 0.07), (3, 3, 10.0),
+        (4, 6, 3.33), (5, 6, 0.01), (6, 11, 99.99),
+    ]
+    rows = [
+        Row(event_id=i, user_id=u, event_type="x", value=v,
+            ts=t0 + datetime.timedelta(minutes=i))
+        for i, u, v in evs
+    ]
+
+    def arm(u):
+        return "ab"[int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2]
+
+    a = {e for e in evs if arm(e[1]) == "a"}
+    b = {e for e in evs if arm(e[1]) == "b"}
+    assert a and b, "fixture must exercise both arms"
+    exp_a_users = len({u for _, u, _ in a})
+    exp_b_users = len({u for _, u, _ in b})
+    exp = (
+        exp_a_users, exp_b_users, len(a), len(b),
+        sum(math.floor(v * 100) for *_, v in a),
+        sum(math.floor(v * 100) for *_, v in b),
+        len(a) * 10000 // exp_a_users - len(b) * 10000 // exp_b_users,
+    )
+    got = ab_metrics(spark.createDataFrame(rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a_users"], r["b_users"], r["a_events"], r["b_events"],
+            r["a_value_c"], r["b_value_c"], r["lift_bp"]) == exp

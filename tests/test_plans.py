@@ -639,3 +639,54 @@ def test_bot_gap_window_is_day_bounded(spark):
     assert win, plan
     assert all("win_start" in l.split("], [")[1] for l in win), win
     assert "Join" not in plan, plan
+
+
+def test_dau_wau_broadcasts_day_dim(spark):
+    """The phantom-window filter must be a broadcast join against the
+    tiny day dimension — never a shuffle or cartesian; WAU distinct
+    expands to the two-phase aggregate."""
+    import datetime
+
+    from weblog_pipeline.aggregate import dau_wau
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=i % 3,
+                ts=t0 + datetime.timedelta(days=i % 4))
+            for i in range(12)
+        ]
+    )
+    plan = _physical(dau_wau(df))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_session_paths_first_window_is_salted_and_day_bounded(spark):
+    """Two salted-rank invariants: the per-session ordering window
+    partitions by the bounded (user, day) stratum, and the global top-k
+    ranks inside pmod(hash(path)) salt partitions before the final
+    <= k*salt_mod-row global window."""
+    import datetime
+
+    from weblog_pipeline.aggregate import session_paths
+
+    t0 = datetime.datetime(2025, 7, 4)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=i % 3, event_type="ab"[i % 2],
+                ts=t0 + datetime.timedelta(seconds=i))
+            for i in range(12)
+        ]
+    )
+    plan = _physical(session_paths(df))
+    wins = [l for l in plan.splitlines() if "Window [row_number()" in l]
+    assert len(wins) == 3, plan  # session order, salted phase, global phase
+    assert any("_day_s" in w for w in wins), wins
+    # the salt expression folds into the aggregate's output projection
+    # (_w0); what must hold is that every rank is group-limit pruned and
+    # the global phase is a bounded TakeOrdered, never a full sort
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
