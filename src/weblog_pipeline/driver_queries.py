@@ -1404,6 +1404,83 @@ FROM g
 """
 
 
+#: RRF hybrid-retrieval parameters: depth of each input top-R list and
+#: the embedding row serving as the query vector — shared with the SQL
+#: oracle.
+RRF_DEPTH = 10
+RRF_QUERY_VEC = 0
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 fused with an exact-cosine
+    vector top-10 by integer reciprocal-rank fusion. The vector leg is
+    brute force here for a value-exact oracle; rrf_fuse is
+    ranker-agnostic, so at scale the same fusion rides lsh_topk/ivf_topk
+    — the fusion itself only ever sees the bounded top-R lists."""
+    from weblog_pipeline.ops import retrieval
+
+    docs = _read(spark, sf_dir, "documents")
+    bm = textstats.bm25_topk(docs, BM25_TERMS, k=RRF_DEPTH).select(
+        "doc_id", "rank"
+    )
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = similarity.brute_force_topk(emb, q, k=RRF_DEPTH).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse({"bm25": bm, "vec": vec}, k=RRF_DEPTH)
+
+
+def _sql_rrf_fusion() -> str:
+    from weblog_pipeline.ops import retrieval
+
+    return f"""
+WITH bm AS ({_sql_bm25_topk()}),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])),
+               6) AS c
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+vr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {RRF_DEPTH}
+),
+u AS (
+  SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM bm
+  UNION ALL
+  SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM vr
+),
+f AS (
+  SELECT doc_id, COUNT(*) AS n_systems,
+         CAST(SUM({retrieval.RRF_SCALE} // ({retrieval.RRF_K} + rank))
+              AS BIGINT) AS rrf_score
+  FROM u GROUP BY 1
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_systems, rrf_score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM f
+)
+WHERE rank <= {RRF_DEPTH}
+"""
+
+
 def q_parity_ln_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-independent guard for the floored-ln idiom every
     log-scored operator leans on (tfidf/bm25 idf, PSI terms, entropy,
@@ -5837,11 +5914,12 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these TWENTY-EIGHT lead the
+        # added late r6 (no official row yet — these TWENTY-NINE lead the
         # r7 rotation right after the canaries, before any stale greens;
         # everything from funnel_stages through parity_epoch_us — the
         # product-analytics/retrieval/PQ family plus anomaly_days/dau_wau/
-        # session_paths/ab_metrics — was added after the r6 window froze):
+        # session_paths/ab_metrics/rrf_fusion — was added after the r6
+        # window froze):
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
@@ -5868,6 +5946,7 @@ def queries() -> dict:
         "dau_wau": q_dau_wau,
         "session_paths": q_session_paths,
         "ab_metrics": q_ab_metrics,
+        "rrf_fusion": q_rrf_fusion,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6050,6 +6129,7 @@ def oracle_sql() -> dict:
         "dau_wau": SQL_DAU_WAU,
         "session_paths": SQL_SESSION_PATHS,
         "ab_metrics": SQL_AB_METRICS,
+        "rrf_fusion": _sql_rrf_fusion(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

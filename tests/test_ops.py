@@ -3453,3 +3453,23 @@ def test_ab_metrics_against_hashlib_twin(spark):
     r = got[0]
     assert (r["a_users"], r["b_users"], r["a_events"], r["b_events"],
             r["a_value_c"], r["b_value_c"], r["lift_bp"]) == exp
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF integer micro-units: score(d) = sum 1e6 DIV (60 + rank);
+    overlap doc outranks single-system docs, ties break by doc_id."""
+    from weblog_pipeline.ops.retrieval import rrf_fuse
+
+    s1 = spark.createDataFrame([Row(doc_id=10, rank=1), Row(doc_id=20, rank=2)])
+    s2 = spark.createDataFrame([Row(doc_id=20, rank=1), Row(doc_id=30, rank=2)])
+    got = [
+        (r["rank"], r["doc_id"], r["n_systems"], r["rrf_score"])
+        for r in rrf_fuse({"a": s1, "b": s2}, k=10).collect()
+    ]
+    r1 = 1_000_000 // 61
+    r2 = 1_000_000 // 62
+    assert got == [
+        (1, 20, 2, r1 + r2),  # present in both lists
+        (2, 10, 1, r1),       # single-system, rank 1
+        (3, 30, 1, r2),       # single-system, rank 2
+    ]
