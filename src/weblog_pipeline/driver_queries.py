@@ -1404,6 +1404,54 @@ FROM g
 """
 
 
+def q_domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the planted domain
+    graph: each host adopts its neighbors' heaviest label per round,
+    ties to the smallest label — deterministic, integer/string-exact."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.label_propagation(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_communities(iters: int = graph.LP_ITERS) -> str:
+    # the Spark loop unrolled as lp0..lp{iters} CTEs (the trustrank
+    # pattern); each round = vote-sum join + rank-1 winner per host
+    lps = []
+    for i in range(iters):
+        lps.append(
+            f""",
+lp{i + 1} AS (
+  SELECT host, label FROM (
+    SELECT v.host, v.label,
+           row_number() OVER (
+             PARTITION BY v.host ORDER BY v.w DESC, v.label ASC
+           ) AS rn
+    FROM (
+      SELECT sym.s AS host, p.label, CAST(SUM(sym.w) AS BIGINT) AS w
+      FROM sym JOIN lp{i} p ON p.host = sym.t
+      GROUP BY 1, 2
+    ) v
+  ) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {_links_cte()},
+sym AS (
+  SELECT s, t, CAST(SUM(n_links) AS BIGINT) AS w FROM (
+    SELECT src_host AS s, dst_host AS t, n_links FROM edges
+    WHERE src_host <> dst_host
+    UNION ALL
+    SELECT dst_host AS s, src_host AS t, n_links FROM edges
+    WHERE src_host <> dst_host
+  ) GROUP BY 1, 2
+),
+lp0 AS (SELECT DISTINCT s AS host, s AS label FROM sym){"".join(lps)}
+SELECT host, label,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+         AS community_size
+FROM lp{iters}
+"""
+
+
 #: RRF hybrid-retrieval parameters: depth of each input top-R list and
 #: the embedding row serving as the query vector — shared with the SQL
 #: oracle.
@@ -5947,6 +5995,7 @@ def queries() -> dict:
         "session_paths": q_session_paths,
         "ab_metrics": q_ab_metrics,
         "rrf_fusion": q_rrf_fusion,
+        "domain_communities": q_domain_communities,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6130,6 +6179,7 @@ def oracle_sql() -> dict:
         "session_paths": SQL_SESSION_PATHS,
         "ab_metrics": SQL_AB_METRICS,
         "rrf_fusion": _sql_rrf_fusion(),
+        "domain_communities": _sql_domain_communities(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -407,3 +407,84 @@ def trustrank(
             F.col("rank").alias("rank_scaled"),
         )
     )
+
+
+#: label-propagation rounds (synchronous updates; deterministic with
+#: the weight-desc/label-asc tie-break — shared with the SQL oracle).
+LP_ITERS = 3
+
+
+def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected domain graph — the cheap
+    web-spam/topic-cluster primitive: every host starts as its own
+    label, and each round adopts the label carrying the largest total
+    edge weight among its neighbors (ties -> lexicographically smallest
+    label, so the fixed-round synchronous schedule is fully
+    deterministic and engine-exact; no random ordering as in the
+    asynchronous original).
+
+    Self-loops are dropped; hosts whose only edges are self-loops do
+    not participate. The directed edge list is symmetrized first
+    (u->v and v->u weights sum), so propagation ignores direction.
+
+    Scale shape: everything runs at the DOMAIN grain. Each round is one
+    equi-join of the symmetric edge list with the current labels, one
+    (host, label) map-side-combined weight sum, and one rank window
+    whose partitions are bounded by a host's distinct NEIGHBOR-LABEL
+    count (<= degree, shrinking as labels merge — the anchor_topk
+    bounded-partition argument). Labels are localCheckpoint'd per round
+    so lineage stays one iteration deep (the pagerank discipline).
+
+    Output: host, label (STRING), community_size (BIGINT).
+    """
+    e = edges.where(F.col("src_host") != F.col("dst_host"))
+    sym = (
+        e.select(
+            F.col("src_host").alias("s"),
+            F.col("dst_host").alias("t"),
+            "n_links",
+        )
+        .unionByName(
+            e.select(
+                F.col("dst_host").alias("s"),
+                F.col("src_host").alias("t"),
+                "n_links",
+            )
+        )
+        .groupBy("s", "t")
+        .agg(F.sum("n_links").alias("w"))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("s").alias("host"))
+        .distinct()
+        .select("host", F.col("host").alias("label"))
+        .localCheckpoint()
+    )
+    w_rank = Window.partitionBy("host").orderBy(
+        F.col("w").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("host").alias("t"), "label"
+                ),
+                "t",
+            )
+            .groupBy(F.col("s").alias("host"), "label")
+            .agg(F.sum("w").alias("w"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w_rank))
+            .where(F.col("_rn") == 1)
+            .select("host", "label")
+            .localCheckpoint()
+        )
+    w_size = Window.partitionBy("label")
+    return labels.select(
+        "host",
+        "label",
+        F.count(F.lit(1)).over(w_size).alias("community_size"),
+    )

@@ -3473,3 +3473,30 @@ def test_rrf_fuse_hand_computed(spark):
         (2, 10, 1, r1),       # single-system, rank 1
         (3, 30, 1, r2),       # single-system, rank 2
     ]
+
+
+def test_label_propagation_two_triangles(spark):
+    """Hand-traced synchronous LPA on two triangles joined by a bridge:
+    after 3 deterministic rounds the triangles settle on labels 'a' and
+    'c' (the tie-breaks are exercised on every node)."""
+    from weblog_pipeline.ops.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            Row(src_host=s, dst_host=t, n_links=1)
+            for s, t in [
+                ("a", "b"), ("b", "c"), ("a", "c"),   # triangle 1
+                ("d", "e"), ("e", "f"), ("d", "f"),   # triangle 2
+                ("c", "d"),                            # bridge
+                ("a", "a"),                            # self-loop: dropped
+            ]
+        ]
+    )
+    got = {
+        r["host"]: (r["label"], r["community_size"])
+        for r in label_propagation(edges).collect()
+    }
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("c", 3), "e": ("c", 3), "f": ("c", 3),
+    }

@@ -690,3 +690,20 @@ def test_session_paths_first_window_is_salted_and_day_bounded(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_label_propagation_lineage_flat_in_iteration_count(spark):
+    """LPA's per-round labels must be localCheckpoint'd (the pagerank
+    discipline): plan size is independent of rounds, and the winner rank
+    window partitions by host — never a global window."""
+    from weblog_pipeline.ops import graph
+
+    edges = spark.createDataFrame(
+        [Row(src_host="a", dst_host="b", n_links=1),
+         Row(src_host="b", dst_host="c", n_links=2)]
+    )
+    p2 = _physical(graph.label_propagation(edges, iters=2))
+    p6 = _physical(graph.label_propagation(edges, iters=6))
+    assert p2.count("Join") == p6.count("Join"), "plan grows with iters"
+    assert "ExistingRDD" in p6
+    assert "CartesianProduct" not in p6
