@@ -1404,6 +1404,64 @@ FROM g
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit over the planted-dup relation
+    (the raw fixture has no >=80% near-dup pairs): verified near-dup
+    pairs counted by the (ordered) split pair they straddle, split
+    labels recomputed as a pure doc_id projection — no split-table
+    join."""
+    docs = _planted_docs(_read(spark, sf_dir, "documents"))
+    return corpus.split_leakage(docs)
+
+
+def _sql_split_case(c: str) -> str:
+    """The split label as a SQL expression of a doc_id column — the
+    DuckDB twin of corpus.split_of_col (98/1/1 default)."""
+    b = f"CAST(('0x' || substr(md5('sp:' || {c}), 1, 4)) AS BIGINT) % 100"
+    return (
+        f"CASE WHEN {b} < 98 THEN 'train' "
+        f"WHEN {b} < 99 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _sql_split_leakage(jaccard_pct: int = 80) -> str:
+    return f"""
+WITH {_PLANTED_CTE},
+{_sig_cte("planted").lstrip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+ver AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_intersect * 100 >= {jaccard_pct} * (za.n + zb.n - i.n_intersect)
+),
+lab AS (
+  SELECT least({_sql_split_case("doc_a")}, {_sql_split_case("doc_b")})
+           AS split_a,
+         greatest({_sql_split_case("doc_a")}, {_sql_split_case("doc_b")})
+           AS split_b
+  FROM ver
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       CAST(split_a <> split_b AS INTEGER) AS is_leak
+FROM lab GROUP BY 1, 2
+"""
+
+
 def q_domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities over the planted domain
     graph: each host adopts its neighbors' heaviest label per round,
@@ -5996,6 +6054,7 @@ def queries() -> dict:
         "ab_metrics": q_ab_metrics,
         "rrf_fusion": q_rrf_fusion,
         "domain_communities": q_domain_communities,
+        "split_leakage": q_split_leakage,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6180,6 +6239,7 @@ def oracle_sql() -> dict:
         "ab_metrics": SQL_AB_METRICS,
         "rrf_fusion": _sql_rrf_fusion(),
         "domain_communities": _sql_domain_communities(),
+        "split_leakage": _sql_split_leakage(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -967,19 +967,80 @@ def data_split(
     """
     if sum(pct) != 100 or len(pct) != 3:
         raise ValueError(f"data_split pct must be 3 shares summing to 100: {pct!r}")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("sp:"), F.col("doc_id"))), 1, 4),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    return documents.select("doc_id", bucket.alias("bucket")).select(
+    return documents.select(
+        "doc_id", split_bucket_col(F.col("doc_id")).alias("bucket")
+    ).select(
         "doc_id",
         "bucket",
         F.when(F.col("bucket") < pct[0], F.lit("train"))
         .when(F.col("bucket") < pct[0] + pct[1], F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+def split_bucket_col(doc_id_col):
+    """md5('sp:' || doc_id) mod-100 bucket — the single definition of the
+    split hash, shared by data_split and split_leakage (and their SQL
+    oracles) so an audit can never disagree with the split it audits."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sp:"), doc_id_col)), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def split_of_col(doc_id_col, pct: tuple[int, int, int] = DATA_SPLIT_PCT):
+    """The split label as a pure column expression of doc_id."""
+    b = split_bucket_col(doc_id_col)
+    return (
+        F.when(b < pct[0], F.lit("train"))
+        .when(b < pct[0] + pct[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_leakage(
+    documents: DataFrame,
+    jaccard_pct: int = 80,
+    pct: tuple[int, int, int] = DATA_SPLIT_PCT,
+) -> DataFrame:
+    """Train/eval contamination audit — the check every benchmark-quality
+    corpus needs AFTER splitting: count verified near-duplicate pairs by
+    the split pair they straddle. A near-dup with one side in train and
+    the other in val/test silently inflates eval scores; this query makes
+    that leak a first-class metric (is_leak = 1 rows should be empty or
+    tiny, and their pair counts are the leak budget).
+
+    Composition, not new machinery: candidates from the MinHash-LSH band
+    join (bucketed, never all-pairs), exact shingle-Jaccard verification
+    on candidates only, and the split label recomputed as a PURE
+    PROJECTION of doc_id via the shared split hash — zero joins against
+    the split table, so the audit adds nothing to the dedup pipeline's
+    shuffle footprint. Split pairs are normalized (least, greatest) so
+    (train, test) and (test, train) count together.
+
+    Output: split_a, split_b (STRING, ordered), n_pairs (BIGINT),
+    is_leak (INT).
+    """
+    ver = dedup.jaccard_verify(
+        documents, dedup.lsh_candidate_pairs(documents)
+    ).where(
+        F.col("n_intersect") * 100 >= F.lit(jaccard_pct) * F.col("n_union")
+    )
+    sa = split_of_col(F.col("doc_a"), pct)
+    sb = split_of_col(F.col("doc_b"), pct)
+    return (
+        ver.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
     )

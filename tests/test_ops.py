@@ -3500,3 +3500,38 @@ def test_label_propagation_two_triangles(spark):
         "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
         "d": ("c", 3), "e": ("c", 3), "f": ("c", 3),
     }
+
+
+def test_split_leakage_flags_cross_split_duplicates(spark):
+    """A duplicate pair straddling train/test must surface as is_leak=1;
+    a same-split pair counts under is_leak=0. Split ids are chosen with
+    an independent hashlib twin of the split hash."""
+    import hashlib
+
+    from weblog_pipeline.ops.corpus import split_leakage
+
+    def split(i):
+        b = int(hashlib.md5(f"sp:{i}".encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 98 else ("val" if b < 99 else "test")
+
+    train_ids = [i for i in range(3000) if split(i) == "train"]
+    test_id = next(i for i in range(3000) if split(i) == "test")
+    t1 = "one two three four five six seven eight nine ten"
+    t2 = "red green blue cyan magenta yellow black white gray pink"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=train_ids[0], text=t1),
+            Row(doc_id=test_id, text=t1),       # exact dup across splits
+            Row(doc_id=train_ids[1], text=t2),
+            Row(doc_id=train_ids[2], text=t2),  # exact dup inside train
+            Row(doc_id=train_ids[3], text="lonely singleton document here"),
+        ]
+    )
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["is_leak"])
+        for r in split_leakage(docs).collect()
+    }
+    assert got == {
+        ("test", "train"): (1, 1),   # least/greatest: 'test' < 'train'
+        ("train", "train"): (1, 0),
+    }
