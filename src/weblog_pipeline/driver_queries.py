@@ -1404,6 +1404,107 @@ FROM g
 """
 
 
+def _emb_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the vector double-cast and the label kept — the
+    frame the label-aware similarity ops (hard_negatives, knn_label_eval)
+    consume."""
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+
+
+def _labeled_queries(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the 5 most
+    cosine-similar corpus vectors with a DIFFERENT label — label filter
+    before ranking, two-phase salted top-k."""
+    emb = _emb_labeled(spark, sf_dir)
+    return similarity.hard_negatives(emb, _labeled_queries(emb), k=5)
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS qlabel
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])),
+               6) AS cos_r6
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       neighbor_label, cos_r6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_r6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: per-true-label accuracy of the k-NN
+    majority-label classifier (k=5, exact neighbors, deterministic
+    vote tie-break). At web scale the corpus side rides the ann_recall
+    audit-slice discipline; here it is exact for a value oracle."""
+    emb = _emb_labeled(spark, sf_dir)
+    return similarity.knn_label_eval(emb, _labeled_queries(emb), k=5)
+
+
+SQL_KNN_LABEL_EVAL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS qlabel
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nl,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])),
+               6) AS c
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+top AS (
+  SELECT query_id, qlabel, nl FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY c DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, qlabel, nl, COUNT(*) AS n_votes
+  FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, qlabel, nl AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY n_votes DESC, nl ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT qlabel AS query_label, COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // COUNT(*) AS acc_bp
+FROM pred GROUP BY 1
+"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination audit over the planted-dup relation
     (the raw fixture has no >=80% near-dup pairs): verified near-dup
@@ -6055,6 +6156,8 @@ def queries() -> dict:
         "rrf_fusion": q_rrf_fusion,
         "domain_communities": q_domain_communities,
         "split_leakage": q_split_leakage,
+        "hard_negatives": q_hard_negatives,
+        "knn_label_eval": q_knn_label_eval,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6240,6 +6343,8 @@ def oracle_sql() -> dict:
         "rrf_fusion": _sql_rrf_fusion(),
         "domain_communities": _sql_domain_communities(),
         "split_leakage": _sql_split_leakage(),
+        "hard_negatives": SQL_HARD_NEGATIVES,
+        "knn_label_eval": SQL_KNN_LABEL_EVAL,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -1002,3 +1002,109 @@ def pq_adc_topk(
         )
     )
     return _topk_per_query(rescored, k)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training staple: for each
+    query vector, the k most cosine-similar corpus vectors whose LABEL
+    DIFFERS from the query's. These near-miss negatives are what a
+    retriever/classifier must learn to separate; random negatives are
+    too easy to carry gradient.
+
+    queries: (query_id, query_vec, query_label) — small, broadcast onto
+    the corpus scan exactly like brute_force_topk; the label-mismatch
+    filter runs BEFORE ranking (a post-filtered top-k would under-fill).
+    Ranking rides the shared two-phase salted _topk_per_query, so no
+    single-reducer-per-query window at scale.
+
+    Output: query_id, rank (INT), neighbor_id, neighbor_label (INT),
+    cos_r6.
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vec"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_col(F.col("query_vec"), F.col("vec")), 6
+            ).alias("cos_r6"),
+        )
+    )
+    top = _topk_per_query(scored, k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    return top.join(labels, "neighbor_id").select(
+        "query_id", "rank", "neighbor_id", "neighbor_label", "cos_r6"
+    )
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-quality readout by k-NN label agreement: each query's
+    predicted label is the majority label among its k nearest corpus
+    vectors (self excluded; ties -> larger vote-count first, then
+    SMALLER label — deterministic), aggregated to per-true-label
+    accuracy in basis points. The standard cheap probe that an
+    embedding space clusters by label before anyone trains on it.
+
+    queries: (query_id, query_vec, query_label). Neighbor search is the
+    exact brute_force_topk (two-phase salted rank); the majority vote is
+    a (query, label) aggregate plus a rank-1 window over <= k rows per
+    query — bounded partitions everywhere.
+
+    Output: query_label (INT), n_queries, n_correct (BIGINT),
+    acc_bp (BIGINT).
+    """
+    top = brute_force_topk(embeddings, queries, k=k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label").asc()
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("query_id", F.col("neighbor_label").alias("pred_label"))
+    )
+    truth = queries.select("query_id", F.col("query_label"))
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("query_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.count_if(F.col("pred_label") == F.col("query_label")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "query_label",
+            "n_queries",
+            "n_correct",
+            F.expr("n_correct * 10000 DIV n_queries").alias("acc_bp"),
+        )
+    )

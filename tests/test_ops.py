@@ -3535,3 +3535,58 @@ def test_split_leakage_flags_cross_split_duplicates(spark):
         ("test", "train"): (1, 1),   # least/greatest: 'test' < 'train'
         ("train", "train"): (1, 0),
     }
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """The nearest neighbor overall shares the query's label and must
+    NOT appear; the ranked output holds only different-label vectors."""
+    from weblog_pipeline.ops.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # query
+            Row(vec_id=1, embedding=[0.99, 0.1], label=0),  # same label
+            Row(vec_id=2, embedding=[0.9, 0.3], label=1),
+            Row(vec_id=3, embedding=[-1.0, 0.0], label=2),
+        ]
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = [
+        (r["rank"], r["neighbor_id"], r["neighbor_label"])
+        for r in hard_negatives(emb, q, k=5).collect()
+    ]
+    assert got == [(1, 2, 1), (2, 3, 2)]
+
+
+def test_knn_label_eval_majority_and_tiebreak(spark):
+    """Majority vote among k=3: query 0 (label 0) sees labels {0,0,1} ->
+    correct; query 10 (label 2) sees {1,1,0} -> wrong. Accuracy in bp."""
+    from weblog_pipeline.ops.similarity import knn_label_eval
+
+    rows = [
+        # cluster near +x: the k=3 neighborhood of query 0
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.99, 0.05], label=0),
+        Row(vec_id=2, embedding=[0.98, 0.1], label=0),
+        Row(vec_id=3, embedding=[0.97, 0.15], label=1),
+        # cluster near +y: the k=3 neighborhood of query 10
+        Row(vec_id=10, embedding=[0.0, 1.0], label=2),
+        Row(vec_id=11, embedding=[0.05, 0.99], label=1),
+        Row(vec_id=12, embedding=[0.1, 0.98], label=1),
+        Row(vec_id=13, embedding=[0.15, 0.97], label=0),
+    ]
+    emb = spark.createDataFrame(rows)
+    q = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = {
+        r["query_label"]: (r["n_queries"], r["n_correct"], r["acc_bp"])
+        for r in knn_label_eval(emb, q, k=3).collect()
+    }
+    assert got == {0: (1, 1, 10000), 2: (1, 0, 0)}
