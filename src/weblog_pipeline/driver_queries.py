@@ -5797,6 +5797,33 @@ BPE_APPLY_MERGES = (
 )
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: pieces-per-word and
+    chars-per-piece in basis points over the fixed bpe_apply merge
+    table — integer DIV on language-grain sums."""
+    return textstats.token_fertility(
+        _read(spark, sf_dir, "documents"), BPE_APPLY_MERGES
+    )
+
+
+def _sql_token_fertility() -> str:
+    return f"""
+WITH enc AS ({_sql_bpe_apply()}),
+j AS (
+  SELECT e.doc_id, e.n_words, e.n_chars, e.n_pieces, d.lang
+  FROM enc e JOIN documents d USING (doc_id)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(n_pieces) AS BIGINT) * 10000
+         // greatest(CAST(SUM(n_words) AS BIGINT), 1) AS fertility_bp,
+       CAST(SUM(n_chars) AS BIGINT) * 10000
+         // greatest(CAST(SUM(n_pieces) AS BIGINT), 1) AS chars_per_piece_bp
+FROM j GROUP BY 1
+"""
+
+
 def _sql_bpe_apply(merges: tuple = BPE_APPLY_MERGES) -> str:
     sep = "chr(31)"
     b = f"({sep} || {sep})"
@@ -6158,6 +6185,7 @@ def queries() -> dict:
         "split_leakage": q_split_leakage,
         "hard_negatives": q_hard_negatives,
         "knn_label_eval": q_knn_label_eval,
+        "token_fertility": q_token_fertility,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6345,6 +6373,7 @@ def oracle_sql() -> dict:
         "split_leakage": _sql_split_leakage(),
         "hard_negatives": SQL_HARD_NEGATIVES,
         "knn_label_eval": SQL_KNN_LABEL_EVAL,
+        "token_fertility": _sql_token_fertility(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

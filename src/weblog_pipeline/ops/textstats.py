@@ -1738,3 +1738,48 @@ def readability(documents: DataFrame) -> DataFrame:
             " - (8460 * _ny) DIV greatest(_nw, 1)"
         ).cast("long").alias("fre_centi"),
     )
+
+
+def token_fertility(
+    documents: DataFrame, merges: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Tokenizer fertility by language — the readout that decides whether
+    a merge table needs more multilingual data: pieces-per-word
+    (fertility) and chars-per-piece (compression) per language, in basis
+    points. High fertility on a language means the tokenizer shreds it
+    into short pieces, inflating its effective sequence length and
+    training cost (the standard multilingual-tokenizer audit).
+
+    Composition: bpe_apply's per-doc counts (a pure zero-shuffle
+    projection) joined back to the doc's language — one doc-grain
+    equi-join — then a language-grain integer aggregate. All ratios are
+    integer DIV on the SUMS (not averages of per-doc ratios), so the
+    result is engine-exact and weights long docs correctly.
+
+    Output: lang, n_docs, n_words, n_pieces (BIGINT), fertility_bp,
+    chars_per_piece_bp (BIGINT).
+    """
+    enc = bpe_apply(documents, merges)
+    lang = documents.select("doc_id", "lang")
+    return (
+        enc.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_chars").alias("_n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 10000 DIV greatest(n_words, 1)").alias(
+                "fertility_bp"
+            ),
+            F.expr("_n_chars * 10000 DIV greatest(n_pieces, 1)").alias(
+                "chars_per_piece_bp"
+            ),
+        )
+    )

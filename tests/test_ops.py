@@ -3590,3 +3590,29 @@ def test_knn_label_eval_majority_and_tiebreak(spark):
         for r in knn_label_eval(emb, q, k=3).collect()
     }
     assert got == {0: (1, 1, 10000), 2: (1, 0, 0)}
+
+
+def test_token_fertility_hand_computed(spark):
+    """'the' collapses to one piece under the (t,h)(th,e) merges: a doc
+    of three 'the' words has fertility 10000 bp; an unmergeable word
+    stays character-pieces."""
+    from weblog_pipeline.ops.textstats import token_fertility
+
+    merges = (("t", "h"), ("th", "e"))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the the the", lang="en"),
+            Row(doc_id=1, text="xyz", lang="de"),
+        ]
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_pieces"],
+                    r["fertility_bp"], r["chars_per_piece_bp"])
+        for r in token_fertility(docs, merges).collect()
+    }
+    # en: 3 words, 3 pieces ('the' merged), 9 chars -> 30000 bp/piece
+    # de: 1 word, 3 pieces (x y z), 3 chars -> 10000 bp/piece
+    assert got == {
+        "en": (1, 3, 3, 10000, 30000),
+        "de": (1, 1, 3, 30000, 10000),
+    }
