@@ -1169,6 +1169,72 @@ WHERE rank <= {BM25_K}
 """
 
 
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval for the shared
+    3-term query: every ln floored once on exact integer arguments
+    (micro-nats), two-phase salted top-k — the LM-based counterpart to
+    bm25_topk over identical corpus statistics."""
+    return textstats.query_likelihood_topk(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
+    )
+
+
+def _sql_query_likelihood() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    mu, nq, k = textstats.QL_MU, len(BM25_TERMS), BM25_K
+
+    def flnu(arg: str) -> str:
+        return (
+            f"CAST(floor(ln(CAST({arg} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  WHERE trim(text, ' ') <> ''
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+st AS (SELECT CAST(SUM(dl) AS BIGINT) AS total FROM dlt),
+cf AS (
+  SELECT token, COUNT(*) AS cf FROM tok2
+  WHERE token IN ({terms}) GROUP BY 1
+),
+cn AS (
+  SELECT CAST(SUM({flnu(f"{mu} * cf")}) AS BIGINT) AS const_all FROM cf
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+  WHERE token IN ({terms}) GROUP BY 1, 2
+),
+present AS (
+  SELECT tf.doc_id,
+         {flnu(f"tf.tf * st.total + {mu} * cf.cf")}
+         - {flnu(f"{mu} * cf.cf")} AS adj
+  FROM tf JOIN cf USING (token) CROSS JOIN st
+),
+ds AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(adj) AS BIGINT) AS adj_sum
+  FROM present GROUP BY 1
+),
+sc AS (
+  SELECT ds.doc_id, ds.n_terms,
+         cn.const_all + ds.adj_sum
+         - {nq} * ({flnu(f"dlt.dl + {mu}")} + {flnu("st.total")})
+           AS score_micro
+  FROM ds JOIN dlt USING (doc_id) CROSS JOIN st CROSS JOIN cn
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_terms, score_micro
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+         AS rank
+  FROM sc
+)
+WHERE rank <= {k}
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor per event type:
     baseline/current by epoch-day parity, shared HDR bucketing, Laplace
@@ -6186,6 +6252,7 @@ def queries() -> dict:
         "hard_negatives": q_hard_negatives,
         "knn_label_eval": q_knn_label_eval,
         "token_fertility": q_token_fertility,
+        "query_likelihood": q_query_likelihood,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6374,6 +6441,7 @@ def oracle_sql() -> dict:
         "hard_negatives": SQL_HARD_NEGATIVES,
         "knn_label_eval": SQL_KNN_LABEL_EVAL,
         "token_fertility": _sql_token_fertility(),
+        "query_likelihood": _sql_query_likelihood(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

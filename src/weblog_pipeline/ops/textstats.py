@@ -1783,3 +1783,112 @@ def token_fertility(
             ),
         )
     )
+
+
+#: Dirichlet smoothing mass for query-likelihood retrieval (Zhai &
+#: Lafferty 2001's recommended order of magnitude) — shared with the
+#: SQL oracle.
+QL_MU = 2000
+
+
+def query_likelihood_topk(
+    documents: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    mu: int = QL_MU,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the language-modeling counterpart to bm25_topk:
+
+      score(q, d) = sum over t in q of ln((tf + mu*p(t|C)) / (dl + mu))
+
+    with collection model p(t|C) = cf(t)/total. Everything reduces to
+    floored-ln micro-nats of EXACT integer arguments, by the convention
+
+      score = sum_t flnu(tf*total + mu*cf_t)          [present terms]
+            + sum_t flnu(mu*cf_t)                     [absent terms]
+            - |q| * (flnu(dl + mu) + flnu(total))
+
+    where flnu(x) = floor(1e6 * ln(x)) — each ln floored ONCE on an
+    exact integer (the bm25/tfidf idf idiom), so the distributed sum is
+    order-free and engine-exact. The absent-term block is computed as
+    (all-terms constant) - (present-terms adjustment), so only docs
+    containing >= 1 query term are ever scored.
+
+    Scale shape: identical to bm25_topk — one token explode, map-side
+    combined dl/cf/total aggregates, corpus stats broadcast as a
+    single-row cross join, scored relation bounded by |matching docs x
+    terms|, two-phase salted top-k.
+
+    Output: rank (INT), doc_id, n_terms (BIGINT), score_micro (BIGINT).
+    """
+    terms = [str(t) for t in query_terms]
+    nq = len(terms)
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    total = dl.agg(F.sum("dl").alias("total"))
+
+    def flnu(col):
+        return F.floor(F.log(col.cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        )
+
+    qtoks = toks.where(F.col("token").isin(terms))
+    cf = qtoks.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    # sum over ALL query terms of flnu(mu * cf_t) — a single tiny row
+    const = cf.agg(F.sum(flnu(F.lit(mu) * F.col("cf"))).alias("const_all"))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    present = (
+        tf.join(cf, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                flnu(
+                    F.col("tf") * F.col("total")
+                    + F.lit(mu) * F.col("cf")
+                )
+                - flnu(F.lit(mu) * F.col("cf"))
+            ).alias("adj"),
+        )
+    )
+    ds = present.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("adj").alias("adj_sum"),
+    )
+    scored = (
+        ds.join(dl, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(const))
+        .select(
+            "doc_id",
+            "n_terms",
+            (
+                F.col("const_all")
+                + F.col("adj_sum")
+                - F.lit(nq)
+                * (flnu(F.col("dl") + F.lit(mu)) + flnu(F.col("total")))
+            ).alias("score_micro"),
+        )
+    )
+    order = [F.col("score_micro").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(salt_mod))).orderBy(
+        *order
+    )
+    survivors = scored.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy().orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "n_terms",
+            "score_micro",
+        )
+    )

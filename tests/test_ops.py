@@ -3616,3 +3616,44 @@ def test_token_fertility_hand_computed(spark):
         "en": (1, 3, 3, 10000, 30000),
         "de": (1, 1, 3, 30000, 10000),
     }
+
+
+def test_query_likelihood_hand_computed(spark):
+    """QL scores match an independent math.log twin on a 3-doc corpus;
+    the shorter doc with rarer mass ranks first; term-free docs are
+    absent."""
+    import math
+
+    from weblog_pipeline.ops.textstats import query_likelihood_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark spark join"),
+            Row(doc_id=1, text="hash join"),
+            Row(doc_id=2, text="alpha beta"),
+        ]
+    )
+    mu, total = 10, 7
+    cf = {"spark": 2, "join": 2, "hash": 1}
+    tfs = {0: {"spark": 2, "join": 1}, 1: {"hash": 1, "join": 1}}
+    dls = {0: 3, 1: 2}
+
+    def flnu(x):
+        return math.floor(math.log(x) * 1_000_000)
+
+    const_all = sum(flnu(mu * c) for c in cf.values())
+
+    def score(d):
+        adj = sum(
+            flnu(tf * total + mu * cf[t]) - flnu(mu * cf[t])
+            for t, tf in tfs[d].items()
+        )
+        return const_all + adj - 3 * (flnu(dls[d] + mu) + flnu(total))
+
+    got = [
+        (r["rank"], r["doc_id"], r["n_terms"], r["score_micro"])
+        for r in query_likelihood_topk(
+            docs, ("spark", "join", "hash"), k=5, mu=mu
+        ).collect()
+    ]
+    assert got == [(1, 1, 2, score(1)), (2, 0, 2, score(0))]
