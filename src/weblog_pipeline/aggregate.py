@@ -897,3 +897,88 @@ def ab_metrics(
         F.expr("a_events * 10000 DIV greatest(a_users, 1)")
         - F.expr("b_events * 10000 DIV greatest(b_users, 1)"),
     )
+
+
+def trimmed_mean(
+    events: DataFrame,
+    bucket_width: float = 10.0,
+    trim_pct: int = 5,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust (winsorizing) mean per key — the revenue/latency metric a
+    single whale or timeout cannot drag: drop the histogram buckets
+    whose mass lies entirely inside the bottom/top `trim_pct` percent,
+    then average what remains. Trimming is BUCKET-grain (a boundary
+    bucket straddling the cut is dropped whole): deterministic,
+    documented, and engine-exact — the alternative, per-event rank
+    trimming, needs an unbounded per-key sort at scale.
+
+    A kept bucket satisfies cum_before >= lo AND cum <= hi with
+    lo = (trim*n + 99) DIV 100 and hi = ((100-trim)*n) DIV 100 — pure
+    integer thresholds on the cumulative histogram. Values enter as
+    floor(value*100) cents (one IEEE multiply + floor, bit-identical),
+    so the trimmed mean is an integer DIV of exact integers.
+
+    Shape: one events scan into a (key, bucket) map-side-combined
+    count+sum histogram; the cumulative window and a per-key total
+    window run over the AGGREGATED histogram (the value_percentiles
+    discipline) — shuffle volume after the first aggregate is the
+    histogram size, independent of event count.
+
+    Output: <key_col>, n_events, n_kept, sum_kept_c (BIGINT),
+    trimmed_mean_c, raw_mean_c (BIGINT, integer cents).
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int")
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    hist = (
+        events.select(key_col, b.alias("bucket"), cents.alias("_c"))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("s"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(key_col)
+    cum = hist.select(
+        key_col,
+        "n",
+        "s",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum("s").over(w_all).alias("s_total"),
+    ).withColumn(
+        "_keep",
+        (
+            (F.col("cum") - F.col("n"))
+            >= F.expr(f"({trim_pct} * n_total + 99) DIV 100")
+        )
+        & (F.col("cum") <= F.expr(f"({100 - trim_pct} * n_total) DIV 100")),
+    )
+    return cum.groupBy(key_col).agg(
+        F.max("n_total").alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), F.col("n"))), F.lit(0)
+        ).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), F.col("s"))), F.lit(0)
+        ).alias("sum_kept_c"),
+    ).select(
+        key_col,
+        "n_events",
+        "n_kept",
+        "sum_kept_c",
+        F.expr("sum_kept_c DIV greatest(n_kept, 1)").alias("trimmed_mean_c"),
+    ).join(
+        events.select(key_col, cents.alias("_c"))
+        .groupBy(key_col)
+        .agg(F.expr("sum(_c) DIV count(1)").alias("raw_mean_c")),
+        key_col,
+    )

@@ -1169,6 +1169,56 @@ WHERE rank <= {BM25_K}
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorizing mean per event type: bucket-grain 5% trim over the
+    HDR histogram, integer-cent sums, one scan + histogram-sized
+    windows (the value_percentiles discipline)."""
+    from weblog_pipeline.aggregate import trimmed_mean
+
+    return trimmed_mean(_read(spark, sf_dir, "events"))
+
+
+SQL_TRIMMED_MEAN = """
+WITH h AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, n, s,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS n_total
+  FROM h
+),
+k AS (
+  SELECT event_type, n, s, n_total,
+         (cum - n >= (5 * n_total + 99) // 100
+          AND cum <= (95 * n_total) // 100) AS keep
+  FROM c
+),
+g AS (
+  SELECT event_type,
+         CAST(MAX(n_total) AS BIGINT) AS n_events,
+         COALESCE(CAST(SUM(CASE WHEN keep THEN n END) AS BIGINT), 0)
+           AS n_kept,
+         COALESCE(CAST(SUM(CASE WHEN keep THEN s END) AS BIGINT), 0)
+           AS sum_kept_c
+  FROM k GROUP BY 1
+),
+r AS (
+  SELECT event_type,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           // COUNT(*) AS raw_mean_c
+  FROM events GROUP BY 1
+)
+SELECT g.event_type, n_events, n_kept, sum_kept_c,
+       sum_kept_c // greatest(n_kept, 1) AS trimmed_mean_c, r.raw_mean_c
+FROM g JOIN r USING (event_type)
+"""
+
+
 def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval for the shared
     3-term query: every ln floored once on exact integer arguments
@@ -6253,6 +6303,7 @@ def queries() -> dict:
         "knn_label_eval": q_knn_label_eval,
         "token_fertility": q_token_fertility,
         "query_likelihood": q_query_likelihood,
+        "trimmed_mean": q_trimmed_mean,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6442,6 +6493,7 @@ def oracle_sql() -> dict:
         "knn_label_eval": SQL_KNN_LABEL_EVAL,
         "token_fertility": _sql_token_fertility(),
         "query_likelihood": _sql_query_likelihood(),
+        "trimmed_mean": SQL_TRIMMED_MEAN,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

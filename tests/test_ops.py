@@ -3657,3 +3657,55 @@ def test_query_likelihood_hand_computed(spark):
         ).collect()
     ]
     assert got == [(1, 1, 2, score(1)), (2, 0, 2, score(0))]
+
+
+def test_trimmed_mean_against_python_twin(spark):
+    """Bucket-grain winsorized mean: exact integer-cent twin, whale
+    bucket dropped, raw mean still dragged by the whale."""
+    import math
+
+    from weblog_pipeline.aggregate import trimmed_mean
+
+    vals = {
+        # 20 ordinary values in buckets 0..3 plus one whale at 990.0
+        "a": [float(i) % 37.5 + 1.25 for i in range(20)] + [990.0],
+        # too few events to trim anything: lo=1 -> first bucket whole
+        "b": [5.0, 15.0, 25.0],
+    }
+    rows = [
+        Row(event_id=i, event_type=k, value=v)
+        for i, (k, v) in enumerate(
+            (k, v) for k, vs in sorted(vals.items()) for v in vs
+        )
+    ]
+
+    def twin(vs, trim=5):
+        hist = {}
+        for v in vs:
+            b = math.floor(v / 10.0)
+            n, s = hist.get(b, (0, 0))
+            hist[b] = (n + 1, s + math.floor(v * 100))
+        total = len(vs)
+        lo = (trim * total + 99) // 100
+        hi = ((100 - trim) * total) // 100
+        cum = 0
+        n_kept = sum_kept = 0
+        for b in sorted(hist):
+            n, s = hist[b]
+            before, cum = cum, cum + n
+            if before >= lo and cum <= hi:
+                n_kept += n
+                sum_kept += s
+        raw = sum(math.floor(v * 100) for v in vs) // total
+        return (total, n_kept, sum_kept, sum_kept // max(n_kept, 1), raw)
+
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_kept"], r["sum_kept_c"],
+            r["trimmed_mean_c"], r["raw_mean_c"],
+        )
+        for r in trimmed_mean(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {k: twin(vs) for k, vs in vals.items()}
+    # the whale must actually be trimmed for "a"
+    assert got["a"][3] < got["a"][4]
