@@ -1998,6 +1998,37 @@ FROM nz, unnest(range(0,
 """
 
 
+def q_passage_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage identity: token_windows boundaries plus a content
+    md5 per window (window=16/stride=12, sized so fixture docs fan out);
+    zero-shuffle scan-stage plan."""
+    docs = _read(spark, sf_dir, "documents")
+    return corpus.passage_fingerprints(docs, window=16, stride=12)
+
+
+SQL_PASSAGE_FINGERPRINTS = f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim({_SQL_LOWER_TEXT}, ' '),
+                          '[ \\t\\n\\r\\f\\x0B]+') AS toks,
+    CASE WHEN trim(text, ' ') = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text, ' '),
+                                        '[ \\t\\n\\r\\f\\x0B]+')) END AS n
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE n > 0)
+SELECT doc_id,
+  CAST(u.k AS BIGINT) AS chunk_idx,
+  CAST(u.k * 12 AS BIGINT) AS start_tok,
+  CAST(least(u.k * 12 + 16, n) AS BIGINT) AS end_tok,
+  md5(array_to_string(toks[u.k * 12 + 1 : u.k * 12 + 16], ' '))
+    AS chunk_hash
+FROM nz, unnest(range(0,
+  1 + CASE WHEN n > 16 THEN (n - 16 + 11) // 12 ELSE 0 END
+)) AS u(k)
+"""
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (alpha=0.5) source-mixing weights; the sqrt
     is engine-exact by the scaled-integer-floor construction."""
@@ -6304,6 +6335,7 @@ def queries() -> dict:
         "token_fertility": q_token_fertility,
         "query_likelihood": q_query_likelihood,
         "trimmed_mean": q_trimmed_mean,
+        "passage_fingerprints": q_passage_fingerprints,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6494,6 +6526,7 @@ def oracle_sql() -> dict:
         "token_fertility": _sql_token_fertility(),
         "query_likelihood": _sql_query_likelihood(),
         "trimmed_mean": SQL_TRIMMED_MEAN,
+        "passage_fingerprints": SQL_PASSAGE_FINGERPRINTS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

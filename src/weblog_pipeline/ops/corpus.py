@@ -139,6 +139,73 @@ def token_windows(
     )
 
 
+def passage_fingerprints(
+    documents: DataFrame, window: int = 16, stride: int = 12
+) -> DataFrame:
+    """RAG passage identity: token_windows' boundaries PLUS a content
+    hash per window, so identical passages collapse across documents —
+    the key a retrieval index dedups and upserts on. (token_windows
+    deliberately emits only integer boundaries; an index needs the
+    passage's identity too.)
+
+    The window rule is token_windows' exactly: starts 0, stride,
+    2*stride, ..., k_max = ceil((n - window)/stride) when n > window,
+    last window truncated at n. The hash is md5 of the space-joined
+    lowercased token slice (Spark md5 == DuckDB md5, lowercase hex) —
+    the shared corpus tokenizer, so the same passage text hashes the
+    same everywhere.
+
+    Scale shape: the token array is MATERIALIZED once per doc in its own
+    projection (the shingles_over CSE contract), the fan-out is
+    explode(sequence(0, k_max)) and the slice+hash is a plain projection
+    — the whole op lives in the scan stage, zero shuffles, rows bounded
+    by ~n_tokens/stride per doc.
+
+    Output: doc_id, chunk_idx, start_tok, end_tok, chunk_hash.
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    words = documents.select(
+        "doc_id",
+        dedup.lower_tokens_col().alias("_w"),
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(dedup.lower_tokens_col()))
+        .cast("long")
+        .alias("_n"),
+    ).where(F.col("_n") > 0)
+    k_max = F.expr(
+        f"CASE WHEN _n > {window}"
+        f" THEN (_n - {window} + {stride} - 1) div {stride}"
+        " ELSE 0 END"
+    )
+    return (
+        words.select(
+            "doc_id",
+            "_w",
+            "_n",
+            F.explode(F.sequence(F.lit(0).cast("long"), k_max)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            (F.col("k") * stride).cast("long").alias("start_tok"),
+            F.least(F.col("k") * stride + window, F.col("_n"))
+            .cast("long")
+            .alias("end_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_w"),
+                        (F.col("k") * stride + 1).cast("int"),
+                        window,
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 def mixture_weights(documents: DataFrame) -> DataFrame:
     """Temperature-flattened source-mixing weights (alpha = 0.5, the
     classic multilingual-LM rebalancing: sample source i proportionally

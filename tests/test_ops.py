@@ -3709,3 +3709,43 @@ def test_trimmed_mean_against_python_twin(spark):
     assert got == {k: twin(vs) for k, vs in vals.items()}
     # the whale must actually be trimmed for "a"
     assert got["a"][3] < got["a"][4]
+
+
+def test_passage_fingerprints_against_python_twin(spark):
+    """token_windows boundaries + md5 passage identity; identical
+    passages across docs share a hash; short doc = one window."""
+    import hashlib
+
+    from weblog_pipeline.ops.corpus import passage_fingerprints
+
+    texts = {
+        0: "A b c d e f g h i j k l m n o p q r s t",   # 20 toks, W=8/S=6
+        1: "x y z",                                      # short: 1 window
+        2: "a b c d e f g h i j k l m n o p q r s t",   # lowercased twin of 0
+    }
+    rows = [Row(doc_id=k, text=v) for k, v in texts.items()]
+
+    def twin(doc_id, text, w=8, s=6):
+        toks = text.lower().split(" ")
+        n = len(toks)
+        k_max = (n - w + s - 1) // s if n > w else 0
+        out = []
+        for k in range(k_max + 1):
+            sl = toks[k * s : k * s + w]
+            out.append((
+                doc_id, k, k * s, min(k * s + w, n),
+                hashlib.md5(" ".join(sl).encode()).hexdigest(),
+            ))
+        return out
+
+    exp = sorted(r for k, v in texts.items() for r in twin(k, v))
+    got = sorted(
+        tuple(r) for r in passage_fingerprints(
+            spark.createDataFrame(rows), window=8, stride=6
+        ).collect()
+    )
+    assert got == exp
+    # case-folded identity: doc 0 and doc 2 share every chunk hash
+    h0 = {r[4] for r in got if r[0] == 0}
+    h2 = {r[4] for r in got if r[0] == 2}
+    assert h0 == h2 and len(h0) == 3

@@ -707,3 +707,15 @@ def test_label_propagation_lineage_flat_in_iteration_count(spark):
     assert p2.count("Join") == p6.count("Join"), "plan grows with iters"
     assert "ExistingRDD" in p6
     assert "CartesianProduct" not in p6
+
+
+def test_passage_fingerprints_zero_exchanges(spark):
+    """Window fan-out + slice + md5 all live in the scan stage."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import corpus
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c d e")])
+    plan = _physical(corpus.passage_fingerprints(df, window=4, stride=3))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
