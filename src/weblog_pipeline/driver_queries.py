@@ -1119,6 +1119,45 @@ BM25_TERMS = ("hash", "join", "spark")
 BM25_K = 10
 
 
+PHRASE_TERMS = ("table", "hash")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("table hash") over positional postings:
+    scan-stage InSet posting filter, (m-1) equi-joins on (doc_id,
+    start), overlapping occurrences counted."""
+    return textstats.phrase_search(
+        _read(spark, sf_dir, "documents"), PHRASE_TERMS
+    )
+
+
+def _sql_phrase_search() -> str:
+    legs = "\n".join(
+        f"m{i} AS (SELECT doc_id, pos - {i} AS start FROM p"
+        f" WHERE token = '{t}'),"
+        for i, t in enumerate(PHRASE_TERMS)
+    )
+    joins = " ".join(
+        f"JOIN m{i} USING (doc_id, start)"
+        for i in range(1, len(PHRASE_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS pos,
+         unnest(toks) AS token
+  FROM t WHERE len(toks) > 0
+),
+{legs}
+sel AS (SELECT doc_id, start FROM m0 {joins})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM sel GROUP BY 1
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed 3-term query: Lucene idf in
     floored integer micro-nats, integer fixed-point (k1=1.2, b=0.75)
@@ -6336,6 +6375,7 @@ def queries() -> dict:
         "query_likelihood": q_query_likelihood,
         "trimmed_mean": q_trimmed_mean,
         "passage_fingerprints": q_passage_fingerprints,
+        "phrase_search": q_phrase_search,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6527,6 +6567,7 @@ def oracle_sql() -> dict:
         "query_likelihood": _sql_query_likelihood(),
         "trimmed_mean": SQL_TRIMMED_MEAN,
         "passage_fingerprints": SQL_PASSAGE_FINGERPRINTS,
+        "phrase_search": _sql_phrase_search(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

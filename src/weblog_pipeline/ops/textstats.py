@@ -528,6 +528,46 @@ def posting_lists(
     )
 
 
+def phrase_search(
+    documents: DataFrame, phrase: tuple[str, ...] = ("table", "hash")
+) -> DataFrame:
+    """Exact-phrase retrieval over positional postings — the operation a
+    quoted query runs against an inverted index. An m-term phrase
+    matches at start position p when token[p+i] == phrase[i] for all i;
+    overlapping occurrences each count.
+
+    Scale shape: postings are posexplode'd ONCE and immediately filtered
+    to the phrase's terms (Catalyst InSet in the scan stage — the corpus
+    blows up to positions only for matching tokens, a tiny fraction of
+    total postings). Each phrase term i projects (doc_id, pos - i) and
+    the m relations meet in (m-1) EQUI-joins on (doc_id, start) — never
+    a positional window or per-doc sort, so a hot document costs no more
+    than its share of postings. Aggregation to per-doc match counts is
+    one map-side-combined groupBy.
+
+    Output: doc_id, n_matches, first_pos.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    words = documents.select("doc_id", lower_tokens_col().alias("_w"))
+    posts = (
+        words.select(
+            "doc_id", F.posexplode(F.col("_w")).alias("pos", "token")
+        )
+        .where(F.col("token").isin(*sorted(set(phrase))))
+    )
+    cand = None
+    for i, term in enumerate(phrase):
+        leg = posts.where(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - i).cast("long").alias("start")
+        )
+        cand = leg if cand is None else cand.join(leg, ["doc_id", "start"])
+    return cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )
+
+
 def pmi_collocations(
     documents: DataFrame, k: int = 50, min_count: int = 5
 ) -> DataFrame:

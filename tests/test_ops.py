@@ -3749,3 +3749,28 @@ def test_passage_fingerprints_against_python_twin(spark):
     h0 = {r[4] for r in got if r[0] == 0}
     h2 = {r[4] for r in got if r[0] == 2}
     assert h0 == h2 and len(h0) == 3
+
+
+def test_phrase_search_overlaps_and_repeats(spark):
+    """Overlapping occurrences each count; repeated-token phrases
+    match; case-folded; docs without the full phrase absent."""
+    from weblog_pipeline.ops.textstats import phrase_search
+
+    rows = [
+        Row(doc_id=0, text="a a a a b"),        # 'a a': starts 0,1,2
+        Row(doc_id=1, text="x A a y a b"),      # 'a a': start 1 (folded)
+        Row(doc_id=2, text="a b a b a"),        # 'a a': none
+        Row(doc_id=3, text="b a a"),            # start 1
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ("a", "a")).collect()
+    }
+    assert got == {0: (3, 0), 1: (1, 1), 3: (1, 1)}
+    # 3-term phrase
+    got3 = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ("a", "b", "a")).collect()
+    }
+    assert got3 == {2: (2, 0)}
