@@ -1680,6 +1680,48 @@ def _sql_split_case(c: str) -> str:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/sub-document detection: rare-shingle candidate join
+    (df in [2,4]) + exact containment of the smaller shingle set,
+    integer basis points, threshold 8000."""
+    return dedup.containment_pairs(_read(spark, sf_dir, "documents"))
+
+
+def _sql_containment_pairs(min_bp: int = 8000, df_cap: int = 4) -> str:
+    return f"""
+WITH {_shingle_cte("documents").lstrip()},
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM sets GROUP BY shingle
+  HAVING COUNT(*) BETWEEN 2 AND {df_cap}
+),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sets sa
+  JOIN rare r ON r.shingle = sa.shingle
+  JOIN sets sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_intersect
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_intersect AS BIGINT) AS n_intersect,
+       CAST(za.n AS BIGINT) AS n_a,
+       CAST(zb.n AS BIGINT) AS n_b,
+       CAST(10000 * i.n_intersect // least(za.n, zb.n) AS BIGINT)
+         AS containment_bp
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE 10000 * i.n_intersect // least(za.n, zb.n) >= {min_bp}
+"""
+
+
 def _sql_split_leakage(jaccard_pct: int = 80) -> str:
     return f"""
 WITH {_PLANTED_CTE},
@@ -6376,6 +6418,7 @@ def queries() -> dict:
         "trimmed_mean": q_trimmed_mean,
         "passage_fingerprints": q_passage_fingerprints,
         "phrase_search": q_phrase_search,
+        "containment_pairs": q_containment_pairs,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6568,6 +6611,7 @@ def oracle_sql() -> dict:
         "trimmed_mean": SQL_TRIMMED_MEAN,
         "passage_fingerprints": SQL_PASSAGE_FINGERPRINTS,
         "phrase_search": _sql_phrase_search(),
+        "containment_pairs": _sql_containment_pairs(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -347,6 +347,106 @@ def simhash_near_pairs(
     )
 
 
+def containment_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs — the asymmetric
+    overlap Jaccard hides: a 50-shingle quote fully embedded in a
+    5000-shingle page has containment 100% but Jaccard ~1%. Emits both
+    set sizes and containment_bp = 10000 * |A∩B| DIV min(|A|,|B|)
+    (integer basis points, coverage of the SMALLER document).
+
+    Same single-derivation frame as jaccard_verify: pairs explode into
+    role-tagged rows, ONE equi-join on doc_id pulls both docs' shingles,
+    two aggregations produce intersection and sizes together."""
+    sets = (
+        documents.select("doc_id", lower_tokens_col().alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
+                "shingle"
+            ),
+        )
+    )
+    roles = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("role"), F.col("doc_a").alias("doc_id")),
+                F.struct(F.lit("b").alias("role"), F.col("doc_b").alias("doc_id")),
+            )
+        ).alias("r"),
+    ).select("doc_a", "doc_b", "r.role", "r.doc_id")
+    per_shingle = roles.join(sets, "doc_id").groupBy(
+        "doc_a", "doc_b", "shingle"
+    ).agg(
+        F.max(F.col("role") == "a").alias("in_a"),
+        F.max(F.col("role") == "b").alias("in_b"),
+    )
+    agg = per_shingle.groupBy("doc_a", "doc_b").agg(
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("n_intersect"),
+        F.count_if("in_a").alias("n_a"),
+        F.count_if("in_b").alias("n_b"),
+    )
+    return agg.where(F.col("n_intersect") > 0).select(
+        "doc_a",
+        "doc_b",
+        "n_intersect",
+        "n_a",
+        "n_b",
+        F.expr("10000 * n_intersect DIV least(n_a, n_b)").alias(
+            "containment_bp"
+        ),
+    )
+
+
+def containment_pairs(
+    documents: DataFrame, min_bp: int = 8000, shingle_df_cap: int = 4
+) -> DataFrame:
+    """Quote / sub-document detection: pairs where the smaller doc's
+    shingle set is >= min_bp/10000 contained in the larger's. MinHash
+    LSH under-recalls these (it estimates JACCARD, which a short quote
+    in a long page drives toward 0), so candidates come from a
+    RARE-SHINGLE join instead: docs sharing any shingle with document
+    frequency in [2, shingle_df_cap]. Each rare shingle contributes at
+    most C(cap, 2) pairs — the self-join is df-capped exactly like
+    source_overlap's stop-gram guard, never all-pairs. A contained quote
+    of any length almost surely includes a rare shingle; ubiquitous
+    (boilerplate) shingles are excluded by the cap, which is what you
+    want — matching only boilerplate is not containment worth flagging.
+
+    Output: doc_a, doc_b, n_intersect, n_a, n_b, containment_bp.
+    """
+    sets = (
+        documents.select("doc_id", lower_tokens_col().alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
+                "shingle"
+            ),
+        )
+    )
+    rare = (
+        sets.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= shingle_df_cap))
+        .select("shingle")
+    )
+    rs = sets.join(rare, "shingle")
+    cand = (
+        rs.alias("a")
+        .join(rs.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return containment_verify(documents, cand).where(
+        F.col("containment_bp") >= min_bp
+    )
+
+
 def cross_neardup(
     corpus: DataFrame,
     increment: DataFrame,

@@ -3774,3 +3774,37 @@ def test_phrase_search_overlaps_and_repeats(spark):
         for r in phrase_search(df, ("a", "b", "a")).collect()
     }
     assert got3 == {2: (2, 0)}
+
+
+def test_containment_pairs_quote_detection(spark):
+    """A short quote embedded verbatim in a long page: containment hits
+    10000 bp while Jaccard stays tiny; unrelated docs never pair; a
+    df-capped (ubiquitous) shingle generates no candidates."""
+    from weblog_pipeline.ops.dedup import containment_pairs, jaccard_verify
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        Row(doc_id=0, text=quote),                       # 8 shingles
+        Row(doc_id=1, text=filler + " " + quote),        # contains all 8
+        Row(doc_id=2, text="totally different content here today now"),
+        # common boilerplate shared by >4 docs -> df cap excludes it
+        *[
+            Row(doc_id=10 + i, text="copyright acme corp all rights " + f"u{i}")
+            for i in range(6)
+        ],
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_intersect"], r["n_a"], r["n_b"],
+                                   r["containment_bp"])
+        for r in containment_pairs(df).collect()
+    }
+    assert set(got) == {(0, 1)}
+    n_i, n_a, n_b, bp = got[(0, 1)]
+    assert n_i == n_a == 8 and bp == 10000 and n_b > 100
+    # the same pair's Jaccard is far below any near-dup threshold
+    jv = jaccard_verify(
+        df, spark.createDataFrame([Row(doc_a=0, doc_b=1)])
+    ).collect()[0]
+    assert 100 * jv["n_intersect"] < 10 * jv["n_union"]  # < 10%
