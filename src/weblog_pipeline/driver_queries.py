@@ -1324,6 +1324,66 @@ WHERE rank <= {k}
 """
 
 
+def q_vocab_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language train-vs-heldout unigram JS divergence over a
+    top-50+OOV support: Laplace ppm integers, ln floored once per cell,
+    two-phase salted per-lang top-k."""
+    return textstats.vocab_js_drift(_read(spark, sf_dir, "documents"))
+
+
+def _sql_vocab_js_drift(top_k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang,
+    (CAST(('0x' || substr(md5('sp:' || doc_id), 1, 4)) AS BIGINT) % 100) < 98
+      AS tr,
+    unnest({_TOKS}) AS token
+  FROM documents
+),
+tk AS (SELECT * FROM toks WHERE token <> ''),
+cnt AS (
+  SELECT lang, token,
+         COUNT(*) FILTER (WHERE tr) AS ca,
+         COUNT(*) FILTER (WHERE NOT tr) AS cb
+  FROM tk GROUP BY 1, 2
+),
+rk AS (
+  SELECT lang, ca, cb, row_number() OVER (
+    PARTITION BY lang ORDER BY ca + cb DESC, token ASC) AS r
+  FROM cnt
+),
+kept AS (SELECT lang, ca, cb FROM rk WHERE r <= {top_k}),
+tot AS (SELECT lang, SUM(ca) AS sa, SUM(cb) AS sb FROM cnt GROUP BY 1),
+ksum AS (SELECT lang, SUM(ca) AS ka, SUM(cb) AS kb FROM kept GROUP BY 1),
+cells AS (
+  SELECT lang, ca, cb FROM kept
+  UNION ALL
+  SELECT t.lang, t.sa - k.ka, t.sb - k.kb FROM tot t JOIN ksum k USING (lang)
+),
+ct AS (
+  SELECT lang, SUM(ca + 1) AS ta, SUM(cb + 1) AS tb,
+         SUM(ca) AS ntr, SUM(cb) AS nhe
+  FROM cells GROUP BY 1
+),
+p AS (
+  SELECT c.lang,
+         greatest(1, (ca + 1) * 1000000 // ta) AS pa,
+         greatest(1, (cb + 1) * 1000000 // tb) AS pb,
+         ntr, nhe
+  FROM cells c JOIN ct USING (lang)
+)
+SELECT lang,
+  CAST(MAX(ntr) AS BIGINT) AS n_train_toks,
+  CAST(MAX(nhe) AS BIGINT) AS n_held_toks,
+  CAST(SUM(
+    pa * CAST(floor(ln(CAST(2 * pa AS DOUBLE) / CAST(pa + pb AS DOUBLE))
+                    * 1000000) AS BIGINT)
+  + pb * CAST(floor(ln(CAST(2 * pb AS DOUBLE) / CAST(pa + pb AS DOUBLE))
+                    * 1000000) AS BIGINT)) AS BIGINT) AS js2_sum
+FROM p GROUP BY 1
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor per event type:
     baseline/current by epoch-day parity, shared HDR bucketing, Laplace
@@ -6419,6 +6479,7 @@ def queries() -> dict:
         "passage_fingerprints": q_passage_fingerprints,
         "phrase_search": q_phrase_search,
         "containment_pairs": q_containment_pairs,
+        "vocab_js_drift": q_vocab_js_drift,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6612,6 +6673,7 @@ def oracle_sql() -> dict:
         "passage_fingerprints": SQL_PASSAGE_FINGERPRINTS,
         "phrase_search": _sql_phrase_search(),
         "containment_pairs": _sql_containment_pairs(),
+        "vocab_js_drift": _sql_vocab_js_drift(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -528,6 +528,102 @@ def posting_lists(
     )
 
 
+def vocab_js_drift(
+    documents: DataFrame, top_k: int = 50, salt_mod: int = 8
+) -> DataFrame:
+    """Vocabulary drift between the train split and heldout (val+test):
+    per-language Jensen-Shannon divergence of the two unigram token
+    distributions — the monitor that flags when the eval slice stops
+    speaking the training corpus's language. The distribution support is
+    the top_k tokens by COMBINED count (tie-break token asc) plus one
+    OOV lump cell, so the divergence is over a bounded K+1-cell support
+    no matter the vocabulary size.
+
+    Integer recipe (the drift_psi discipline): Laplace add-one counts,
+    parts-per-million by integer DIV floored at 1, and each ln of an
+    exact-integer ratio floored ONCE to micro-nats, summed as
+
+      js2 = sum_cells pa*ln(2*pa/(pa+pb)) + pb*ln(2*pb/(pa+pb))
+
+    (= 2*JS in ppm x micro-nats; order-free, bit-identical across
+    engines). Split membership is split_of_col(doc_id) — content-free,
+    the corpus's single split definition.
+
+    Scale shape: one explode into a (lang, token) map-side-combined
+    conditional-count aggregate; the per-lang top-k is TWO-PHASE SALTED
+    (the posting_lists rule — a naive lang-partitioned window would pull
+    a whole language's vocabulary through one task); totals and the OOV
+    cell derive from vocab-bounded aggregates; the JS sum is per-lang
+    over K+1 rows.
+
+    Output: lang, n_train_toks, n_held_toks, js2_sum (BIGINT).
+    """
+    from .corpus import split_of_col
+
+    toks = (
+        _fan_out(documents.select("doc_id", "lang", "text"))
+        .select(
+            "lang",
+            (split_of_col(F.col("doc_id")) == "train").alias("_tr"),
+            F.explode(lower_tokens_col()).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    cnt = toks.groupBy("lang", "token").agg(
+        F.count_if(F.col("_tr")).alias("ca"),
+        F.count_if(~F.col("_tr")).alias("cb"),
+    )
+    order = [(F.col("ca") + F.col("cb")).desc(), F.col("token").asc()]
+    w_salt = Window.partitionBy(
+        "lang", F.abs(F.hash("token")) % salt_mod
+    ).orderBy(*order)
+    survivors = cnt.withColumn("_r1", F.row_number().over(w_salt)).where(
+        F.col("_r1") <= top_k
+    )
+    w_final = Window.partitionBy("lang").orderBy(*order)
+    kept = (
+        survivors.withColumn("_r", F.row_number().over(w_final))
+        .where(F.col("_r") <= top_k)
+        .select("lang", "ca", "cb")
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
+    )
+    ksum = kept.groupBy("lang").agg(
+        F.sum("ca").alias("ka"), F.sum("cb").alias("kb")
+    )
+    oov = tot.join(ksum, "lang").select(
+        "lang",
+        (F.col("sa") - F.col("ka")).alias("ca"),
+        (F.col("sb") - F.col("kb")).alias("cb"),
+    )
+    cells = kept.unionByName(oov)
+    cell_tot = cells.groupBy("lang").agg(
+        F.sum(F.col("ca") + 1).alias("ta"),
+        F.sum(F.col("cb") + 1).alias("tb"),
+        F.sum("ca").alias("n_train_toks"),
+        F.sum("cb").alias("n_held_toks"),
+    )
+    flnu = lambda num, den: F.floor(  # noqa: E731 — shared ln-floor idiom
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(cell_tot), "lang")
+        .withColumn("pa", F.expr("greatest(1, (ca + 1) * 1000000 DIV ta)"))
+        .withColumn("pb", F.expr("greatest(1, (cb + 1) * 1000000 DIV tb)"))
+        .withColumn(
+            "_t",
+            F.col("pa") * flnu(2 * F.col("pa"), F.col("pa") + F.col("pb"))
+            + F.col("pb") * flnu(2 * F.col("pb"), F.col("pa") + F.col("pb")),
+        )
+    )
+    return terms.groupBy("lang").agg(
+        F.max("n_train_toks").alias("n_train_toks"),
+        F.max("n_held_toks").alias("n_held_toks"),
+        F.sum("_t").alias("js2_sum"),
+    )
+
+
 def phrase_search(
     documents: DataFrame, phrase: tuple[str, ...] = ("table", "hash")
 ) -> DataFrame:

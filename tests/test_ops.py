@@ -3808,3 +3808,66 @@ def test_containment_pairs_quote_detection(spark):
         df, spark.createDataFrame([Row(doc_a=0, doc_b=1)])
     ).collect()[0]
     assert 100 * jv["n_intersect"] < 10 * jv["n_union"]  # < 10%
+
+
+def test_vocab_js_drift_against_python_twin(spark):
+    """Exact integer twin over a tiny 2-lang corpus with known split
+    membership (doc 20 is heldout under the 'sp:' hash); identical
+    distributions give js2_sum == 0."""
+    import hashlib
+    import math
+
+    from weblog_pipeline.ops.textstats import vocab_js_drift
+
+    def is_train(doc_id):
+        return int(
+            hashlib.md5(f"sp:{doc_id}".encode()).hexdigest()[:4], 16
+        ) % 100 < 98
+
+    assert not is_train(20) and not is_train(30)
+    rows = [
+        Row(doc_id=0, lang="en", text="a b c a"),      # train
+        Row(doc_id=1, lang="en", text="a b d"),        # train
+        Row(doc_id=20, lang="en", text="a e e e"),     # heldout
+        Row(doc_id=2, lang="fr", text="x y"),          # train
+        Row(doc_id=30, lang="fr", text="x y"),         # heldout: same dist
+    ]
+    top_k = 2
+
+    def twin(lang):
+        from collections import Counter
+
+        ca, cb = Counter(), Counter()
+        for r in rows:
+            if r.lang != lang:
+                continue
+            for t in r.text.split(" "):
+                (ca if is_train(r.doc_id) else cb)[t] += 1
+        vocab = sorted(
+            set(ca) | set(cb), key=lambda t: (-(ca[t] + cb[t]), t)
+        )
+        kept = vocab[:top_k]
+        cells = [(ca[t], cb[t]) for t in kept]
+        cells.append((
+            sum(ca.values()) - sum(ca[t] for t in kept),
+            sum(cb.values()) - sum(cb[t] for t in kept),
+        ))
+        ta = sum(a + 1 for a, _ in cells)
+        tb = sum(b + 1 for _, b in cells)
+        js2 = 0
+        for a, b in cells:
+            pa = max(1, (a + 1) * 1_000_000 // ta)
+            pb = max(1, (b + 1) * 1_000_000 // tb)
+            js2 += pa * math.floor(math.log(2 * pa / (pa + pb)) * 1_000_000)
+            js2 += pb * math.floor(math.log(2 * pb / (pa + pb)) * 1_000_000)
+        return (sum(ca.values()), sum(cb.values()), js2)
+
+    got = {
+        r["lang"]: (r["n_train_toks"], r["n_held_toks"], r["js2_sum"])
+        for r in vocab_js_drift(
+            spark.createDataFrame(rows), top_k=top_k
+        ).collect()
+    }
+    assert got == {"en": twin("en"), "fr": twin("fr")}
+    # fr train and heldout distributions are identical -> zero divergence
+    assert got["fr"][2] == 0 and got["en"][2] > 0
