@@ -1868,6 +1868,47 @@ FROM lp{iters}
 """
 
 
+def q_domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 2-core peeling over the planted domain graph:
+    distinct-neighbor degrees, synchronous drop of hosts under the
+    threshold, 4 unrolled rounds."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.k_core(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_kcore(
+    k: int = graph.KCORE_K, iters: int = graph.KCORE_ITERS
+) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f""",
+d{i} AS (
+  SELECT sym.s AS host, COUNT(*) AS degree
+  FROM sym
+  JOIN a{i - 1} x ON x.host = sym.s
+  JOIN a{i - 1} y ON y.host = sym.t
+  GROUP BY 1
+),
+a{i} AS (SELECT host FROM d{i} WHERE degree >= {k})"""
+        )
+    return f"""
+WITH {_links_cte()},
+sym AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT src_host AS s, dst_host AS t FROM edges
+    WHERE src_host <> dst_host
+    UNION ALL
+    SELECT dst_host AS s, src_host AS t FROM edges
+    WHERE src_host <> dst_host
+  )
+),
+a0 AS (SELECT DISTINCT s AS host FROM sym){"".join(rounds)}
+SELECT host, CAST(degree AS BIGINT) AS degree
+FROM d{iters} WHERE degree >= {k}
+"""
+
+
 #: RRF hybrid-retrieval parameters: depth of each input top-R list and
 #: the embedding row serving as the query vector — shared with the SQL
 #: oracle.
@@ -6480,6 +6521,7 @@ def queries() -> dict:
         "phrase_search": q_phrase_search,
         "containment_pairs": q_containment_pairs,
         "vocab_js_drift": q_vocab_js_drift,
+        "domain_kcore": q_domain_kcore,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6674,6 +6716,7 @@ def oracle_sql() -> dict:
         "phrase_search": _sql_phrase_search(),
         "containment_pairs": _sql_containment_pairs(),
         "vocab_js_drift": _sql_vocab_js_drift(),
+        "domain_kcore": _sql_domain_kcore(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

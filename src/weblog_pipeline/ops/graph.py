@@ -488,3 +488,53 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
         "label",
         F.count(F.lit(1)).over(w_size).alias("community_size"),
     )
+
+
+KCORE_K = 2
+KCORE_ITERS = 4
+
+
+def k_core(
+    edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS
+) -> DataFrame:
+    """k-core peeling over the undirected domain graph — the density
+    primitive link-spam and crawl-frontier triage both use: repeatedly
+    drop hosts with fewer than k distinct neighbors until the induced
+    subgraph stabilizes. Run for a FIXED `iters` synchronous rounds (the
+    pagerank/trustrank discipline: a deterministic, engine-exact unroll
+    rather than a convergence test; peeling cascades longer than `iters`
+    hops are deliberately out of scope and documented here).
+
+    Degree is DISTINCT-neighbor count, direction and weight ignored,
+    self-loops dropped. Each round = two semi-joins of the symmetrized
+    distinct-pair edge list against the alive set (induced subgraph) +
+    one map-side-combined degree aggregate + a codegen'd filter; the
+    alive set is localCheckpoint'd per round so lineage stays one
+    iteration deep. Edge-list shuffles are domain-grain.
+
+    Output: host, degree (BIGINT, within the final induced subgraph).
+    """
+    e = edges.where(F.col("src_host") != F.col("dst_host"))
+    sym = (
+        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
+        .unionByName(
+            e.select(
+                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("s").alias("host")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(iters):
+        induced = sym.join(
+            alive.select(F.col("host").alias("s")), "s"
+        ).join(alive.select(F.col("host").alias("t")), "t")
+        deg = induced.groupBy(F.col("s").alias("host")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        alive = (
+            deg.where(F.col("degree") >= k).select("host").localCheckpoint()
+        )
+    return deg.where(F.col("degree") >= k).select("host", "degree")

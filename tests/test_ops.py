@@ -3871,3 +3871,25 @@ def test_vocab_js_drift_against_python_twin(spark):
     assert got == {"en": twin("en"), "fr": twin("fr")}
     # fr train and heldout distributions are identical -> zero divergence
     assert got["fr"][2] == 0 and got["en"][2] > 0
+
+
+def test_k_core_peeling_cascade(spark):
+    """A triangle survives the 2-core; a pendant path peels one hop per
+    round (cascade), so iters bounds how far the peel propagates."""
+    from weblog_pipeline.ops.graph import k_core
+
+    # triangle a-b-c, path c-p1-p2-p3 (p3 degree 1, peels first)
+    und = [("a", "b"), ("b", "c"), ("a", "c"),
+           ("c", "p1"), ("p1", "p2"), ("p2", "p3")]
+    rows = [
+        Row(src_host=s, dst_host=t, n_links=1) for s, t in und
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["host"]: r["degree"] for r in k_core(df, k=2, iters=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # with iters=1 only p3 has peeled: p1, p2 still look 2-connected
+    got1 = {r["host"]: r["degree"] for r in k_core(df, k=2, iters=1).collect()}
+    assert got1 == {"a": 2, "b": 2, "c": 3, "p1": 2, "p2": 2}
+    # iters=2: p2 lost p3 -> degree 1 -> gone; p1 still sees c and p2
+    got2 = {r["host"]: r["degree"] for r in k_core(df, k=2, iters=2).collect()}
+    assert got2 == {"a": 2, "b": 2, "c": 3, "p1": 2}
