@@ -1909,6 +1909,53 @@ FROM d{iters} WHERE degree >= {k}
 """
 
 
+def q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the planted domain graph via the
+    degree-ordered orientation (wedge join on the low endpoint, close
+    on the oriented (v,w) edge)."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.triangle_count(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_domain_triangles() -> str:
+    return f"""
+WITH {_links_cte()},
+sym AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT src_host AS s, dst_host AS t FROM edges
+    WHERE src_host <> dst_host
+    UNION ALL
+    SELECT dst_host AS s, src_host AS t FROM edges
+    WHERE src_host <> dst_host
+  )
+),
+deg AS (SELECT s AS host, COUNT(*) AS d FROM sym GROUP BY 1),
+ordered AS (
+  SELECT sym.s AS a, sym.t AS b, dt.d AS db
+  FROM sym
+  JOIN deg ds ON ds.host = sym.s
+  JOIN deg dt ON dt.host = sym.t
+  WHERE ds.d < dt.d OR (ds.d = dt.d AND sym.s < sym.t)
+),
+wedges AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM ordered e1 JOIN ordered e2 ON e1.a = e2.a
+  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)
+),
+tri AS (
+  SELECT u, v, w FROM wedges
+  JOIN ordered c ON c.a = wedges.v AND c.b = wedges.w
+),
+hosts AS (
+  SELECT u AS host FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM hosts GROUP BY 1
+"""
+
+
 #: RRF hybrid-retrieval parameters: depth of each input top-R list and
 #: the embedding row serving as the query vector — shared with the SQL
 #: oracle.
@@ -6522,6 +6569,7 @@ def queries() -> dict:
         "containment_pairs": q_containment_pairs,
         "vocab_js_drift": q_vocab_js_drift,
         "domain_kcore": q_domain_kcore,
+        "domain_triangles": q_domain_triangles,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6717,6 +6765,7 @@ def oracle_sql() -> dict:
         "containment_pairs": _sql_containment_pairs(),
         "vocab_js_drift": _sql_vocab_js_drift(),
         "domain_kcore": _sql_domain_kcore(),
+        "domain_triangles": _sql_domain_triangles(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -538,3 +538,80 @@ def k_core(
             deg.where(F.col("degree") >= k).select("host").localCheckpoint()
         )
     return deg.where(F.col("degree") >= k).select("host", "degree")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-host triangle participation over the undirected domain graph
+    — the clustering signal link-farm detection keys on (organic
+    neighborhoods close triangles; spam rings are bipartite-ish).
+
+    The classic skew-safe shape (Suri & Vassilvitskii's degree-ordered
+    orientation): orient every undirected edge from its lower-(degree,
+    host) endpoint to the higher one. The oriented out-degree is
+    O(sqrt(m)) even for celebrity hosts, so the wedge join below never
+    explodes on a hub — the naive neighbor self-join would square a
+    10^6-degree hub into 10^12 wedge rows. Wedges (u->v, u->w) join on
+    the LOW endpoint u and close against the oriented edge (v, w); each
+    triangle is found exactly once at its lowest-rank vertex, then
+    exploded to credit all three hosts.
+
+    Shape: degree aggregate, two endpoint-degree equi-joins, wedge
+    equi-join on u, closing equi-join on (v, w), one final count — all
+    domain-grain equi-joins, no windows.
+
+    Output: host, n_triangles (BIGINT).
+    """
+    e = edges.where(F.col("src_host") != F.col("dst_host"))
+    sym = (
+        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
+        .unionByName(
+            e.select(
+                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    g = (
+        sym.join(deg.select(F.col("host").alias("s"), F.col("d").alias("ds")), "s")
+        .join(deg.select(F.col("host").alias("t"), F.col("d").alias("dt")), "t")
+    )
+    ordered = g.where(
+        (F.col("ds") < F.col("dt"))
+        | ((F.col("ds") == F.col("dt")) & (F.col("s") < F.col("t")))
+    ).select(
+        F.col("s").alias("a"),
+        F.col("t").alias("b"),
+        F.col("dt").alias("db"),
+    )
+    e1, e2 = ordered.alias("e1"), ordered.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.a") == F.col("e2.a"))
+        .where(
+            (F.col("e1.db") < F.col("e2.db"))
+            | (
+                (F.col("e1.db") == F.col("e2.db"))
+                & (F.col("e1.b") < F.col("e2.b"))
+            )
+        )
+        .select(
+            F.col("e1.a").alias("u"),
+            F.col("e1.b").alias("v"),
+            F.col("e2.b").alias("w"),
+        )
+    )
+    tri = wedges.join(
+        ordered.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "host"
+            )
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

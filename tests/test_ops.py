@@ -3893,3 +3893,35 @@ def test_k_core_peeling_cascade(spark):
     # iters=2: p2 lost p3 -> degree 1 -> gone; p1 still sees c and p2
     got2 = {r["host"]: r["degree"] for r in k_core(df, k=2, iters=2).collect()}
     assert got2 == {"a": 2, "b": 2, "c": 3, "p1": 2}
+
+
+def test_triangle_count_against_itertools_twin(spark):
+    """Exact per-host triangle participation on a mixed graph (clique +
+    pendant + square), verified against a brute-force twin; direction
+    and duplicate edges must not matter."""
+    from itertools import combinations
+
+    from weblog_pipeline.ops.graph import triangle_count
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("a", "d"),
+           ("d", "e"),                       # pendant: no triangle
+           ("e", "f"), ("f", "g"), ("g", "e"),  # second triangle
+           ("b", "a")]                       # reverse duplicate of (a,b)
+    rows = [Row(src_host=s, dst_host=t, n_links=1) for s, t in und]
+
+    adj = {}
+    for s, t in und:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    expected = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for h in (x, y, z):
+                expected[h] = expected.get(h, 0) + 1
+
+    got = {
+        r["host"]: r["n_triangles"]
+        for r in triangle_count(spark.createDataFrame(rows)).collect()
+    }
+    assert got == expected
+    assert expected["a"] == 2  # (a,b,c) and (a,c,d)
