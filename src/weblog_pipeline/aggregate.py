@@ -982,3 +982,62 @@ def trimmed_mean(
         .agg(F.expr("sum(_c) DIV count(1)").alias("raw_mean_c")),
         key_col,
     )
+
+
+def item_covisitation(
+    events: DataFrame,
+    min_support: int = 3,
+    stratum_cap: int = 20,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Item co-visitation counts — the raw signal behind "users who
+    engaged with A also engaged with B" recommenders: for every pair of
+    items a user touched on the SAME day, how many (user, day) strata
+    co-visited both. Items are the integer `k` property of the event
+    props JSON (the shared get_json_object/json_extract parity idiom).
+
+    Scale shape: the pair fan-out is the dangerous part — a bot hitting
+    10^4 items in a day would square into 10^8 pairs. Strata are
+    therefore CAPPED: (user, day) groups with more than `stratum_cap`
+    distinct items are dropped whole (deterministic, engine-exact, and
+    the right call for recommendations — a crawler's co-visits are noise
+    anyway). After the cap, the self-join fans out at most C(cap, 2)
+    pairs per stratum, and the count is one map-side-combined aggregate
+    keyed by the item pair. The stratum size comes from a window over
+    the already-capped-cardinality stratum, not a join back.
+
+    Output: item_a, item_b, n_covisits (BIGINT), support >= min_support.
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    items = (
+        events.where(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            day.alias("day"),
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+                "item"
+            ),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "day")
+    kept = items.withColumn("_n", F.count(F.lit(1)).over(w)).where(
+        (F.col("_n") >= 2) & (F.col("_n") <= stratum_cap)
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).select(
+        F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_covisits"))
+        .where(F.col("n_covisits") >= min_support)
+    )

@@ -1384,6 +1384,40 @@ FROM p GROUP BY 1
 """
 
 
+def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day item co-visitation pairs (props.k items), stratum-capped
+    self-join, support >= 7."""
+    from weblog_pipeline.aggregate import item_covisitation
+
+    return item_covisitation(
+        _read(spark, sf_dir, "events"), min_support=7
+    )
+
+
+SQL_ITEM_COVISITATION = """
+WITH it AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+sz AS (SELECT user_id, day, COUNT(*) AS n FROM it GROUP BY 1, 2),
+kept AS (
+  SELECT it.* FROM it JOIN sz USING (user_id, day)
+  WHERE sz.n BETWEEN 2 AND 20
+),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b
+  FROM kept a JOIN kept b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+)
+SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_covisits
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor per event type:
     baseline/current by epoch-day parity, shared HDR bucketing, Laplace
@@ -6570,6 +6604,7 @@ def queries() -> dict:
         "vocab_js_drift": q_vocab_js_drift,
         "domain_kcore": q_domain_kcore,
         "domain_triangles": q_domain_triangles,
+        "item_covisitation": q_item_covisitation,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6766,6 +6801,7 @@ def oracle_sql() -> dict:
         "vocab_js_drift": _sql_vocab_js_drift(),
         "domain_kcore": _sql_domain_kcore(),
         "domain_triangles": _sql_domain_triangles(),
+        "item_covisitation": SQL_ITEM_COVISITATION,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -3925,3 +3925,49 @@ def test_triangle_count_against_itertools_twin(spark):
     }
     assert got == expected
     assert expected["a"] == 2  # (a,b,c) and (a,c,d)
+
+
+def test_item_covisitation_cap_and_support(spark):
+    """Pairs count once per (user, day) stratum regardless of repeat
+    events; a stratum over the cap is dropped whole; support filters."""
+    import datetime
+
+    from weblog_pipeline.aggregate import item_covisitation
+
+    d1 = datetime.datetime(2024, 1, 1, 10, 0)
+    d2 = datetime.datetime(2024, 1, 2, 10, 0)
+    rows = []
+    eid = 0
+
+    def ev(user, ts, k):
+        nonlocal eid
+        rows.append(Row(event_id=eid, ts=ts, user_id=user,
+                        event_type="view", value=1.0,
+                        props='{"k": %d}' % k))
+        eid += 1
+
+    # users 1..3 co-visit items (7, 9) on day 1 -> support 3
+    for u in (1, 2, 3):
+        ev(u, d1, 7)
+        ev(u, d1, 9)
+        ev(u, d1, 9)           # repeat event, same stratum: still 1 pair
+    # user 1 co-visits (7, 9) again on day 2 -> support 4
+    ev(1, d2, 7)
+    ev(1, d2, 9)
+    # users 4,5 co-visit (11, 13) -> support 2, below min_support=3
+    for u in (4, 5):
+        ev(u, d1, 11)
+        ev(u, d1, 13)
+    # bot user 99 touches items 0..5 (> cap 4) incl. 7 and 9 -> dropped
+    for k in range(6):
+        ev(99, d1, k)
+    ev(99, d1, 7)
+    ev(99, d1, 9)
+
+    got = {
+        (r["item_a"], r["item_b"]): r["n_covisits"]
+        for r in item_covisitation(
+            spark.createDataFrame(rows), min_support=3, stratum_cap=4
+        ).collect()
+    }
+    assert got == {(7, 9): 4}
