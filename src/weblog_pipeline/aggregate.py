@@ -1041,3 +1041,70 @@ def item_covisitation(
         .agg(F.count(F.lit(1)).alias("n_covisits"))
         .where(F.col("n_covisits") >= min_support)
     )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    z: int = 2,
+    min_base_days: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume-anomaly detection on the per-key daily series — the
+    ops monitor that pages when a route's traffic jumps or craters:
+    each day's event count is compared against its trailing baseline
+    (the previous 7 OBSERVED days of the same key), flagging when
+
+        |n - mean| > z * stddev
+
+    evaluated entirely in integers via the equivalent cross-multiplied
+    form (w*n - s1)^2 > z^2 * (w*s2 - s1^2), where s1/s2 are the
+    baseline's sum and sum-of-squares and w its day count — no floats,
+    no sqrt, bit-identical across engines. Days with fewer than
+    min_base_days of history never flag.
+
+    Scale shape: ONE raw-event scan into a (key, day) map-side-combined
+    count; every window below runs over that AGGREGATED series — its
+    size is keys x days, independent of event volume (the
+    value_percentiles discipline), so the day-ordered frames cost
+    nothing at any scale.
+
+    Output: <key_col>, day, n_events, base_days, base_sum, is_anomaly.
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    daily = (
+        events.select(key_col, day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    base = daily.select(
+        key_col,
+        "day",
+        "n_events",
+        F.coalesce(F.count("n_events").over(w), F.lit(0)).alias("base_days"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("base_sum"),
+        F.coalesce(F.sum(F.col("n_events") * F.col("n_events")).over(w),
+                   F.lit(0)).alias("_s2"),
+    )
+    lhs = F.col("base_days") * F.col("n_events") - F.col("base_sum")
+    rhs = F.lit(z * z) * (
+        F.col("base_days") * F.col("_s2")
+        - F.col("base_sum") * F.col("base_sum")
+    )
+    return base.select(
+        key_col,
+        "day",
+        "n_events",
+        "base_days",
+        "base_sum",
+        ((F.col("base_days") >= min_base_days) & (lhs * lhs > rhs)).alias(
+            "is_anomaly"
+        ),
+    )

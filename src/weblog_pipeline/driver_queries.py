@@ -1384,6 +1384,38 @@ FROM p GROUP BY 1
 """
 
 
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume anomalies vs the trailing-7-observed-day
+    baseline, integer cross-multiplied z-test (z=2)."""
+    from weblog_pipeline.aggregate import daily_anomalies
+
+    return daily_anomalies(_read(spark, sf_dir, "events"))
+
+
+SQL_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, day, n_events,
+    CAST(COALESCE(COUNT(n_events) OVER w, 0) AS BIGINT) AS base_days,
+    CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS base_sum,
+    CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events, base_days, base_sum,
+  (base_days >= 3 AND
+   (base_days * n_events - base_sum) * (base_days * n_events - base_sum)
+     > 4 * (base_days * s2 - base_sum * base_sum)) AS is_anomaly
+FROM b
+"""
+
+
 def q_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-day item co-visitation pairs (props.k items), stratum-capped
     self-join, support >= 7."""
@@ -6605,6 +6637,7 @@ def queries() -> dict:
         "domain_kcore": q_domain_kcore,
         "domain_triangles": q_domain_triangles,
         "item_covisitation": q_item_covisitation,
+        "daily_anomalies": q_daily_anomalies,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6802,6 +6835,7 @@ def oracle_sql() -> dict:
         "domain_kcore": _sql_domain_kcore(),
         "domain_triangles": _sql_domain_triangles(),
         "item_covisitation": SQL_ITEM_COVISITATION,
+        "daily_anomalies": SQL_DAILY_ANOMALIES,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

