@@ -1051,8 +1051,11 @@ def daily_anomalies(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Volume-anomaly detection on the per-key daily series — the
-    ops monitor that pages when a route's traffic jumps or craters:
-    each day's event count is compared against its trailing baseline
+    ops monitor that pages when a route's traffic jumps or craters.
+    Complements anomaly_days (global median+MAD, robust to outliers but
+    blind to slow drift): here the baseline is TRAILING, so a series
+    whose level legitimately moved re-baselines within a week. Each
+    day's event count is compared against its trailing baseline
     (the previous 7 OBSERVED days of the same key), flagging when
 
         |n - mean| > z * stddev

@@ -6590,12 +6590,13 @@ def queries() -> dict:
         "multimodal_dib_depths_decode": q_multimodal_dib_depths_decode,
         # ---- end of the driver's 50-query window ----
         # -- out-of-window remainder, oldest official row first (r7 queue) --
-        # added late r6 (no official row yet — these TWENTY-NINE lead the
-        # r7 rotation right after the canaries, before any stale greens;
-        # everything from funnel_stages through parity_epoch_us — the
-        # product-analytics/retrieval/PQ family plus anomaly_days/dau_wau/
-        # session_paths/ab_metrics/rrf_fusion — was added after the r6
-        # window froze):
+        # added late r6 (no official row yet): everything from
+        # freq_spectrum through daily_anomalies below — FORTY-TWO queries
+        # plus the two parity_ canary-grade guards and the 5-method
+        # ann_recall refresh. The r7 window is 10 canaries + 2 parity +
+        # 38 of these (oldest-added first: freq_spectrum..query_likelihood
+        # land, trimmed_mean..daily_anomalies roll to the r8 window);
+        # update test_canaries_lead_the_correctness_window when rotating:
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
         "unicode_nfc": q_unicode_nfc,
