@@ -5013,6 +5013,57 @@ FROM pre
 """
 
 
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual aHash over REAL-decoded PNG pixel grids: 8x8 integer
+    block means, floor-mean threshold, 64-bit hex hash. The oracle
+    recomputes every block mean from the synthetic pixel function
+    (s+x+y)%256 — a wrong unfilter or block index mismatches values."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_png_from_documents(docs)
+    return multimodal.media_ahash(media)
+
+
+def _sql_media_ahash() -> str:
+    return """
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h,
+         doc_id % 256 AS s
+  FROM documents
+),
+pix AS (
+  SELECT media_id, w, h,
+         (s + (u.i % w) + (u.i // w)) % 256 AS lum,
+         ((u.i // w) * 8 // h) * 8 + ((u.i % w) * 8 // w) AS bit
+  FROM pre, unnest(range(0, w * h)) AS u(i)
+),
+blocks AS (
+  SELECT media_id, w, h, bit,
+         CAST(SUM(lum) AS BIGINT) // COUNT(*) AS m
+  FROM pix GROUP BY 1, 2, 3, 4
+),
+thr AS (
+  SELECT media_id, COUNT(*) AS n_blocks,
+         CAST(SUM(m) AS BIGINT) // COUNT(*) AS t
+  FROM blocks GROUP BY 1
+),
+bits AS (
+  SELECT b.media_id, MAX(b.w) AS w, MAX(b.h) AS h, MAX(t.n_blocks) AS nb,
+    CAST(COALESCE(SUM(CASE WHEN b.m > t.t AND b.bit >= 32
+      THEN (CAST(1 AS BIGINT) << (b.bit - 32)) END), 0) AS BIGINT) AS hi,
+    CAST(COALESCE(SUM(CASE WHEN b.m > t.t AND b.bit < 32
+      THEN (CAST(1 AS BIGINT) << b.bit) END), 0) AS BIGINT) AS lo
+  FROM blocks b JOIN thr t USING (media_id)
+  GROUP BY 1
+)
+SELECT media_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(nb AS INTEGER) AS n_blocks,
+  lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0') AS ahash
+FROM bits
+"""
+
+
 def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end-to-end: valid LZW-coded GIF89a payloads
     generated from doc_id; the Arrow UDF runs a full LZW decode and
@@ -6639,6 +6690,7 @@ def queries() -> dict:
         "domain_triangles": q_domain_triangles,
         "item_covisitation": q_item_covisitation,
         "daily_anomalies": q_daily_anomalies,
+        "media_ahash": q_media_ahash,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6837,6 +6889,7 @@ def oracle_sql() -> dict:
         "domain_triangles": _sql_domain_triangles(),
         "item_covisitation": SQL_ITEM_COVISITATION,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
+        "media_ahash": _sql_media_ahash(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -222,7 +222,7 @@ def encode_png(width: int, height: int, seed: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
+def decode_png(payload: bytes, want_pixels: bool = False) -> dict:
     """REAL decoder for non-interlaced 8-bit grayscale/RGB/RGBA PNG
     (stdlib-only): parses the chunk stream, CRC-checks every chunk,
     zlib-inflates the concatenated IDAT data, and inverts the five
@@ -314,7 +314,13 @@ def decode_png(payload: bytes) -> dict:
         prior = bytes(row)
     pix = bytes(out[:FEATURE_DIM])
     feature = [b / 255.0 for b in pix] + [0.0] * (FEATURE_DIM - len(pix))
-    return {"width": width, "height": height, "n_frames": 1, "feature": feature}
+    meta = {"width": width, "height": height, "n_frames": 1, "feature": feature}
+    if want_pixels:
+        # full unfiltered pixel buffer for whole-image consumers (aHash);
+        # kept opt-in so the metadata path never carries the image body
+        meta["pixels"] = bytes(out)
+        meta["channels"] = channels
+    return meta
 
 
 def encode_gif(width: int, height: int, seed: int) -> bytes:
@@ -3623,3 +3629,116 @@ def resize_images(
 
     pruned = media.select("media_id", "payload", "media_type")
     return pruned.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AHASH_GRID = 8
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def _ahash_of(lum) -> tuple[str, int]:
+    """64-bit average hash of an integer luminance grid: 8x8 block
+    integer means, global threshold = floor-mean of the present block
+    means, bit (by*8+bx) set iff its block mean EXCEEDS the threshold.
+    Images narrower/shorter than 8px simply have absent blocks (bit 0).
+    All arithmetic is integer floor — engine-exact by construction."""
+    import numpy as np
+
+    height, width = lum.shape
+    bx = (np.arange(width) * AHASH_GRID) // width
+    by = (np.arange(height) * AHASH_GRID) // height
+    bidx = (by[:, None] * AHASH_GRID + bx[None, :]).ravel()
+    sums = np.zeros(AHASH_GRID * AHASH_GRID, dtype=np.int64)
+    np.add.at(sums, bidx, lum.ravel())
+    cnts = np.bincount(bidx, minlength=AHASH_GRID * AHASH_GRID)
+    present = cnts > 0
+    means = np.zeros_like(sums)
+    means[present] = sums[present] // cnts[present]
+    n_blocks = int(present.sum())
+    t = int(means[present].sum()) // n_blocks
+    h = 0
+    for i in np.nonzero(present & (means > t))[0]:
+        h |= 1 << int(i)
+    return format(h, "016X"), n_blocks
+
+
+def media_ahash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
+    """Perceptual image hash (aHash) from the REAL decoded pixel grid —
+    the near-duplicate key an image-dedup pass buckets on (byte-level
+    hashing misses re-encodes; aHash survives them). Luminance is the
+    integer mean over a pixel's channels (alpha included — determinism
+    over photometric nicety); the hash recipe is _ahash_of's.
+
+    Full-pixel decode currently rides the PNG and JPEG decoders (the two
+    formats whose decoders reconstruct the whole image); other magics
+    raise NotImplementedError — a codec gap, never quarantined. Corrupt
+    payloads follow extract_media_metadata's on_error contract.
+
+    Scale shape: mapInPandas batch decode; the payload never leaves the
+    UDF — downstream carries five scalar columns per image. Grouping
+    equal hashes afterwards is an ordinary hash aggregate.
+
+    Output: media_id, width, height, n_blocks, ahash (16 hex chars).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    if blob[:8] == PNG_SIG:
+                        meta = decode_png(blob, want_pixels=True)
+                        ch = meta["channels"]
+                        arr = np.frombuffer(
+                            meta["pixels"], dtype=np.uint8
+                        ).reshape(meta["height"], meta["width"], ch)
+                        lum = arr.astype(np.int64).sum(axis=2) // ch
+                    elif blob[:2] == b"\xff\xd8":
+                        meta = decode_jpeg(blob)
+                        img = meta["pixels"]
+                        lum = (
+                            img.astype(np.int64)
+                            if img.ndim == 2
+                            else img.astype(np.int64).sum(axis=2) // 3
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "aHash needs a full-pixel decode (PNG/JPEG)"
+                        )
+                except (ValueError, struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                ahash, n_blocks = _ahash_of(lum)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(meta["width"]),
+                        "height": int(meta["height"]),
+                        "n_blocks": n_blocks,
+                        "ahash": ahash,
+                    }
+                )
+            if out:
+                o = pd.DataFrame(out)
+                o["media_id"] = o["media_id"].astype("Int64")
+                for c in ("width", "height", "n_blocks"):
+                    o[c] = o[c].astype("Int32")
+                yield o[[f.name for f in AHASH_SCHEMA.fields]]
+
+    pruned = media.select("media_id", "payload")
+    return pruned.mapInPandas(run, schema=AHASH_SCHEMA)
