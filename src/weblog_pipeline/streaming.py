@@ -520,3 +520,84 @@ def attribution_stateful(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+ANOM_SCHEMA = (
+    "event_type string, day long, n_events long, base_days long, "
+    "base_sum long, is_anomaly boolean"
+)
+_ANOM_STATE_SCHEMA = (
+    "hist_days array<long>, hist_counts array<long>, cur_day long, "
+    "cur_cnt long"
+)
+
+
+def anomaly_stream(events: DataFrame, z: int = 2,
+                   min_base_days: int = 3) -> DataFrame:
+    """Streaming twin of aggregate.daily_anomalies: per event type the
+    state store holds the trailing <=7 CLOSED days' counts plus the
+    open day's running counter — a fixed-width row per key, however
+    long the stream runs. A day closes (and emits its verdict, append-
+    safe: verdicts never change) when a later day's first event
+    arrives for that key; the integer cross-multiplied z-test is the
+    batch op's exactly, so ordered replay reproduces the batch output
+    verbatim on every closed day (the open day has no verdict yet —
+    the batch-twin pytest drops each key's last day before comparing).
+
+    Rows are day-sorted within each micro-batch (the keyed_quota chunk
+    discipline); cross-batch disorder is out of scope — production
+    would put a watermark-delayed day-close upstream.
+    """
+    import pandas as pd
+
+    def step(key, pdfs, state):
+        if state.exists:
+            hd, hc, cur_day, cur_cnt = state.get
+            hd, hc = list(hd), list(hc)
+        else:
+            hd, hc, cur_day, cur_cnt = [], [], None, 0
+        out = []
+
+        def close(day, cnt):
+            base = list(zip(hd[-7:], hc[-7:]))
+            w = len(base)
+            s1 = sum(c for _, c in base)
+            s2 = sum(c * c for _, c in base)
+            lhs = w * cnt - s1
+            flag = w >= min_base_days and lhs * lhs > z * z * (w * s2 - s1 * s1)
+            out.append((key[0], day, cnt, w, s1, bool(flag)))
+            hd.append(day)
+            hc.append(cnt)
+            del hd[:-7], hc[:-7]
+
+        days = sorted(
+            d for p in pdfs for d in p["day"].tolist()
+        )
+        for d in days:
+            if cur_day is None:
+                cur_day, cur_cnt = d, 0
+            elif d != cur_day:
+                close(cur_day, cur_cnt)
+                cur_day, cur_cnt = d, 0
+            cur_cnt += 1
+        state.update((hd, hc, cur_day, cur_cnt if cur_day is not None else 0))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "day", "n_events", "base_days",
+                         "base_sum", "is_anomaly"],
+            )
+
+    cells = events.select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").alias(
+            "day"
+        ),
+    )
+    return cells.groupBy("event_type").applyInPandasWithState(
+        step,
+        outputStructType=ANOM_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -591,3 +591,74 @@ def test_attribution_stateful_equals_batch_twin(spark, tmp_path):
     assert got[6][1] == 2                        # cross-batch state
     assert got[7] == (3, -1, "none", -1)
     assert got[9] == (2, 8, "click", 0)
+
+
+def test_anomaly_stream_equals_batch_twin(spark, tmp_path):
+    """Replaying the events fixture's stream over two micro-batches
+    reproduces daily_anomalies on every CLOSED day (each key's last day
+    is still open and must not have emitted); the spike planted in the
+    second batch flags."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import daily_anomalies
+    from weblog_pipeline.streaming import anomaly_stream
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for d in range(11):
+        n = 60 if d == 9 else 5 + (d % 3)
+        for _ in range(n):
+            rows.append(Row(event_id=eid, ts=base + datetime.timedelta(days=d),
+                            user_id=1, event_type="view", value=1.0))
+            eid += 1
+    # second key with a quiet series: never flags, still closes days
+    for d in range(4):
+        rows.append(Row(event_id=eid, ts=base + datetime.timedelta(days=d),
+                        user_id=2, event_type="click", value=1.0))
+        eid += 1
+    rows.sort(key=lambda r: r.ts)
+    split = len(rows) // 2
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(rows[:split], schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(rows[split:], schema).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        anomaly_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["base_days"],
+                                      r["base_sum"], r["is_anomaly"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = daily_anomalies(spark.createDataFrame(rows, schema))
+    last_day = {
+        r["event_type"]: r["m"]
+        for r in batch_df.groupBy("event_type").agg(
+            F.max("day").alias("m")).collect()
+    }
+    expected = {
+        (r["event_type"], r["day"]): (r["n_events"], r["base_days"],
+                                      r["base_sum"], r["is_anomaly"])
+        for r in batch_df.collect()
+        if r["day"] != last_day[r["event_type"]]
+    }
+    assert got == expected
+    spike_day = [k for k, v in got.items() if v[3]]
+    assert len(spike_day) == 1 and got[spike_day[0]][0] == 60
