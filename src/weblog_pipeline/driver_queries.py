@@ -5403,6 +5403,46 @@ FROM pre
 """
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-delta audio fingerprint over REAL 8-bit-PCM WAV decode: 8
+    equal-share band sums, cross-multiplied energy-rise bits; the
+    oracle recomputes every band from the synthetic sample function
+    (s+i)%256."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_wav_from_documents(docs)
+    return multimodal.audio_fingerprint(media)
+
+
+def _sql_audio_fingerprint() -> str:
+    return """
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 100 AS n, doc_id % 256 AS s
+  FROM documents
+),
+smp AS (
+  SELECT media_id, n, (u.i * 8) // n AS band, (s + u.i) % 256 AS v
+  FROM pre, unnest(range(0, n)) AS u(i)
+),
+bands AS (
+  SELECT media_id, n, band, CAST(SUM(v) AS BIGINT) AS bsum,
+         COUNT(*) AS bcnt
+  FROM smp GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT media_id, n, band, bsum, bcnt,
+         lag(bsum) OVER w AS psum, lag(bcnt) OVER w AS pcnt
+  FROM bands WINDOW w AS (PARTITION BY media_id ORDER BY band)
+)
+SELECT media_id,
+  CAST(MAX(n) AS BIGINT) AS n_samples,
+  CAST(SUM(bsum) AS BIGINT) AS s_total,
+  CAST(COALESCE(SUM(CASE WHEN psum IS NOT NULL
+    AND bsum * pcnt > psum * bcnt THEN (1 << (band - 1)) END), 0)
+    AS INTEGER) AS fp
+FROM d GROUP BY media_id
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize end-to-end: the nearest-neighbor kernel reads actual BMP
     pixel rows and re-emits a valid BMP at half dimensions; the oracle
@@ -6691,6 +6731,7 @@ def queries() -> dict:
         "item_covisitation": q_item_covisitation,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
+        "audio_fingerprint": q_audio_fingerprint,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6890,6 +6931,7 @@ def oracle_sql() -> dict:
         "item_covisitation": SQL_ITEM_COVISITATION,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
+        "audio_fingerprint": _sql_audio_fingerprint(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

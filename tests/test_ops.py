@@ -4048,3 +4048,50 @@ def test_media_ahash_against_python_twin(spark):
                                  media_type="image")])
     ).collect()[0]
     assert out["n_blocks"] == 64 and len(out["ahash"]) == 16
+
+
+def test_audio_fingerprint_across_codecs(spark):
+    """The same rising-then-falling envelope fingerprints identically
+    whether stored as 8-bit PCM or expanded from mu-law (the envelope
+    survives companding); a monotone-rising clip sets every delta bit."""
+    from pyspark.sql import Row as R
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    # encode_wav(n, s): 8-bit PCM, sample i = (s + i) % 256 — rising
+    # within each 256-wrap; pick n=64, s=0: strictly rising, all 7 bits
+    rising = mm.encode_wav(64, 0)
+    rows = [R(media_id=0, payload=bytearray(rising), media_type="audio")]
+    got = {
+        r["media_id"]: (r["n_samples"], r["fp"])
+        for r in mm.audio_fingerprint(spark.createDataFrame(rows)).collect()
+    }
+    assert got[0] == (64, 127)
+
+    # python twin over the analytic sample function for several sizes
+    def twin(n, s):
+        sums, cnts = [0] * 8, [0] * 8
+        for i in range(n):
+            b = i * 8 // n
+            sums[b] += (s + i) % 256
+            cnts[b] += 1
+        fp, prev = 0, None
+        for b in range(8):
+            if not cnts[b]:
+                continue
+            if prev is not None and sums[b] * cnts[prev] > sums[prev] * cnts[b]:
+                fp |= 1 << (b - 1)
+            prev = b
+        return fp
+
+    sizes = [(1, 5), (3, 250), (7, 0), (100, 200)]
+    rows = [
+        R(media_id=k, payload=bytearray(mm.encode_wav(n, s)),
+          media_type="audio")
+        for k, (n, s) in enumerate(sizes)
+    ]
+    got = {
+        r["media_id"]: r["fp"]
+        for r in mm.audio_fingerprint(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {k: twin(n, s) for k, (n, s) in enumerate(sizes)}
