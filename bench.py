@@ -384,6 +384,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tfidf_topk",
         lambda: textstats.tfidf_topk(docs, k=3).count(),
     )
+    timed(
+        "phrase_search",
+        lambda: textstats.phrase_search(docs, ("table", "hash")).count(),
+    )
 
     # q15-q16: substring-grain CDC dedup + hashed linear classifier over
     # the 500k-doc zipf corpus (the position explode makes cdc the widest
