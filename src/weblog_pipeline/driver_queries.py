@@ -3450,6 +3450,57 @@ FROM c
 NFD_PLANT = "e\u0301"
 
 
+#: deterministic encoding-damage tail planted on every 5th doc: one
+#: replacement char, one C1 control (U+0085), and a classic UTF-8-as-
+#: Latin-1 digraph run ("Ã©Ã¨" = é è re-decoded) — shared with the SQL
+#: oracle verbatim.
+MOJIBAKE_PLANT = "cafÃ©Ã¨ � xy"
+
+
+def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake census over documents with a PLANTED damaged slice (the
+    base fixtures are clean UTF-8, so docs with id % 5 == 0 get the
+    three damage signatures appended — the census must count exactly
+    them on every fixture)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" " + MOJIBAKE_PLANT),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.encoding_damage(docs)
+
+
+def _sql_encoding_damage() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN COALESCE(text, '') || ' {MOJIBAKE_PLANT}'
+              ELSE text END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_repl,
+    CAST(len(regexp_extract_all(text, '[\\x{{80}}-\\x{{9F}}]')) AS BIGINT)
+      AS n_c1,
+    CAST(len(regexp_extract_all(text, '[\\x{{80}}-\\x{{FF}}]{{2,}}'))
+      AS BIGINT) AS n_latin1_run
+  FROM d
+)
+SELECT doc_id, n_repl, n_c1, n_latin1_run,
+       (n_repl > 0 OR n_c1 > 0 OR n_latin1_run >= 3) AS is_suspect
+FROM c
+"""
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC audit over documents with a PLANTED decomposed slice: the base
     fixtures are already fully composed (is_nfc constant 1), so docs with
@@ -6732,6 +6783,7 @@ def queries() -> dict:
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "audio_fingerprint": q_audio_fingerprint,
+        "encoding_damage": q_encoding_damage,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6932,6 +6984,7 @@ def oracle_sql() -> dict:
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "audio_fingerprint": _sql_audio_fingerprint(),
+        "encoding_damage": _sql_encoding_damage(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

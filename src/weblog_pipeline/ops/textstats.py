@@ -977,6 +977,54 @@ C4_BITS = (
 )
 
 
+def encoding_damage(documents: DataFrame) -> DataFrame:
+    """Mojibake / encoding-damage census — the webtext reality that a
+    crawl mixes declared and actual charsets: count the three classic
+    damage signatures per document.
+
+      n_repl       U+FFFD replacement characters (a decoder already
+                   gave up),
+      n_c1         C1 control chars U+0080-009F (CP-1252 bytes decoded
+                   as Latin-1 — almost never legitimate text),
+      n_latin1_run non-overlapping runs of >= 2 consecutive U+0080-00FF
+                   chars (UTF-8 multibyte sequences re-decoded as
+                   Latin-1 produce "Ã©"-style digraph runs; a HEURISTIC
+                   — rare legitimate digraphs exist — which is why it
+                   only flags at >= 3 runs).
+
+    All three are regexp_extract_all counts in the Java∩RE2 syntax
+    (hex class escapes, greedy {2,} runs — both engines count
+    non-overlapping matches identically). Pure codegen'd projection:
+    zero shuffles, zero joins.
+
+    Output: doc_id, n_repl, n_c1, n_latin1_run, is_suspect.
+    """
+    text = F.col("text")
+
+    def n_of(pattern):
+        return F.array_size(
+            F.regexp_extract_all(text, F.lit(pattern), 0)
+        ).cast("long")
+
+    out = documents.select(
+        "doc_id",
+        n_of("�").alias("n_repl"),
+        n_of("[\\x{80}-\\x{9F}]").alias("n_c1"),
+        n_of("[\\x{80}-\\x{FF}]{2,}").alias("n_latin1_run"),
+    )
+    return out.select(
+        "doc_id",
+        "n_repl",
+        "n_c1",
+        "n_latin1_run",
+        (
+            (F.col("n_repl") > 0)
+            | (F.col("n_c1") > 0)
+            | (F.col("n_latin1_run") >= 3)
+        ).alias("is_suspect"),
+    )
+
+
 def c4_quality_flags(
     documents: DataFrame,
     badwords: tuple[str, ...] = (),

@@ -4095,3 +4095,28 @@ def test_audio_fingerprint_across_codecs(spark):
         for r in mm.audio_fingerprint(spark.createDataFrame(rows)).collect()
     }
     assert got == {k: twin(n, s) for k, (n, s) in enumerate(sizes)}
+
+
+def test_encoding_damage_signatures(spark):
+    """Each damage class counts independently; clean accented text (one
+    isolated accent per word) never flags; a mojibake digraph run does."""
+    from weblog_pipeline.ops.textstats import encoding_damage
+
+    rows = [
+        Row(doc_id=0, text="clean ascii text"),
+        Row(doc_id=1, text="caf\u00e9 na\u00efve r\u00e9sum\u00e9"),
+        Row(doc_id=2, text="bad \ufffd twice \ufffd here"),
+        Row(doc_id=3, text="c1 ctrl \u0085 and \u0092 chars"),
+        # classic UTF-8-as-Latin-1: three separate digraph runs
+        Row(doc_id=4, text="caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0 x"),
+    ]
+    got = {
+        r["doc_id"]: (r["n_repl"], r["n_c1"], r["n_latin1_run"],
+                      r["is_suspect"])
+        for r in encoding_damage(spark.createDataFrame(rows)).collect()
+    }
+    assert got[0] == (0, 0, 0, False)
+    assert got[1] == (0, 0, 0, False)        # isolated accents: no runs
+    assert got[2] == (2, 0, 0, True)
+    assert got[3][1] == 2 and got[3][3] is True
+    assert got[4][2] == 3 and got[4][3] is True   # three digraph runs
