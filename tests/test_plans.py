@@ -719,3 +719,65 @@ def test_passage_fingerprints_zero_exchanges(spark):
     plan = _physical(corpus.passage_fingerprints(df, window=4, stride=3))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_encoding_damage_zero_exchanges(spark):
+    """The mojibake census is a pure codegen'd projection."""
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops import textstats
+
+    df = spark.createDataFrame([Row(doc_id=0, text="abc")])
+    plan = _physical(textstats.encoding_damage(df))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_new_pair_ops_have_no_cartesian(spark):
+    """containment_pairs, triangle_count, and item_covisitation are all
+    equi-join shapes — a cartesian or nested-loop join anywhere means
+    the df-cap / orientation / stratum key was lost."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import item_covisitation
+    from weblog_pipeline.ops.dedup import containment_pairs
+    from weblog_pipeline.ops.graph import triangle_count
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e f") for i in range(3)]
+    )
+    edges = spark.createDataFrame(
+        [Row(src_host="a", dst_host="b", n_links=1)]
+    )
+    events = spark.createDataFrame(
+        [Row(event_id=0, ts=datetime.datetime(2024, 1, 1), user_id=1,
+             event_type="view", value=1.0, props='{"k": 1}')]
+    )
+    for df in (
+        containment_pairs(docs),
+        triangle_count(edges),
+        item_covisitation(events),
+    ):
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_daily_anomalies_windows_ride_the_aggregated_series(spark):
+    """One raw-event aggregate feeds the trailing-baseline window: no
+    joins, and every Window sits above the (key, day) HashAggregate."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import daily_anomalies
+
+    df = spark.createDataFrame(
+        [Row(event_id=0, ts=datetime.datetime(2024, 1, 1), user_id=1,
+             event_type="view", value=1.0, props="{}")]
+    )
+    plan = _physical(daily_anomalies(df))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
