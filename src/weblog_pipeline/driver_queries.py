@@ -771,6 +771,66 @@ FROM ij GROUP BY 1, 2
 """
 
 
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by fixed-round integer power iteration
+    over the distributed cross-moment matrix; every division sign-split
+    so floor-vs-truncate never diverges."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pca_power(emb)
+
+
+def _sql_pca_power(iters: int = similarity.PCA_ITERS) -> str:
+    q = float(similarity.IVF_QUANT)
+    scale, pre = similarity.PCA_SCALE, similarity.PCA_PRESCALE
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(
+            f""",
+r{r} AS (
+  SELECT m.i AS dim, SUM(m.m * v{r - 1}.v) AS raw
+  FROM m JOIN v{r - 1} ON v{r - 1}.dim = m.j GROUP BY 1
+),
+g{r} AS (SELECT greatest(1, MAX(abs(raw)) // {scale}) AS g FROM r{r}),
+v{r} AS (
+  SELECT dim, CASE WHEN raw < 0 THEN -(abs(raw) // g)
+              ELSE raw // g END AS v
+  FROM r{r}, g{r}
+)"""
+        )
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS v
+  FROM embeddings
+),
+i0 AS (SELECT v, unnest(range(1, len(v) + 1)) AS di FROM qv),
+ij AS (SELECT v, di, unnest(range(di, len(v) + 1)) AS dj FROM i0),
+cov AS (
+  SELECT CAST(di - 1 AS BIGINT) AS dim_i, CAST(dj - 1 AS BIGINT) AS dim_j,
+         CAST(SUM(v[CAST(di AS INTEGER)] * v[CAST(dj AS INTEGER)])
+              AS BIGINT) AS s_ij
+  FROM ij GROUP BY 1, 2
+),
+m0 AS (
+  SELECT dim_i AS i, dim_j AS j, s_ij AS s FROM cov
+  UNION ALL
+  SELECT dim_j, dim_i, s_ij FROM cov WHERE dim_i <> dim_j
+),
+fs AS (SELECT greatest(1, MAX(abs(s)) // {pre}) AS f FROM m0),
+m AS (
+  SELECT i, j, CASE WHEN s < 0 THEN -(abs(s) // f) ELSE s // f END AS m
+  FROM m0, fs
+),
+v0 AS (SELECT DISTINCT i AS dim, CAST({scale} AS BIGINT) AS v FROM m)
+{"".join(rounds)}
+SELECT dim,
+  CAST(v * COALESCE((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+                     FROM v{iters} WHERE v <> 0 ORDER BY dim LIMIT 1), 1)
+       AS BIGINT) AS v
+FROM v{iters}
+"""
+
+
 def _emb_corrupt_planted(emb: DataFrame) -> DataFrame:
     """Plant vector-grain corruption (fixture vectors are all ~unit):
     every 97th vector double-scaled (norm2_q ~4e6 -> is_high), every
@@ -6784,6 +6844,7 @@ def queries() -> dict:
         "media_ahash": q_media_ahash,
         "audio_fingerprint": q_audio_fingerprint,
         "encoding_damage": q_encoding_damage,
+        "pca_power": q_pca_power,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -6985,6 +7046,7 @@ def oracle_sql() -> dict:
         "media_ahash": _sql_media_ahash(),
         "audio_fingerprint": _sql_audio_fingerprint(),
         "encoding_damage": _sql_encoding_damage(),
+        "pca_power": _sql_pca_power(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

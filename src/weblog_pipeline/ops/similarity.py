@@ -1108,3 +1108,82 @@ def knn_label_eval(
             F.expr("n_correct * 10000 DIV n_queries").alias("acc_bp"),
         )
     )
+
+
+PCA_SCALE = 10**6
+PCA_PRESCALE = 10**9
+PCA_ITERS = 3
+
+
+def pca_power(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Top principal direction of the embedding corpus by FIXED-ROUND
+    integer power iteration over the distributed cross-moment matrix —
+    the whitening/compression primitive, engine-exact (the pagerank
+    determinism discipline: a fixed unroll, not a convergence test).
+
+    The distributed work is embedding_covariance's Arrow-batched d x d
+    accumulator; everything after operates on the d^2-row moment
+    relation — trivially small at ANY corpus size, which is the point:
+    the iteration cost is independent of row count. Integer discipline:
+      * the moment matrix pre-scales ONCE by f = max(1, max|s| DIV 1e9)
+        so a 10^12-vector corpus's moments still fit a round's matvec
+        inside int64 (|raw| <= d * 1e9 * PCA_SCALE),
+      * each round renormalizes by g = max(1, max|raw| DIV PCA_SCALE)
+        — division-first so raw * SCALE never materializes,
+      * EVERY division is sign-split (sign(x) * (|x| DIV d)) because
+        floor-vs-truncate division of negatives diverges across engines,
+      * the final vector's sign is canonicalized positive at its first
+        nonzero dimension.
+
+    Output: dim, v (scaled to ~PCA_SCALE; v/1e6 is the unit component).
+    """
+    cov = embedding_covariance(embeddings)
+    m0 = cov.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"),
+        F.col("s_ij").alias("s"),
+    ).unionByName(
+        cov.where(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"),
+            F.col("s_ij").alias("s"),
+        )
+    )
+    f = m0.agg(
+        F.expr(f"greatest(1, max(abs(s)) DIV {PCA_PRESCALE})").alias("f")
+    )
+    m = m0.crossJoin(F.broadcast(f)).select(
+        "i", "j",
+        F.expr(
+            "CASE WHEN s < 0 THEN -(abs(s) DIV f) ELSE s DIV f END"
+        ).alias("m"),
+    )
+    v = m.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(PCA_SCALE).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        raw = (
+            m.join(v.select(F.col("dim").alias("j"), "v"), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("m") * F.col("v")).alias("raw"))
+        )
+        g = raw.agg(
+            F.expr(f"greatest(1, max(abs(raw)) DIV {PCA_SCALE})").alias("g")
+        )
+        v = raw.crossJoin(F.broadcast(g)).select(
+            "dim",
+            F.expr(
+                "CASE WHEN raw < 0 THEN -(abs(raw) DIV g)"
+                " ELSE raw DIV g END"
+            ).alias("v"),
+        )
+    sg = v.agg(
+        F.coalesce(
+            F.expr(
+                "min_by(CASE WHEN v < 0 THEN -1 ELSE 1 END,"
+                " CASE WHEN v <> 0 THEN dim END)"
+            ),
+            F.lit(1),
+        ).cast("long").alias("sg")
+    )
+    return v.crossJoin(F.broadcast(sg)).select(
+        "dim", (F.col("v") * F.col("sg")).alias("v")
+    )

@@ -4120,3 +4120,52 @@ def test_encoding_damage_signatures(spark):
     assert got[2] == (2, 0, 0, True)
     assert got[3][1] == 2 and got[3][3] is True
     assert got[4][2] == 3 and got[4][3] is True   # three digraph runs
+
+
+def test_pca_power_matches_integer_twin_and_true_pc(spark):
+    """The fixed-round integer recipe matches an exact numpy twin, and
+    on a strongly anisotropic cloud the result aligns with numpy's true
+    top eigenvector (|cos| > 0.99)."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from weblog_pipeline.ops.similarity import (
+        PCA_ITERS, PCA_PRESCALE, PCA_SCALE, pca_power,
+    )
+
+    rng_free = [  # deterministic anisotropic cloud, dominant axis ~(3,1,0,...)
+        [((3 * k) % 7 - 3) * 0.3, ((3 * k) % 7 - 3) * 0.1]
+        + [((k * 5 + d) % 11 - 5) * 0.01 for d in range(6)]
+        for k in range(40)
+    ]
+    rows = [R(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(rng_free)]
+
+    def twin(vecs):
+        Q = np.floor(np.asarray(vecs, dtype=np.float64) * 1000.0).astype(
+            np.int64)
+        M = Q.T @ Q
+        f = max(1, int(np.max(np.abs(M))) // PCA_PRESCALE)
+        M = np.sign(M) * (np.abs(M) // f)
+        v = np.full(M.shape[0], PCA_SCALE, dtype=object)
+        for _ in range(PCA_ITERS):
+            raw = M.astype(object) @ v
+            g = max(1, int(max(abs(int(x)) for x in raw)) // PCA_SCALE)
+            v = np.array([int(np.sign(x)) * (abs(int(x)) // g) for x in raw],
+                         dtype=object)
+        nz = [i for i, x in enumerate(v) if x != 0]
+        sg = -1 if nz and v[nz[0]] < 0 else 1
+        return [int(x) * sg for x in v]
+
+    got = {r["dim"]: r["v"]
+           for r in pca_power(spark.createDataFrame(rows)).collect()}
+    exp = twin(rng_free)
+    assert [got[d] for d in sorted(got)] == exp
+    # alignment with the true top eigenvector of the cross-moment matrix
+    Q = np.floor(np.asarray(rng_free) * 1000.0)
+    M = Q.T @ Q
+    w, V = np.linalg.eigh(M)
+    top = V[:, -1]
+    v = np.array(exp, dtype=np.float64)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
