@@ -831,6 +831,30 @@ FROM v{iters}
 """
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the learned principal direction: one
+    broadcast array row, zip-multiply integer sum in the scan stage."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pca_project(emb)
+
+
+def _sql_pca_project() -> str:
+    q = float(similarity.IVF_QUANT)
+    return f"""
+WITH pc AS ({_sql_pca_power()}),
+varr AS (SELECT list(v ORDER BY dim) AS varr FROM pc),
+qv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS qvec
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+                               i -> qvec[i] * varr[i])) AS BIGINT) AS score
+FROM qv, varr
+"""
+
+
 def _emb_corrupt_planted(emb: DataFrame) -> DataFrame:
     """Plant vector-grain corruption (fixture vectors are all ~unit):
     every 97th vector double-scaled (norm2_q ~4e6 -> is_high), every
@@ -6845,6 +6869,7 @@ def queries() -> dict:
         "audio_fingerprint": q_audio_fingerprint,
         "encoding_damage": q_encoding_damage,
         "pca_power": q_pca_power,
+        "pca_project": q_pca_project,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7047,6 +7072,7 @@ def oracle_sql() -> dict:
         "audio_fingerprint": _sql_audio_fingerprint(),
         "encoding_damage": _sql_encoding_damage(),
         "pca_power": _sql_pca_power(),
+        "pca_project": _sql_pca_project(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

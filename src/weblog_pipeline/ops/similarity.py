@@ -1187,3 +1187,33 @@ def pca_power(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     return v.crossJoin(F.broadcast(sg)).select(
         "dim", (F.col("v") * F.col("sg")).alias("v")
     )
+
+
+def pca_project(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Per-vector projection onto pca_power's principal direction — the
+    1-D feature a curriculum/diversity sampler sorts on. The component
+    vector reduces to ONE array row (collect_list over d rows, then a
+    broadcast cross join), so the projection is a pure map stage over
+    the embeddings scan: quantize (the covariance's floor(x*quant)
+    exactly), zip-multiply, integer sum. No per-vector joins, no Python.
+
+    Output: vec_id, score (BIGINT, ~ quant * PCA_SCALE * cos units).
+    """
+    v = pca_power(embeddings, iters)
+    varr = v.agg(
+        F.expr("array_sort(collect_list(struct(dim, v)))").alias("s")
+    ).select(F.expr("transform(s, x -> x.v)").alias("varr"))
+    q = embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {float(IVF_QUANT)}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    return q.crossJoin(F.broadcast(varr)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qv, varr, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("score"),
+    )

@@ -4169,3 +4169,28 @@ def test_pca_power_matches_integer_twin_and_true_pc(spark):
     v = np.array(exp, dtype=np.float64)
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+def test_pca_project_is_exact_dot_with_component(spark):
+    """Each vector's score equals the integer dot of its quantized
+    components with the pca_power vector; ordering separates the two
+    planted clusters along the dominant axis."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from weblog_pipeline.ops.similarity import pca_power, pca_project
+
+    vecs = [[1.0 if d == 0 else 0.01 * ((i + d) % 3) for d in range(8)]
+            for i in range(10)]
+    vecs += [[-1.0 if d == 0 else 0.01 * ((i + d) % 3) for d in range(8)]
+             for i in range(10)]
+    rows = [R(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows)
+    comp = {r["dim"]: r["v"] for r in pca_power(df).collect()}
+    got = {r["vec_id"]: r["score"] for r in pca_project(df).collect()}
+    for i, v in enumerate(vecs):
+        qd = np.floor(np.asarray(v) * 1000.0).astype(int)
+        assert got[i] == int(sum(int(qd[d]) * comp[d] for d in range(8)))
+    # the +x cluster and -x cluster land on opposite sides
+    assert all(got[i] * got[i + 10] < 0 for i in range(10))
