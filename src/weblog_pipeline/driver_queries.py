@@ -3399,6 +3399,27 @@ SELECT doc_id, {hits_names}, {case} AS lang_guess FROM pre
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against
+    the fixture's labeled lang column, with per-true-lang shares in bp."""
+    return textstats.lang_confusion(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lang_confusion() -> str:
+    return f"""
+WITH li AS ({_sql_lang_id()}),
+cm AS (
+  SELECT d.lang, li.lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN li ON li.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY 1)
+SELECT cm.lang, cm.lang_guess, cm.n,
+       CAST(cm.n * 10000 // tot.n_true AS BIGINT) AS share_bp
+FROM cm JOIN tot ON tot.lang = cm.lang
+"""
+
+
 def _sql_winnow_fingerprints(k: int = 8, window: int = 4) -> str:
     """SQL twin of textstats.winnow_fingerprints (rolling k-gram hashes,
     per-window minima). substr/length are char-based in both engines."""
@@ -6870,6 +6891,7 @@ def queries() -> dict:
         "encoding_damage": q_encoding_damage,
         "pca_power": q_pca_power,
         "pca_project": q_pca_project,
+        "lang_confusion": q_lang_confusion,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7073,6 +7095,7 @@ def oracle_sql() -> dict:
         "encoding_damage": _sql_encoding_damage(),
         "pca_power": _sql_pca_power(),
         "pca_project": _sql_pca_project(),
+        "lang_confusion": _sql_lang_confusion(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

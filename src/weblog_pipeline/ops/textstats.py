@@ -121,6 +121,35 @@ def _argmax_expr(hit_cols):
     return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID audit: confusion matrix of the marker-word classifier
+    against the corpus's labeled `lang` column — the eval every
+    heuristic filter needs before it gates a training mix (a silently
+    degraded lang filter reshapes the corpus without failing any job).
+
+    One lang_id pass, one equi-join back on doc_id, one (true, guess)
+    map-side-combined count; per-true-language row shares in integer
+    basis points via a broadcast totals join. Matrix size is bounded by
+    |langs|^2 regardless of corpus size.
+
+    Output: lang, lang_guess, n, share_bp.
+    """
+    pred = lang_id(documents).select("doc_id", "lang_guess")
+    truth = documents.select("doc_id", "lang")
+    cm = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.expr("n * 10000 DIV n_true").alias("share_bp"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Stable document fingerprint: md5 of whitespace-normalized lowercase
     text (plus a 64-bit rolling-hash-equivalent prefix as bigint)."""

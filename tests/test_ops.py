@@ -4194,3 +4194,24 @@ def test_pca_project_is_exact_dot_with_component(spark):
         assert got[i] == int(sum(int(qd[d]) * comp[d] for d in range(8)))
     # the +x cluster and -x cluster land on opposite sides
     assert all(got[i] * got[i + 10] < 0 for i in range(10))
+
+
+def test_lang_confusion_matrix(spark):
+    """Counts land in the right (true, guess) cell; shares are integer
+    bp of the TRUE language's total; unmatched text guesses 'und'."""
+    from weblog_pipeline.ops.textstats import lang_confusion
+
+    rows = [
+        Row(doc_id=0, lang="en", text="the fast table and the hash"),
+        Row(doc_id=1, lang="en", text="the quick join of the scan"),
+        Row(doc_id=2, lang="en", text="zzz qqq www"),          # -> und
+        Row(doc_id=3, lang="fr", text="le rapide et la table"),
+    ]
+    got = {
+        (r["lang"], r["lang_guess"]): (r["n"], r["share_bp"])
+        for r in lang_confusion(spark.createDataFrame(rows)).collect()
+    }
+    assert got[("en", "en")] == (2, 6666)
+    assert got[("en", "und")] == (1, 3333)
+    assert got[("fr", "fr")] == (1, 10000)
+    assert set(got) == {("en", "en"), ("en", "und"), ("fr", "fr")}
