@@ -2106,6 +2106,56 @@ FROM hosts GROUP BY 1
 """
 
 
+def q_domain_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the planted domain graph: exact integer
+    moments, double-evaluated r^2 floored once to bp, sign column."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.degree_assortativity(
+        graph.link_graph(graph.extract_links(docs))
+    )
+
+
+def _sql_domain_assortativity() -> str:
+    return f"""
+WITH {_links_cte()},
+sym AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT src_host AS s, dst_host AS t FROM edges
+    WHERE src_host <> dst_host
+    UNION ALL
+    SELECT dst_host AS s, src_host AS t FROM edges
+    WHERE src_host <> dst_host
+  )
+),
+deg AS (SELECT s AS host, COUNT(*) AS d FROM sym GROUP BY 1),
+xy AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM sym JOIN deg dx ON dx.host = sym.s JOIN deg dy ON dy.host = sym.t
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy
+),
+nd AS (
+  SELECT n_edges, sx, sxy, sxx,
+         n_edges * sxy - sx * sx AS num,
+         n_edges * sxx - sx * sx AS den
+  FROM mom
+)
+SELECT n_edges, sx, sxy, sxx,
+  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+    AS r_sign,
+  CAST(CASE WHEN den <> 0
+       THEN floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                / (CAST(den AS DOUBLE) * CAST(den AS DOUBLE)) * 10000)
+       ELSE 0 END AS BIGINT) AS r2_bp
+FROM nd
+"""
+
+
 #: RRF hybrid-retrieval parameters: depth of each input top-R list and
 #: the embedding row serving as the query vector — shared with the SQL
 #: oracle.
@@ -6892,6 +6942,7 @@ def queries() -> dict:
         "pca_power": q_pca_power,
         "pca_project": q_pca_project,
         "lang_confusion": q_lang_confusion,
+        "domain_assortativity": q_domain_assortativity,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7096,6 +7147,7 @@ def oracle_sql() -> dict:
         "pca_power": _sql_pca_power(),
         "pca_project": _sql_pca_project(),
         "lang_confusion": _sql_lang_confusion(),
+        "domain_assortativity": _sql_domain_assortativity(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

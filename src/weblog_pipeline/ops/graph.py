@@ -615,3 +615,73 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected domain graph — organic
+    webs are disassortative (hubs link to leaves, r < 0) while link
+    farms wire hub-to-hub (r -> +1), so the SIGN alone is a spam-shape
+    signal. Over the symmetrized distinct edge list (each undirected
+    edge contributes both orientations, the standard convention) with
+    x, y the endpoint degrees:
+
+      r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    The moments are EXACT int64 sums (one degree aggregate + two
+    endpoint joins + one global aggregate — all domain-grain); only the
+    final r^2 ratio is evaluated in doubles (each moment converts once,
+    one IEEE multiply chain, floored once to basis points — the ln-floor
+    discipline applied to a ratio), because the cross-moment products
+    overflow int64 at web scale while the double rounding is
+    bit-identical across engines.
+
+    Output (one row): n_edges, sx, sxy, sxx, r_sign, r2_bp.
+    """
+    e = edges.where(F.col("src_host") != F.col("dst_host"))
+    sym = (
+        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
+        .unionByName(
+            e.select(
+                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    xy = (
+        sym.join(deg.select(F.col("host").alias("s"), F.col("d").alias("x")), "s")
+        .join(deg.select(F.col("host").alias("t"), F.col("d").alias("y")), "t")
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # by symmetry sy = sx and syy = sxx, so den = (n*sxx - sx^2)^2
+    num = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        "n_edges",
+        "sx",
+        "sxy",
+        "sxx",
+        F.when(num > 0, F.lit(1))
+        .when(num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r_sign"),
+        F.when(
+            den != 0,
+            F.floor(
+                (num.cast("double") * num.cast("double"))
+                / (den.cast("double") * den.cast("double"))
+                * F.lit(10000.0)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r2_bp"),
+    )

@@ -4215,3 +4215,24 @@ def test_lang_confusion_matrix(spark):
     assert got[("en", "und")] == (1, 3333)
     assert got[("fr", "fr")] == (1, 10000)
     assert set(got) == {("en", "en"), ("en", "und"), ("fr", "fr")}
+
+
+def test_degree_assortativity_signs(spark):
+    """A star graph is maximally disassortative (r = -1: r_sign -1,
+    r2_bp 10000); a pair of disjoint equal-degree cliques is perfectly
+    assortative-degenerate (den = 0 -> r2_bp 0); moments match a twin."""
+    from weblog_pipeline.ops.graph import degree_assortativity
+
+    star = [Row(src_host="hub", dst_host=f"leaf{i}", n_links=1)
+            for i in range(5)]
+    got = degree_assortativity(spark.createDataFrame(star)).collect()[0]
+    assert got["n_edges"] == 10           # 5 undirected edges, both ways
+    assert got["r_sign"] == -1 and got["r2_bp"] == 10000
+
+    cliq = [Row(src_host=f"a{i}", dst_host=f"a{j}", n_links=1)
+            for i in range(3) for j in range(i + 1, 3)]
+    cliq += [Row(src_host=f"b{i}", dst_host=f"b{j}", n_links=1)
+             for i in range(3) for j in range(i + 1, 3)]
+    got2 = degree_assortativity(spark.createDataFrame(cliq)).collect()[0]
+    # every endpoint degree is 2: zero variance -> den 0 -> defined as 0
+    assert got2["r_sign"] == 0 and got2["r2_bp"] == 0
