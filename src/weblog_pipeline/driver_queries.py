@@ -3449,6 +3449,28 @@ SELECT doc_id, {hits_names}, {case} AS lang_guess FROM pre
 """
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: precisely min(20, stratum) docs
+    per language by md5('qs:'||doc_id) order, two-phase salted rank."""
+    return corpus.quota_sample(_read(spark, sf_dir, "documents"), k=20)
+
+
+def _sql_quota_sample(k: int = 20) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, md5('qs:' || doc_id) AS h FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC)
+           AS rank
+  FROM keyed
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
+FROM r WHERE rank <= {k}
+"""
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-word language classifier against
     the fixture's labeled lang column, with per-true-lang shares in bp."""
@@ -6943,6 +6965,7 @@ def queries() -> dict:
         "pca_project": q_pca_project,
         "lang_confusion": q_lang_confusion,
         "domain_assortativity": q_domain_assortativity,
+        "quota_sample": q_quota_sample,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7148,6 +7171,7 @@ def oracle_sql() -> dict:
         "pca_project": _sql_pca_project(),
         "lang_confusion": _sql_lang_confusion(),
         "domain_assortativity": _sql_domain_assortativity(),
+        "quota_sample": _sql_quota_sample(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -1111,3 +1111,43 @@ def split_leakage(
             "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
         )
     )
+
+
+def quota_sample(documents: DataFrame, k: int = 100, salt_mod: int = 8) -> DataFrame:
+    """EXACT-quota stratified sampling: precisely min(k, stratum size)
+    documents per language, chosen by the deterministic md5('qs:' ||
+    doc_id) order — the "give me exactly 10k docs per language" request
+    that rate-based stratified_sample cannot honor (a rate realizes a
+    hash-binomial count, not an exact one). Distinct salt from the
+    sp:/is:/mix samplers so all four compose without correlation.
+
+    Scale shape: the per-stratum cut is the posting_lists TWO-PHASE
+    SALTED rank — phase 1 ranks within (lang, doc_id % salt_mod) and
+    keeps k, so no partition ever holds more than stratum/salt_mod rows;
+    phase 2 ranks the <= k*salt_mod survivors. A naive lang-partitioned
+    window would pull a whole language's corpus through one task.
+
+    Output: lang, rank, doc_id.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _fan_out
+
+    keyed = _fan_out(documents.select("doc_id", "lang")).select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("qs:"), F.col("doc_id"))).alias("_h"),
+    )
+    order = [F.col("_h").asc(), F.col("doc_id").asc()]
+    w_salt = Window.partitionBy(
+        "lang", F.col("doc_id") % salt_mod
+    ).orderBy(*order)
+    survivors = keyed.withColumn("_r1", F.row_number().over(w_salt)).where(
+        F.col("_r1") <= k
+    )
+    w_final = Window.partitionBy("lang").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select("lang", "rank", "doc_id")
+    )

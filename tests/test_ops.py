@@ -4236,3 +4236,32 @@ def test_degree_assortativity_signs(spark):
     got2 = degree_assortativity(spark.createDataFrame(cliq)).collect()[0]
     # every endpoint degree is 2: zero variance -> den 0 -> defined as 0
     assert got2["r_sign"] == 0 and got2["r2_bp"] == 0
+
+
+def test_quota_sample_exact_quota_and_determinism(spark):
+    """Exactly min(k, stratum) rows per lang; the cut equals the naive
+    md5-order rank (the salted two-phase is exact); stable across runs."""
+    import hashlib
+
+    from weblog_pipeline.ops.corpus import quota_sample
+
+    rows = [Row(doc_id=i, lang="en" if i < 30 else "fr",
+                text="x", source="s", n_chars=1) for i in range(34)]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r["lang"], r["rank"], r["doc_id"])
+        for r in quota_sample(df, k=5).collect()
+    )
+
+    def naive(lang, ids, k=5):
+        order = sorted(ids, key=lambda i: (
+            hashlib.md5(f"qs:{i}".encode()).hexdigest(), i))
+        return [(lang, r + 1, i) for r, i in enumerate(order[:k])]
+
+    exp = sorted(naive("en", range(30)) + naive("fr", range(30, 34), k=5))
+    assert got == exp
+    assert sum(1 for g in got if g[0] == "fr") == 4  # stratum < k: all 4
+    assert got == sorted(
+        (r["lang"], r["rank"], r["doc_id"])
+        for r in quota_sample(df, k=5).collect()
+    )
