@@ -5282,13 +5282,23 @@ bits AS (
       THEN (CAST(1 AS BIGINT) << b.bit) END), 0) AS BIGINT) AS lo
   FROM blocks b JOIN thr t USING (media_id)
   GROUP BY 1
+),
+dbits AS (
+  SELECT b.media_id,
+    CAST(COALESCE(SUM(CASE WHEN b2.m > b.m
+      THEN (CAST(1 AS BIGINT) << ((b.bit // 8) * 7 + (b.bit % 8))) END), 0)
+      AS BIGINT) AS dh
+  FROM blocks b JOIN blocks b2
+    ON b2.media_id = b.media_id AND b2.bit = b.bit + 1 AND b.bit % 8 < 7
+  GROUP BY 1
 )
-SELECT media_id,
+SELECT bits.media_id,
   CAST(w AS INTEGER) AS width,
   CAST(h AS INTEGER) AS height,
   CAST(nb AS INTEGER) AS n_blocks,
-  lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0') AS ahash
-FROM bits
+  lpad(hex(hi), 8, '0') || lpad(hex(lo), 8, '0') AS ahash,
+  lpad(hex(COALESCE(dh, 0)), 14, '0') AS dhash
+FROM bits LEFT JOIN dbits ON dbits.media_id = bits.media_id
 """
 
 

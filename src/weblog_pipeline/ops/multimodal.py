@@ -3663,6 +3663,7 @@ AHASH_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_blocks", T.IntegerType()),
         T.StructField("ahash", T.StringType()),
+        T.StructField("dhash", T.StringType()),
     ]
 )
 
@@ -3690,7 +3691,17 @@ def _ahash_of(lum) -> tuple[str, int]:
     h = 0
     for i in np.nonzero(present & (means > t))[0]:
         h |= 1 << int(i)
-    return format(h, "016X"), n_blocks
+    # dHash rides the same block means: bit by*7+bx set when block
+    # (by, bx+1) is strictly brighter than (by, bx) — the horizontal
+    # gradient signature, complementary to aHash's global-threshold one;
+    # pairs with an absent side contribute 0 (tiny images)
+    dh = 0
+    for by in range(AHASH_GRID):
+        for bx in range(AHASH_GRID - 1):
+            a, b = by * AHASH_GRID + bx, by * AHASH_GRID + bx + 1
+            if present[a] and present[b] and means[b] > means[a]:
+                dh |= 1 << (by * (AHASH_GRID - 1) + bx)
+    return format(h, "016X"), format(dh, "014X"), n_blocks
 
 
 def media_ahash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
@@ -3709,7 +3720,9 @@ def media_ahash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
     UDF — downstream carries five scalar columns per image. Grouping
     equal hashes afterwards is an ordinary hash aggregate.
 
-    Output: media_id, width, height, n_blocks, ahash (16 hex chars).
+    Output: media_id, width, height, n_blocks, ahash (16 hex),
+    dhash (14 hex — the 56-bit horizontal-gradient sibling; the pair is
+    the standard perceptual-dedup key set).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -3746,7 +3759,7 @@ def media_ahash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
                     if on_error == "raise":
                         raise
                     continue
-                ahash, n_blocks = _ahash_of(lum)
+                ahash, dhash, n_blocks = _ahash_of(lum)
                 out.append(
                     {
                         "media_id": int(mid),
@@ -3754,6 +3767,7 @@ def media_ahash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
                         "height": int(meta["height"]),
                         "n_blocks": n_blocks,
                         "ahash": ahash,
+                        "dhash": dhash,
                     }
                 )
             if out:

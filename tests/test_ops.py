@@ -4265,3 +4265,48 @@ def test_quota_sample_exact_quota_and_determinism(spark):
         (r["lang"], r["rank"], r["doc_id"])
         for r in quota_sample(df, k=5).collect()
     )
+
+
+def test_media_dhash_gradient_bits(spark):
+    """dHash from the real decode matches the analytic twin: the
+    synthetic gradient (s+x+y)%256 brightens left-to-right, so inside a
+    wrap every adjacent block pair sets its bit."""
+    from pyspark.sql import Row as R
+
+    from weblog_pipeline.ops import multimodal as mm
+
+    def twin_d(doc_id):
+        w, h, s = 1 + doc_id % 32, 1 + doc_id % 24, doc_id % 256
+        sums, cnts = [0] * 64, [0] * 64
+        for y in range(h):
+            for x in range(w):
+                b = (y * 8 // h) * 8 + (x * 8 // w)
+                sums[b] += (s + x + y) % 256
+                cnts[b] += 1
+        dh = 0
+        for by in range(8):
+            for bx in range(7):
+                a, b = by * 8 + bx, by * 8 + bx + 1
+                if cnts[a] and cnts[b] and \
+                        sums[b] // cnts[b] > sums[a] // cnts[a]:
+                    dh |= 1 << (by * 7 + bx)
+        return format(dh, "014X")
+
+    ids = [0, 31, 123, 255]
+    rows = [
+        R(media_id=i,
+          payload=bytearray(mm.encode_png(1 + i % 32, 1 + i % 24, i)),
+          media_type="image")
+        for i in ids
+    ]
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in mm.media_ahash(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {i: twin_d(i) for i in ids}
+    # width-1 image: no horizontal pairs -> all-zero dhash
+    one = mm.media_ahash(spark.createDataFrame(
+        [R(media_id=9, payload=bytearray(mm.encode_png(1, 8, 5)),
+           media_type="image")]
+    )).collect()[0]
+    assert one["dhash"] == "0" * 14
