@@ -1111,3 +1111,58 @@ def daily_anomalies(
             "is_anomaly"
         ),
     )
+
+
+def weekday_profile(
+    events: DataFrame,
+    chi2_threshold: int = 13,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly-seasonality detector per key: the day-of-week traffic
+    profile plus a chi-square uniformity statistic — organic human
+    traffic has a weekly rhythm, schedulers and bots are flat (or
+    single-day spiky), so both tails are signals.
+
+    Weekday is pure integer arithmetic on the epoch day ((day + 3) % 7,
+    0 = Monday) — no calendar/locale functions whose week conventions
+    differ across engines. The statistic is the chi-square sum with
+    each term floored once:
+
+      chi2 = sum over weekdays of (7*o_d - total)^2 DIV (7*total)
+
+    (the exact (o-e)^2/e with e = total/7, cross-multiplied so no
+    fraction ever materializes; each term floors independently, so the
+    7-term sum is order-free). is_seasonal flags chi2 >= threshold
+    (~the df=6, alpha=.05 critical value 12.59 rounded up).
+
+    Shape: one scan into a (key, weekday) map-side-combined count; the
+    totals ride a second aggregate over the 7-row-per-key profile.
+
+    Output: <key_col>, weekday, n_events, total, chi2, is_seasonal
+    (chi2/is_seasonal repeated on each of the key's 7 rows).
+    """
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    prof = (
+        events.select(key_col, ((day + 3) % 7).alias("weekday"))
+        .groupBy(key_col, "weekday")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = prof.groupBy(key_col).agg(F.sum("n_events").alias("total"))
+    j = prof.join(F.broadcast(tot), key_col)
+    term = F.expr("(7 * n_events - total) * (7 * n_events - total)"
+                  " DIV (7 * total)")
+    chi = j.select(key_col, term.alias("_t")).groupBy(key_col).agg(
+        F.sum("_t").alias("chi2")
+    )
+    return (
+        j.join(F.broadcast(chi), key_col)
+        .select(
+            key_col,
+            "weekday",
+            "n_events",
+            "total",
+            "chi2",
+            (F.col("chi2") >= chi2_threshold).alias("is_seasonal"),
+        )
+    )

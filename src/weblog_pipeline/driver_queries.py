@@ -1468,6 +1468,37 @@ FROM p GROUP BY 1
 """
 
 
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week traffic profile + integer chi-square uniformity flag
+    per event type; weekday via pure epoch-day arithmetic."""
+    from weblog_pipeline.aggregate import weekday_profile
+
+    return weekday_profile(_read(spark, sf_dir, "events"))
+
+
+SQL_WEEKDAY_PROFILE = """
+WITH prof AS (
+  SELECT event_type,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 3) % 7
+           AS weekday,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+        FROM prof GROUP BY 1),
+chi AS (
+  SELECT p.event_type,
+         CAST(SUM((7 * p.n_events - t.total) * (7 * p.n_events - t.total)
+                  // (7 * t.total)) AS BIGINT) AS chi2
+  FROM prof p JOIN tot t USING (event_type)
+  GROUP BY 1
+)
+SELECT p.event_type, p.weekday, p.n_events, t.total, c.chi2,
+       (c.chi2 >= 13) AS is_seasonal
+FROM prof p JOIN tot t USING (event_type) JOIN chi c USING (event_type)
+"""
+
+
 def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily volume anomalies vs the trailing-7-observed-day
     baseline, integer cross-multiplied z-test (z=2)."""
@@ -6976,6 +7007,7 @@ def queries() -> dict:
         "lang_confusion": q_lang_confusion,
         "domain_assortativity": q_domain_assortativity,
         "quota_sample": q_quota_sample,
+        "weekday_profile": q_weekday_profile,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7182,6 +7214,7 @@ def oracle_sql() -> dict:
         "lang_confusion": _sql_lang_confusion(),
         "domain_assortativity": _sql_domain_assortativity(),
         "quota_sample": _sql_quota_sample(),
+        "weekday_profile": SQL_WEEKDAY_PROFILE,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

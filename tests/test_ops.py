@@ -4310,3 +4310,41 @@ def test_media_dhash_gradient_bits(spark):
            media_type="image")]
     )).collect()[0]
     assert one["dhash"] == "0" * 14
+
+
+def test_weekday_profile_chi2(spark):
+    """Epoch-day weekday mapping is calendar-correct (2024-01-01 is a
+    Monday -> 0); a single-weekday key flags seasonal, a uniform one
+    doesn't; chi2 matches the hand-floored sum."""
+    import datetime
+
+    from weblog_pipeline.aggregate import weekday_profile
+
+    rows, eid = [], 0
+    # "flat": exactly 2 events every day for 2 weeks -> chi2 == 0
+    for d in range(14):
+        for _ in range(2):
+            rows.append(Row(event_id=eid, user_id=1, event_type="flat",
+                            ts=datetime.datetime(2024, 1, 1)
+                            + datetime.timedelta(days=d),
+                            value=1.0, props="{}"))
+            eid += 1
+    # "spiky": 14 events, all on Mondays
+    for w in range(2):
+        for _ in range(7):
+            rows.append(Row(event_id=eid, user_id=1, event_type="spiky",
+                            ts=datetime.datetime(2024, 1, 1)
+                            + datetime.timedelta(days=7 * w),
+                            value=1.0, props="{}"))
+            eid += 1
+    got = {
+        (r["event_type"], r["weekday"]): (r["n_events"], r["chi2"],
+                                          r["is_seasonal"])
+        for r in weekday_profile(spark.createDataFrame(rows)).collect()
+    }
+    assert got[("flat", 0)] == (4, 0, False)
+    assert len([k for k in got if k[0] == "flat"]) == 7
+    # spiky: one weekday row (Monday=0), o=14 t=14:
+    # chi2 = (7*14-14)^2 // (7*14) = 7056 // 98 = 72
+    assert got[("spiky", 0)] == (14, 72, True)
+    assert len([k for k in got if k[0] == "spiky"]) == 1
