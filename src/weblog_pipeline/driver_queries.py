@@ -771,6 +771,50 @@ FROM ij GROUP BY 1, 2
 """
 
 
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-free ANN filter: 1-bit-per-dim sign packing, XOR+popcount
+    Hamming distance, two-phase salted top-10 for query vec 0."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(emb, query_id=0, k=10)
+
+
+def _sql_hamming_topk(k: int = 10) -> str:
+    q = float(similarity.IVF_QUANT)
+    return f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+packed AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(1, len(q) + 1),
+      i -> CASE WHEN q[i] >= 0 AND i - 1 < 32
+           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)
+      AS lo,
+    CAST(list_sum(list_transform(range(1, len(q) + 1),
+      i -> CASE WHEN q[i] >= 0 AND i - 1 >= 32
+           THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT)
+      AS hi
+  FROM qv
+),
+qr AS (SELECT lo AS q_lo, hi AS q_hi FROM packed WHERE vec_id = 0),
+sc AS (
+  SELECT p.vec_id,
+         CAST(bit_count(xor(p.lo, q_lo)) + bit_count(xor(p.hi, q_hi))
+              AS BIGINT) AS hamming
+  FROM packed p, qr WHERE p.vec_id <> 0
+),
+r AS (
+  SELECT vec_id, hamming,
+         row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, hamming
+FROM r WHERE rank <= {k}
+"""
+
+
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction by fixed-round integer power iteration
     over the distributed cross-moment matrix; every division sign-split
@@ -7008,6 +7052,7 @@ def queries() -> dict:
         "domain_assortativity": q_domain_assortativity,
         "quota_sample": q_quota_sample,
         "weekday_profile": q_weekday_profile,
+        "hamming_topk": q_hamming_topk,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7215,6 +7260,7 @@ def oracle_sql() -> dict:
         "domain_assortativity": _sql_domain_assortativity(),
         "quota_sample": _sql_quota_sample(),
         "weekday_profile": SQL_WEEKDAY_PROFILE,
+        "hamming_topk": _sql_hamming_topk(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -1217,3 +1217,85 @@ def pca_project(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("score"),
     )
+
+
+def pack_sign_bits(embeddings: DataFrame) -> DataFrame:
+    """64-dim sign signature packed into two 32-bit halves — the
+    1-bit-per-dimension compression under Hamming-distance retrieval
+    (Charikar's sign random projection degenerates to raw coordinate
+    signs for already-whitened embeddings): bit d set iff
+    floor(x_d * quant) >= 0, dims 0-31 in `lo`, 32-63 in `hi` (two
+    BIGINTs so bit 63 never touches the sign bit). Pure zero-shuffle
+    projection — transform's (x, i) index lambda packs in-plan.
+
+    Output: vec_id, lo, hi.
+    """
+    q = float(IVF_QUANT)
+    qv = F.expr(
+        f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {q})"
+        f" AS BIGINT))"
+    )
+    packed = embeddings.select("vec_id", qv.alias("qv")).select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(qv, (x, i) ->"
+            " CASE WHEN x >= 0 AND i < 32 THEN CAST(1 AS BIGINT) << i"
+            " ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(transform(qv, (x, i) ->"
+            " CASE WHEN x >= 0 AND i >= 32 THEN CAST(1 AS BIGINT) << (i - 32)"
+            " ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("hi"),
+    )
+    return packed
+
+
+def hamming_topk(
+    embeddings: DataFrame, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Nearest neighbors by Hamming distance over the packed sign bits —
+    the float-free ANN filter: 64 dims become 16 bytes, distance is two
+    XOR+popcount instructions, and the whole scan stays in whole-stage
+    codegen (no Pandas, no dot products). The standard role at scale is
+    the cheap first-pass filter ahead of an exact re-rank (pq_adc_topk's
+    nomination pattern); here it is exposed directly with the corpus's
+    packed signature as both sides.
+
+    The query's two words broadcast as a 1-row cross join; the top-k cut
+    is the shared two-phase salted rank (ties on vec_id asc).
+
+    Output: rank, vec_id, hamming.
+    """
+    packed = pack_sign_bits(embeddings)
+    qrow = packed.where(F.col("vec_id") == query_id).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    scored = (
+        packed.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.lit(query_id).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    order = [F.col("hamming").asc(), F.col("neighbor_id").asc()]
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS))
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    partial = (
+        scored.withColumn("salt", salt)
+        .withColumn("pr", F.row_number().over(w1))
+        .where(F.col("pr") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("rank", F.col("neighbor_id").alias("vec_id"), "hamming")
+    )

@@ -4348,3 +4348,40 @@ def test_weekday_profile_chi2(spark):
     # chi2 = (7*14-14)^2 // (7*14) = 7056 // 98 = 72
     assert got[("spiky", 0)] == (14, 72, True)
     assert len([k for k in got if k[0] == "spiky"]) == 1
+
+
+def test_hamming_topk_matches_python_twin(spark):
+    """Packed sign bits and Hamming ranks match a bit-for-bit python
+    twin; the query's own row is excluded; identical-sign vector ranks
+    first at distance 0."""
+    from pyspark.sql import Row as R
+
+    from weblog_pipeline.ops.similarity import hamming_topk, pack_sign_bits
+
+    vecs = {
+        0: [0.5, -0.5] * 32,
+        1: [0.9, -0.1] * 32,          # same sign pattern -> hamming 0
+        2: [-0.5, 0.5] * 32,          # fully flipped -> hamming 64
+        3: [0.5] * 64,                # half flipped -> hamming 32
+    }
+    rows = [R(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(vecs.values())]
+    df = spark.createDataFrame(rows)
+
+    def pack(v):
+        lo = hi = 0
+        for i, x in enumerate(v):
+            import math
+            if math.floor(x * 1000.0) >= 0:
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+        return lo, hi
+
+    got_pack = {r["vec_id"]: (r["lo"], r["hi"])
+                for r in pack_sign_bits(df).collect()}
+    assert got_pack == {i: pack(v) for i, v in vecs.items()}
+    got = [(r["rank"], r["vec_id"], r["hamming"])
+           for r in hamming_topk(df, query_id=0, k=3).collect()]
+    assert sorted(got) == [(1, 1, 0), (2, 3, 32), (3, 2, 64)]
