@@ -6999,7 +6999,8 @@ def queries() -> dict:
         # plus the two parity_ canary-grade guards and the 5-method
         # ann_recall refresh. The r7 window is 10 canaries + 2 parity +
         # 38 of these (oldest-added first: freq_spectrum..query_likelihood
-        # land, trimmed_mean..daily_anomalies roll to the r8 window);
+        # land, trimmed_mean..hamming_topk and later additions roll to
+        # the r8 window);
         # update test_canaries_lead_the_correctness_window when rotating:
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
