@@ -4355,6 +4355,45 @@ _ANN_AUDIT_WHERE = f"(vec_id % {ANN_AUDIT_CORPUS_MOD} = 0 OR vec_id % 50 = 0)"
 PQ_RERANK = similarity.PQ_RERANK
 
 
+def _sql_hamming_queries(k: int = 5, corpus_where: str = "") -> str:
+    """SQL twin of similarity.hamming_topk_queries over the audit slice:
+    packed sign halves, XOR+popcount distance, naive per-query rank."""
+    q = float(similarity.IVF_QUANT)
+    where = f"WHERE {corpus_where}" if corpus_where else ""
+    return f"""
+WITH hq AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS qarr
+  FROM embeddings {where}
+),
+hpk AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(1, len(qarr) + 1),
+      i -> CASE WHEN qarr[i] >= 0 AND i - 1 < 32
+           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)
+      AS lo,
+    CAST(list_sum(list_transform(range(1, len(qarr) + 1),
+      i -> CASE WHEN qarr[i] >= 0 AND i - 1 >= 32
+           THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT)
+      AS hi
+  FROM hq
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.hamming ASC, s.neighbor_id ASC)
+           AS rnk
+  FROM (
+    SELECT qs.vec_id AS query_id, p.vec_id AS neighbor_id,
+           bit_count(xor(p.lo, qs.lo)) + bit_count(xor(p.hi, qs.hi))
+             AS hamming
+    FROM hpk p JOIN hpk qs
+      ON qs.vec_id % 50 = 0 AND p.vec_id <> qs.vec_id
+  ) s
+) WHERE rnk <= {k}
+"""
+
+
 def _sql_ann_recall(k: int = 5) -> str:
     """SQL twin of ann_recall: the three ANN result sets as CTEs (each on
     the audit corpus slice), hit counts via equi-joins on (query_id,
@@ -4365,7 +4404,8 @@ lshr AS ({_sql_ann_lsh_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
 ivfr AS ({_sql_ann_ivf_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
 ivfr2 AS ({_sql_ann_ivf_refined_topk(k, corpus_where=_ANN_AUDIT_WHERE)}),
 pqr AS ({_sql_pq_adc_topk(k=k, corpus_where=_ANN_AUDIT_WHERE)}),
-pqr2 AS ({_sql_pq_adc_topk(k=k, corpus_where=_ANN_AUDIT_WHERE, rerank=PQ_RERANK)})
+pqr2 AS ({_sql_pq_adc_topk(k=k, corpus_where=_ANN_AUDIT_WHERE, rerank=PQ_RERANK)}),
+hamr AS ({_sql_hamming_queries(k, corpus_where=_ANN_AUDIT_WHERE)})
 SELECT method, n_true, n_hits, n_hits * 10000 // n_true AS recall_bp
 FROM (
   SELECT 'ivf' AS method,
@@ -4387,6 +4427,10 @@ FROM (
   SELECT 'pq_r' AS method,
          (SELECT COUNT(*) FROM bf) AS n_true,
          (SELECT COUNT(*) FROM bf JOIN pqr2 USING (query_id, neighbor_id)) AS n_hits
+  UNION ALL
+  SELECT 'hamming' AS method,
+         (SELECT COUNT(*) FROM bf) AS n_true,
+         (SELECT COUNT(*) FROM bf JOIN hamr USING (query_id, neighbor_id)) AS n_hits
 )
 """
 
@@ -6892,6 +6936,7 @@ def queries() -> dict:
             ("lsh", similarity.lsh_topk(emb, q, k=5, probe_bits=1)),
             ("pq", similarity.pq_adc_topk(emb, q, k=5)),
             ("pq_r", similarity.pq_adc_topk(emb, q, k=5, rerank=PQ_RERANK)),
+            ("hamming", similarity.hamming_topk_queries(emb, q, k=5)),
         ):
             ap = ap_df.select("query_id", "neighbor_id")
             n_hits = bf.join(ap, ["query_id", "neighbor_id"], "left_semi").agg(

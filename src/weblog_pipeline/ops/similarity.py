@@ -1299,3 +1299,52 @@ def hamming_topk(
         .where(F.col("rank") <= k)
         .select("rank", F.col("neighbor_id").alias("vec_id"), "hamming")
     )
+
+
+def hamming_topk_queries(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Multi-query hamming_topk for the tracked recall audit: queries
+    (query_id, query_vec) pack once and broadcast; the corpus scan
+    scores every (query, vector) pair with XOR+popcount and the shared
+    two-phase salted rank cuts top-k per query.
+
+    Output: query_id, rank, neighbor_id, hamming.
+    """
+    packed = pack_sign_bits(embeddings)
+    qp = pack_sign_bits(
+        queries.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_vec").alias("embedding"),
+        )
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(qp))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    order = [F.col("hamming").asc(), F.col("neighbor_id").asc()]
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS))
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    partial = (
+        scored.withColumn("salt", salt)
+        .withColumn("pr", F.row_number().over(w1))
+        .where(F.col("pr") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+    )
