@@ -162,6 +162,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     timed("ann_topk", ann)
 
+    def ann_hamming():
+        q = embs.where(F.col("vec_id") % 500 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.hamming_topk_queries(embs, q, k=5).count()
+
+    timed("ann_hamming", ann_hamming)
+
     # q7-q9: round-over-round keys for the composed/scale-path operators
     # (same names as the CORRECTNESS queries so regressions line up)
     timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs).count(), runs=2)
@@ -242,6 +250,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             ("pq", similarity.pq_adc_topk(audit, q, k=5)),
             ("pq_r", similarity.pq_adc_topk(audit, q, k=5,
                                             rerank=similarity.PQ_RERANK)),
+            ("hamming", similarity.hamming_topk_queries(audit, q, k=5)),
         )
 
         def hits_of(item):
