@@ -1166,3 +1166,35 @@ def weekday_profile(
             (F.col("chi2") >= chi2_threshold).alias("is_seasonal"),
         )
     )
+
+
+def traffic_rollup(
+    events: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Multi-level traffic rollup — ONE pass producing the (type,
+    weekday) cells, the per-type subtotals, and the grand total, via
+    Spark's ROLLUP operator (Catalyst expands the grouping sets into a
+    single partial-aggregate tree — three separate groupBys would scan
+    the events three times). grouping_id disambiguates the levels; the
+    rolled-up weekday coalesces to -1 and the rolled-up key to 'ALL'
+    (sentinels, not NULLs — the oracle gate rejects nullable integer
+    columns, and sentinels keep the dtypes integral on both engines).
+
+    Output: <key_col>, weekday, gid (0 cell / 1 type subtotal /
+    3 grand total), n_events.
+    """
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    base = events.select(key_col, ((day + 3) % 7).alias("weekday"))
+    return (
+        base.rollup(key_col, "weekday")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.grouping_id().alias("gid"))
+        .select(
+            F.coalesce(F.col(key_col), F.lit("ALL")).alias(key_col),
+            F.coalesce(F.col("weekday"), F.lit(-1)).cast("long").alias(
+                "weekday"
+            ),
+            F.col("gid").cast("long").alias("gid"),
+            "n_events",
+        )
+    )

@@ -1543,6 +1543,29 @@ FROM prof p JOIN tot t USING (event_type) JOIN chi c USING (event_type)
 """
 
 
+def q_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass (type, weekday) ROLLUP with grouping_id and sentinel
+    subtotal keys."""
+    from weblog_pipeline.aggregate import traffic_rollup
+
+    return traffic_rollup(_read(spark, sf_dir, "events"))
+
+
+SQL_TRAFFIC_ROLLUP = """
+WITH base AS (
+  SELECT event_type,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 3) % 7
+           AS weekday
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(weekday, -1) AS BIGINT) AS weekday,
+       CAST(GROUPING(event_type, weekday) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM base GROUP BY ROLLUP (event_type, weekday)
+"""
+
+
 def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily volume anomalies vs the trailing-7-observed-day
     baseline, integer cross-multiplied z-test (z=2)."""
@@ -3543,6 +3566,30 @@ r AS (
 )
 SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id
 FROM r WHERE rank <= {k}
+"""
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard routing audit over 16 shards: in-plan
+    argmax of md5(shard:key), per-shard load shares in bp."""
+    return corpus.shard_assignment(_read(spark, sf_dir, "documents"))
+
+
+def _sql_shard_assignment(n_shards: int = 16) -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id, s.i AS shard,
+         md5(CAST(s.i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents, unnest(range(0, {n_shards})) AS s(i)
+),
+pick AS (SELECT doc_id, arg_max(shard, h) AS shard FROM a GROUP BY 1),
+per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pick GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs,
+       CAST(n_docs * {n_shards} * 10000 // total AS BIGINT) AS load_bp
+FROM per, tot
 """
 
 
@@ -7099,6 +7146,8 @@ def queries() -> dict:
         "quota_sample": q_quota_sample,
         "weekday_profile": q_weekday_profile,
         "hamming_topk": q_hamming_topk,
+        "traffic_rollup": q_traffic_rollup,
+        "shard_assignment": q_shard_assignment,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7307,6 +7356,8 @@ def oracle_sql() -> dict:
         "quota_sample": _sql_quota_sample(),
         "weekday_profile": SQL_WEEKDAY_PROFILE,
         "hamming_topk": _sql_hamming_topk(),
+        "traffic_rollup": SQL_TRAFFIC_ROLLUP,
+        "shard_assignment": _sql_shard_assignment(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

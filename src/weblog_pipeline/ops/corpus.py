@@ -1151,3 +1151,40 @@ def quota_sample(documents: DataFrame, k: int = 100, salt_mod: int = 8) -> DataF
         .where(F.col("rank") <= k)
         .select("lang", "rank", "doc_id")
     )
+
+
+def shard_assignment(
+    documents: DataFrame, n_shards: int = 16, key_col: str = "doc_id"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding audit — the shard
+    router a distributed KV/index layer uses because adding a shard
+    only moves 1/(n+1) of the keys (consistent-hashing property,
+    Thaler & Ravishankar 1998): each key lands on the shard whose
+    md5(shard || ':' || key) is lexicographically greatest, and the
+    audit reports every shard's load share in basis points
+    (10000 = perfectly even).
+
+    Shape: the argmax over shards is a pure in-plan projection —
+    array_max over a transform of the literal shard sequence (md5 hex
+    compares identically in ASCII everywhere) — then one count
+    aggregate over n_shards groups and a broadcast total. No per-key
+    join, no shuffle wider than n_shards rows after the count.
+
+    Output: shard, n_docs, load_bp (n_docs * n_shards * 10000 DIV total).
+    """
+    pick = F.expr(
+        f"array_max(transform(sequence(0, {n_shards - 1}), s -> struct("
+        f"md5(concat(CAST(s AS STRING), ':', CAST({key_col} AS STRING)))"
+        f" AS h, s AS shard))).shard"
+    )
+    per = (
+        documents.select(pick.cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per.agg(F.sum("n_docs").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        F.expr(f"n_docs * {n_shards} * 10000 DIV total").alias("load_bp"),
+    )

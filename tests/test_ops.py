@@ -4385,3 +4385,36 @@ def test_hamming_topk_matches_python_twin(spark):
     got = [(r["rank"], r["vec_id"], r["hamming"])
            for r in hamming_topk(df, query_id=0, k=3).collect()]
     assert sorted(got) == [(1, 1, 0), (2, 3, 32), (3, 2, 64)]
+
+
+def test_shard_assignment_rendezvous_stability(spark):
+    """Every key routes to its python-twin rendezvous winner, and
+    growing the ring from 4 to 5 shards moves ONLY keys whose new
+    winner is the added shard (the consistent-hashing property)."""
+    import hashlib
+
+    from weblog_pipeline.ops.corpus import shard_assignment
+
+    rows = [Row(doc_id=i, text="x", lang="en", source="s", n_chars=1)
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+
+    def winner(i, n):
+        return max(range(n), key=lambda s: hashlib.md5(
+            f"{s}:{i}".encode()).hexdigest())
+
+    got4 = {r["shard"]: r["n_docs"]
+            for r in shard_assignment(df, n_shards=4).collect()}
+    from collections import Counter
+    exp4 = Counter(winner(i, 4) for i in range(200))
+    assert got4 == dict(exp4)
+    # consistent-hashing movement: keys changing shard at n=5 all move
+    # TO shard 4, and their count equals the twin's
+    moved = [i for i in range(200) if winner(i, 5) != winner(i, 4)]
+    assert moved and all(winner(i, 5) == 4 for i in moved)
+    got5 = {r["shard"]: r["n_docs"]
+            for r in shard_assignment(df, n_shards=5).collect()}
+    assert got5[4] == len(moved)
+    # load shares sum to ~n_shards * 10000
+    lb = [r["load_bp"] for r in shard_assignment(df, n_shards=4).collect()]
+    assert abs(sum(lb) - 40000) <= 4
