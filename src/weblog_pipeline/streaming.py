@@ -601,3 +601,68 @@ def anomaly_stream(events: DataFrame, z: int = 2,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def touch_conversion_join(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window_s: int = 7 * 86400,
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join — the Structured
+    Streaming operator family the stateful ops don't exercise: the
+    touch stream joins the conversion stream of the SAME source on
+    user_id with the as-of range condition
+
+        conv_ts - window <= touch_ts < conv_ts        (strictly earlier)
+
+    Both sides carry watermarks, so Spark can bound the join state: a
+    touch row is dropped from state once the conversion watermark
+    passes touch_ts + window (this is THE reason stream-stream joins
+    require event-time bounds — unbounded conditions would accumulate
+    every touch forever). Emits every in-window (touch, conversion)
+    pair (append-safe); the last-touch winner is a downstream
+    per-conversion max — attribution_stateful is the fused alternative
+    when only the winner matters.
+
+    Output: conv_id, user_id, touch_id, touch_type, delta_us.
+    """
+    touches = (
+        events.where(F.col("event_type").isin(*touch_types))
+        .select(
+            F.col("event_id").alias("touch_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("event_type").alias("touch_type"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    convs = (
+        events.where(F.col("event_type") == conversion_type)
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = touches.join(
+        convs,
+        (F.col("t_user") == F.col("c_user"))
+        & (F.col("t_ts") < F.col("c_ts"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr(
+            f"INTERVAL {window_s} SECONDS"
+        )),
+        "inner",
+    )
+    return joined.select(
+        "conv_id",
+        F.col("c_user").alias("user_id"),
+        "touch_id",
+        "touch_type",
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("t_ts").cast("timestamp_ltz"))
+        ).alias("delta_us"),
+    )

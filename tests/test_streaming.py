@@ -662,3 +662,65 @@ def test_anomaly_stream_equals_batch_twin(spark, tmp_path):
     assert got == expected
     spike_day = [k for k, v in got.items() if v[3]]
     assert len(spike_day) == 1 and got[spike_day[0]][0] == 60
+
+
+def test_touch_conversion_join_stream_stream(spark, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    in-window strictly-earlier (touch, conversion) pairs across two
+    micro-batches — including a cross-batch pair (touch in batch 1,
+    conversion in batch 2), proving join state survives batches."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.streaming import touch_conversion_join
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0)
+
+    def ev(eid, dt_min, user, etype):
+        return Row(event_id=eid, ts=t0 + datetime.timedelta(minutes=dt_min),
+                   user_id=user, event_type=etype, value=1.0)
+
+    f1 = [
+        ev(0, 0, 1, "view"),
+        ev(1, 5, 1, "click"),
+        ev(2, 10, 1, "purchase"),   # pairs with touches 0 and 1
+        ev(3, 0, 2, "view"),        # user 2: touch only (conv in batch 2)
+        ev(4, 10, 3, "purchase"),   # user 3: conversion with NO touch
+    ]
+    f2 = [
+        ev(5, 30, 2, "purchase"),   # cross-batch pair with touch 3
+        ev(6, 40, 1, "view"),       # touch after user 1's conv: no pair
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(inp + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp + "/*")
+    )
+    q = (
+        touch_conversion_join(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["touch_id"]): (r["user_id"], r["touch_type"],
+                                        r["delta_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (2, 0): (1, "view", 10 * 60 * 1_000_000),
+        (2, 1): (1, "click", 5 * 60 * 1_000_000),
+        (5, 3): (2, "view", 30 * 60 * 1_000_000),
+    }
