@@ -2030,6 +2030,34 @@ WHERE 10000 * i.n_intersect // least(za.n, zb.n) >= {min_bp}
 """
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact >= 50% shingle-Jaccard pairs via PPJoin prefix filtering;
+    the oracle recomputes from the NAIVE share-any-shingle join, so a
+    broken prefix bound (false negative) mismatches."""
+    return dedup.setsim_join(_read(spark, sf_dir, "documents"))
+
+
+def _sql_setsim_join(jaccard_pct: int = 50) -> str:
+    return f"""
+WITH {_shingle_cte("documents").lstrip()},
+sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_intersect
+  FROM sets a JOIN sets b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_intersect AS BIGINT) AS n_intersect,
+       CAST(za.n + zb.n - i.n_intersect AS BIGINT) AS n_union
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE 100 * i.n_intersect >= {jaccard_pct} * (za.n + zb.n - i.n_intersect)
+"""
+
+
 def _sql_split_leakage(jaccard_pct: int = 80) -> str:
     return f"""
 WITH {_PLANTED_CTE},
@@ -7148,6 +7176,7 @@ def queries() -> dict:
         "hamming_topk": q_hamming_topk,
         "traffic_rollup": q_traffic_rollup,
         "shard_assignment": q_shard_assignment,
+        "setsim_join": q_setsim_join,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7358,6 +7387,7 @@ def oracle_sql() -> dict:
         "hamming_topk": _sql_hamming_topk(),
         "traffic_rollup": SQL_TRAFFIC_ROLLUP,
         "shard_assignment": _sql_shard_assignment(),
+        "setsim_join": _sql_setsim_join(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -841,3 +841,67 @@ def lsh_dedup_quality(
             " AS precision_bp",
         )
     )
+
+
+def setsim_join(documents: DataFrame, jaccard_pct: int = 50) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (the PPJoin family,
+    Xiao et al. 2008) — every pair of documents whose shingle-set
+    Jaccard is >= jaccard_pct, with NO false negatives: the exact
+    answer MinHash-LSH only approximates, at the cost of an exact
+    candidate bound instead of a probabilistic one.
+
+    The filter: order all shingles globally by (df asc, shingle asc) —
+    rarest first — and keep each doc's PREFIX of length
+    n - ceil(t*n) + 1. If J(A,B) >= t then |A∩B| >= ceil(t*|A|), so by
+    pigeonhole the globally-smallest intersection element sits inside
+    BOTH prefixes — the prefix-prefix equi-join on the shingle is a
+    complete candidate generator. Because prefixes hold each doc's
+    RAREST shingles, candidate buckets stay small exactly where the
+    corpus is hot (the inverse of a boilerplate join).
+
+    Shapes: df is one aggregate; prefix selection is a row_number over
+    the (doc_id) partition — a bounded per-doc stratum; the candidate
+    join keys on rare shingles; verification is the single-derivation
+    role-tagged frame. Output: doc_a, doc_b, n_intersect, n_union
+    (exactly the >= t pairs; the oracle recomputes them from the naive
+    share-any-shingle join, so a broken prefix bound mismatches).
+    """
+    from pyspark.sql import Window
+
+    sets = documents.select("doc_id", lower_tokens_col().alias("_w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
+            "shingle"
+        ),
+    )
+    df_tbl = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sets.join(df_tbl, "shingle")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    w_n = Window.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .where(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(f"({jaccard_pct} * n + 99) DIV 100")
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verify(documents, cand)
+    return verified.where(
+        100 * F.col("n_intersect") >= jaccard_pct * F.col("n_union")
+    )

@@ -4418,3 +4418,41 @@ def test_shard_assignment_rendezvous_stability(spark):
     # load shares sum to ~n_shards * 10000
     lb = [r["load_bp"] for r in shard_assignment(df, n_shards=4).collect()]
     assert abs(sum(lb) - 40000) <= 4
+
+
+def test_setsim_join_exact_no_false_negatives(spark):
+    """The prefix-filtered join returns EXACTLY the brute-force >= t
+    shingle-Jaccard pairs on a corpus with near-dups, a sub-threshold
+    pair, and unrelated docs."""
+    from itertools import combinations
+
+    from weblog_pipeline.ops.dedup import setsim_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,
+        1: base + " lambda",                    # near-dup of 0
+        2: base.replace("gamma", "mu"),         # near-dup of 0 (subst)
+        3: "one two three four five six seven eight nine ten",
+        4: "one two three four five xx yy zz ww vv",   # ~ below 50% vs 3
+        5: "totally different words here in this document now ok",
+    }
+    rows = [Row(doc_id=k, text=v) for k, v in texts.items()]
+
+    def shingles(t):
+        w = t.lower().split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    expected = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        i, u = len(sa & sb), len(sa | sb)
+        if 100 * i >= 50 * u:
+            expected[(a, b)] = (i, u)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_intersect"], r["n_union"])
+        for r in setsim_join(spark.createDataFrame(rows)).collect()
+    }
+    assert got == expected
+    assert (0, 1) in got and (3, 4) not in got
