@@ -2282,6 +2282,30 @@ FROM nd
 """
 
 
+def q_typosquat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look-alike host pairs within 1 edit over the planted link graph,
+    length-blocked candidates (complete for dist<=1), built-in
+    levenshtein."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.typosquat_pairs(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_typosquat_pairs(max_dist: int = 1) -> str:
+    return f"""
+WITH {_links_cte()},
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges
+  )
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(levenshtein(a.host, b.host) AS BIGINT) AS dist
+FROM hosts a JOIN hosts b ON a.host < b.host
+WHERE levenshtein(a.host, b.host) <= {max_dist}
+"""
+
+
 #: RRF hybrid-retrieval parameters: depth of each input top-R list and
 #: the embedding row serving as the query vector — shared with the SQL
 #: oracle.
@@ -7177,6 +7201,7 @@ def queries() -> dict:
         "traffic_rollup": q_traffic_rollup,
         "shard_assignment": q_shard_assignment,
         "setsim_join": q_setsim_join,
+        "typosquat_pairs": q_typosquat_pairs,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7388,6 +7413,7 @@ def oracle_sql() -> dict:
         "traffic_rollup": SQL_TRAFFIC_ROLLUP,
         "shard_assignment": _sql_shard_assignment(),
         "setsim_join": _sql_setsim_join(),
+        "typosquat_pairs": _sql_typosquat_pairs(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -4456,3 +4456,40 @@ def test_setsim_join_exact_no_false_negatives(spark):
     }
     assert got == expected
     assert (0, 1) in got and (3, 4) not in got
+
+
+def test_typosquat_pairs_blocking_complete(spark):
+    """Substitution, deletion, and insertion neighbors at dist 1 are all
+    found (length blocking is complete for dist <= 1); dist-2 pairs are
+    not; output matches a python-Levenshtein twin."""
+    from weblog_pipeline.ops.graph import typosquat_pairs
+
+    hosts = ["paypal.com", "paypa1.com", "payal.com", "paypall.com",
+             "google.com", "goggle.com", "example.org"]
+    rows = [Row(src_host=h, dst_host="example.org", n_links=1)
+            for h in hosts]
+    got = {
+        (r["host_a"], r["host_b"]): r["dist"]
+        for r in typosquat_pairs(spark.createDataFrame(rows)).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[-1]
+
+    from itertools import combinations
+    exp = {
+        (a, b): lev(a, b)
+        for a, b in combinations(sorted(set(hosts)), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == exp
+    assert ("paypa1.com", "paypal.com") in got      # substitution
+    assert ("payal.com", "paypal.com") in got       # deletion
+    assert ("paypal.com", "paypall.com") in got     # insertion
+    assert ("payal.com", "paypall.com") not in got  # dist 2
