@@ -918,13 +918,19 @@ def trimmed_mean(
     lo = (trim*n + 99) DIV 100 and hi = ((100-trim)*n) DIV 100 — pure
     integer thresholds on the cumulative histogram. Values enter as
     floor(value*100) cents (one IEEE multiply + floor, bit-identical),
-    so the trimmed mean is an integer DIV of exact integers.
+    so the trimmed mean is an integer DIV of exact integers. When the
+    trim empties the histogram (a key whose mass sits in one or two
+    buckets), the op FALLS BACK to the raw mean — a 0 sentinel would
+    read as a fabricated metric downstream. NULL values are excluded
+    up front (a NULL bucket would also sort differently across
+    engines: Spark NULLS FIRST vs DuckDB NULLS LAST).
 
-    Shape: one events scan into a (key, bucket) map-side-combined
+    Shape: ONE events scan into a (key, bucket) map-side-combined
     count+sum histogram; the cumulative window and a per-key total
     window run over the AGGREGATED histogram (the value_percentiles
     discipline) — shuffle volume after the first aggregate is the
-    histogram size, independent of event count.
+    histogram size, independent of event count, and the raw mean reads
+    off the same totals (no second scan, no join).
 
     Output: <key_col>, n_events, n_kept, sum_kept_c (BIGINT),
     trimmed_mean_c, raw_mean_c (BIGINT, integer cents).
@@ -934,7 +940,8 @@ def trimmed_mean(
     b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int")
     cents = F.floor(F.col(value_col) * 100).cast("long")
     hist = (
-        events.select(key_col, b.alias("bucket"), cents.alias("_c"))
+        events.where(F.col(value_col).isNotNull())
+        .select(key_col, b.alias("bucket"), cents.alias("_c"))
         .groupBy(key_col, "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -970,17 +977,17 @@ def trimmed_mean(
         F.coalesce(
             F.sum(F.when(F.col("_keep"), F.col("s"))), F.lit(0)
         ).alias("sum_kept_c"),
+        F.max("s_total").alias("_s_total"),
     ).select(
         key_col,
         "n_events",
         "n_kept",
         "sum_kept_c",
-        F.expr("sum_kept_c DIV greatest(n_kept, 1)").alias("trimmed_mean_c"),
-    ).join(
-        events.select(key_col, cents.alias("_c"))
-        .groupBy(key_col)
-        .agg(F.expr("sum(_c) DIV count(1)").alias("raw_mean_c")),
-        key_col,
+        F.expr(
+            "CASE WHEN n_kept > 0 THEN sum_kept_c DIV n_kept"
+            " ELSE _s_total DIV greatest(n_events, 1) END"
+        ).alias("trimmed_mean_c"),
+        F.expr("_s_total DIV greatest(n_events, 1)").alias("raw_mean_c"),
     )
 
 
@@ -1136,8 +1143,16 @@ def weekday_profile(
     7-term sum is order-free). is_seasonal flags chi2 >= threshold
     (~the df=6, alpha=.05 critical value 12.59 rounded up).
 
+    The chi-square sum runs over ALL SEVEN cells, including weekdays
+    with zero events — a 6-day cron pattern's signal lives almost
+    entirely in its silent day's (0-e)^2/e term, so summing only the
+    observed cells would systematically under-score exactly the
+    patterns this monitor exists to catch. The emitted profile likewise
+    carries the zero rows.
+
     Shape: one scan into a (key, weekday) map-side-combined count; the
-    totals ride a second aggregate over the 7-row-per-key profile.
+    7-cell grid comes from exploding a literal sequence against the
+    per-key totals (keys x 7 rows, trivially small at any event count).
 
     Output: <key_col>, weekday, n_events, total, chi2, is_seasonal
     (chi2/is_seasonal repeated on each of the key's 7 rows).
@@ -1149,14 +1164,27 @@ def weekday_profile(
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     tot = prof.groupBy(key_col).agg(F.sum("n_events").alias("total"))
-    j = prof.join(F.broadcast(tot), key_col)
+    grid = tot.select(
+        key_col,
+        "total",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(6).cast("long")))
+        .alias("weekday"),
+    )
+    full = grid.join(prof, [key_col, "weekday"], "left").select(
+        key_col,
+        "weekday",
+        "total",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+    )
     term = F.expr("(7 * n_events - total) * (7 * n_events - total)"
                   " DIV (7 * total)")
-    chi = j.select(key_col, term.alias("_t")).groupBy(key_col).agg(
+    chi = full.select(key_col, term.alias("_t")).groupBy(key_col).agg(
         F.sum("_t").alias("chi2")
     )
     return (
-        j.join(F.broadcast(chi), key_col)
+        full.join(F.broadcast(chi), key_col)
         .select(
             key_col,
             "weekday",

@@ -1350,17 +1350,18 @@ WITH h AS (
   SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bucket,
          COUNT(*) AS n,
          CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 c AS (
   SELECT event_type, n, s,
          SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
                       ROWS UNBOUNDED PRECEDING) AS cum,
-         SUM(n) OVER (PARTITION BY event_type) AS n_total
+         SUM(n) OVER (PARTITION BY event_type) AS n_total,
+         SUM(s) OVER (PARTITION BY event_type) AS s_total
   FROM h
 ),
 k AS (
-  SELECT event_type, n, s, n_total,
+  SELECT event_type, n, s, n_total, s_total,
          (cum - n >= (5 * n_total + 99) // 100
           AND cum <= (95 * n_total) // 100) AS keep
   FROM c
@@ -1371,18 +1372,16 @@ g AS (
          COALESCE(CAST(SUM(CASE WHEN keep THEN n END) AS BIGINT), 0)
            AS n_kept,
          COALESCE(CAST(SUM(CASE WHEN keep THEN s END) AS BIGINT), 0)
-           AS sum_kept_c
+           AS sum_kept_c,
+         CAST(MAX(s_total) AS BIGINT) AS s_total
   FROM k GROUP BY 1
-),
-r AS (
-  SELECT event_type,
-         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-           // COUNT(*) AS raw_mean_c
-  FROM events GROUP BY 1
 )
-SELECT g.event_type, n_events, n_kept, sum_kept_c,
-       sum_kept_c // greatest(n_kept, 1) AS trimmed_mean_c, r.raw_mean_c
-FROM g JOIN r USING (event_type)
+SELECT event_type, n_events, n_kept, sum_kept_c,
+       CAST(CASE WHEN n_kept > 0 THEN sum_kept_c // n_kept
+            ELSE s_total // greatest(n_events, 1) END AS BIGINT)
+         AS trimmed_mean_c,
+       CAST(s_total // greatest(n_events, 1) AS BIGINT) AS raw_mean_c
+FROM g
 """
 
 
@@ -1530,16 +1529,25 @@ WITH prof AS (
 ),
 tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
         FROM prof GROUP BY 1),
+grid AS (
+  SELECT t.event_type, t.total, CAST(w.i AS BIGINT) AS weekday
+  FROM tot t, unnest(range(0, 7)) AS w(i)
+),
+fullg AS (
+  SELECT g.event_type, g.weekday, g.total,
+         CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN prof p
+    ON p.event_type = g.event_type AND p.weekday = g.weekday
+),
 chi AS (
-  SELECT p.event_type,
-         CAST(SUM((7 * p.n_events - t.total) * (7 * p.n_events - t.total)
-                  // (7 * t.total)) AS BIGINT) AS chi2
-  FROM prof p JOIN tot t USING (event_type)
-  GROUP BY 1
+  SELECT event_type,
+         CAST(SUM((7 * n_events - total) * (7 * n_events - total)
+                  // (7 * total)) AS BIGINT) AS chi2
+  FROM fullg GROUP BY 1
 )
-SELECT p.event_type, p.weekday, p.n_events, t.total, c.chi2,
+SELECT f.event_type, f.weekday, f.n_events, f.total, c.chi2,
        (c.chi2 >= 13) AS is_seasonal
-FROM prof p JOIN tot t USING (event_type) JOIN chi c USING (event_type)
+FROM fullg f JOIN chi c USING (event_type)
 """
 
 

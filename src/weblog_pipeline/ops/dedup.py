@@ -228,6 +228,21 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_sets(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) DISTINCT shingle-set frame — the single
+    derivation jaccard_verify / containment_verify / containment_pairs /
+    setsim_join all share (token array materialized per the
+    shingles_over CSE contract)."""
+    return documents.select(
+        "doc_id", lower_tokens_col().alias("_w")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
+            "shingle"
+        ),
+    )
+
+
 def jaccard_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, as integer
     (intersection, union) counts — float-free and hash-stable.
@@ -238,15 +253,7 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     intersection together. The naive shape (separate a-join, b-join, and
     sizes join) scans and re-explodes the corpus three times — at 100 TB
     that is two full scans too many."""
-    sets = (
-        documents.select("doc_id", lower_tokens_col().alias("_w"))
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
-                "shingle"
-            ),
-        )
-    )
+    sets = _shingle_sets(documents)
     roles = pairs.select(
         "doc_a",
         "doc_b",
@@ -357,15 +364,7 @@ def containment_verify(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     Same single-derivation frame as jaccard_verify: pairs explode into
     role-tagged rows, ONE equi-join on doc_id pulls both docs' shingles,
     two aggregations produce intersection and sizes together."""
-    sets = (
-        documents.select("doc_id", lower_tokens_col().alias("_w"))
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
-                "shingle"
-            ),
-        )
-    )
+    sets = _shingle_sets(documents)
     roles = pairs.select(
         "doc_a",
         "doc_b",
@@ -416,15 +415,7 @@ def containment_pairs(
 
     Output: doc_a, doc_b, n_intersect, n_a, n_b, containment_bp.
     """
-    sets = (
-        documents.select("doc_id", lower_tokens_col().alias("_w"))
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
-                "shingle"
-            ),
-        )
-    )
+    sets = _shingle_sets(documents)
     rare = (
         sets.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -868,12 +859,7 @@ def setsim_join(documents: DataFrame, jaccard_pct: int = 50) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    sets = documents.select("doc_id", lower_tokens_col().alias("_w")).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_over(F.col("_w")))).alias(
-            "shingle"
-        ),
-    )
+    sets = _shingle_sets(documents)
     df_tbl = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sets.join(df_tbl, "shingle")
     w = Window.partitionBy("doc_id").orderBy(

@@ -490,6 +490,23 @@ def label_propagation(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     )
 
 
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrized DISTINCT neighbor pairs (s, t) of the undirected
+    domain graph: self-loops dropped, both orientations emitted — the
+    single definition k_core / triangle_count / degree_assortativity
+    share (label_propagation keeps its own WEIGHTED symmetrization)."""
+    e = edges.where(F.col("src_host") != F.col("dst_host"))
+    return (
+        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
+        .unionByName(
+            e.select(
+                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
+            )
+        )
+        .distinct()
+    )
+
+
 KCORE_K = 2
 KCORE_ITERS = 4
 
@@ -514,17 +531,9 @@ def k_core(
 
     Output: host, degree (BIGINT, within the final induced subgraph).
     """
-    e = edges.where(F.col("src_host") != F.col("dst_host"))
-    sym = (
-        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
-        .unionByName(
-            e.select(
-                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
-            )
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    if iters < 1:
+        raise ValueError(f"k_core needs iters >= 1, got {iters}")
+    sym = _sym_edges(edges).localCheckpoint()
     alive = sym.select(F.col("s").alias("host")).distinct().localCheckpoint()
     deg = None
     for _ in range(iters):
@@ -561,16 +570,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Output: host, n_triangles (BIGINT).
     """
-    e = edges.where(F.col("src_host") != F.col("dst_host"))
-    sym = (
-        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
-        .unionByName(
-            e.select(
-                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
-            )
-        )
-        .distinct()
-    )
+    sym = _sym_edges(edges)
     deg = sym.groupBy(F.col("s").alias("host")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -637,16 +637,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
     Output (one row): n_edges, sx, sxy, sxx, r_sign, r2_bp.
     """
-    e = edges.where(F.col("src_host") != F.col("dst_host"))
-    sym = (
-        e.select(F.col("src_host").alias("s"), F.col("dst_host").alias("t"))
-        .unionByName(
-            e.select(
-                F.col("dst_host").alias("s"), F.col("src_host").alias("t")
-            )
-        )
-        .distinct()
-    )
+    sym = _sym_edges(edges)
     deg = sym.groupBy(F.col("s").alias("host")).agg(
         F.count(F.lit(1)).alias("d")
     )

@@ -1269,35 +1269,12 @@ def hamming_topk(
 
     Output: rank, vec_id, hamming.
     """
-    packed = pack_sign_bits(embeddings)
-    qrow = packed.where(F.col("vec_id") == query_id).select(
-        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    q = embeddings.where(F.col("vec_id") == query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
     )
-    scored = (
-        packed.where(F.col("vec_id") != query_id)
-        .crossJoin(F.broadcast(qrow))
-        .select(
-            F.lit(query_id).cast("long").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
-                + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
-            ).cast("long").alias("hamming"),
-        )
-    )
-    order = [F.col("hamming").asc(), F.col("neighbor_id").asc()]
-    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALT_BUCKETS))
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
-    partial = (
-        scored.withColumn("salt", salt)
-        .withColumn("pr", F.row_number().over(w1))
-        .where(F.col("pr") <= k)
-    )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        partial.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("rank", F.col("neighbor_id").alias("vec_id"), "hamming")
+    return hamming_topk_queries(embeddings, q, k=k).select(
+        "rank", F.col("neighbor_id").alias("vec_id"), "hamming"
     )
 
 

@@ -3671,6 +3671,8 @@ def test_trimmed_mean_against_python_twin(spark):
         "a": [float(i) % 37.5 + 1.25 for i in range(20)] + [990.0],
         # too few events to trim anything: lo=1 -> first bucket whole
         "b": [5.0, 15.0, 25.0],
+        # single-bucket key: trim empties the histogram -> raw fallback
+        "c": [5.0, 5.5, 6.0],
     }
     rows = [
         Row(event_id=i, event_type=k, value=v)
@@ -3697,7 +3699,8 @@ def test_trimmed_mean_against_python_twin(spark):
                 n_kept += n
                 sum_kept += s
         raw = sum(math.floor(v * 100) for v in vs) // total
-        return (total, n_kept, sum_kept, sum_kept // max(n_kept, 1), raw)
+        trm = sum_kept // n_kept if n_kept else raw
+        return (total, n_kept, sum_kept, trm, raw)
 
     got = {
         r["event_type"]: (
@@ -3709,6 +3712,8 @@ def test_trimmed_mean_against_python_twin(spark):
     assert got == {k: twin(vs) for k, vs in vals.items()}
     # the whale must actually be trimmed for "a"
     assert got["a"][3] < got["a"][4]
+    # single-bucket key: n_kept 0, trimmed falls back to the raw mean
+    assert got["c"][1] == 0 and got["c"][3] == got["c"][4] == 550
 
 
 def test_passage_fingerprints_against_python_twin(spark):
@@ -4344,10 +4349,30 @@ def test_weekday_profile_chi2(spark):
     }
     assert got[("flat", 0)] == (4, 0, False)
     assert len([k for k in got if k[0] == "flat"]) == 7
-    # spiky: one weekday row (Monday=0), o=14 t=14:
-    # chi2 = (7*14-14)^2 // (7*14) = 7056 // 98 = 72
-    assert got[("spiky", 0)] == (14, 72, True)
-    assert len([k for k in got if k[0] == "spiky"]) == 1
+    # spiky: every key emits ALL 7 cells; Monday holds all 14 events and
+    # the six silent days contribute their (7*0-14)^2 // (7*14) = 2 each:
+    # chi2 = (7*14-14)^2 // 98 + 6 * 2 = 72 + 12 = 84
+    assert got[("spiky", 0)] == (14, 84, True)
+    assert got[("spiky", 3)] == (0, 84, True)
+    assert len([k for k in got if k[0] == "spiky"]) == 7
+    # the review's 6-day cron pattern: present-day terms alone would sum
+    # to 12 < 13 and MISS the flag; the silent day's term must flag it
+    import datetime as _dt
+    cron = [
+        Row(event_id=10_000 + 120 * d + i, user_id=9, event_type="cron",
+            ts=_dt.datetime(2024, 1, 1) + _dt.timedelta(days=d), value=1.0,
+            props="{}")
+        for d in range(6)            # Mon..Sat only, two weeks would be
+        for i in range(120)          # identical — one week suffices
+    ]
+    got_cron = {
+        r["weekday"]: (r["n_events"], r["chi2"], r["is_seasonal"])
+        for r in weekday_profile(
+            spark.createDataFrame(cron)
+        ).collect()
+    }
+    assert got_cron[6][0] == 0 and got_cron[6][2] is True
+    assert got_cron[0][1] >= 100  # the silent Sunday dominates the score
 
 
 def test_hamming_topk_matches_python_twin(spark):
