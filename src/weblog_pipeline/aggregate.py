@@ -1226,3 +1226,34 @@ def traffic_rollup(
             "n_events",
         )
     )
+
+
+def props_schema_census(events: DataFrame) -> DataFrame:
+    """Schema inference over the semi-structured props JSON — the audit
+    that tells you what keys actually flow through an event stream and
+    whether their values are still integers before anything downstream
+    hard-codes a type: per (event_type, key) the occurrence count and
+    how many values are integer-shaped.
+
+    Portability: the JSON explodes via from_json to map<string,string>
+    (the oracle uses json_each) and the integer test is a shared
+    '^-?[0-9]+$' regex on the value's string form — bare digits in both
+    engines for JSON numbers, quoted (hence non-matching) for JSON
+    strings, so the flag agrees without a cross-engine type system.
+
+    Shape: one scan, explode bounded by keys-per-object, one map-side-
+    combined (type, key) aggregate — output bounded by the real schema
+    size, never the event count.
+
+    Output: event_type, key, n, n_int.
+    """
+    kv = events.where(F.col("props").isNotNull()).select(
+        "event_type",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "value"),
+    )
+    return kv.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value").rlike("^-?[0-9]+$")).alias("n_int"),
+    )

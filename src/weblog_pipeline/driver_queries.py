@@ -1551,6 +1551,53 @@ FROM fullg f JOIN chi c USING (event_type)
 """
 
 
+def q_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema inference over props with PLANTED extra keys (every
+    3rd event gains a string key, every 5th a negative-int key — the
+    base fixture only ever carries integer 'k')."""
+    from weblog_pipeline.aggregate import props_schema_census
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.replace(F.col("props"), F.lit("}"), F.lit(',"src":"web"}')),
+        )
+        .when(
+            F.col("event_id") % 5 == 0,
+            F.replace(F.col("props"), F.lit("}"), F.lit(',"n2":-7}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return props_schema_census(ev)
+
+
+SQL_PROPS_SCHEMA_CENSUS = """
+WITH planted AS (
+  SELECT event_type,
+         CASE WHEN event_id % 3 = 0
+              THEN replace(props, '}', ',"src":"web"}')
+              WHEN event_id % 5 = 0
+              THEN replace(props, '}', ',"n2":-7}')
+              ELSE props END AS props
+  FROM events WHERE props IS NOT NULL
+),
+kv AS (
+  SELECT event_type, unnest(json_keys(props)) AS key, props FROM planted
+),
+kvv AS (
+  SELECT event_type, key,
+         json_extract_string(props, '$."' || key || '"') AS value
+  FROM kv
+)
+SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE regexp_full_match(value, '-?[0-9]+'))
+            AS BIGINT) AS n_int
+FROM kvv GROUP BY 1, 2
+"""
+
+
 def q_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass (type, weekday) ROLLUP with grouping_id and sentinel
     subtotal keys."""
@@ -7210,6 +7257,7 @@ def queries() -> dict:
         "shard_assignment": q_shard_assignment,
         "setsim_join": q_setsim_join,
         "typosquat_pairs": q_typosquat_pairs,
+        "props_schema_census": q_props_schema_census,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7422,6 +7470,7 @@ def oracle_sql() -> dict:
         "shard_assignment": _sql_shard_assignment(),
         "setsim_join": _sql_setsim_join(),
         "typosquat_pairs": _sql_typosquat_pairs(),
+        "props_schema_census": SQL_PROPS_SCHEMA_CENSUS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -4518,3 +4518,27 @@ def test_typosquat_pairs_blocking_complete(spark):
     assert ("payal.com", "paypal.com") in got       # deletion
     assert ("paypal.com", "paypall.com") in got     # insertion
     assert ("payal.com", "paypall.com") not in got  # dist 2
+
+
+def test_props_schema_census(spark):
+    """Key census per event type with the integer-shape flag: bare JSON
+    numbers (incl. negatives) count as int, strings and floats do not;
+    NULL/invalid props rows drop."""
+    from weblog_pipeline.aggregate import props_schema_census
+
+    rows = [
+        Row(event_id=0, event_type="a", props='{"k": 1, "s": "x"}'),
+        Row(event_id=1, event_type="a", props='{"k": -7}'),
+        Row(event_id=2, event_type="a", props='{"k": 1.5}'),
+        Row(event_id=3, event_type="b", props='{"s": "9"}'),
+        Row(event_id=4, event_type="b", props=None),
+    ]
+    got = {
+        (r["event_type"], r["key"]): (r["n"], r["n_int"])
+        for r in props_schema_census(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {
+        ("a", "k"): (3, 2),   # 1 and -7 int-shaped; 1.5 not
+        ("a", "s"): (1, 0),
+        ("b", "s"): (1, 1),   # "9" decodes to bare 9 in the string map
+    }
