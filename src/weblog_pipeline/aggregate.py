@@ -1257,3 +1257,82 @@ def props_schema_census(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("value").rlike("^-?[0-9]+$")).alias("n_int"),
     )
+
+
+def cusum_alerts(
+    events: DataFrame,
+    allowance_den: int = 4,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM change-point alerts on each key's daily-count series — the
+    control-chart complement to daily_anomalies (which flags single-day
+    spikes against a trailing window): CUSUM accumulates SMALL persistent
+    upward shifts that no single day would trip, the classic detector
+    for a slow-ramp bot, a retry storm, or a misdeployed client.
+
+    The textbook recurrence S_i = max(0, S_{i-1} + x_i - k) is
+    sequential, which is poison for a distributed engine — but it has an
+    exact closed form over prefix sums:
+
+        S_i = P_i - min(0, min_{j<=i} P_j),   P_i = sum_{t<=i}(x_t - k)
+
+    so the whole chart is two ordered window functions (prefix SUM and
+    running MIN), no recursion, no UDF. Everything stays integral by
+    scaling through n_days: the zero-mean deviation is
+    d_i = n_days*x_i - total (sums to 0 exactly), the slack is
+    total DIV allowance_den (= n_days * mean/allowance_den), and the
+    alarm threshold is one full mean-day of cumulative excess,
+    cusum > total — no floats, no division remainder games,
+    bit-identical across engines.
+
+    Scale shape: ONE raw-event scan collapses to the (key, day) series
+    via a map-side-combined count; the per-key totals ride an
+    unordered window over that aggregated series and the prefix
+    sum/min ride an ordered one — the value_percentiles discipline
+    (window work is keys x days, independent of event volume).
+
+    Output: <key_col>, day, n_events, cusum (scaled by n_days),
+    is_alarm.
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    daily = (
+        events.select(key_col, day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w_key = Window.partitionBy(key_col)
+    w_ord = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = daily.select(
+        key_col,
+        "day",
+        "n_events",
+        F.sum("n_events").over(w_key).alias("_total"),
+        F.count(F.lit(1)).over(w_key).alias("_ndays"),
+    ).withColumn(
+        "_step",
+        F.col("_ndays") * F.col("n_events")
+        - F.col("_total")
+        - F.expr(f"_total DIV {int(allowance_den)}"),
+    )
+    prefix = scored.select(
+        key_col,
+        "day",
+        "n_events",
+        "_total",
+        F.sum("_step").over(w_ord).alias("_p"),
+    ).withColumn("_pmin", F.min("_p").over(w_ord))
+    cusum = F.col("_p") - F.least(F.lit(0), F.col("_pmin"))
+    return prefix.select(
+        key_col,
+        "day",
+        "n_events",
+        cusum.alias("cusum"),
+        (cusum > F.col("_total")).alias("is_alarm"),
+    )

@@ -1551,6 +1551,48 @@ FROM fullg f JOIN chi c USING (event_type)
 """
 
 
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM control chart over the daily-count series —
+    closed-form prefix-sum/running-min windows, n_days-scaled integer
+    deviations, slack total DIV 4, alarm at cusum > total."""
+    from weblog_pipeline.aggregate import cusum_alerts
+
+    return cusum_alerts(_read(spark, sf_dir, "events"))
+
+
+SQL_CUSUM_ALERTS = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, n_events,
+         SUM(n_events) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS ndays
+  FROM daily
+),
+pfx AS (
+  SELECT event_type, day, n_events, total,
+         SUM(ndays * n_events - total - total // 4) OVER w AS p
+  FROM scored
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+run AS (
+  SELECT event_type, day, n_events, total, p,
+         MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS pmin
+  FROM pfx
+)
+SELECT event_type, day, n_events,
+       CAST(p - LEAST(0, pmin) AS BIGINT) AS cusum,
+       (p - LEAST(0, pmin) > total) AS is_alarm
+FROM run
+"""
+
+
 def q_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON schema inference over props with PLANTED extra keys (every
     3rd event gains a string key, every 5th a negative-int key — the
@@ -7258,6 +7300,7 @@ def queries() -> dict:
         "setsim_join": q_setsim_join,
         "typosquat_pairs": q_typosquat_pairs,
         "props_schema_census": q_props_schema_census,
+        "cusum_alerts": q_cusum_alerts,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7471,6 +7514,7 @@ def oracle_sql() -> dict:
         "setsim_join": _sql_setsim_join(),
         "typosquat_pairs": _sql_typosquat_pairs(),
         "props_schema_census": SQL_PROPS_SCHEMA_CENSUS,
+        "cusum_alerts": SQL_CUSUM_ALERTS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

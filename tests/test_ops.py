@@ -4542,3 +4542,42 @@ def test_props_schema_census(spark):
         ("a", "s"): (1, 0),
         ("b", "s"): (1, 1),   # "9" decodes to bare 9 in the string map
     }
+
+
+def test_cusum_alerts_matches_textbook_recurrence(spark):
+    """The closed form S_i = P_i - min(0, running_min(P)) must equal the
+    sequential recurrence S_i = max(0, S_{i-1} + step_i) on a series
+    with a slow persistent ramp (the case daily_anomalies misses), and
+    the ramp must eventually alarm while the flat prefix never does."""
+    import datetime
+
+    from weblog_pipeline.aggregate import cusum_alerts
+
+    # 10 flat days at 100, then 8 days elevated at 200 — the shift
+    # persists and must out-run both the (shift-inflated) full-series
+    # mean and the 25% slack before the chart alarms.
+    counts = [100] * 10 + [200] * 8
+    rows = [
+        Row(event_type="t", ts=datetime.datetime(2024, 1, 1 + d, 12, 0, 0))
+        for d, n in enumerate(counts)
+        for _ in range(n)
+    ]
+    out = {
+        r["day"]: (r["n_events"], r["cusum"], r["is_alarm"])
+        for r in cusum_alerts(spark.createDataFrame(rows)).collect()
+    }
+    total = sum(counts)
+    ndays = len(counts)
+    slack = total // 4
+    s = 0
+    alarms = []
+    for d, n in enumerate(counts):
+        s = max(0, s + (ndays * n - total - slack))
+        day = sorted(out)[d]
+        got_n, got_cusum, got_alarm = out[day]
+        assert got_n == n
+        assert got_cusum == s, f"day {d}: closed form {got_cusum} != {s}"
+        assert got_alarm == (s > total)
+        alarms.append(got_alarm)
+    assert not any(alarms[:10])          # flat prefix never alarms
+    assert alarms[-1]                    # sustained ramp eventually does
