@@ -1551,6 +1551,55 @@ FROM fullg f JOIN chi c USING (event_type)
 """
 
 
+def q_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit over 256-row ingest-order chunks:
+    per-chunk min/max of user/day/cents plus would-scan flags and true
+    match counts for a user point-lookup, a [D0+2, D0+4] day range, and
+    a cents >= 45000 hot-value filter."""
+    from weblog_pipeline.ops.corpus import zone_maps
+
+    return zone_maps(_read(spark, sf_dir, "events"))
+
+
+SQL_ZONE_MAPS = """
+WITH base AS (
+  SELECT event_id // 256 AS chunk_id, user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+pd AS (
+  SELECT chunk_id, day, COUNT(*) AS n,
+         MIN(user_id) AS mn_u, MAX(user_id) AS mx_u,
+         MIN(cents) AS mn_c, MAX(cents) AS mx_c,
+         COUNT(*) FILTER (WHERE user_id = 42) AS m_user,
+         COUNT(*) FILTER (WHERE cents >= 45000) AS m_val
+  FROM base GROUP BY 1, 2
+),
+d0 AS (SELECT pd.*, MIN(day) OVER () AS d0 FROM pd),
+per AS (
+  SELECT chunk_id,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         MIN(mn_u) AS min_user, MAX(mx_u) AS max_user,
+         MIN(day) AS min_day, MAX(day) AS max_day,
+         MIN(mn_c) AS min_cents, MAX(mx_c) AS max_cents,
+         CAST(SUM(m_user) AS BIGINT) AS n_match_user,
+         CAST(SUM(CASE WHEN day BETWEEN d0 + 2 AND d0 + 4
+                       THEN n ELSE 0 END) AS BIGINT) AS n_match_day,
+         CAST(SUM(m_val) AS BIGINT) AS n_match_val,
+         MIN(d0) AS d0
+  FROM d0 GROUP BY chunk_id
+)
+SELECT chunk_id, n_rows, min_user, max_user, min_day, max_day,
+       min_cents, max_cents,
+       (min_user <= 42 AND max_user >= 42) AS would_scan_user,
+       (max_day >= d0 + 2 AND min_day <= d0 + 4) AS would_scan_day,
+       (max_cents >= 45000) AS would_scan_val,
+       n_match_user, n_match_day, n_match_val
+FROM per
+"""
+
+
 def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type CUSUM control chart over the daily-count series —
     closed-form prefix-sum/running-min windows, n_days-scaled integer
@@ -7301,6 +7350,7 @@ def queries() -> dict:
         "typosquat_pairs": q_typosquat_pairs,
         "props_schema_census": q_props_schema_census,
         "cusum_alerts": q_cusum_alerts,
+        "zone_maps": q_zone_maps,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7515,6 +7565,7 @@ def oracle_sql() -> dict:
         "typosquat_pairs": _sql_typosquat_pairs(),
         "props_schema_census": SQL_PROPS_SCHEMA_CENSUS,
         "cusum_alerts": SQL_CUSUM_ALERTS,
+        "zone_maps": SQL_ZONE_MAPS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -1188,3 +1188,106 @@ def shard_assignment(
         "n_docs",
         F.expr(f"n_docs * {n_shards} * 10000 DIV total").alias("load_bp"),
     )
+
+
+def zone_maps(
+    events: DataFrame,
+    chunk_size: int = 256,
+    probe_user: int = 42,
+    value_floor_cents: int = 45000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit over ingest-order chunks —
+    the lakehouse question "if this table were laid out as N-row files,
+    which files could a reader PRUNE from footer stats alone?". Chunks
+    are event_id DIV chunk_size (ingest order, what a naive writer
+    produces); per chunk the min/max of the three hot predicate columns
+    plus, for three representative predicates, whether the zone map
+    would force a scan and how many rows actually match:
+
+      * user point-lookup  (user_id = probe_user)
+      * trailing day range (day in [D0+2, D0+4], D0 = global min day)
+      * hot-value filter   (cents >= value_floor_cents)
+
+    would_scan true with n_match 0 is the false-positive cost of the
+    layout — ingest order clusters time tightly (day prunes well) but
+    scatters users, which is exactly the case for z-ordering
+    ([[zorder_bins]]).
+
+    All integer: value converts via floor(value*100) — floor, never
+    CAST, because DuckDB CAST(double AS BIGINT) rounds half-away while
+    Spark's cast truncates. Scale shape: ONE raw scan into a map-side-
+    combined (chunk, day) aggregate; the chunk rollup, the global-D0
+    window, and the day-range predicate all run over that tiny relation
+    (chunks x days rows), so nothing after the first aggregate ever
+    touches event volume, and no raw row crosses a single-partition
+    window.
+
+    Output: chunk_id, n_rows, min/max of user/day/cents, would_scan_*
+    (bool x3), n_match_* (bigint x3).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    cents = F.floor(F.col("value") * F.lit(100)).cast("long")
+    per_day = (
+        events.select(
+            F.expr(f"event_id DIV {int(chunk_size)}").alias("chunk_id"),
+            "user_id",
+            day.alias("day"),
+            cents.alias("cents"),
+        )
+        .groupBy("chunk_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("mn_u"),
+            F.max("user_id").alias("mx_u"),
+            F.min("cents").alias("mn_c"),
+            F.max("cents").alias("mx_c"),
+            F.count_if(F.col("user_id") == probe_user).alias("m_user"),
+            F.count_if(F.col("cents") >= value_floor_cents).alias("m_val"),
+        )
+    )
+    with_d0 = per_day.withColumn(
+        "_d0", F.min("day").over(Window.partitionBy())
+    )
+    in_range = (F.col("day") >= F.col("_d0") + 2) & (
+        F.col("day") <= F.col("_d0") + 4
+    )
+    per = with_d0.groupBy("chunk_id").agg(
+        F.sum("n").alias("n_rows"),
+        F.min("mn_u").alias("min_user"),
+        F.max("mx_u").alias("max_user"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.min("mn_c").alias("min_cents"),
+        F.max("mx_c").alias("max_cents"),
+        F.sum("m_user").alias("n_match_user"),
+        F.sum(F.when(in_range, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_match_day"
+        ),
+        F.sum("m_val").alias("n_match_val"),
+        F.min("_d0").alias("_d0"),
+    )
+    return per.select(
+        "chunk_id",
+        "n_rows",
+        "min_user",
+        "max_user",
+        "min_day",
+        "max_day",
+        "min_cents",
+        "max_cents",
+        (
+            (F.col("min_user") <= probe_user)
+            & (F.col("max_user") >= probe_user)
+        ).alias("would_scan_user"),
+        (
+            (F.col("max_day") >= F.col("_d0") + 2)
+            & (F.col("min_day") <= F.col("_d0") + 4)
+        ).alias("would_scan_day"),
+        (F.col("max_cents") >= value_floor_cents).alias("would_scan_val"),
+        "n_match_user",
+        "n_match_day",
+        "n_match_val",
+    )

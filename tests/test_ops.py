@@ -4581,3 +4581,52 @@ def test_cusum_alerts_matches_textbook_recurrence(spark):
         alarms.append(got_alarm)
     assert not any(alarms[:10])          # flat prefix never alarms
     assert alarms[-1]                    # sustained ramp eventually does
+
+
+def test_zone_maps_pruning_flags_and_false_positive(spark):
+    """Chunk 0 holds the probe user (scan + match), chunk 1 brackets 42
+    without containing it (the zone-map false positive: would_scan true,
+    n_match 0), chunk 2 is clean (pruned). Day-range and value flags
+    pin against the hand layout."""
+    import datetime
+
+    from weblog_pipeline.ops.corpus import zone_maps
+
+    def ev(eid, user, day, value):
+        return Row(
+            event_id=eid,
+            user_id=user,
+            ts=datetime.datetime(2024, 1, 1 + day, 0, 0, 0),
+            value=value,
+        )
+
+    rows = [
+        # chunk 0 (ids 0-3): probe user 42 present; day 0; low values
+        ev(0, 42, 0, 1.0), ev(1, 7, 0, 2.0),
+        # chunk 1 (ids 4-7): users 10 and 90 bracket 42 but never hit it
+        ev(4, 10, 2, 3.0), ev(5, 90, 3, 460.0),
+        # chunk 2 (ids 8-11): users all below 42, days past the range
+        ev(8, 5, 6, 4.0), ev(9, 6, 7, 5.0),
+    ]
+    out = {
+        r["chunk_id"]: r.asDict()
+        for r in zone_maps(
+            spark.createDataFrame(rows), chunk_size=4
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    c0, c1, c2 = out[0], out[1], out[2]
+    assert c0["would_scan_user"] and c0["n_match_user"] == 1
+    # the false positive: stats force a scan, zero rows match
+    assert c1["would_scan_user"] and c1["n_match_user"] == 0
+    assert not c2["would_scan_user"] and c2["n_match_user"] == 0
+    # D0 = 0, so the probe day range is [2, 4]: only chunk 1 overlaps
+    assert (c0["would_scan_day"], c1["would_scan_day"],
+            c2["would_scan_day"]) == (False, True, False)
+    assert (c0["n_match_day"], c1["n_match_day"], c2["n_match_day"]) == (
+        0, 2, 0,
+    )
+    # value >= 450.00 only in chunk 1 (46000 cents)
+    assert (c0["would_scan_val"], c1["would_scan_val"],
+            c2["would_scan_val"]) == (False, True, False)
+    assert c1["n_match_val"] == 1 and c1["max_cents"] == 46000
