@@ -1600,6 +1600,55 @@ FROM per
 """
 
 
+def q_zorder_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve layout audit: interleave (user%256, day%256) bits,
+    bin z DIV 1024, same pruning probes as zone_maps — the measured
+    case that z-order bounds BOTH dims' spans per bin."""
+    from weblog_pipeline.ops.corpus import zorder_bins
+
+    return zorder_bins(_read(spark, sf_dir, "events"))
+
+
+def _sql_zorder_bins() -> str:
+    interleave = " + ".join(
+        f"((u8 // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((d8 // {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(8)
+    )
+    return f"""
+WITH dims AS (
+  SELECT user_id % 256 AS u8,
+         (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) % 256
+           AS d8
+  FROM events
+),
+zv AS (SELECT u8, d8, ({interleave}) // 1024 AS bin_id FROM dims),
+pd AS (
+  SELECT bin_id, d8, COUNT(*) AS n,
+         MIN(u8) AS mn_u, MAX(u8) AS mx_u,
+         COUNT(*) FILTER (WHERE u8 = 42) AS m_user
+  FROM zv GROUP BY 1, 2
+),
+d0 AS (SELECT pd.*, MIN(d8) OVER () AS d0 FROM pd),
+per AS (
+  SELECT bin_id,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         MIN(mn_u) AS min_u8, MAX(mx_u) AS max_u8,
+         MIN(d8) AS min_d8, MAX(d8) AS max_d8,
+         CAST(SUM(m_user) AS BIGINT) AS n_match_user,
+         CAST(SUM(CASE WHEN d8 BETWEEN d0 + 2 AND d0 + 4
+                       THEN n ELSE 0 END) AS BIGINT) AS n_match_day,
+         MIN(d0) AS d0
+  FROM d0 GROUP BY bin_id
+)
+SELECT bin_id, n_rows, min_u8, max_u8, min_d8, max_d8,
+       (min_u8 <= 42 AND max_u8 >= 42) AS would_scan_user,
+       (max_d8 >= d0 + 2 AND min_d8 <= d0 + 4) AS would_scan_day,
+       n_match_user, n_match_day
+FROM per
+"""
+
+
 def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type CUSUM control chart over the daily-count series —
     closed-form prefix-sum/running-min windows, n_days-scaled integer
@@ -7351,6 +7400,7 @@ def queries() -> dict:
         "props_schema_census": q_props_schema_census,
         "cusum_alerts": q_cusum_alerts,
         "zone_maps": q_zone_maps,
+        "zorder_bins": q_zorder_bins,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7566,6 +7616,7 @@ def oracle_sql() -> dict:
         "props_schema_census": SQL_PROPS_SCHEMA_CENSUS,
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "zone_maps": SQL_ZONE_MAPS,
+        "zorder_bins": _sql_zorder_bins(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -4630,3 +4630,48 @@ def test_zone_maps_pruning_flags_and_false_positive(spark):
     assert (c0["would_scan_val"], c1["would_scan_val"],
             c2["would_scan_val"]) == (False, True, False)
     assert c1["n_match_val"] == 1 and c1["max_cents"] == 46000
+
+
+def test_zorder_bins_interleave_twin_and_locality(spark):
+    """The in-plan Morton interleave must match a Python bit twin
+    (bin assignment row-for-row), and the curve's locality guarantee
+    must hold: a z bin of width 1024 fixes the top 3 bits of each
+    8-bit dim, so every bin's u8 and d8 spans are <= 31."""
+    import datetime
+
+    from weblog_pipeline.ops.corpus import zorder_bins
+
+    def interleave(u8, d8):
+        zv = 0
+        for b in range(8):
+            zv |= ((u8 >> b) & 1) << (2 * b + 1)
+            zv |= ((d8 >> b) & 1) << (2 * b)
+        return zv
+
+    rows, expect = [], {}
+    for i in range(400):
+        user = (i * 37) % 1000
+        day = (i * 13) % 90
+        rows.append(
+            Row(
+                event_id=i,
+                user_id=user,
+                ts=datetime.datetime(2024, 1, 1, 0, 0, 0)
+                + datetime.timedelta(days=day),
+            )
+        )
+        d8 = (19723 + day) % 256  # 2024-01-01 is epoch day 19723
+        b = interleave(user % 256, d8) // 1024
+        st = expect.setdefault(b, [0, 256, -1, 256, -1])
+        st[0] += 1
+        st[1], st[2] = min(st[1], user % 256), max(st[2], user % 256)
+        st[3], st[4] = min(st[3], d8), max(st[4], d8)
+    got = {
+        r["bin_id"]: [
+            r["n_rows"], r["min_u8"], r["max_u8"], r["min_d8"], r["max_d8"]
+        ]
+        for r in zorder_bins(spark.createDataFrame(rows)).collect()
+    }
+    assert got == expect
+    for b, (_, mn_u, mx_u, mn_d, mx_d) in got.items():
+        assert mx_u - mn_u <= 31 and mx_d - mn_d <= 31, b
