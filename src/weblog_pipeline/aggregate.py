@@ -1336,3 +1336,72 @@ def cusum_alerts(
         cusum.alias("cusum"),
         (cusum > F.col("_total")).alias("is_alarm"),
     )
+
+
+def km_hazard(
+    events: DataFrame,
+    censor_gap: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes — the survival-
+    analysis view of churn: how long does a user stay active, with the
+    still-active tail handled honestly as RIGHT-CENSORED instead of
+    counted as churn (the mistake naive retention averages make).
+
+    Lifetime = last active day - first active day. A user whose last
+    activity is within censor_gap days of the corpus's last day is
+    censored (they may still be alive). Per distinct lifetime t the
+    classic risk-table ingredients:
+
+        n_at_risk(t) = users with lifetime >= t
+        n_churned(t) = uncensored users with lifetime exactly t
+        n_censored(t) = censored users with lifetime exactly t
+        hazard_bp(t) = n_churned * 10000 DIV n_at_risk
+
+    The S(t) product itself is deliberately NOT emitted: a sequential
+    product of per-step ratios has no exact integer closed form, while
+    the (n, d) table is the estimator's sufficient statistic — any
+    consumer can fold it. Everything here is exact integer arithmetic,
+    bit-identical across engines.
+
+    Scale shape: ONE raw scan into the per-user min/max aggregate
+    (map-side combined, keyed by user); the global last day, the
+    per-lifetime rollup, and the reverse-cumulative n_at_risk all ride
+    windows over relations bounded by users and distinct lifetimes —
+    never event volume.
+
+    Output: lifetime, n_at_risk, n_churned, n_censored, hazard_bp.
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    spans = (
+        events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("d_first"), F.max("day").alias("d_last"))
+    )
+    with_max = spans.withColumn(
+        "_dmax", F.max("d_last").over(Window.partitionBy())
+    )
+    per_user = with_max.select(
+        (F.col("d_last") - F.col("d_first")).alias("lifetime"),
+        (F.col("_dmax") - F.col("d_last") <= censor_gap).alias("_cens"),
+    )
+    per_t = per_user.groupBy("lifetime").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(~F.col("_cens")).alias("n_churned"),
+        F.count_if(F.col("_cens")).alias("n_censored"),
+    )
+    w_rev = (
+        Window.partitionBy()
+        .orderBy(F.col("lifetime").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn("n_at_risk", F.sum("_n").over(w_rev))
+    return at_risk.select(
+        "lifetime",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.expr("(n_churned * 10000) DIV n_at_risk").alias("hazard_bp"),
+    )

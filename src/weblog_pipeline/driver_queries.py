@@ -1600,6 +1600,50 @@ FROM per
 """
 
 
+def q_km_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes (last-first active
+    day), right-censoring users active within 7 days of the corpus end;
+    integer hazard in bp per distinct lifetime."""
+    from weblog_pipeline.aggregate import km_hazard
+
+    return km_hazard(_read(spark, sf_dir, "events"))
+
+
+SQL_KM_HAZARD = """
+WITH spans AS (
+  SELECT user_id,
+         MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+           AS d_first,
+         MAX(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+           AS d_last
+  FROM events GROUP BY 1
+),
+wm AS (SELECT spans.*, MAX(d_last) OVER () AS dmax FROM spans),
+pu AS (
+  SELECT d_last - d_first AS lifetime,
+         (dmax - d_last <= 7) AS cens
+  FROM wm
+),
+pt AS (
+  SELECT lifetime,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE NOT cens) AS BIGINT) AS n_churned,
+         CAST(COUNT(*) FILTER (WHERE cens) AS BIGINT) AS n_censored
+  FROM pu GROUP BY 1
+),
+ar AS (
+  SELECT pt.*,
+         CAST(SUM(n) OVER (ORDER BY lifetime DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_at_risk
+  FROM pt
+)
+SELECT lifetime, n_at_risk, n_churned, n_censored,
+       (n_churned * 10000) // n_at_risk AS hazard_bp
+FROM ar
+"""
+
+
 def q_zorder_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-curve layout audit: interleave (user%256, day%256) bits,
     bin z DIV 1024, same pruning probes as zone_maps — the measured
@@ -7401,6 +7445,7 @@ def queries() -> dict:
         "cusum_alerts": q_cusum_alerts,
         "zone_maps": q_zone_maps,
         "zorder_bins": q_zorder_bins,
+        "km_hazard": q_km_hazard,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7617,6 +7662,7 @@ def oracle_sql() -> dict:
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "zone_maps": SQL_ZONE_MAPS,
         "zorder_bins": _sql_zorder_bins(),
+        "km_hazard": SQL_KM_HAZARD,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

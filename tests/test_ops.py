@@ -4675,3 +4675,43 @@ def test_zorder_bins_interleave_twin_and_locality(spark):
     assert got == expect
     for b, (_, mn_u, mx_u, mn_d, mx_d) in got.items():
         assert mx_u - mn_u <= 31 and mx_d - mn_d <= 31, b
+
+
+def test_km_hazard_risk_table_with_censoring(spark):
+    """Hand-checkable cohort: lifetimes {0,0,3,3,5,9} with the 9 and one
+    3 censored (active within the gap of the corpus max day). n_at_risk
+    must be the reverse-cumulative count, hazards floor-divided, and
+    censored users never counted as churn."""
+    import datetime
+
+    from weblog_pipeline.aggregate import km_hazard
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def user(uid, first_day, last_day):
+        return [
+            Row(user_id=uid, event_id=uid * 10,
+                ts=base + datetime.timedelta(days=first_day)),
+            Row(user_id=uid, event_id=uid * 10 + 1,
+                ts=base + datetime.timedelta(days=last_day)),
+        ]
+
+    # corpus max day = 30 (user 6); censor_gap=7 censors d_last >= 23
+    rows = (
+        user(1, 0, 0) + user(2, 5, 5)            # lifetime 0, churned
+        + user(3, 2, 5) + user(4, 24, 27)        # lifetime 3: churn + cens
+        + user(5, 10, 15)                         # lifetime 5, churned
+        + user(6, 21, 30)                         # lifetime 9, censored
+    )
+    got = {
+        r["lifetime"]: (
+            r["n_at_risk"], r["n_churned"], r["n_censored"], r["hazard_bp"]
+        )
+        for r in km_hazard(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {
+        0: (6, 2, 0, 3333),   # 2*10000 DIV 6
+        3: (4, 1, 1, 2500),
+        5: (2, 1, 0, 5000),
+        9: (1, 0, 1, 0),
+    }
