@@ -1380,10 +1380,8 @@ def km_hazard(
         .groupBy("user_id")
         .agg(F.min("day").alias("d_first"), F.max("day").alias("d_last"))
     )
-    with_max = spans.withColumn(
-        "_dmax", F.max("d_last").over(Window.partitionBy())
-    )
-    per_user = with_max.select(
+    dmax = spans.agg(F.max("d_last").alias("_dmax"))
+    per_user = spans.crossJoin(F.broadcast(dmax)).select(
         (F.col("d_last") - F.col("d_first")).alias("lifetime"),
         (F.col("_dmax") - F.col("d_last") <= censor_gap).alias("_cens"),
     )
@@ -1404,4 +1402,90 @@ def km_hazard(
         "n_churned",
         "n_censored",
         F.expr("(n_churned * 10000) DIV n_at_risk").alias("hazard_bp"),
+    )
+
+
+def rfm_segments(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value grid: per user the days since last activity, the
+    event count, and the summed per-event floor(value*100) cents, each
+    scored into quintiles 1..5 and fused into one rfm_code.
+
+    Quintiles are EXACT and tie-consistent: every user sharing a metric
+    value gets the same score, q(v) = 1 + (cum_users(<=v)-1)*5 DIV n —
+    unlike ntile, which splits ties by arbitrary row order and needs a
+    single global sort of all users. All three score maps come out of
+    ONE pass: the per-user metrics melt (stack) into (metric, value)
+    rows, one map-side-combined histogram groups them, and the
+    cumulative windows run PARTITIONED BY METRIC over distinct values
+    only (bounded by each metric's domain, not the user count); the
+    tiny maps broadcast-join back. Recency inverts (6 - q) so score 5 =
+    most recent, the standard RFM orientation.
+
+    Scale shape: raw events scanned once per per-user-aggregate use
+    (the scored base and the melt — two branches); no global sort, no
+    single-partition pass over users anywhere, every window keyed.
+
+    Output: user_id, recency, frequency, monetary_cents, r_score,
+    f_score, m_score, rfm_code (r*100 + f*10 + m).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    cents = F.floor(F.col("value") * F.lit(100)).cast("long")
+    agg = (
+        events.select("user_id", day.alias("day"), cents.alias("_cents"))
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("_d_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("_cents").alias("monetary_cents"),
+        )
+    )
+    dmax = agg.agg(F.max("_d_last").alias("_dmax"))
+    per_user = agg.crossJoin(F.broadcast(dmax)).select(
+        "user_id",
+        (F.col("_dmax") - F.col("_d_last")).alias("recency"),
+        "frequency",
+        "monetary_cents",
+    )
+    melt = per_user.select(
+        F.expr(
+            "stack(3, 'recency', recency, 'frequency', frequency,"
+            " 'monetary_cents', monetary_cents) AS (m, v)"
+        )
+    )
+    hist = melt.groupBy("m", "v").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qmap = hist.select(
+        "m",
+        "v",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("m")).alias("_n"),
+    ).select(
+        "m", "v", (F.lit(1) + F.expr("((_cum - 1) * 5) DIV _n")).alias("q")
+    )
+    scored = per_user
+    for metric in ("recency", "frequency", "monetary_cents"):
+        mq = qmap.where(F.col("m") == metric).select(
+            F.col("v").alias(metric), F.col("q").alias(f"_q_{metric}")
+        )
+        scored = scored.join(F.broadcast(mq), metric)
+    return scored.select(
+        "user_id",
+        "recency",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.col("_q_recency")).alias("r_score"),
+        F.col("_q_frequency").alias("f_score"),
+        F.col("_q_monetary_cents").alias("m_score"),
+        (
+            (F.lit(6) - F.col("_q_recency")) * 100
+            + F.col("_q_frequency") * 10
+            + F.col("_q_monetary_cents")
+        ).alias("rfm_code"),
     )

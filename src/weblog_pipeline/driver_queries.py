@@ -1600,6 +1600,56 @@ FROM per
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary with exact
+    tie-consistent quintiles from one melted histogram pass (no global
+    ntile sort); rfm_code = r*100 + f*10 + m."""
+    from weblog_pipeline.aggregate import rfm_segments
+
+    return rfm_segments(_read(spark, sf_dir, "events"))
+
+
+SQL_RFM_SEGMENTS = """
+WITH agg AS (
+  SELECT user_id,
+         MAX(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+           AS d_last,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY 1
+),
+pu AS (
+  SELECT user_id,
+         (SELECT MAX(d_last) FROM agg) - d_last AS recency,
+         frequency, monetary_cents
+  FROM agg
+),
+melt AS (
+  SELECT 'recency' AS m, recency AS v FROM pu
+  UNION ALL SELECT 'frequency', frequency FROM pu
+  UNION ALL SELECT 'monetary_cents', monetary_cents FROM pu
+),
+hist AS (SELECT m, v, COUNT(*) AS c FROM melt GROUP BY 1, 2),
+qmap AS (
+  SELECT m, v,
+         1 + ((SUM(c) OVER (PARTITION BY m ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) - 1) * 5)
+             // SUM(c) OVER (PARTITION BY m) AS q
+  FROM hist
+)
+SELECT pu.user_id, pu.recency, pu.frequency, pu.monetary_cents,
+       CAST(6 - qr.q AS BIGINT) AS r_score,
+       CAST(qf.q AS BIGINT) AS f_score,
+       CAST(qm.q AS BIGINT) AS m_score,
+       CAST((6 - qr.q) * 100 + qf.q * 10 + qm.q AS BIGINT) AS rfm_code
+FROM pu
+JOIN qmap qr ON qr.m = 'recency' AND qr.v = pu.recency
+JOIN qmap qf ON qf.m = 'frequency' AND qf.v = pu.frequency
+JOIN qmap qm ON qm.m = 'monetary_cents' AND qm.v = pu.monetary_cents
+"""
+
+
 def q_km_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier risk table over user lifetimes (last-first active
     day), right-censoring users active within 7 days of the corpus end;
@@ -7446,6 +7496,7 @@ def queries() -> dict:
         "zone_maps": q_zone_maps,
         "zorder_bins": q_zorder_bins,
         "km_hazard": q_km_hazard,
+        "rfm_segments": q_rfm_segments,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7663,6 +7714,7 @@ def oracle_sql() -> dict:
         "zone_maps": SQL_ZONE_MAPS,
         "zorder_bins": _sql_zorder_bins(),
         "km_hazard": SQL_KM_HAZARD,
+        "rfm_segments": SQL_RFM_SEGMENTS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -4715,3 +4715,61 @@ def test_km_hazard_risk_table_with_censoring(spark):
         5: (2, 1, 0, 5000),
         9: (1, 0, 1, 0),
     }
+
+
+def test_rfm_segments_quintiles_tie_consistent(spark):
+    """The cumulative-share quintile must match the Python twin
+    q(v) = 1 + (cum(<=v)-1)*5 DIV n on every metric, ties must share a
+    score (the anti-ntile property), recency must invert (most recent
+    user scores r=5), and rfm_code must fuse the three digits."""
+    import datetime
+
+    from weblog_pipeline.aggregate import rfm_segments
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # 10 users: user u has u+1 events (frequency ladder), value 10*u+0.5
+    # each, last activity day u (user 9 most recent relative to dmax=9).
+    eid = 0
+    for u in range(10):
+        for j in range(u + 1):
+            rows.append(
+                Row(
+                    event_id=eid,
+                    user_id=u,
+                    ts=base + datetime.timedelta(days=u if j == 0 else 0),
+                    value=10.0 * u + 0.5,
+                )
+            )
+            eid += 1
+    got = {
+        r["user_id"]: r.asDict()
+        for r in rfm_segments(spark.createDataFrame(rows)).collect()
+    }
+
+    def q(vals, v):
+        n, cum = len(vals), sum(1 for x in vals if x <= v)
+        return 1 + ((cum - 1) * 5) // n
+
+    recs = [got[u]["recency"] for u in range(10)]
+    freqs = [got[u]["frequency"] for u in range(10)]
+    mons = [got[u]["monetary_cents"] for u in range(10)]
+    for u in range(10):
+        g = got[u]
+        assert g["r_score"] == 6 - q(recs, g["recency"])
+        assert g["f_score"] == q(freqs, g["frequency"])
+        assert g["m_score"] == q(mons, g["monetary_cents"])
+        assert g["rfm_code"] == (
+            g["r_score"] * 100 + g["f_score"] * 10 + g["m_score"]
+        )
+    # user 9: most recent (recency 0), most frequent, biggest spender
+    assert (got[9]["r_score"], got[9]["f_score"], got[9]["m_score"]) == (
+        5, 5, 5,
+    )
+    assert got[9]["monetary_cents"] == 10 * 9050
+    # ties share scores: duplicate-metric users would collide — check the
+    # map is a function of the value alone
+    by_val = {}
+    for u in range(10):
+        by_val.setdefault(got[u]["frequency"], set()).add(got[u]["f_score"])
+    assert all(len(s) == 1 for s in by_val.values())
