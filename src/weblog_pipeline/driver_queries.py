@@ -6380,6 +6380,75 @@ FROM pr{iters} p LEFT JOIN outdeg o ON o.host = p.host
 """
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: integer PageRank over the adjacent-word
+    co-occurrence graph (filtered lowercase-alpha >= 3 chars, hapax
+    edges dropped), top-30 by (rank desc, word)."""
+    return graph.textrank_keywords(_read(spark, sf_dir, "documents"))
+
+
+def _sql_textrank_keywords(
+    k: int = 30,
+    iters: int = graph.PR_ITERS,
+    scale: int = graph.PR_SCALE,
+    d: int = graph.PR_DAMPING_PCT,
+) -> str:
+    # word-graph edges + the _sql_domain_pagerank unrolled-CTE pattern
+    base = (100 - d) * scale // 100
+    prs = []
+    for i in range(iters):
+        prs.append(
+            f""",
+pr{i + 1} AS (
+  SELECT n.host, CAST({base} + COALESCE(c.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_host AS host,
+           CAST(SUM((p.rank * e.n_links * {d}) // (o.n_out * 100)) AS BIGINT) AS s
+    FROM pr{i} p JOIN edges e ON e.src_host = p.host
+                 JOIN outdeg o ON o.host = e.src_host
+    GROUP BY 1
+  ) c ON c.host = n.host
+)"""
+        )
+    return f"""
+WITH filt AS (
+  SELECT list_filter({_TOKS}, x -> regexp_full_match(x, '[a-z]{{3,}}'))
+           AS f
+  FROM documents WHERE text IS NOT NULL
+),
+pr_pairs AS (
+  SELECT LEAST(f[i], f[i + 1]) AS a, GREATEST(f[i], f[i + 1]) AS b
+  FROM (SELECT f, unnest(generate_series(1, len(f) - 1)) AS i
+        FROM filt WHERE len(f) >= 2)
+  WHERE f[i] <> f[i + 1]
+),
+ec AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM pr_pairs GROUP BY 1, 2 HAVING COUNT(*) >= {graph.TEXTRANK_MIN_COOC}
+),
+edges AS (
+  SELECT a AS src_host, b AS dst_host, n_links FROM ec
+  UNION ALL SELECT b, a, n_links FROM ec
+),
+nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+),
+outdeg AS (
+  SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_out
+  FROM edges GROUP BY 1
+),
+pr0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes){"".join(prs)},
+ranked AS (
+  SELECT p.host, CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+         p.rank AS rank_scaled,
+         ROW_NUMBER() OVER (ORDER BY p.rank DESC, p.host ASC) AS rank
+  FROM pr{iters} p LEFT JOIN outdeg o ON o.host = p.host
+)
+SELECT CAST(rank AS BIGINT) AS rank, host AS word, n_out, rank_scaled
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration integer TrustRank over the planted domain graph:
     PageRank propagation with teleport restricted to a deterministic
@@ -7497,6 +7566,7 @@ def queries() -> dict:
         "zorder_bins": q_zorder_bins,
         "km_hazard": q_km_hazard,
         "rfm_segments": q_rfm_segments,
+        "textrank_keywords": q_textrank_keywords,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7715,6 +7785,7 @@ def oracle_sql() -> dict:
         "zorder_bins": _sql_zorder_bins(),
         "km_hazard": SQL_KM_HAZARD,
         "rfm_segments": SQL_RFM_SEGMENTS,
+        "textrank_keywords": _sql_textrank_keywords(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -722,3 +722,92 @@ def typosquat_pairs(edges: DataFrame, max_dist: int = 1) -> DataFrame:
         "host_b",
         F.levenshtein("host_a", "host_b").cast("long").alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+#: TextRank word filter: lowercase alphabetic, >= 3 chars (anchored in
+#: Spark; the oracle uses regexp_full_match with the unanchored body).
+TEXTRANK_WORD_RE = "^[a-z]{3,}$"
+#: drop hapax co-occurrence edges — bounds the word graph by the
+#: repeated-collocation vocabulary, not the token stream.
+TEXTRANK_MIN_COOC = 2
+
+
+def textrank_keywords(documents: DataFrame, k: int = 30) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word co-occurrence graph — an unsupervised keyword
+    ranker that needs no training data, the standard pre-LLM baseline a
+    curation pipeline uses to tag documents at scale.
+
+    Graph construction: the shared corpus tokenizer, filtered to
+    lowercase alphabetic words of >= 3 chars; an undirected edge joins
+    each ADJACENT pair in the filtered sequence (window 2), weighted by
+    corpus-wide co-occurrence count, hapax edges dropped
+    (TEXTRANK_MIN_COOC). The ranking is the module's fixed-iteration
+    integer `pagerank` verbatim — symmetric edge list, exact scaled-
+    integer arithmetic, localCheckpoint'd iterate — so TextRank inherits
+    every cross-engine-exactness and lineage property domain_pagerank
+    already proved.
+
+    Scale shape: one codegen'd scan builds the pair stream (token array
+    MATERIALIZED first — the shingles_over CSE contract — then a
+    zip-shift transform, never a self-join); one map-side-combined
+    (a, b) aggregate bounds everything downstream by the collocation
+    vocabulary; the iterations run on the word graph, never the corpus.
+    Final top-k is TakeOrderedAndProject on (rank desc, word asc).
+
+    Output: rank (1..k), word, n_out, rank_scaled.
+    """
+    words = documents.where(F.col("text").isNotNull()).select(
+        F.split(
+            F.trim(ascii_lower(F.col("text"))), WS_RE
+        ).alias("_w")
+    )
+    filt = words.select(
+        F.expr(f"filter(_w, x -> x rlike '{TEXTRANK_WORD_RE}')").alias("_f")
+    )
+    pairs = filt.where(F.array_size("_f") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.array_size("_f") - 1),
+                lambda i: F.struct(
+                    F.least(
+                        F.element_at(F.col("_f"), i),
+                        F.element_at(F.col("_f"), i + 1),
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(F.col("_f"), i),
+                        F.element_at(F.col("_f"), i + 1),
+                    ).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").where(F.col("a") != F.col("b"))
+    ec = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .where(F.col("n_links") >= TEXTRANK_MIN_COOC)
+    )
+    edges = ec.select(
+        F.col("a").alias("src_host"),
+        F.col("b").alias("dst_host"),
+        "n_links",
+    ).unionByName(
+        ec.select(
+            F.col("b").alias("src_host"),
+            F.col("a").alias("dst_host"),
+            "n_links",
+        )
+    )
+    ranks = pagerank(edges)
+    order = [F.col("rank_scaled").desc(), F.col("host").asc()]
+    return (
+        ranks.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select(
+            "rank",
+            F.col("host").alias("word"),
+            "n_out",
+            "rank_scaled",
+        )
+    )

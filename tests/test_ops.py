@@ -4773,3 +4773,48 @@ def test_rfm_segments_quintiles_tie_consistent(spark):
     for u in range(10):
         by_val.setdefault(got[u]["frequency"], set()).add(got[u]["f_score"])
     assert all(len(s) == 1 for s in by_val.values())
+
+
+def test_textrank_keywords_graph_and_twin(spark):
+    """Graph construction rules (>=3-char alpha filter, adjacency over
+    the FILTERED sequence, canonical undirected pairs, hapax edges
+    dropped) plus an end-to-end integer-PageRank twin on a corpus where
+    'spark' is the designed hub word."""
+    from weblog_pipeline.ops import graph
+
+    docs = [
+        "spark shuffles data fast",          # spark-shuffles shuffles-data data-fast
+        "spark shuffles data so well",       # 'so' filtered: data-well adjacency
+        "a spark shuffles X1 data",          # 'a'/'X1' filtered -> spark-shuffles shuffles-data
+        "lonely words here",                  # all hapax edges -> dropped
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    out = graph.textrank_keywords(spark.createDataFrame(rows), k=10).collect()
+    got = {r["word"]: (r["rank"], r["n_out"], r["rank_scaled"]) for r in out}
+
+    # expected undirected co-occurrence counts (canonical pairs, >=2)
+    ec = {("shuffles", "spark"): 3, ("data", "shuffles"): 3,
+          ("data", "fast"): 1, ("data", "well"): 1,
+          ("lonely", "words"): 1, ("here", "words"): 1}
+    kept = {p: n for p, n in ec.items() if n >= graph.TEXTRANK_MIN_COOC}
+    edges = [(a, b, n) for (a, b), n in kept.items()]
+    edges += [(b, a, n) for (a, b), n in kept.items()]
+    nodes = {a for a, _, _ in edges}
+    assert set(got) == nodes  # hapax-only words never enter the graph
+
+    scale, d, iters = graph.PR_SCALE, graph.PR_DAMPING_PCT, graph.PR_ITERS
+    n_out = {}
+    for s, _, n in edges:
+        n_out[s] = n_out.get(s, 0) + n
+    base = (100 - d) * scale // 100
+    rank = {v: scale for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t, n in edges:
+            inc[t] += rank[s] * n * d // (n_out[s] * 100)
+        rank = {v: base + inc[v] for v in nodes}
+    order = sorted(nodes, key=lambda v: (-rank[v], v))
+    for pos, v in enumerate(order, start=1):
+        assert got[v] == (pos, n_out[v], rank[v]), v
+    # shuffles bridges both heavy edges -> top keyword
+    assert order[0] == "shuffles" and got["shuffles"][0] == 1
