@@ -5963,6 +5963,50 @@ FROM pre
 """
 
 
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end shot detection: scene-cut DIB/AVI clips (planted
+    128-luminance jump at frame 1 + id%4) container-encoded, RIFF-
+    decoded frame by frame, then the circular-byte-distance detector;
+    the oracle recomputes every distance from doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_avi_scenes_from_documents(docs)
+    frames = multimodal.sample_frames(media, every_n=1, fake=False)
+    return multimodal.shot_boundaries(frames)
+
+
+def _sql_shot_boundaries(thresh: int = 512) -> str:
+    terms = []
+    for j in range(multimodal.FEATURE_DIM):
+        b1 = (
+            f"((s + f + {j} + CASE WHEN f >= cut THEN 128 ELSE 0 END)"
+            " % 256)"
+        )
+        b0 = (
+            f"((s + f - 1 + {j} + CASE WHEN f - 1 >= cut THEN 128 ELSE 0"
+            " END) % 256)"
+        )
+        terms.append(
+            f"LEAST((({b1} - {b0}) % 256 + 256) % 256,"
+            f" (({b0} - {b1}) % 256 + 256) % 256)"
+        )
+    dist = " + ".join(terms)
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS s, 1 + doc_id % 4 AS cut,
+         2 + doc_id % 5 AS n
+  FROM documents
+),
+fr AS (
+  SELECT media_id, s, cut, unnest(generate_series(1, n - 1)) AS f
+  FROM pre
+)
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST({dist} AS BIGINT) AS dist,
+       ({dist} >= {thresh}) AS is_cut
+FROM fr
+"""
+
+
 def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: every 2nd frame of each AVI is individually
     JPEG-decoded; the oracle reproduces the sampled (media_id, frame_idx)
@@ -7577,6 +7621,7 @@ def queries() -> dict:
         "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
         "multimodal_avi_decode": q_multimodal_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
+        "shot_boundaries": q_shot_boundaries,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "dedup_lines": q_dedup_lines,
@@ -7847,6 +7892,7 @@ def oracle_sql() -> dict:
         "multimodal_dib_avi_decode": _sql_multimodal_dib_avi(),
         "multimodal_dib_depths_decode": _sql_multimodal_dib_depths(),
         "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
+        "shot_boundaries": _sql_shot_boundaries(),
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_mulaw_decode": _sql_multimodal_mulaw(),
         "multimodal_alaw_decode": _sql_multimodal_alaw(),

@@ -2734,7 +2734,7 @@ def decode_wav(payload: bytes, want_samples: bool = False) -> dict:
 
 def encode_avi(
     width: int, height: int, n_frames: int, seed: int, codec: str = "MJPG",
-    bpp: int = 24,
+    bpp: int = 24, scene_cut: int | None = None, scene_jump: int = 128,
 ) -> bytes:
     """Minimal real AVI video (stdlib + the in-repo JPEG encoder): RIFF
     'AVI ' container with an avih main header and one 'vids' stream.
@@ -2758,8 +2758,15 @@ def encode_avi(
         if bpp not in (8, 24, 32):
             raise ValueError(f"encode_avi DIB bpp must be 8, 24 or 32, got {bpp}")
         stride = bmp_stride(width, bpp)
+        # scene_cut plants a luminance jump at frame >= scene_cut — the
+        # fixture hook for shot-boundary detection (still SQL-exact:
+        # byte i of frame f = (seed + f + i + jump*(f>=cut)) % 256)
         frames = [
-            bytes((seed + f + i) % 256 for i in range(stride * height))
+            bytes(
+                (seed + f + i + (scene_jump if scene_cut is not None
+                                 and f >= scene_cut else 0)) % 256
+                for i in range(stride * height)
+            )
             for f in range(n_frames)
         ]
         fcc, frame_tag, bit_compression = b"DIB ", b"00db", b"\x00\x00\x00\x00"
@@ -3865,3 +3872,95 @@ def audio_fingerprint(media: "DataFrame", on_error: str = "raise") -> "DataFrame
 
     pruned = media.select("media_id", "payload")
     return pruned.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def media_avi_scenes_from_documents(documents: "DataFrame") -> "DataFrame":
+    """Scene-cut twin of media_avi_dib_from_documents: the clip for doc
+    id carries a PLANTED luminance jump — byte i of frame f is
+    (id%256 + f + i + 128*(f >= cut)) % 256 with cut = 1 + id % 4 and
+    2 + id % 5 frames, so clips whose cut lands inside the frame range
+    have exactly one real shot boundary and the rest have none. Raw DIB
+    keeps every decoded byte SQL-recomputable (the dib fixture
+    contract), which makes the downstream shot detector value-oracled
+    end-to-end: real container encode -> real RIFF decode -> detector."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "payload": [
+                        encode_avi(
+                            4 + i % 12, 2 + i % 6, 2 + i % 5, i % 256,
+                            codec="DIB ", scene_cut=1 + i % 4,
+                        )
+                        for i in ids
+                    ],
+                    "media_type": ["video"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def shot_boundaries(frames: "DataFrame", thresh: int = 512) -> "DataFrame":
+    """Shot-boundary detection over sampled video frames — the cut
+    detector a video-curation pipeline runs before per-shot sampling:
+    consecutive frames whose content distance spikes mark a scene
+    change.
+
+    The distance is the summed CIRCULAR byte distance between the two
+    frames' feature vectors: each float feature recovers its exact
+    pixel byte (round(x*255) — b/255.0*255 rounds to b exactly in
+    float64, the mulaw-recovery idiom), and per byte
+    d = min((a-b) mod 256, (b-a) mod 256). Circular distance makes the
+    detector wrap-proof: the fixture's drifting gradient steps every
+    byte by +1 (d=1 even across the 255->0 wrap), while a planted
+    128-luminance scene cut scores ~127 per byte — a 8 vs ~1016 margin
+    no modular-subtraction artifact can blur. All integer, engine-exact.
+
+    Scale shape: one lag window PARTITIONED BY media_id over frame_idx
+    — a clip's frames are a bounded stratum; the zip_with/aggregate
+    distance is per-row codegen, no shuffle beyond the clip
+    repartition.
+
+    Output: media_id, frame_idx, dist (bigint), is_cut.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    paired = frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_feature",
+        F.lag("frame_feature").over(w).alias("_prev"),
+    ).where(F.col("_prev").isNotNull())
+    byte_d = F.zip_with(
+        F.col("frame_feature"),
+        F.col("_prev"),
+        lambda x, y: F.least(
+            F.pmod(
+                F.round(x * 255, 0).cast("long")
+                - F.round(y * 255, 0).cast("long"),
+                F.lit(256),
+            ),
+            F.pmod(
+                F.round(y * 255, 0).cast("long")
+                - F.round(x * 255, 0).cast("long"),
+                F.lit(256),
+            ),
+        ),
+    )
+    dist = F.aggregate(
+        byte_d, F.lit(0).cast("long"), lambda acc, d: acc + d
+    )
+    return paired.select(
+        "media_id",
+        "frame_idx",
+        dist.alias("dist"),
+        (dist >= thresh).alias("is_cut"),
+    )

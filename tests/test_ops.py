@@ -4818,3 +4818,45 @@ def test_textrank_keywords_graph_and_twin(spark):
         assert got[v] == (pos, n_out[v], rank[v]), v
     # shuffles bridges both heavy edges -> top keyword
     assert order[0] == "shuffles" and got["shuffles"][0] == 1
+
+
+def test_shot_boundaries_detects_planted_cut(spark):
+    """End-to-end on real containers: a clip with a planted scene cut
+    flags EXACTLY its cut frame (dist ~127/byte there, 1/byte drift
+    elsewhere — including across a 255->0 wrap, which the circular
+    distance must score as 1, not 255)."""
+    from weblog_pipeline.ops import multimodal as mm
+
+    rows = [
+        # media 1: 5 frames, cut at frame 3; seed 250 forces byte wraps
+        Row(media_id=1,
+            payload=mm.encode_avi(4, 2, 5, 250, codec="DIB ", scene_cut=3),
+            media_type="video"),
+        # media 2: no cut — pure drift, nothing may flag
+        Row(media_id=2,
+            payload=mm.encode_avi(4, 2, 4, 7, codec="DIB "),
+            media_type="video"),
+    ]
+    frames = mm.sample_frames(
+        spark.createDataFrame(rows), every_n=1, fake=False
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["dist"], r["is_cut"])
+        for r in mm.shot_boundaries(frames).collect()
+    }
+
+    def byte(seed, f, j, cut=None):
+        return (seed + f + j + (128 if cut is not None and f >= cut else 0)) % 256
+
+    def circ(a, b):
+        return min((a - b) % 256, (b - a) % 256)
+
+    for f in range(1, 5):
+        want = sum(
+            circ(byte(250, f, j, 3), byte(250, f - 1, j, 3))
+            for j in range(mm.FEATURE_DIM)
+        )
+        assert got[(1, f)] == (want, f == 3), f
+    assert got[(1, 3)][0] == 127 * mm.FEATURE_DIM  # the cut frame
+    for f in range(1, 4):
+        assert got[(2, f)] == (mm.FEATURE_DIM, False)  # drift = 1/byte
