@@ -6493,6 +6493,52 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the planted domain graph:
+    hub-capped wedge join, integer aa_micro = sum 1e12 DIV
+    floor(ln(deg)*1e6), non-adjacent pairs with >= 2 common
+    neighbors."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.link_prediction(
+        graph.link_graph(graph.extract_links(docs))
+    )
+
+
+def _sql_link_prediction(
+    deg_cap: int = graph.LP_DEG_CAP, min_common: int = graph.LP_MIN_COMMON
+) -> str:
+    return f"""
+WITH {_links_cte()},
+e0 AS (SELECT src_host, dst_host FROM edges
+       WHERE src_host <> dst_host),
+sym AS (
+  SELECT DISTINCT src_host AS s, dst_host AS t FROM e0
+  UNION SELECT DISTINCT dst_host, src_host FROM e0
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+mid AS (
+  SELECT sym.s AS w, sym.t AS u,
+         1000000000000 // CAST(floor(ln(CAST(d.deg AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS term
+  FROM sym JOIN deg d ON d.s = sym.s
+  WHERE d.deg <= {deg_cap} AND d.deg >= 2
+),
+wedges AS (
+  SELECT a.u AS host_a, b.u AS host_b, a.term
+  FROM mid a JOIN mid b ON a.w = b.w AND a.u < b.u
+),
+scored AS (
+  SELECT host_a, host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(term) AS BIGINT) AS aa_micro
+  FROM wedges GROUP BY 1, 2
+)
+SELECT sc.* FROM scored sc
+LEFT JOIN sym ON sym.s = sc.host_a AND sym.t = sc.host_b
+WHERE sym.s IS NULL AND sc.n_common >= {min_common}
+"""
+
+
 def q_domain_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration integer TrustRank over the planted domain graph:
     PageRank propagation with teleport restricted to a deterministic
@@ -7611,6 +7657,7 @@ def queries() -> dict:
         "km_hazard": q_km_hazard,
         "rfm_segments": q_rfm_segments,
         "textrank_keywords": q_textrank_keywords,
+        "link_prediction": q_link_prediction,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7831,6 +7878,7 @@ def oracle_sql() -> dict:
         "km_hazard": SQL_KM_HAZARD,
         "rfm_segments": SQL_RFM_SEGMENTS,
         "textrank_keywords": _sql_textrank_keywords(),
+        "link_prediction": _sql_link_prediction(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -811,3 +811,74 @@ def textrank_keywords(documents: DataFrame, k: int = 30) -> DataFrame:
             "rank_scaled",
         )
     )
+
+
+#: Adamic-Adar hub cap: common neighbors with more distinct neighbors
+#: than this contribute nothing and are EXCLUDED before the pair
+#: fan-out — a host linked by everyone is weak evidence for any
+#: specific pair, and the cap bounds the candidate explosion (sum of
+#: deg^2 over uncapped hubs) that would otherwise dominate at web
+#: scale.
+LP_DEG_CAP = 64
+LP_MIN_COMMON = 2
+
+
+def link_prediction(
+    edges: DataFrame,
+    deg_cap: int = LP_DEG_CAP,
+    min_common: int = LP_MIN_COMMON,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected domain graph —
+    "which domains will link next": non-adjacent host pairs scored by
+    their common neighbors, rare neighbors weighted up
+    (Adamic & Adar 2003, "Friends and neighbors on the Web"):
+
+        AA(u, v) = sum over common w of 1 / ln(deg(w))
+
+    kept exact-integer as aa_micro = sum of 10^12 DIV floor(ln(deg_w)
+    * 10^6) — ln of an integer-valued double floored once is the
+    proven cross-engine idiom (parity_ln_floor); deg_w >= 2 always
+    (w neighbors both u and v), so the divisor is never zero.
+
+    Scale shape: the pair fan-out goes through the HUB-CAPPED wedge
+    join (deg(w) <= deg_cap, the item_covisitation discipline) — each
+    kept w fans out at most C(deg_cap, 2) pairs; the score is one
+    map-side-combined (u, v) aggregate; existing edges drop via a
+    left_anti against the symmetric edge list; min_common prunes the
+    long random tail.
+
+    Output: host_a, host_b, n_common, aa_micro.
+    """
+    sym = _sym_edges(edges)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    term = F.expr("1000000000000 DIV CAST(floor(ln(CAST(deg AS DOUBLE))"
+                  " * 1000000) AS BIGINT)")
+    mid = (
+        sym.select(F.col("s").alias("w"), F.col("t").alias("u"))
+        .join(
+            deg.where(F.col("deg") <= deg_cap)
+            .where(F.col("deg") >= 2)
+            .select(F.col("s").alias("w"), term.alias("_term")),
+            "w",
+        )
+    )
+    a, b = mid.alias("a"), mid.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")),
+    ).select(
+        F.col("a.u").alias("host_a"),
+        F.col("b.u").alias("host_b"),
+        F.col("a._term").alias("_term"),
+    )
+    scored = wedges.groupBy("host_a", "host_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("_term").alias("aa_micro"),
+    )
+    return scored.join(
+        sym.select(
+            F.col("s").alias("host_a"), F.col("t").alias("host_b")
+        ),
+        ["host_a", "host_b"],
+        "left_anti",
+    ).where(F.col("n_common") >= min_common)

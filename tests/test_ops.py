@@ -4860,3 +4860,51 @@ def test_shot_boundaries_detects_planted_cut(spark):
     assert got[(1, 3)][0] == 127 * mm.FEATURE_DIM  # the cut frame
     for f in range(1, 4):
         assert got[(2, f)] == (mm.FEATURE_DIM, False)  # drift = 1/byte
+
+
+def test_link_prediction_adamic_adar_twin(spark):
+    """Adamic-Adar against an exact itertools twin on a hand graph:
+    existing edges excluded, hub-capped neighbors excluded, per-
+    neighbor term = 1e12 DIV floor(ln(deg)*1e6)."""
+    import itertools
+    import math
+
+    from weblog_pipeline.ops import graph
+
+    # star around h (deg 4) + chain edges; (a,b) share {h, c}
+    edge_rows = [
+        ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+        ("c", "a"), ("c", "b"),
+        ("a", "d"),  # existing edge: (a, d) must NOT be predicted
+    ]
+    edges = spark.createDataFrame(
+        [Row(src_host=s, dst_host=t, n_links=1) for s, t in edge_rows]
+    )
+    got = {
+        (r["host_a"], r["host_b"]): (r["n_common"], r["aa_micro"])
+        for r in graph.link_prediction(
+            edges, deg_cap=64, min_common=1
+        ).collect()
+    }
+
+    nbrs = {}
+    for s, t in edge_rows:
+        nbrs.setdefault(s, set()).add(t)
+        nbrs.setdefault(t, set()).add(s)
+
+    def term(w):
+        return 10**12 // math.floor(
+            math.log(float(len(nbrs[w]))) * 10**6
+        )
+
+    want = {}
+    for u, v in itertools.combinations(sorted(nbrs), 2):
+        if v in nbrs[u]:
+            continue
+        common = [w for w in nbrs[u] & nbrs[v] if 2 <= len(nbrs[w]) <= 64]
+        if common:
+            want[(u, v)] = (len(common), sum(term(w) for w in common))
+    assert got == want
+    # (a, b) is the strongest prediction: two common neighbors, one rare
+    assert got[("a", "b")][0] == 2
+    assert ("a", "d") not in got
