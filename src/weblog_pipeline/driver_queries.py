@@ -1336,6 +1336,58 @@ WHERE rank <= {BM25_K}
 """
 
 
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: BM25 top-10 as the blind
+    feedback set, expansion terms ranked by idf * feedback-tf with the
+    shared floored-micro-nat idf; top-20."""
+    return textstats.prf_expansion(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, r=BM25_K, k=20
+    )
+
+
+def _sql_prf_expansion(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH bm AS ({_sql_bm25_topk()}),
+tokA AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  WHERE trim(text, ' ') <> ''
+),
+tokB AS (SELECT doc_id, token FROM tokA WHERE token <> ''),
+stB AS (
+  SELECT COUNT(*) AS n_docs
+  FROM (SELECT doc_id FROM tokB GROUP BY 1)
+),
+fbtok AS (
+  SELECT t.doc_id, t.token FROM tokB t JOIN bm USING (doc_id)
+  WHERE t.token NOT IN ({terms})
+),
+tfq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS total_tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_fb_docs
+  FROM fbtok GROUP BY 1
+),
+dfx AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokB
+  WHERE token IN (SELECT token FROM tfq) GROUP BY 1
+),
+sc AS (
+  SELECT tfq.token, tfq.n_fb_docs, tfq.total_tf,
+         CAST(floor(ln((2 * n_docs + 2.0) / (2 * df + 1.0)) * 1000000.0)
+              AS BIGINT) * tfq.total_tf AS rocchio_score
+  FROM tfq JOIN dfx USING (token) CROSS JOIN stB
+)
+SELECT CAST(rank AS INTEGER) AS rank, token, n_fb_docs, total_tf,
+       rocchio_score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rocchio_score DESC, token ASC)
+            AS rank
+  FROM sc
+)
+WHERE rank <= {k}
+"""
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorizing mean per event type: bucket-grain 5% trim over the
     HDR histogram, integer-cent sums, one scan + histogram-sized
@@ -7658,6 +7710,7 @@ def queries() -> dict:
         "rfm_segments": q_rfm_segments,
         "textrank_keywords": q_textrank_keywords,
         "link_prediction": q_link_prediction,
+        "prf_expansion": q_prf_expansion,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7879,6 +7932,7 @@ def oracle_sql() -> dict:
         "rfm_segments": SQL_RFM_SEGMENTS,
         "textrank_keywords": _sql_textrank_keywords(),
         "link_prediction": _sql_link_prediction(),
+        "prf_expansion": _sql_prf_expansion(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -2105,3 +2105,82 @@ def query_likelihood_topk(
             "score_micro",
         )
     )
+
+
+def prf_expansion(
+    documents: DataFrame,
+    query_terms: Sequence[str],
+    r: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    blind feedback): run the BM25 ranking for the original query, ASSUME
+    its top-r page is relevant, and rank every term those feedback docs
+    contain (minus the query's own terms) by its Rocchio centroid weight
+
+        score(t) = idf(t) * sum over feedback docs of tf(t, d)
+
+    with the same Lucene idf as bm25_topk, floored once to integer
+    micro-nats — so the expansion inherits the retrieval stack's
+    cross-engine exactness. The top-k terms are what a second-round
+    query would add.
+
+    Scale shape: the feedback set is bm25_topk's bounded top-r (already
+    salted two-phase), broadcast-semi-joined into the token stream —
+    the candidate relation is r docs' vocabulary, never the corpus's;
+    corpus df computes only for that candidate set (broadcast join onto
+    the token stream, map-side-combined distinct count); the final
+    top-k is TakeOrderedAndProject over the candidate-sized relation.
+
+    Output: rank (INT), token, n_fb_docs, total_tf, rocchio_score.
+    """
+    terms = [str(t) for t in query_terms]
+    fb = bm25_topk(documents, terms, k=r).select("doc_id")
+    toks = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(lower_tokens_col()).alias("token")
+    ).where(F.col("token") != "")
+    n_docs = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    fbtok = toks.join(F.broadcast(fb), "doc_id").where(
+        ~F.col("token").isin(terms)
+    )
+    tfq = fbtok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("n_fb_docs"),
+    )
+    dfx = (
+        toks.join(F.broadcast(tfq.select("token")), "token")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    sc = (
+        tfq.join(dfx, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "n_fb_docs",
+            "total_tf",
+            (
+                F.floor(
+                    F.log(
+                        (2 * F.col("n_docs") + F.lit(2)).cast("double")
+                        / (2 * F.col("df") + F.lit(1)).cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long")
+                * F.col("total_tf")
+            ).alias("rocchio_score"),
+        )
+    )
+    order = [F.col("rocchio_score").desc(), F.col("token").asc()]
+    return (
+        sc.orderBy(*order)
+        .limit(k)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+        .select("rank", "token", "n_fb_docs", "total_tf", "rocchio_score")
+    )

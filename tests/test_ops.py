@@ -4908,3 +4908,48 @@ def test_link_prediction_adamic_adar_twin(spark):
     # (a, b) is the strongest prediction: two common neighbors, one rare
     assert got[("a", "b")][0] == 2
     assert ("a", "d") not in got
+
+
+def test_prf_expansion_rocchio_twin(spark):
+    """Expansion terms against a Python twin on a designed corpus:
+    feedback = BM25 top-r for the query; scores = floored-micro-nat
+    idf * feedback tf; query terms excluded; rare terms outrank
+    ubiquitous ones at equal tf."""
+    import math
+
+    from weblog_pipeline.ops.textstats import bm25_topk, prf_expansion
+
+    docs = [
+        "spark spark engine rare gem",    # tf=2 -> clear top doc
+        "spark engine common word",
+        "spark common word filler",
+        "common word filler noise",       # no query term
+        "noise filler pad pad",           # no query term
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows)
+    fb = {r["doc_id"] for r in bm25_topk(sdf, ["spark"], k=2).collect()}
+    got = {
+        r["token"]: (r["rank"], r["n_fb_docs"], r["total_tf"],
+                     r["rocchio_score"])
+        for r in prf_expansion(sdf, ["spark"], r=2, k=10).collect()
+    }
+
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    n_docs = len(docs)
+    want = {}
+    for tkn in {w for i in fb for w in toks[i]} - {"spark"}:
+        tf = sum(toks[i].count(tkn) for i in fb)
+        nfb = sum(1 for i in fb if tkn in toks[i])
+        df = sum(1 for i in toks if tkn in toks[i])
+        idf = math.floor(
+            math.log((2 * n_docs + 2.0) / (2 * df + 1.0)) * 1000000.0
+        )
+        want[tkn] = (nfb, tf, idf * tf)
+    order = sorted(want, key=lambda t: (-want[t][2], t))
+    assert set(got) == set(want)
+    for pos, tkn in enumerate(order, start=1):
+        assert got[tkn] == (pos, *want[tkn]), tkn
+    assert "spark" not in got
+    # 'rare'/'gem' (df=1) outrank 'common' (df=3) despite engine tf=2
+    assert got["rare"][0] < got["common"][0]
