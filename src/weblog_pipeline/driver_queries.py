@@ -6920,6 +6920,48 @@ FROM cu LEFT JOIN p USING (token) LEFT JOIN q USING (token)
 """
 
 
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus: integer
+    fixed-point (D=0.75), one floor per division, ppm probabilities for
+    bigrams seen >= 3 times."""
+    return textstats.kneser_ney_bigram(_read(spark, sf_dir, "documents"))
+
+
+def _sql_kneser_ney_bigram(min_bigram: int = textstats.KN_MIN_BIGRAM) -> str:
+    d, s = textstats.KN_DISCOUNT_X100, textstats.KN_SCALE
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents
+  WHERE trim(text, ' ') <> ''
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w WHERE len(words) >= 2
+),
+cbg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram FROM bg GROUP BY 1, 2
+),
+cw1 AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_left
+        FROM cbg GROUP BY 1),
+succ AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_succ
+         FROM cbg GROUP BY 1),
+prec AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_prec
+         FROM cbg GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cbg)
+SELECT cbg.w1, cbg.w2, cbg.c_bigram,
+       greatest(100 * c_bigram - {d}, 0) * {s} // (100 * c_left)
+         AS term1_ppm,
+       n_prec * {s} // n_types AS pcont_ppm,
+       greatest(100 * c_bigram - {d}, 0) * {s} // (100 * c_left)
+       + ({d} * n_succ * {s} // (100 * c_left))
+         * (n_prec * {s} // n_types) // {s} AS p_ppm
+FROM cbg JOIN cw1 USING (w1) JOIN succ USING (w1) JOIN prec USING (w2)
+CROSS JOIN nt
+WHERE c_bigram >= {min_bigram}
+"""
+
+
 #: catalog probe list: the published Gopher set plus 'a' — the synthetic
 #: corpus vocabulary contains only {'the', 'a'} of common English
 #: stopwords, so the published 8 alone would fail EVERY fixture doc and
@@ -7711,6 +7753,7 @@ def queries() -> dict:
         "textrank_keywords": q_textrank_keywords,
         "link_prediction": q_link_prediction,
         "prf_expansion": q_prf_expansion,
+        "kneser_ney_bigram": q_kneser_ney_bigram,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -7933,6 +7976,7 @@ def oracle_sql() -> dict:
         "textrank_keywords": _sql_textrank_keywords(),
         "link_prediction": _sql_link_prediction(),
         "prf_expansion": _sql_prf_expansion(),
+        "kneser_ney_bigram": _sql_kneser_ney_bigram(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

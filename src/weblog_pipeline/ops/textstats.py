@@ -2184,3 +2184,93 @@ def prf_expansion(
         )
         .select("rank", "token", "n_fb_docs", "total_tf", "rocchio_score")
     )
+
+
+#: Kneser-Ney absolute discount, fixed-point x100 (D = 0.75).
+KN_DISCOUNT_X100 = 75
+KN_MIN_BIGRAM = 3
+#: probability scale: parts per million.
+KN_SCALE = 1_000_000
+
+
+def kneser_ney_bigram(
+    documents: DataFrame,
+    min_bigram: int = KN_MIN_BIGRAM,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the classic
+    n-gram LM smoothing (Kneser & Ney 1995; Chen & Goodman 1999's
+    recommended form), and the model whose continuation counts
+    `continuation_counts` already certifies:
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
+                 + D * N1+(w1,.)/c(w1.) * N1+(.,w2)/|bigram types|
+
+    Everything is integer fixed-point with ONE floor per division
+    (documented and mirrored exactly by the oracle):
+
+        term1_ppm  = max(100*c - 75, 0) * 1e6 DIV (100 * c_w1)
+        lambda_ppm = 75 * n_succ(w1) * 1e6 DIV (100 * c_w1)
+        pcont_ppm  = n_prec(w2) * 1e6 DIV n_bigram_types
+        p_ppm      = term1_ppm + lambda_ppm * pcont_ppm DIV 1e6
+
+    so the smoothed probability is engine-exact, no float log-sums.
+
+    Scale shape: one zip-shift bigram stream (no self-join), three
+    map-side-combined aggregates over it (bigram counts, left-context
+    sums, distinct-successor/predecessor types), the global type count
+    attached as a broadcast scalar; output bounded by the >= min_bigram
+    collocation vocabulary.
+
+    Output: w1, w2, c_bigram, term1_ppm, pcont_ppm, p_ppm.
+    """
+    toks = F.col("_w")
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select(lower_tokens_col().alias("_w"))
+        .select(F.explode(pairs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    c_w1 = cbg.groupBy("w1").agg(F.sum("c_bigram").alias("c_left"))
+    succ = cbg.groupBy("w1").agg(F.count(F.lit(1)).alias("n_succ"))
+    prec = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    n_types = cbg.agg(F.count(F.lit(1)).alias("n_types"))
+    d = KN_DISCOUNT_X100
+    s = KN_SCALE
+    return (
+        cbg.where(F.col("c_bigram") >= min_bigram)
+        .join(c_w1, "w1")
+        .join(succ, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            F.expr(
+                f"greatest(100 * c_bigram - {d}, 0) * {s}"
+                " DIV (100 * c_left)"
+            ).alias("term1_ppm"),
+            F.expr(f"n_prec * {s} DIV n_types").alias("pcont_ppm"),
+            (
+                F.expr(
+                    f"greatest(100 * c_bigram - {d}, 0) * {s}"
+                    " DIV (100 * c_left)"
+                )
+                + F.expr(
+                    f"({d} * n_succ * {s} DIV (100 * c_left))"
+                    f" * (n_prec * {s} DIV n_types) DIV {s}"
+                )
+            ).alias("p_ppm"),
+        )
+    )

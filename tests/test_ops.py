@@ -4953,3 +4953,55 @@ def test_prf_expansion_rocchio_twin(spark):
     assert "spark" not in got
     # 'rare'/'gem' (df=1) outrank 'common' (df=3) despite engine tf=2
     assert got["rare"][0] < got["common"][0]
+
+
+def test_kneser_ney_bigram_twin_and_continuation_property(spark):
+    """KN probabilities against an exact Python twin, plus the
+    signature KN property: a word frequent only inside ONE fixed phrase
+    gets a LOW continuation probability even though its raw bigram is
+    common ('francisco' follows only 'san')."""
+    from weblog_pipeline.ops.textstats import (
+        KN_DISCOUNT_X100,
+        KN_SCALE,
+        kneser_ney_bigram,
+    )
+
+    docs = (
+        ["san francisco fog"] * 4
+        + ["the fog rolls", "the tide rolls", "the fog lifts",
+           "a fog bank", "a tide pool"]
+    )
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    got = {
+        (r["w1"], r["w2"]): (r["c_bigram"], r["term1_ppm"],
+                             r["pcont_ppm"], r["p_ppm"])
+        for r in kneser_ney_bigram(
+            spark.createDataFrame(rows), min_bigram=2
+        ).collect()
+    }
+
+    bgs = {}
+    for t in docs:
+        w = t.split()
+        for i in range(len(w) - 1):
+            bgs[(w[i], w[i + 1])] = bgs.get((w[i], w[i + 1]), 0) + 1
+    n_types = len(bgs)
+    c_left = {}
+    succ = {}
+    prec = {}
+    for (a, b), c in bgs.items():
+        c_left[a] = c_left.get(a, 0) + c
+        succ[a] = succ.get(a, 0) + 1
+        prec[b] = prec.get(b, 0) + 1
+    d, s = KN_DISCOUNT_X100, KN_SCALE
+    want = {}
+    for (a, b), c in bgs.items():
+        if c < 2:
+            continue
+        t1 = max(100 * c - d, 0) * s // (100 * c_left[a])
+        pc = prec[b] * s // n_types
+        lam = d * succ[a] * s // (100 * c_left[a])
+        want[(a, b)] = (c, t1, pc, t1 + lam * pc // s)
+    assert got == want
+    # continuation: 'fog' follows 3 distinct words, 'francisco' only 1
+    assert got[("the", "fog")][2] > got[("san", "francisco")][2]
