@@ -2229,6 +2229,64 @@ def _labeled_queries(emb: DataFrame) -> DataFrame:
     )
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per query, overlap of the exact
+    top-5 under leading-16-dim ranking vs full-64-dim ranking, both on
+    quantized integer dot products (engine-exact)."""
+    emb = _emb_labeled(spark, sf_dir)
+    return similarity.matryoshka_recall(
+        emb,
+        _labeled_queries(emb).select("query_id", "query_vec"),
+        k=5,
+    )
+
+
+def _sql_matryoshka_recall(
+    k: int = 5,
+    prefix: int = similarity.MRL_PREFIX_DIMS,
+    quant: int = similarity.LSH_QUANT,
+    dim: int = similarity.DIM,
+) -> str:
+    return f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {quant}) AS BIGINT)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id % 50 = 0),
+sc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                      i -> q.qv[i] * c.v[i]))
+              AS BIGINT) AS s_full,
+         CAST(list_sum(list_transform(range(1, {prefix + 1}),
+                                      i -> q.qv[i] * c.v[i]))
+              AS BIGINT) AS s_pre
+  FROM q, qz c WHERE c.vec_id <> q.query_id
+),
+tf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY s_full DESC, neighbor_id ASC) AS r FROM sc
+  ) WHERE r <= {k}
+),
+tp AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY s_pre DESC, neighbor_id ASC) AS r FROM sc
+  ) WHERE r <= {k}
+),
+ov AS (
+  SELECT query_id, COUNT(*) AS n
+  FROM tf JOIN tp USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.n, 0) * 10000 // {k} AS BIGINT) AS recall_bp
+FROM q LEFT JOIN ov USING (query_id)
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per query vector, the 5 most
     cosine-similar corpus vectors with a DIFFERENT label — label filter
@@ -7718,6 +7776,7 @@ def queries() -> dict:
         "domain_communities": q_domain_communities,
         "split_leakage": q_split_leakage,
         "hard_negatives": q_hard_negatives,
+        "matryoshka_recall": q_matryoshka_recall,
         "knn_label_eval": q_knn_label_eval,
         "token_fertility": q_token_fertility,
         "query_likelihood": q_query_likelihood,
@@ -7941,6 +8000,7 @@ def oracle_sql() -> dict:
         "domain_communities": _sql_domain_communities(),
         "split_leakage": _sql_split_leakage(),
         "hard_negatives": SQL_HARD_NEGATIVES,
+        "matryoshka_recall": _sql_matryoshka_recall(),
         "knn_label_eval": SQL_KNN_LABEL_EVAL,
         "token_fertility": _sql_token_fertility(),
         "query_likelihood": _sql_query_likelihood(),

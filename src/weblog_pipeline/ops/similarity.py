@@ -1325,3 +1325,107 @@ def hamming_topk_queries(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "hamming")
     )
+
+
+#: Matryoshka audit: leading prefix dims used for the truncated ranking.
+MRL_PREFIX_DIMS = 16
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix: int = MRL_PREFIX_DIMS,
+    quant: int = LSH_QUANT,
+    salt_buckets: int = TOPK_SALT_BUCKETS,
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): how much
+    of each query's exact top-k survives when ranking uses only the
+    leading `prefix` dims — the measurement behind the 'store 16 dims
+    hot, re-rank with 64' memory/recall trade every vector store now
+    offers. On MRL-trained embeddings the overlap stays high; on
+    ordinary embeddings (this fixture) it decays — either way the audit
+    reports it instead of assuming it.
+
+    Both rankings run on QUANTIZED integer dot products (per-dim
+    floor(x * quant) longs, the LSH quantizer rule) — products sum
+    order-free-exact, so the two top-k sets and the overlap are
+    bit-identical across engines; no float re-rank is needed because
+    the audit compares RANKINGS, not cosines (norms are rank-constant
+    per query).
+
+    Scale shape: ONE broadcast crossJoin of the bounded query set
+    against the corpus computes both scores (the prefix dot is a slice
+    of the same quantized array, not a second scan); each ranking is
+    the two-phase salted top-k; the overlap join runs on two k-bounded
+    relations.
+
+    Output: query_id, n_overlap, recall_bp (overlap * 10000 DIV k).
+    """
+    qz = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * quant).cast("long"),
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), qz.alias("cv")
+    )
+    qs = queries.select(
+        "query_id",
+        F.transform(
+            F.col("query_vec"),
+            lambda x: F.floor(x.cast("double") * quant).cast("long"),
+        ).alias("qv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qv"), F.col("cv")).alias("s_full"),
+            dot(
+                F.slice(F.col("qv"), 1, prefix),
+                F.slice(F.col("cv"), 1, prefix),
+            ).alias("s_pre"),
+        )
+    )
+
+    def topk(score_col: str) -> DataFrame:
+        order = [F.col(score_col).desc(), F.col("neighbor_id").asc()]
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.col("neighbor_id"), F.lit(salt_buckets))
+        ).orderBy(*order)
+        surv = scored.withColumn("_r", F.row_number().over(w1)).where(
+            F.col("_r") <= k
+        )
+        w2 = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            surv.withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    overlap = topk("s_full").join(
+        topk("s_pre"), ["query_id", "neighbor_id"]
+    )
+    counts = overlap.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        qs.select("query_id")
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.expr(
+                f"coalesce(n_overlap, 0) * 10000 DIV {int(k)}"
+            ).alias("recall_bp"),
+        )
+    )

@@ -5005,3 +5005,45 @@ def test_kneser_ney_bigram_twin_and_continuation_property(spark):
     assert got == want
     # continuation: 'fog' follows 3 distinct words, 'francisco' only 1
     assert got[("the", "fog")][2] > got[("san", "francisco")][2]
+
+
+def test_matryoshka_recall_numpy_twin(spark):
+    """Overlap counts against an independent numpy twin: same quantize
+    rule, full brute-force top-k under both the 2-dim prefix and the
+    full ranking, set intersection, floor-div bp."""
+    import numpy as np
+
+    from weblog_pipeline.ops.similarity import matryoshka_recall
+
+    rng_vecs = [
+        # 8 dims; ids 0.. — id 0 is the query (vec_id % 1 pattern not
+        # used here: we pass the query set explicitly)
+        [float((i * 7 + j * 13) % 11 - 5) / 7.0 for j in range(8)]
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(rng_vecs)]
+    )
+    queries = spark.createDataFrame(
+        [Row(query_id=0, query_vec=rng_vecs[0]),
+         Row(query_id=7, query_vec=rng_vecs[7])]
+    )
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall_bp"])
+        for r in matryoshka_recall(
+            emb, queries, k=3, prefix=2, quant=10**6
+        ).collect()
+    }
+
+    q = np.floor(np.array(rng_vecs, dtype=np.float64) * 10**6).astype(
+        np.int64
+    )
+    want = {}
+    for qid in (0, 7):
+        others = [i for i in range(30) if i != qid]
+        s_full = {i: int(q[qid] @ q[i]) for i in others}
+        s_pre = {i: int(q[qid][:2] @ q[i][:2]) for i in others}
+        top = lambda s: set(sorted(others, key=lambda i: (-s[i], i))[:3])
+        n = len(top(s_full) & top(s_pre))
+        want[qid] = (n, n * 10000 // 3)
+    assert got == want
