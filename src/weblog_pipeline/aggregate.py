@@ -1489,3 +1489,76 @@ def rfm_segments(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             + F.col("_q_monetary_cents")
         ).alias("rfm_code"),
     )
+
+
+def engagement_gini(
+    events: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Gini concentration of user activity per event type — the
+    one-number answer to "is this feature used broadly or by a whale
+    tail?", and the drift signal fraud teams watch (a bot cohort
+    spikes concentration overnight).
+
+    The Gini is EXACT, from the classic sorted-rank identity
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    but computed WITHOUT any global sort of users: per distinct count
+    value v with multiplicity m starting after cumulative rank r0, the
+    block's rank-weighted mass is v * (m*r0 + m(m+1)/2) — so S comes
+    from a cumulative window over the DISTINCT-COUNT HISTOGRAM (the
+    rfm_segments discipline), m(m+1) is always even (exact), and the
+    final bp value is one floor division.
+
+    Scale shape: raw events collapse to (type, user) counts map-side;
+    the histogram is (type, distinct count) — tiny; every window is
+    partitioned by type over that histogram. No user-grain sort, no
+    single-partition pass.
+
+    Output: <key_col>, n_users, total_events, gini_bp.
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        events.groupBy(key_col, "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = per_user.groupBy(key_col, "c").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = hist.select(
+        key_col,
+        "c",
+        "m",
+        (F.sum("m").over(w_cum) - F.col("m")).alias("r0"),
+    ).select(
+        key_col,
+        (F.col("m") * F.col("c")).alias("_t"),
+        (
+            F.col("c")
+            * (
+                F.col("m") * F.col("r0")
+                + F.expr("m * (m + 1) DIV 2")
+            )
+        ).alias("_s"),
+        F.col("m").alias("_m"),
+    )
+    agg = blocks.groupBy(key_col).agg(
+        F.sum("_m").alias("n_users"),
+        F.sum("_t").alias("total_events"),
+        F.sum("_s").alias("_s_sum"),
+    )
+    return agg.select(
+        key_col,
+        "n_users",
+        "total_events",
+        F.expr(
+            "(2 * _s_sum - (n_users + 1) * total_events) * 10000"
+            " DIV (n_users * total_events)"
+        ).alias("gini_bp"),
+    )

@@ -1603,6 +1603,43 @@ FROM fullg f JOIN chi c USING (event_type)
 """
 
 
+def q_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini of per-user activity per event type, computed from
+    the distinct-count histogram (rank-block identity, no global
+    sort)."""
+    from weblog_pipeline.aggregate import engagement_gini
+
+    return engagement_gini(_read(spark, sf_dir, "events"))
+
+
+SQL_ENGAGEMENT_GINI = """
+WITH pu AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+hist AS (
+  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m FROM pu GROUP BY 1, 2
+),
+blocks AS (
+  SELECT event_type, c, m,
+         CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) - m AS BIGINT) AS r0
+  FROM hist
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(m) AS BIGINT) AS n_users,
+         CAST(SUM(m * c) AS BIGINT) AS total_events,
+         CAST(SUM(c * (m * r0 + m * (m + 1) // 2)) AS BIGINT) AS s_sum
+  FROM blocks GROUP BY 1
+)
+SELECT event_type, n_users, total_events,
+       (2 * s_sum - (n_users + 1) * total_events) * 10000
+         // (n_users * total_events) AS gini_bp
+FROM agg
+"""
+
+
 def q_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map data-skipping audit over 256-row ingest-order chunks:
     per-chunk min/max of user/day/cents plus would-scan flags and true
@@ -7744,7 +7781,11 @@ def queries() -> dict:
         # ann_recall refresh. The r7 window is 10 canaries + 2 parity +
         # 38 of these (oldest-added first: freq_spectrum..query_likelihood
         # land, trimmed_mean..hamming_topk and later additions roll to
-        # the r8 window);
+        # the r8 window). Session-5 additions (cusum_alerts, zone_maps,
+        # zorder_bins, km_hazard, rfm_segments, textrank_keywords,
+        # shot_boundaries, link_prediction, prf_expansion,
+        # kneser_ney_bigram, matryoshka_recall, ...) queue after those
+        # for r8/r9.
         # update test_canaries_lead_the_correctness_window when rotating:
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
@@ -7805,6 +7846,7 @@ def queries() -> dict:
         "typosquat_pairs": q_typosquat_pairs,
         "props_schema_census": q_props_schema_census,
         "cusum_alerts": q_cusum_alerts,
+        "engagement_gini": q_engagement_gini,
         "zone_maps": q_zone_maps,
         "zorder_bins": q_zorder_bins,
         "km_hazard": q_km_hazard,
@@ -8029,6 +8071,7 @@ def oracle_sql() -> dict:
         "typosquat_pairs": _sql_typosquat_pairs(),
         "props_schema_census": SQL_PROPS_SCHEMA_CENSUS,
         "cusum_alerts": SQL_CUSUM_ALERTS,
+        "engagement_gini": SQL_ENGAGEMENT_GINI,
         "zone_maps": SQL_ZONE_MAPS,
         "zorder_bins": _sql_zorder_bins(),
         "km_hazard": SQL_KM_HAZARD,

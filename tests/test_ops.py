@@ -5047,3 +5047,38 @@ def test_matryoshka_recall_numpy_twin(spark):
         n = len(top(s_full) & top(s_pre))
         want[qid] = (n, n * 10000 // 3)
     assert got == want
+
+
+def test_engagement_gini_matches_sorted_rank_identity(spark):
+    """Histogram-block Gini must equal the sorted-rank identity computed
+    the naive way (sort all users, sum i*x_i), including heavy ties;
+    uniform cohort scores 0, whale-dominated cohort scores high."""
+    import datetime
+
+    from weblog_pipeline.aggregate import engagement_gini
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # type 'flat': 6 users x 4 events each -> gini 0
+    counts = {"flat": [4] * 6,
+              # type 'whale': one user owns most of the traffic, ties below
+              "whale": [1, 1, 1, 2, 2, 50]}
+    for etype, per_user in counts.items():
+        for u, c in enumerate(per_user):
+            for _ in range(c):
+                rows.append(Row(event_id=eid, event_type=etype,
+                                user_id=u, ts=base))
+                eid += 1
+    got = {
+        r["event_type"]: (r["n_users"], r["total_events"], r["gini_bp"])
+        for r in engagement_gini(spark.createDataFrame(rows)).collect()
+    }
+    for etype, per_user in counts.items():
+        xs = sorted(per_user)
+        n, t = len(xs), sum(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        want = (2 * s - (n + 1) * t) * 10000 // (n * t)
+        assert got[etype] == (n, t, want), etype
+    assert got["flat"][2] == 0
+    assert got["whale"][2] > 5000
