@@ -666,3 +666,75 @@ def touch_conversion_join(
             - F.unix_micros(F.col("t_ts").cast("timestamp_ltz"))
         ).alias("delta_us"),
     )
+
+
+CUSUM_SCHEMA = (
+    "event_type string, day long, n_events long, cusum long, "
+    "is_alarm boolean"
+)
+_CUSUM_STATE_SCHEMA = "cur_day long, cur_cnt long, s long"
+
+
+def cusum_stream(events: DataFrame, ref: int = 8,
+                 h: int = 32) -> DataFrame:
+    """Online CUSUM control chart per event type — the streaming
+    counterpart of aggregate.cusum_alerts, in the chart's ONLINE form:
+    a FIXED reference count `ref` (the batch op derives its slack from
+    the full series, which a stream never has), the textbook recurrence
+
+        S <- max(0, S + (n_day - ref)),  alarm when S > h
+
+    applied each time a day CLOSES (a later day's first event arrives —
+    the anomaly_stream day-close discipline). State per key is three
+    scalars (open day, its running count, the accumulated S): fixed
+    width forever, no history array at all — CUSUM's recurrence IS its
+    own sufficient statistic, which is why the chart was built for
+    streaming in 1954.
+
+    Emits one append-safe verdict row per closed day; ordered replay
+    reproduces the same recurrence a batch pass over closed days
+    computes (the batch-twin pytest runs the pure-Python recurrence).
+    """
+    import pandas as pd
+
+    def step(key, pdfs, state):
+        if state.exists:
+            cur_day, cur_cnt, s = state.get
+        else:
+            cur_day, cur_cnt, s = None, 0, 0
+        out = []
+
+        def close(day, cnt, s_in):
+            s_new = max(0, s_in + (cnt - ref))
+            out.append((key[0], day, cnt, s_new, bool(s_new > h)))
+            return s_new
+
+        days = sorted(d for p in pdfs for d in p["day"].tolist())
+        for d in days:
+            if cur_day is None:
+                cur_day, cur_cnt = d, 0
+            elif d != cur_day:
+                s = close(cur_day, cur_cnt, s)
+                cur_day, cur_cnt = d, 0
+            cur_cnt += 1
+        state.update((cur_day, cur_cnt if cur_day is not None else 0, s))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "day", "n_events", "cusum",
+                         "is_alarm"],
+            )
+
+    cells = events.select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").alias(
+            "day"
+        ),
+    )
+    return cells.groupBy("event_type").applyInPandasWithState(
+        step,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -724,3 +724,72 @@ def test_touch_conversion_join_stream_stream(spark, tmp_path):
         (2, 1): (1, "click", 5 * 60 * 1_000_000),
         (5, 3): (2, "view", 30 * 60 * 1_000_000),
     }
+
+
+def test_cusum_stream_equals_recurrence_twin(spark, tmp_path):
+    """Replaying a two-micro-batch stream reproduces the pure-Python
+    online CUSUM recurrence on every CLOSED day: a slow persistent ramp
+    (no single-day spike) accumulates across batches and alarms; the
+    quiet key never does; the open last day emits nothing."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.streaming import cusum_stream
+
+    base = datetime.datetime(2024, 5, 1)
+    # 'ramp': 5 days at ref level 8, then 6 days at 13 (+5/day vs ref)
+    per_day = {"ramp": [8] * 5 + [13] * 6, "quiet": [8, 7, 8, 9, 8]}
+    rows, eid = [], 0
+    for etype, counts in per_day.items():
+        for d, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(Row(event_id=eid,
+                                ts=base + datetime.timedelta(days=d),
+                                user_id=1, event_type=etype, value=1.0))
+                eid += 1
+    rows.sort(key=lambda r: r.ts)
+    split = len(rows) // 2
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(rows[:split], schema).coalesce(1).write.parquet(
+        inp + "/f1")
+    spark.createDataFrame(rows[split:], schema).coalesce(1).write.parquet(
+        inp + "/f2")
+
+    q = (
+        cusum_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp + "/*"),
+            ref=8, h=12,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["cusum"],
+                                      r["is_alarm"])
+        for r in spark.read.parquet(out).collect()
+    }
+    day0 = (base - datetime.datetime(1970, 1, 1)).days
+    want = {}
+    for etype, counts in per_day.items():
+        s = 0
+        for d, n in enumerate(counts[:-1]):  # last day stays open
+            s = max(0, s + (n - 8))
+            want[(etype, day0 + d)] = (n, s, s > 12)
+    assert got == want
+    assert not any(v[2] for k, v in got.items() if k[0] == "quiet")
+    ramp_alarms = sorted(k[1] for k, v in got.items()
+                         if k[0] == "ramp" and v[2])
+    # S = 5, 10, 15 on elevated days: first alarm on the 3rd (day idx 7),
+    # every later closed elevated day stays in alarm
+    assert ramp_alarms == [day0 + 7, day0 + 8, day0 + 9]
