@@ -7015,6 +7015,49 @@ FROM cu LEFT JOIN p USING (token) LEFT JOIN q USING (token)
 """
 
 
+#: standing percolator queries (fixture vocabulary is DB-themed text —
+#: the bm25 probe-term rationale): (id, must, should, min_should)
+PERCOLATE_QUERIES = (
+    ("q_join_hash", ("join", "hash"), (), 0),
+    ("q_spark_ctx", ("spark",), ("query", "index", "data"), 1),
+    ("q_any_two", (), ("hash", "join", "spark", "index"), 2),
+)
+
+
+def q_query_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator: 3 standing boolean queries (must + min-should set
+    algebra on the distinct token set) matched against every doc in the
+    scan stage — zero shuffles."""
+    return textstats.query_matches(
+        _read(spark, sf_dir, "documents"), PERCOLATE_QUERIES
+    )
+
+
+def _sql_query_matches() -> str:
+    def lst(terms):
+        if not terms:
+            return "CAST([] AS VARCHAR[])"
+        return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+    selects = []
+    for qid, must, should, min_should in PERCOLATE_QUERIES:
+        selects.append(
+            f"""SELECT '{qid}' AS query_id, doc_id,
+       CAST(len(list_intersect({lst(should)}, t)) AS BIGINT)
+         AS n_should_hit
+FROM tokset
+WHERE list_has_all(t, {lst(must)})
+  AND len(list_intersect({lst(should)}, t)) >= {min_should}"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tokset AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents
+)
+{body}
+"""
+
+
 def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM over the corpus: integer
     fixed-point (D=0.75), one floor per division, ppm probabilities for
@@ -7855,6 +7898,7 @@ def queries() -> dict:
         "link_prediction": q_link_prediction,
         "prf_expansion": q_prf_expansion,
         "kneser_ney_bigram": q_kneser_ney_bigram,
+        "query_matches": q_query_matches,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -8080,6 +8124,7 @@ def oracle_sql() -> dict:
         "link_prediction": _sql_link_prediction(),
         "prf_expansion": _sql_prf_expansion(),
         "kneser_ney_bigram": _sql_kneser_ney_bigram(),
+        "query_matches": _sql_query_matches(),
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

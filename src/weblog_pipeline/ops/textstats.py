@@ -2274,3 +2274,56 @@ def kneser_ney_bigram(
             ).alias("p_ppm"),
         )
     )
+
+
+def query_matches(
+    documents: DataFrame,
+    queries: Sequence[tuple[str, Sequence[str], Sequence[str], int]],
+) -> DataFrame:
+    """Percolator / saved-search matching — the alerting primitive run
+    backwards: a small standing table of boolean queries is matched
+    against EVERY incoming document (Elasticsearch's percolate, the
+    "tell me when a page about X appears" pipeline stage).
+
+    Each query is (query_id, must_terms, should_terms, min_should): a
+    doc matches when its token SET contains every must term and at
+    least min_should of the should terms. Matching is set algebra on
+    the shared corpus tokenizer — array_contains/forall and
+    array_intersect (both engines return DISTINCT intersections), no
+    regex, no scoring.
+
+    Scale shape: the query table broadcasts (it is tiny by definition);
+    the token set materializes once per doc (shingles_over CSE
+    contract) and every predicate evaluates in the scan stage — ZERO
+    shuffles, embarrassingly parallel, which is the whole point of a
+    percolator at 100 TB/day.
+
+    Output: query_id, doc_id, n_should_hit (matching docs only).
+    """
+    rows = [
+        (str(qid), [str(t) for t in must], [str(t) for t in should],
+         int(min_should))
+        for qid, must, should, min_should in queries
+    ]
+    spark = documents.sparkSession
+    qdf = spark.createDataFrame(
+        rows,
+        "query_id string, must array<string>, should array<string>, "
+        "min_should int",
+    )
+    toks = documents.select(
+        "doc_id", lower_tokens_col().alias("_w")
+    ).select("doc_id", F.array_distinct("_w").alias("_t"))
+    joined = toks.crossJoin(F.broadcast(qdf))
+    must_ok = F.forall(
+        F.col("must"), lambda t: F.array_contains(F.col("_t"), t)
+    )
+    n_should = F.size(F.array_intersect(F.col("should"), F.col("_t")))
+    return (
+        joined.where(must_ok & (n_should >= F.col("min_should")))
+        .select(
+            "query_id",
+            "doc_id",
+            n_should.cast("long").alias("n_should_hit"),
+        )
+    )

@@ -5082,3 +5082,40 @@ def test_engagement_gini_matches_sorted_rank_identity(spark):
         assert got[etype] == (n, t, want), etype
     assert got["flat"][2] == 0
     assert got["whale"][2] > 5000
+
+
+def test_query_matches_boolean_semantics(spark):
+    """Percolator semantics pinned: must is conjunctive, min_should
+    counts DISTINCT matched should terms (duplicates in the doc count
+    once), empty must/should behave as true/0, non-matching docs are
+    absent."""
+    from weblog_pipeline.ops.textstats import query_matches
+
+    docs = [
+        (0, "join hash tables fast"),          # both musts
+        (1, "hash only here"),                  # missing 'join'
+        (2, "spark spark query query"),         # dup terms: 1 should hit
+        (3, "spark index data layout"),         # 2 should hits
+        (4, "nothing relevant at all"),
+    ]
+    qs = [
+        ("m2", ("join", "hash"), (), 0),
+        ("s1", ("spark",), ("query", "index", "data"), 2),
+        ("any2", (), ("hash", "join", "query"), 2),
+    ]
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_should_hit"]
+        for r in query_matches(
+            spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in docs]
+            ),
+            qs,
+        ).collect()
+    }
+    # doc 2 for 'any2' has only 'query' (1 distinct hit) -> excluded;
+    # doc 2 for 's1' has only 'query' -> 1 < 2 -> excluded
+    assert got == {
+        ("m2", 0): 0,          # empty should -> 0 hits, still matches
+        ("s1", 3): 2,
+        ("any2", 0): 2,        # hash + join
+    }
