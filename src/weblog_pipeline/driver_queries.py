@@ -7015,6 +7015,101 @@ FROM cu LEFT JOIN p USING (token) LEFT JOIN q USING (token)
 """
 
 
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape pricing summary over lineitem: per-row floored cents,
+    one map-side-combined aggregate, data-derived shipdate cut."""
+    from weblog_pipeline.ops.relational import pricing_rollup
+
+    return pricing_rollup(_read(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICING_ROLLUP = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT) // 86400
+           AS sday,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS base_c,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS disc_c,
+         CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    * 100) AS BIGINT) AS charge_c,
+         CAST(floor(l_discount * 10000) AS BIGINT) AS disc_bp
+  FROM lineitem
+),
+mx AS (SELECT MAX(sday) AS dmax FROM li),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(q_c) AS BIGINT) AS sum_qty_c,
+         CAST(SUM(base_c) AS BIGINT) AS sum_base_c,
+         CAST(SUM(disc_c) AS BIGINT) AS sum_disc_c,
+         CAST(SUM(charge_c) AS BIGINT) AS sum_charge_c,
+         CAST(SUM(disc_bp) AS BIGINT) AS s_disc_bp
+  FROM li CROSS JOIN mx
+  WHERE sday <= dmax - 7
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n_rows, sum_qty_c, sum_base_c,
+       sum_disc_c, sum_charge_c,
+       sum_qty_c // n_rows AS avg_qty_c,
+       sum_base_c // n_rows AS avg_price_c,
+       s_disc_bp // n_rows AS avg_disc_bp
+FROM agg
+"""
+
+
+def q_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape unshipped-revenue top-10: broadcast segment dim,
+    orderkey-shuffled fact join, epoch-day midpoint pivot."""
+    from weblog_pipeline.ops.relational import shipping_topk
+
+    return shipping_topk(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_SHIPPING_TOPK = """
+WITH od AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400
+           AS oday
+  FROM orders
+),
+pvt AS (SELECT (MIN(oday) + MAX(oday)) // 2 AS mid FROM od),
+o AS (
+  SELECT od.o_orderkey, od.oday AS order_day, p.mid
+  FROM od CROSS JOIN pvt p
+  JOIN customer c ON c.c_custkey = od.o_custkey
+  WHERE od.oday < p.mid AND c.c_mktsegment = 'BUILDING'
+),
+li AS (
+  SELECT l_orderkey,
+         CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT) // 86400
+           AS sday,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_c
+  FROM lineitem
+),
+rev AS (
+  SELECT li.l_orderkey, o.order_day,
+         CAST(SUM(li.rev_c) AS BIGINT) AS revenue_c
+  FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+  WHERE li.sday > o.mid
+  GROUP BY 1, 2
+)
+SELECT l_orderkey, order_day, revenue_c
+FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue_c DESC, l_orderkey ASC)
+            AS r
+  FROM rev
+)
+WHERE r <= 10
+"""
+
+
 #: standing percolator queries (fixture vocabulary is DB-themed text —
 #: the bm25 probe-term rationale): (id, must, should, min_should)
 PERCOLATE_QUERIES = (
@@ -7899,6 +7994,8 @@ def queries() -> dict:
         "prf_expansion": q_prf_expansion,
         "kneser_ney_bigram": q_kneser_ney_bigram,
         "query_matches": q_query_matches,
+        "pricing_rollup": q_pricing_rollup,
+        "shipping_topk": q_shipping_topk,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -8125,6 +8222,8 @@ def oracle_sql() -> dict:
         "prf_expansion": _sql_prf_expansion(),
         "kneser_ney_bigram": _sql_kneser_ney_bigram(),
         "query_matches": _sql_query_matches(),
+        "pricing_rollup": SQL_PRICING_ROLLUP,
+        "shipping_topk": SQL_SHIPPING_TOPK,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -781,3 +781,39 @@ def test_daily_anomalies_windows_ride_the_aggregated_series(spark):
     plan = _physical(daily_anomalies(df))
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_shipping_topk_broadcasts_dim_and_shuffles_fact(spark):
+    """The Q3-shape join must broadcast the customer dimension (and the
+    one-row pivot) and reserve the shuffle for the orderkey fact join;
+    the final top-k must be TakeOrderedAndProject, not a global sort."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import shipping_topk
+
+    base = datetime.datetime(2024, 1, 1)
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i, c_name=f"c{i}", c_nationkey=0, c_acctbal=1.0,
+             c_mktsegment="BUILDING" if i % 2 == 0 else "AUTO")
+         for i in range(10)]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=i % 10, o_orderstatus="O",
+             o_totalprice=1.0,
+             o_orderdate=base + datetime.timedelta(days=i % 60),
+             o_orderpriority="1")
+         for i in range(100)]
+    )
+    li = spark.createDataFrame(
+        [Row(l_orderkey=i % 100, l_partkey=1, l_suppkey=1, l_linenumber=1,
+             l_quantity=1.0, l_extendedprice=100.0, l_discount=0.1,
+             l_tax=0.05, l_returnflag="N", l_linestatus="O",
+             l_shipdate=base + datetime.timedelta(days=(i * 7) % 60))
+         for i in range(300)]
+    )
+    plan = _physical(shipping_topk(cust, orders, li))
+    assert "BroadcastHashJoin" in plan       # the dim side
+    assert "TakeOrderedAndProject" in plan   # the bounded top-k
+    assert "CartesianProduct" not in plan
