@@ -7110,6 +7110,61 @@ WHERE r <= 10
 """
 
 
+def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gap varint index-size audit per term (df >= 16): segmented
+    gap windows (in-segment + segment-summary boundary pass), LEB128
+    boolean byte ladder, ratio vs raw 8-byte ids."""
+    return textstats.posting_compression(_read(spark, sf_dir, "documents"))
+
+
+def _sql_posting_compression(
+    min_df: int = 16, seg: int = 1024
+) -> str:
+    def vb(g):
+        return (
+            f"(1 + CAST({g} >= 128 AS BIGINT)"
+            f" + CAST({g} >= 16384 AS BIGINT)"
+            f" + CAST({g} >= 2097152 AS BIGINT)"
+            f" + CAST({g} >= 268435456 AS BIGINT))"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+p AS (
+  SELECT DISTINCT token, doc_id, doc_id // {seg} AS sg
+  FROM tok WHERE token <> ''
+),
+g AS (
+  SELECT token, sg, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY token, sg
+                                    ORDER BY doc_id) AS gap
+  FROM p
+),
+ss AS (
+  SELECT token, sg, COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+         COALESCE(SUM(CASE WHEN gap IS NOT NULL THEN {vb('gap')} END), 0)
+           AS b_in
+  FROM g GROUP BY 1, 2
+),
+bd AS (
+  SELECT token, n, b_in,
+         COALESCE(mn - lag(mx) OVER (PARTITION BY token ORDER BY sg),
+                  mn + 1) AS bgap
+  FROM ss
+),
+agg AS (
+  SELECT token, CAST(SUM(n) AS BIGINT) AS df,
+         CAST(SUM(b_in) + SUM({vb('bgap')}) AS BIGINT) AS bytes_varint
+  FROM bd GROUP BY 1
+)
+SELECT token, df, bytes_varint, df * 8 AS bytes_raw,
+       bytes_varint * 10000 // (df * 8) AS ratio_bp
+FROM agg WHERE df >= {min_df}
+"""
+
+
 #: standing percolator queries (fixture vocabulary is DB-themed text —
 #: the bm25 probe-term rationale): (id, must, should, min_should)
 PERCOLATE_QUERIES = (
@@ -7995,6 +8050,7 @@ def queries() -> dict:
         "kneser_ney_bigram": q_kneser_ney_bigram,
         "query_matches": q_query_matches,
         "pricing_rollup": q_pricing_rollup,
+        "posting_compression": q_posting_compression,
         "shipping_topk": q_shipping_topk,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
@@ -8223,6 +8279,7 @@ def oracle_sql() -> dict:
         "kneser_ney_bigram": _sql_kneser_ney_bigram(),
         "query_matches": _sql_query_matches(),
         "pricing_rollup": SQL_PRICING_ROLLUP,
+        "posting_compression": _sql_posting_compression(),
         "shipping_topk": SQL_SHIPPING_TOPK,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),

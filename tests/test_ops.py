@@ -5119,3 +5119,49 @@ def test_query_matches_boolean_semantics(spark):
         ("s1", 3): 2,
         ("any2", 0): 2,        # hash + join
     }
+
+
+def test_posting_compression_segmented_equals_global_gaps(spark):
+    """Segmented gap accounting must equal the naive global per-term
+    delta-gap varint sum — including postings that straddle segment
+    boundaries and gaps wide enough to cross varint thresholds — and a
+    dense list must compress ~8x while a sparse one approaches raw."""
+    from weblog_pipeline.ops.textstats import posting_compression
+
+    # 'dense' in docs 0..39 (gap 1); 'sparse' every 3000 ids (crosses
+    # segments of 16 and the 128/16384 varint thresholds)
+    rows = []
+    for i in range(40):
+        rows.append((i, "dense filler"))
+    sparse_ids = [j * 3000 for j in range(20)]
+    rows += [(i, "sparse filler") for i in sparse_ids]
+    sdf = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+    got = {
+        r["token"]: (r["df"], r["bytes_varint"], r["bytes_raw"],
+                     r["ratio_bp"])
+        for r in posting_compression(sdf, min_df=16, seg=16).collect()
+    }
+
+    def vb(g):
+        return 1 + (g >= 128) + (g >= 16384) + (g >= 2097152) + (
+            g >= 268435456
+        )
+
+    def naive(ids):
+        ids = sorted(set(ids))
+        total = vb(ids[0] + 1) + sum(
+            vb(b - a) for a, b in zip(ids, ids[1:])
+        )
+        return len(ids), total
+
+    for tok, ids in (
+        ("dense", list(range(40))),
+        ("sparse", sparse_ids),
+        ("filler", list(range(40)) + sparse_ids),
+    ):
+        df, b = naive(ids)
+        assert got[tok] == (df, b, df * 8, b * 10000 // (df * 8)), tok
+    assert got["dense"][3] <= 1563          # ~1 byte per 8 raw
+    assert got["sparse"][3] >= 2400         # wide gaps cost ~2 bytes each
