@@ -1562,3 +1562,47 @@ def engagement_gini(
             " DIV (n_users * total_events)"
         ).alias("gini_bp"),
     )
+
+
+def user_entropy(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-user behavioral entropy over the event-type distribution, in
+    integer micro-nats — the classic bot feature next to bot_gap_stats'
+    timing signal: scripted clients hammer one action (H -> 0), organic
+    users mix (H -> ln(n_types)).
+
+    Same exact integer recipe as char_entropy (every transcendental
+    term floored BEFORE the distributed sum, ln of integer-valued
+    doubles proven bit-identical): H_micro = floor(1e6*ln(n)) -
+    (sum_i floor(1e6 * c_i * ln(c_i))) DIV n.
+
+    Scale shape: one (user, type) map-side-combined count (bounded by
+    each user's type alphabet), one user_id aggregate. Zero joins, zero
+    windows.
+
+    Output: user_id, n_events, n_types, entropy_micro.
+    """
+    per = events.groupBy("user_id", key_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = F.floor(
+        F.log(F.col("c").cast("double")) * F.col("c") * F.lit(1000000)
+    ).cast("long")
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(term).cast("long").alias("_s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            (
+                F.floor(
+                    F.log(F.col("n_events").cast("double")) * F.lit(1000000)
+                ).cast("long")
+                - F.expr("_s DIV n_events")
+            ).alias("entropy_micro"),
+        )
+    )

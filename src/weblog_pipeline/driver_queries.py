@@ -1603,6 +1603,62 @@ FROM fullg f JOIN chi c USING (event_type)
 """
 
 
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type entropy in integer micro-nats (char_entropy's
+    floored-term recipe) — the behavioral bot feature."""
+    from weblog_pipeline.aggregate import user_entropy
+
+    return user_entropy(_read(spark, sf_dir, "events"))
+
+
+SQL_USER_ENTROPY = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1000000)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM per GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       CAST(floor(ln(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)
+         - s // n_events AS entropy_micro
+FROM agg
+"""
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-link reciprocity of the planted domain graph (one-row
+    spam-graph feature)."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.reciprocity(graph.link_graph(graph.extract_links(docs)))
+
+
+def _sql_reciprocity() -> str:
+    return f"""
+WITH {_links_cte()},
+e AS (
+  SELECT DISTINCT src_host, dst_host FROM edges
+  WHERE src_host <> dst_host
+),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e e2
+    WHERE e2.src_host = e.dst_host AND e2.dst_host = e.src_host
+  )
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       r.n_recip,
+       r.n_recip * 10000 // (SELECT COUNT(*) FROM e) AS recip_bp
+FROM r
+"""
+
+
 def q_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini of per-user activity per event type, computed from
     the distinct-count histogram (rank-block identity, no global
@@ -8040,6 +8096,8 @@ def queries() -> dict:
         "props_schema_census": q_props_schema_census,
         "cusum_alerts": q_cusum_alerts,
         "engagement_gini": q_engagement_gini,
+        "user_entropy": q_user_entropy,
+        "reciprocity": q_reciprocity,
         "zone_maps": q_zone_maps,
         "zorder_bins": q_zorder_bins,
         "km_hazard": q_km_hazard,
@@ -8269,6 +8327,8 @@ def oracle_sql() -> dict:
         "props_schema_census": SQL_PROPS_SCHEMA_CENSUS,
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "engagement_gini": SQL_ENGAGEMENT_GINI,
+        "user_entropy": SQL_USER_ENTROPY,
+        "reciprocity": _sql_reciprocity(),
         "zone_maps": SQL_ZONE_MAPS,
         "zorder_bins": _sql_zorder_bins(),
         "km_hazard": SQL_KM_HAZARD,

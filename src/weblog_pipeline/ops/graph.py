@@ -882,3 +882,35 @@ def link_prediction(
         ["host_a", "host_b"],
         "left_anti",
     ).where(F.col("n_common") >= min_common)
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Link reciprocity of the directed domain graph — one row: how many
+    distinct (u, v) links are returned by a (v, u) link. Organic
+    communities reciprocate; link farms and SEO pyramids are one-way
+    (reciprocity is a standard spam-graph feature next to TrustRank).
+
+    Shape: the distinct directed pair set self-joins once on the
+    reversed key — domain-grain, map-side-combined counts, output is a
+    single row.
+
+    Output: n_edges, n_recip, recip_bp.
+    """
+    e = (
+        edges.where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    stats = e.join(rev, ["src_host", "dst_host"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return total.crossJoin(stats).select(
+        "n_edges",
+        "n_recip",
+        F.expr("n_recip * 10000 DIV n_edges").alias("recip_bp"),
+    )

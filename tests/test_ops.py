@@ -5165,3 +5165,42 @@ def test_posting_compression_segmented_equals_global_gaps(spark):
         assert got[tok] == (df, b, df * 8, b * 10000 // (df * 8)), tok
     assert got["dense"][3] <= 1563          # ~1 byte per 8 raw
     assert got["sparse"][3] >= 2400         # wide gaps cost ~2 bytes each
+
+
+def test_user_entropy_and_reciprocity(spark):
+    """user_entropy: single-action bot scores 0, uniform 4-type user
+    scores floor-exact ln(4); reciprocity: hand graph with one mutual
+    pair out of three directed edges."""
+    import datetime
+    import math
+
+    from weblog_pipeline.aggregate import user_entropy
+    from weblog_pipeline.ops.graph import reciprocity
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(8):
+        rows.append(Row(user_id=1, event_type="click",
+                        ts=base, event_id=i))
+    for i, t in enumerate(["a", "b", "c", "d"] * 2):
+        rows.append(Row(user_id=2, event_type=t, ts=base,
+                        event_id=100 + i))
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["entropy_micro"])
+        for r in user_entropy(spark.createDataFrame(rows)).collect()
+    }
+    assert got[1] == (8, 1, math.floor(math.log(8.0) * 1e6)
+                      - math.floor(math.log(8.0) * 8 * 1e6) // 8)
+    # uniform over 4 types: H = ln(8) - (4*2*ln2)/8 terms
+    s = 4 * math.floor(math.log(2.0) * 2 * 1e6)
+    assert got[2] == (8, 4, math.floor(math.log(8.0) * 1e6) - s // 8)
+    assert got[1][2] == 0 or got[1][2] == 1  # single type ~ 0 (floor slack)
+
+    edges = spark.createDataFrame(
+        [Row(src_host=s_, dst_host=t_, n_links=1)
+         for s_, t_ in [("a", "b"), ("b", "a"), ("a", "c")]]
+    )
+    rec = reciprocity(edges).collect()[0]
+    assert (rec["n_edges"], rec["n_recip"], rec["recip_bp"]) == (
+        3, 2, 2 * 10000 // 3,
+    )
