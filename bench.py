@@ -397,6 +397,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "phrase_search",
         lambda: textstats.phrase_search(docs, ("table", "hash")).count(),
     )
+    # q14b: iterative word-graph ranking — the session-5 graph family's
+    # tracked representative (pagerank over the collocation vocabulary)
+    from weblog_pipeline.ops import graph as graph_ops
+
+    timed(
+        "textrank",
+        lambda: graph_ops.textrank_keywords(docs, k=30).count(),
+    )
 
     # q15-q16: substring-grain CDC dedup + hashed linear classifier over
     # the 500k-doc zipf corpus (the position explode makes cdc the widest

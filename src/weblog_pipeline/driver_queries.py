@@ -7166,6 +7166,28 @@ WHERE r <= 10
 """
 
 
+def q_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim enrichment rollup: events broadcast-joined to the
+    customer dimension on user key, per (segment, type) counts +
+    floored cents."""
+    from weblog_pipeline.ops.relational import segment_activity
+
+    return segment_activity(
+        _read(spark, sf_dir, "events"), _read(spark, sf_dir, "customer")
+    )
+
+
+SQL_SEGMENT_ACTIVITY = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-gap varint index-size audit per term (df >= 16): segmented
     gap windows (in-segment + segment-summary boundary pass), LEB128
@@ -8109,6 +8131,7 @@ def queries() -> dict:
         "query_matches": q_query_matches,
         "pricing_rollup": q_pricing_rollup,
         "posting_compression": q_posting_compression,
+        "segment_activity": q_segment_activity,
         "shipping_topk": q_shipping_topk,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
@@ -8340,6 +8363,7 @@ def oracle_sql() -> dict:
         "query_matches": _sql_query_matches(),
         "pricing_rollup": SQL_PRICING_ROLLUP,
         "posting_compression": _sql_posting_compression(),
+        "segment_activity": SQL_SEGMENT_ACTIVITY,
         "shipping_topk": SQL_SHIPPING_TOPK,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),

@@ -146,3 +146,32 @@ def shipping_topk(
         .limit(k)
         .select("l_orderkey", "order_day", "revenue_c")
     )
+
+
+def segment_activity(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Event-stream enrichment against the customer dimension — the
+    bread-and-butter fact ⋈ dim rollup ("activity by market segment")
+    every log pipeline runs before a dashboard: events join customer on
+    user key, aggregate per (segment, event_type).
+
+    The dimension is explicitly broadcast: a 10^9-row event fact never
+    shuffles for a dimension lookup — the join lives in the scan stage
+    and the only exchange is the final small-group aggregate (itself
+    map-side combined). Money is per-row floored cents (the
+    pricing_rollup rule).
+
+    Output: c_mktsegment, event_type, n_events, n_users, sum_value_c.
+    """
+    dim = customer.select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 100).cast("long")
+        ).alias("sum_value_c"),
+    )

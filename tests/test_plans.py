@@ -817,3 +817,32 @@ def test_shipping_topk_broadcasts_dim_and_shuffles_fact(spark):
     assert "BroadcastHashJoin" in plan       # the dim side
     assert "TakeOrderedAndProject" in plan   # the bounded top-k
     assert "CartesianProduct" not in plan
+
+
+def test_segment_activity_broadcasts_dimension(spark):
+    """The customer dimension lookup must be a BroadcastHashJoin — the
+    event fact never shuffles for enrichment."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import segment_activity
+
+    ev = spark.createDataFrame(
+        [Row(event_id=i, user_id=i % 5, event_type="view", value=1.0,
+             ts=datetime.datetime(2024, 1, 1))
+         for i in range(50)]
+    )
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i, c_name=f"c{i}", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING")
+         for i in range(5)]
+    )
+    out = segment_activity(ev, cust)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    row = out.collect()[0]
+    assert (row["n_events"], row["n_users"], row["sum_value_c"]) == (
+        50, 5, 5000,
+    )
