@@ -7166,6 +7166,39 @@ WHERE r <= 10
 """
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census per source (literal BMP ranges — no
+    engine-versioned \\p{Script} tables) + mixed-script doc counts."""
+    return textstats.script_mix(_read(spark, sf_dir, "documents"))
+
+
+def _sql_script_mix() -> str:
+    from weblog_pipeline.ops.textstats import SCRIPT_RANGES
+
+    cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '[{rng}]')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    sums = ",\n       ".join(
+        f"CAST(SUM(n_{name}) AS BIGINT) AS n_{name}"
+        for name, _ in SCRIPT_RANGES
+    )
+    return f"""
+WITH per AS (
+  SELECT source,
+         {cols}
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sums},
+       CAST(COUNT(*) FILTER (WHERE n_latin > 0
+                             AND n_cyrillic + n_greek + n_cjk > 0)
+            AS BIGINT) AS n_mixed
+FROM per GROUP BY 1
+"""
+
+
 def q_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-dim enrichment rollup: events broadcast-joined to the
     customer dimension on user key, per (segment, type) counts +
@@ -8132,6 +8165,7 @@ def queries() -> dict:
         "pricing_rollup": q_pricing_rollup,
         "posting_compression": q_posting_compression,
         "segment_activity": q_segment_activity,
+        "script_mix": q_script_mix,
         "shipping_topk": q_shipping_topk,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
@@ -8364,6 +8398,7 @@ def oracle_sql() -> dict:
         "pricing_rollup": SQL_PRICING_ROLLUP,
         "posting_compression": _sql_posting_compression(),
         "segment_activity": SQL_SEGMENT_ACTIVITY,
+        "script_mix": _sql_script_mix(),
         "shipping_topk": SQL_SHIPPING_TOPK,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),

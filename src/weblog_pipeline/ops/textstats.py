@@ -2415,3 +2415,56 @@ def posting_compression(
             F.expr("bytes_varint * 10000 DIV (df * 8)").alias("ratio_bp"),
         )
     )
+
+
+#: script census ranges (BMP, endpoints embedded as literal chars so the
+#: Java and RE2 engines see identical codepoint classes).
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+)
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """Unicode script census per source — the signal a multilingual
+    curation pipeline keys routing and spam triage on: how much of a
+    source's text is Latin / digit / Cyrillic / Greek / CJK, and how
+    many of its docs MIX Latin with a non-Latin script (the classic
+    look-alike-spam and mis-tagged-language symptom).
+
+    Counts are regexp_count over explicit codepoint ranges with the
+    endpoints embedded as literal characters — Java regex and RE2 give
+    identical classes for literal BMP ranges (no \\p{Script} property
+    classes, whose tables differ by engine/version).
+
+    Scale shape: five codegen'd per-row counts in the scan stage, one
+    map-side-combined source aggregate. Zero joins, zero windows.
+
+    Output: source, n_docs, n_latin, n_digit, n_cyrillic, n_greek,
+    n_cjk, n_mixed.
+    """
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(f"[{rng}]")).cast("long").alias(
+            f"n_{name}"
+        )
+        for name, rng in SCRIPT_RANGES
+    ]
+    per_doc = documents.where(F.col("text").isNotNull()).select(
+        "source", *counts
+    )
+    non_latin = (
+        F.col("n_cyrillic") + F.col("n_greek") + F.col("n_cjk")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(f"n_{name}").alias(f"n_{name}")
+            for name, _ in SCRIPT_RANGES
+        ],
+        F.count_if((F.col("n_latin") > 0) & (non_latin > 0)).alias(
+            "n_mixed"
+        ),
+    )

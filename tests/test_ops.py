@@ -5204,3 +5204,31 @@ def test_user_entropy_and_reciprocity(spark):
     assert (rec["n_edges"], rec["n_recip"], rec["recip_bp"]) == (
         3, 2, 2 * 10000 // 3,
     )
+
+
+def test_script_mix_census(spark):
+    """Explicit-range script counting pinned on planted multi-script
+    docs: per-script char counts, the mixed-script flag requires Latin
+    AND a non-Latin script in the same doc, NULL text drops."""
+    from weblog_pipeline.ops.textstats import script_mix
+
+    rows = [
+        Row(doc_id=0, source="s1", text="hello мир 123"),       # mixed
+        Row(doc_id=1, source="s1", text="только кириллица"),    # pure cyr
+        Row(doc_id=2, source="s1", text=None),
+        Row(doc_id=3, source="s2", text="ascii only here 7"),
+        Row(doc_id=4, source="s2", text="汉字 and ελληνικά"),   # mixed
+    ]
+    got = {
+        r["source"]: r.asDict()
+        for r in script_mix(spark.createDataFrame(rows)).collect()
+    }
+    s1, s2 = got["s1"], got["s2"]
+    assert s1["n_docs"] == 2 and s2["n_docs"] == 2
+    assert s1["n_latin"] == 5 and s1["n_digit"] == 3
+    assert s1["n_cyrillic"] == len("мир") + len("толькокириллица")
+    assert s1["n_mixed"] == 1
+    assert s2["n_cjk"] == 2
+    assert s2["n_greek"] == len("ελληνικά")
+    assert s2["n_mixed"] == 1          # doc 4: latin 'and' + cjk/greek
+    assert s2["n_latin"] == len("asciionlyhere") + 3
