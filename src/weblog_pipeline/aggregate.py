@@ -1606,3 +1606,92 @@ def user_entropy(events: DataFrame, key_col: str = "event_type") -> DataFrame:
             ).alias("entropy_micro"),
         )
     )
+
+
+#: Poisson(1) pmf thresholds scaled to 2^16 (cum 0.36788, 0.73576,
+#: 0.91970): a 16-bit hash below t0 -> weight 0, t1 -> 1, t2 -> 2,
+#: else 3. Truncating at 3 changes total mass by < 2%% — documented
+#: approximation, identical in both engines.
+BOOTSTRAP_T = (24109, 48218, 60273)
+BOOTSTRAP_B = 32
+
+
+def bootstrap_ci(
+    events: DataFrame,
+    b: int = BOOTSTRAP_B,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean value
+    — the one-pass, shuffle-light resampling trick production analytics
+    uses at scale (Chamandy et al., "Estimating uncertainty for massive
+    data streams", Google 2012): instead of materializing B resamples,
+    each row gets an independent pseudo-Poisson(1) weight per replicate
+    and every replicate's mean is just a weighted aggregate.
+
+    Determinism: the weight is a threshold ladder over the 16-bit
+    prefix of md5('bs:' || event_id || ':' || replicate) (the
+    canary_md5_conv idiom) against BOOTSTRAP_T — no RNG, identical
+    replicas on any engine, any partitioning, any re-run. Replicate
+    means are integer cents (one DIV); the CI is the 2nd-smallest /
+    2nd-largest of the B=32 replicate means (a ~93.75% interval),
+    picked from a sorted bounded array — no percentile interpolation
+    to disagree on.
+
+    Scale shape: the replicate fan-out explodes only (type, cents,
+    weight-hash inputs) 32x in the scan stage; one map-side-combined
+    (type, replicate) aggregate (32 x types rows), then a bounded
+    collect_list per type. The full-sample mean rides its own tiny
+    aggregate, broadcast-joined.
+
+    Output: <key_col>, n_events, mean_c, ci_lo_c, ci_hi_c.
+    """
+    t0, t1, t2 = BOOTSTRAP_T
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = events.select(
+        key_col, F.col("event_id"), cents.alias("_c")
+    ).withColumn(
+        "_b", F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1)))
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("_b").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    weighted = base.withColumn(
+        "_w",
+        F.when(h16 < t0, F.lit(0))
+        .when(h16 < t1, F.lit(1))
+        .when(h16 < t2, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long"),
+    )
+    reps = weighted.groupBy(key_col, "_b").agg(
+        F.expr("sum(_w * _c) DIV greatest(sum(_w), 1)").alias("_mean")
+    )
+    ci = reps.groupBy(key_col).agg(
+        F.sort_array(F.collect_list("_mean")).alias("_ms")
+    )
+    full = events.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "sum(cast(floor(value * 100) as bigint)) DIV count(*)"
+        ).alias("mean_c"),
+    )
+    return full.join(F.broadcast(ci), key_col).select(
+        key_col,
+        "n_events",
+        "mean_c",
+        F.element_at("_ms", 2).alias("ci_lo_c"),
+        F.element_at("_ms", int(b) - 1).alias("ci_hi_c"),
+    )

@@ -1603,6 +1603,60 @@ FROM fullg f JOIN chi c USING (event_type)
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the per-type mean cents:
+    32 replicates, md5 threshold-ladder weights, 2nd-smallest /
+    2nd-largest replicate means as the interval."""
+    from weblog_pipeline.aggregate import bootstrap_ci
+
+    return bootstrap_ci(_read(spark, sf_dir, "events"))
+
+
+def _sql_bootstrap_ci(b: int = 32) -> str:
+    from weblog_pipeline.aggregate import BOOTSTRAP_T
+
+    t0, t1, t2 = BOOTSTRAP_T
+    return f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS c,
+         unnest(range(0, {b})) AS bb
+  FROM events
+),
+w AS (
+  SELECT event_type, bb, c,
+         CASE WHEN h < {t0} THEN 0 WHEN h < {t1} THEN 1
+              WHEN h < {t2} THEN 2 ELSE 3 END AS w
+  FROM (
+    SELECT base.*,
+           CAST(('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)
+                                 || ':' || CAST(bb AS VARCHAR)), 1, 4))
+                AS BIGINT) AS h
+    FROM base
+  )
+),
+reps AS (
+  SELECT event_type, bb,
+         CAST(SUM(w * c) AS BIGINT) // greatest(CAST(SUM(w) AS BIGINT), 1)
+           AS m
+  FROM w GROUP BY 1, 2
+),
+ci AS (
+  SELECT event_type, list_sort(list(m)) AS ms FROM reps GROUP BY 1
+),
+fs AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           // COUNT(*) AS mean_c
+  FROM events GROUP BY 1
+)
+SELECT f.event_type, f.n_events, f.mean_c,
+       CAST(ci.ms[2] AS BIGINT) AS ci_lo_c,
+       CAST(ci.ms[{b - 1}] AS BIGINT) AS ci_hi_c
+FROM fs f JOIN ci USING (event_type)
+"""
+
+
 def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type entropy in integer micro-nats (char_entropy's
     floored-term recipe) — the behavioral bot feature."""
@@ -8152,6 +8206,7 @@ def queries() -> dict:
         "cusum_alerts": q_cusum_alerts,
         "engagement_gini": q_engagement_gini,
         "user_entropy": q_user_entropy,
+        "bootstrap_ci": q_bootstrap_ci,
         "reciprocity": q_reciprocity,
         "zone_maps": q_zone_maps,
         "zorder_bins": q_zorder_bins,
@@ -8385,6 +8440,7 @@ def oracle_sql() -> dict:
         "cusum_alerts": SQL_CUSUM_ALERTS,
         "engagement_gini": SQL_ENGAGEMENT_GINI,
         "user_entropy": SQL_USER_ENTROPY,
+        "bootstrap_ci": _sql_bootstrap_ci(),
         "reciprocity": _sql_reciprocity(),
         "zone_maps": SQL_ZONE_MAPS,
         "zorder_bins": _sql_zorder_bins(),

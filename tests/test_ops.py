@@ -5232,3 +5232,56 @@ def test_script_mix_census(spark):
     assert s2["n_greek"] == len("ελληνικά")
     assert s2["n_mixed"] == 1          # doc 4: latin 'and' + cjk/greek
     assert s2["n_latin"] == len("asciionlyhere") + 3
+
+
+def test_bootstrap_ci_python_twin_and_coverage(spark):
+    """Replicate means against an exact Python twin (same md5 ladder),
+    the CI brackets the full-sample mean, and a tighter-spread cohort
+    gets a narrower interval than a wild one."""
+    import datetime
+    import hashlib
+
+    from weblog_pipeline.aggregate import (
+        BOOTSTRAP_B,
+        BOOTSTRAP_T,
+        bootstrap_ci,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    vals = {"tight": [10.0 + (i % 3) for i in range(120)],
+            "wild": [1.0 if i % 10 else 500.0 for i in range(120)]}
+    for etype, vs in vals.items():
+        for v in vs:
+            rows.append(Row(event_id=eid, event_type=etype, value=v,
+                            ts=base))
+            eid += 1
+    got = {
+        r["event_type"]: r.asDict()
+        for r in bootstrap_ci(spark.createDataFrame(rows)).collect()
+    }
+
+    def weight(eid_, b_):
+        h = int(hashlib.md5(f"bs:{eid_}:{b_}".encode()).hexdigest()[:4], 16)
+        t0, t1, t2 = BOOTSTRAP_T
+        return 0 if h < t0 else 1 if h < t1 else 2 if h < t2 else 3
+
+    ids = {"tight": range(0, 120), "wild": range(120, 240)}
+    for etype, vs in vals.items():
+        cents = [int(v * 100) for v in vs]
+        means = []
+        for b_ in range(BOOTSTRAP_B):
+            ws = [weight(e, b_) for e in ids[etype]]
+            num = sum(w * c for w, c in zip(ws, cents))
+            means.append(num // max(sum(ws), 1))
+        means.sort()
+        g = got[etype]
+        assert (g["ci_lo_c"], g["ci_hi_c"]) == (
+            means[1], means[BOOTSTRAP_B - 2],
+        ), etype
+        assert g["mean_c"] == sum(cents) // len(cents)
+        assert g["ci_lo_c"] <= g["mean_c"] <= g["ci_hi_c"]
+    tight_w = got["tight"]["ci_hi_c"] - got["tight"]["ci_lo_c"]
+    wild_w = got["wild"]["ci_hi_c"] - got["wild"]["ci_lo_c"]
+    assert tight_w < wild_w
