@@ -6264,6 +6264,40 @@ FROM fr
 """
 
 
+def q_media_colorstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-first-frame per-channel color stats over the real DIB/AVI
+    decode (row padding excluded — the BMP off-by-stride trap); every
+    sum/min/max recomputed by the oracle from doc_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_avi_dib_from_documents(docs)
+    return multimodal.media_colorstats(media)
+
+
+SQL_MEDIA_COLORSTATS = """
+WITH pre AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS s,
+         4 + doc_id % 12 AS w, 2 + doc_id % 6 AS h,
+         (((4 + doc_id % 12) * 3 + 3) // 4) * 4 AS stride
+  FROM documents
+),
+rows_y AS (
+  SELECT pre.*, unnest(range(0, h)) AS y FROM pre
+),
+px AS (
+  SELECT media_id, s, w, h, (y * stride + unnest(range(0, w)) * 3) AS i0
+  FROM rows_y
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM((s + i0) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM((s + i0 + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((s + i0 + 2) % 256) AS BIGINT) AS sum_r,
+       CAST(MIN((s + i0) % 256) AS INTEGER) AS min_b,
+       CAST(MAX((s + i0) % 256) AS INTEGER) AS max_b
+FROM px GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: every 2nd frame of each AVI is individually
     JPEG-decoded; the oracle reproduces the sampled (media_id, frame_idx)
@@ -8233,6 +8267,7 @@ def queries() -> dict:
         "multimodal_avi_decode": q_multimodal_avi_decode,
         "avi_frame_samples": q_avi_frame_samples,
         "shot_boundaries": q_shot_boundaries,
+        "media_colorstats": q_media_colorstats,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "dedup_lines": q_dedup_lines,
@@ -8518,6 +8553,7 @@ def oracle_sql() -> dict:
         "multimodal_dib_depths_decode": _sql_multimodal_dib_depths(),
         "avi_frame_samples": SQL_AVI_FRAME_SAMPLES,
         "shot_boundaries": _sql_shot_boundaries(),
+        "media_colorstats": SQL_MEDIA_COLORSTATS,
         "multimodal_wav_decode": _sql_multimodal_wav(),
         "multimodal_mulaw_decode": _sql_multimodal_mulaw(),
         "multimodal_alaw_decode": _sql_multimodal_alaw(),

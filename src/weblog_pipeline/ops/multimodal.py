@@ -3964,3 +3964,74 @@ def shot_boundaries(frames: "DataFrame", thresh: int = 512) -> "DataFrame":
         dist.alias("dist"),
         (dist >= thresh).alias("is_cut"),
     )
+
+
+def media_colorstats(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
+    """Per-channel color statistics over the FULL first frame of an
+    uncompressed (DIB) video payload — the feature-extract stage of an
+    image/video curation pipeline (channel means feed white-balance
+    filters and trivially detect black/solid-color junk frames).
+
+    The whole frame decodes — stride rows sliced to width*3 BGR bytes,
+    row PADDING EXCLUDED (the classic BMP off-by-stride trap: the pad
+    bytes are not pixels and must not bias a channel mean). Sums/mins/
+    maxes are exact integers, so the DIB fixture keeps the entire
+    statistic SQL-recomputable from doc_id arithmetic.
+
+    Scale shape: mapInPandas batch decode, payload never re-emitted —
+    downstream carries eight scalars per clip.
+
+    Output: media_id, width, height, n_px, sum_b, sum_g, sum_r,
+    min_b, max_b.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    frames, kind, (fw, fh), layout = _avi_frames(blob)
+                    if kind != "dib" or layout[0] != 24:
+                        raise NotImplementedError(
+                            "colorstats needs an uncompressed 24-bit stream"
+                        )
+                    stride = bmp_stride(fw, 24)
+                    arr = np.frombuffer(
+                        frames[0], dtype=np.uint8
+                    ).reshape(fh, stride)[:, : fw * 3]
+                    px = arr.reshape(fh * fw, 3).astype(np.int64)
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "width": fw,
+                            "height": fh,
+                            "n_px": fh * fw,
+                            "sum_b": int(px[:, 0].sum()),
+                            "sum_g": int(px[:, 1].sum()),
+                            "sum_r": int(px[:, 2].sum()),
+                            "min_b": int(px[:, 0].min()),
+                            "max_b": int(px[:, 0].max()),
+                        }
+                    )
+                except (ValueError, struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "n_px", "sum_b",
+                         "sum_g", "sum_r", "min_b", "max_b"],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width int, height int, n_px long, "
+            "sum_b long, sum_g long, sum_r long, min_b int, max_b int"
+        ),
+    )

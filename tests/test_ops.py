@@ -5285,3 +5285,32 @@ def test_bootstrap_ci_python_twin_and_coverage(spark):
     tight_w = got["tight"]["ci_hi_c"] - got["tight"]["ci_lo_c"]
     wild_w = got["wild"]["ci_hi_c"] - got["wild"]["ci_lo_c"]
     assert tight_w < wild_w
+
+
+def test_media_colorstats_excludes_row_padding(spark):
+    """Channel sums from the real decode against a Python twin on a
+    width whose 3-byte rows need stride padding (w=5 -> 15 bytes padded
+    to 16): the pad byte must NOT enter any channel statistic."""
+    from weblog_pipeline.ops import multimodal as mm
+
+    w, h, seed = 5, 3, 40
+    payload = mm.encode_avi(w, h, 2, seed, codec="DIB ")
+    stride = mm.bmp_stride(w, 24)
+    assert stride > w * 3  # the test is vacuous without real padding
+    got = mm.media_colorstats(
+        spark.createDataFrame(
+            [Row(media_id=1, payload=payload, media_type="video")]
+        )
+    ).collect()[0]
+
+    sums, mins, maxs = [0, 0, 0], [256] * 3, [-1] * 3
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                v = (seed + y * stride + 3 * x + c) % 256
+                sums[c] += v
+                mins[c] = min(mins[c], v)
+                maxs[c] = max(maxs[c], v)
+    assert (got["width"], got["height"], got["n_px"]) == (w, h, w * h)
+    assert (got["sum_b"], got["sum_g"], got["sum_r"]) == tuple(sums)
+    assert (got["min_b"], got["max_b"]) == (mins[0], maxs[0])
