@@ -7309,6 +7309,35 @@ GROUP BY 1, 2
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape star join: region->nation->customer folded into one
+    broadcast dim BEFORE touching facts; the only shuffle is
+    orders ⋈ lineitem."""
+    from weblog_pipeline.ops.relational import regional_revenue
+
+    return regional_revenue(
+        _read(spark, sf_dir, "region"),
+        _read(spark, sf_dir, "nation"),
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
 def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-gap varint index-size audit per term (df >= 16): segmented
     gap windows (in-segment + segment-summary boundary pass), LEB128
@@ -8256,6 +8285,7 @@ def queries() -> dict:
         "segment_activity": q_segment_activity,
         "script_mix": q_script_mix,
         "shipping_topk": q_shipping_topk,
+        "regional_revenue": q_regional_revenue,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -8491,6 +8521,7 @@ def oracle_sql() -> dict:
         "segment_activity": SQL_SEGMENT_ACTIVITY,
         "script_mix": _sql_script_mix(),
         "shipping_topk": SQL_SHIPPING_TOPK,
+        "regional_revenue": SQL_REGIONAL_REVENUE,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -175,3 +175,51 @@ def segment_activity(
             F.floor(F.col("value") * 100).cast("long")
         ).alias("sum_value_c"),
     )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Revenue by region/nation through the full dimension chain — the
+    Q5-shape five-table star join: region -> nation -> customer fold
+    into ONE broadcast lookup (dims join dims BEFORE touching any
+    fact), orders picks up the region label broadcast-side, and the
+    only real shuffle in the plan is orders ⋈ lineitem on orderkey.
+    Joining dims first is the difference between one fact shuffle and
+    three at 100 TB.
+
+    Money is per-row floored cents (the pricing_rollup rule).
+
+    Output: r_name, n_name, n_orders, revenue_c.
+    """
+    dim = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region["r_regionkey"],
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+    o = orders.join(
+        F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"]
+    ).select("o_orderkey", "n_name", "r_name")
+    li = lineitem.select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return joined.groupBy("r_name", "n_name").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum("rev_c").alias("revenue_c"),
+    )

@@ -846,3 +846,44 @@ def test_segment_activity_broadcasts_dimension(spark):
     assert (row["n_events"], row["n_users"], row["sum_value_c"]) == (
         50, 5, 5000,
     )
+
+
+def test_regional_revenue_single_fact_shuffle(spark):
+    """The Q5-shape plan must carry the dimension chain into the fact
+    side as broadcasts: no SortMergeJoin anywhere except (possibly) the
+    orders-lineitem fact join, and never a cartesian."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import regional_revenue
+
+    base = datetime.datetime(2024, 1, 1)
+    region = spark.createDataFrame(
+        [Row(r_regionkey=i, r_name=f"R{i}") for i in range(2)]
+    )
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=i, n_name=f"N{i}", n_regionkey=i % 2)
+         for i in range(4)]
+    )
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i, c_name=f"c{i}", c_nationkey=i % 4,
+             c_acctbal=0.0, c_mktsegment="BUILDING") for i in range(8)]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=i % 8, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=base, o_orderpriority="1")
+         for i in range(40)]
+    )
+    li = spark.createDataFrame(
+        [Row(l_orderkey=i % 40, l_partkey=1, l_suppkey=1, l_linenumber=1,
+             l_quantity=1.0, l_extendedprice=10.0, l_discount=0.0,
+             l_tax=0.0, l_returnflag="N", l_linestatus="O",
+             l_shipdate=base) for i in range(120)]
+    )
+    out = regional_revenue(region, nation, cust, orders, li)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, dim
+    total = sum(r["revenue_c"] for r in out.collect())
+    assert total == 120 * 1000  # 120 lineitems x 10.00 -> cents
