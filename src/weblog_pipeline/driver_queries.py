@@ -2690,6 +2690,53 @@ FROM lp{iters}
 """
 
 
+def q_domain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round hash-min connected components over the planted
+    domain graph: per-host smallest reachable label within CC_ITERS
+    hops + per-row convergence flag — the mirror-site/link-farm blob
+    detector next to domain_communities' weighted split."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.connected_components(
+        graph.link_graph(graph.extract_links(docs))
+    )
+
+
+def _sql_domain_components(iters: int = graph.CC_ITERS) -> str:
+    # the Spark loop unrolled as cc0..cc{iters} CTEs (the trustrank
+    # pattern); each round = neighbor-min join + LEAST against self
+    ccs = []
+    for i in range(iters):
+        ccs.append(
+            f""",
+cc{i + 1} AS (
+  SELECT c.host,
+         LEAST(c.label, COALESCE(m.nmin, c.label)) AS label
+  FROM cc{i} c LEFT JOIN (
+    SELECT sym.s AS host, MIN(p.label) AS nmin
+    FROM sym JOIN cc{i} p ON p.host = sym.t
+    GROUP BY 1
+  ) m ON m.host = c.host
+)"""
+        )
+    return f"""
+WITH {_links_cte()},
+sym AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT src_host AS s, dst_host AS t FROM edges
+    WHERE src_host <> dst_host
+    UNION ALL
+    SELECT dst_host AS s, src_host AS t FROM edges
+    WHERE src_host <> dst_host
+  )
+),
+cc0 AS (SELECT DISTINCT s AS host, s AS label FROM sym){"".join(ccs)}
+SELECT f.host, f.label AS comp,
+       CAST(COUNT(*) OVER (PARTITION BY f.label) AS BIGINT) AS comp_size,
+       CAST(f.label = p.label AS INTEGER) AS stable
+FROM cc{iters} f JOIN cc{iters - 1} p ON p.host = f.host
+"""
+
+
 def q_domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round 2-core peeling over the planted domain graph:
     distinct-neighbor degrees, synchronous drop of hosts under the
@@ -8236,6 +8283,7 @@ def queries() -> dict:
         "ab_metrics": q_ab_metrics,
         "rrf_fusion": q_rrf_fusion,
         "domain_communities": q_domain_communities,
+        "domain_components": q_domain_components,
         "split_leakage": q_split_leakage,
         "hard_negatives": q_hard_negatives,
         "matryoshka_recall": q_matryoshka_recall,
@@ -8472,6 +8520,7 @@ def oracle_sql() -> dict:
         "ab_metrics": SQL_AB_METRICS,
         "rrf_fusion": _sql_rrf_fusion(),
         "domain_communities": _sql_domain_communities(),
+        "domain_components": _sql_domain_components(),
         "split_leakage": _sql_split_leakage(),
         "hard_negatives": SQL_HARD_NEGATIVES,
         "matryoshka_recall": _sql_matryoshka_recall(),

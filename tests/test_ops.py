@@ -5314,3 +5314,41 @@ def test_media_colorstats_excludes_row_padding(spark):
     assert (got["width"], got["height"], got["n_px"]) == (w, h, w * h)
     assert (got["sum_b"], got["sum_g"], got["sum_r"]) == tuple(sums)
     assert (got["min_b"], got["max_b"]) == (mins[0], maxs[0])
+
+
+def test_connected_components_hashmin_and_stability(spark):
+    """Hand graph: a triangle (converges round 1, stable=1) plus an
+    8-node chain whose far end is > CC_ITERS hops from the min label —
+    labels equal min-within-iters-hops exactly, stable=0 only where the
+    final round still moved the label."""
+    from weblog_pipeline.ops import graph
+
+    E = [
+        ("x", "y", 1), ("z", "x", 2), ("y", "z", 1),   # triangle
+        ("c2", "c1", 1), ("c2", "c3", 1), ("c4", "c3", 1),
+        ("c4", "c5", 1), ("c5", "c6", 1), ("c7", "c6", 1),
+        ("c7", "c8", 1),                                # 8-chain
+        ("x", "x", 9),                                  # self-loop dropped
+    ]
+    edges = spark.createDataFrame(
+        E, "src_host string, dst_host string, n_links long"
+    )
+    rows = {
+        r["host"]: r
+        for r in graph.connected_components(edges, iters=5).collect()
+    }
+    # label after round r of chain node c_i is c_{max(1, i-r)}
+    for h in ("x", "y", "z"):
+        assert rows[h]["comp"] == "x"
+        assert rows[h]["comp_size"] == 3
+        assert rows[h]["stable"] == 1
+    for i in range(1, 9):
+        want = f"c{max(1, i - 5)}"
+        assert rows[f"c{i}"]["comp"] == want, f"c{i}"
+    assert rows["c1"]["comp_size"] == 6          # c1..c6 share label c1
+    assert rows["c7"]["comp_size"] == 1          # c2 label, only c7
+    # round-4 label of c_i is c_{max(1, i-4)}: moved in round 5 for 6,7,8
+    for i in range(1, 6):
+        assert rows[f"c{i}"]["stable"] == 1, f"c{i}"
+    for i in range(6, 9):
+        assert rows[f"c{i}"]["stable"] == 0, f"c{i}"
