@@ -7385,6 +7385,140 @@ GROUP BY 1, 2
 """
 
 
+def q_order_fulfilment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shape EXISTS census: per order priority, orders with any
+    lineitem shipped >= 30 days after the order date — one orderkey
+    equi-join + distinct, never a per-order subquery."""
+    from weblog_pipeline.ops.relational import order_fulfilment
+
+    return order_fulfilment(
+        _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_ORDER_FULFILMENT = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400
+           AS oday
+  FROM orders
+),
+li AS (
+  SELECT l_orderkey,
+         CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT) // 86400
+           AS sday
+  FROM lineitem
+),
+late AS (
+  SELECT o.o_orderpriority,
+         CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_late
+  FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+  WHERE li.sday >= o.oday + 30
+  GROUP BY 1
+),
+total AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY 1
+)
+SELECT t.o_orderpriority, t.n_orders,
+       CAST(COALESCE(l.n_late, 0) AS BIGINT) AS n_late
+FROM total t LEFT JOIN late l USING (o_orderpriority)
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape correlated scalar: revenue from lineitems below 1/5 of
+    their part's average quantity — per-part stats broadcast back onto
+    the brand-filtered fact, exact integer cross-multiply cut."""
+    from weblog_pipeline.ops.relational import small_qty_revenue
+
+    return small_qty_revenue(
+        _read(spark, sf_dir, "part"), _read(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(floor(l.l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS base_c
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN ('Brand#4', 'Brand#2')
+),
+st AS (
+  SELECT l_partkey, CAST(SUM(q_c) AS BIGINT) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM li GROUP BY 1
+)
+SELECT li.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(li.base_c) AS BIGINT) AS revenue_c
+FROM li JOIN st ON st.l_partkey = li.l_partkey
+WHERE li.q_c * 5 * st.n < st.sum_q
+GROUP BY 1
+"""
+
+
+def q_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shape anti-join census: distinct suppliers per (brand, size)
+    for small parts, excluding negative-balance suppliers via a
+    broadcast ANTI join."""
+    from weblog_pipeline.ops.relational import supplier_census
+
+    return supplier_census(
+        _read(spark, sf_dir, "part"),
+        _read(spark, sf_dir, "supplier"),
+        _read(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_SUPPLIER_CENSUS = """
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2
+"""
+
+
+def q_heavy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape HAVING join-back: orders whose total quantity exceeds
+    3x the average order quantity (data-derived broadcast scalar),
+    joined back to orders + the customer dimension."""
+    from weblog_pipeline.ops.relational import heavy_orders
+
+    return heavy_orders(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_HEAVY_ORDERS = """
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY 1
+),
+thr AS (SELECT 3 * (SUM(sum_qty_c) // COUNT(*)) AS t FROM s)
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment,
+       CAST(epoch(date_trunc('day', o.o_orderdate)) AS BIGINT) // 86400
+         AS order_day,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_c,
+       s.sum_qty_c
+FROM s CROSS JOIN thr
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE s.sum_qty_c > thr.t
+"""
+
+
 def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-gap varint index-size audit per term (df >= 16): segmented
     gap windows (in-segment + segment-summary boundary pass), LEB128
@@ -8334,6 +8468,10 @@ def queries() -> dict:
         "script_mix": q_script_mix,
         "shipping_topk": q_shipping_topk,
         "regional_revenue": q_regional_revenue,
+        "order_fulfilment": q_order_fulfilment,
+        "small_qty_revenue": q_small_qty_revenue,
+        "supplier_census": q_supplier_census,
+        "heavy_orders": q_heavy_orders,
         # fixture-independent parity guards (canary-grade literal
         # oracles; promote right after the canaries in the r7 window):
         "parity_ln_floor": q_parity_ln_floor,
@@ -8571,6 +8709,10 @@ def oracle_sql() -> dict:
         "script_mix": _sql_script_mix(),
         "shipping_topk": SQL_SHIPPING_TOPK,
         "regional_revenue": SQL_REGIONAL_REVENUE,
+        "order_fulfilment": SQL_ORDER_FULFILMENT,
+        "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+        "supplier_census": SQL_SUPPLIER_CENSUS,
+        "heavy_orders": SQL_HEAVY_ORDERS,
         "parity_ln_floor": SQL_PARITY_LN_FLOOR,
         "parity_epoch_us": _sql_parity_epoch_us(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),

@@ -223,3 +223,180 @@ def regional_revenue(
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.sum("rev_c").alias("revenue_c"),
     )
+
+
+def order_fulfilment(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 30
+) -> DataFrame:
+    """Late-fulfilment census per order priority — the TPC-H Q4 shape:
+    an EXISTS over the fact re-expressed as ONE orderkey equi-join with
+    a map-side-combined distinct, never a per-order subquery. An order
+    is late when any of its lineitems shipped `late_days` or more after
+    the order date.
+
+    The totals side is a dim-grain aggregate of orders alone; the late
+    side joins only the two projected key/day columns of each fact, so
+    the shuffle carries (orderkey, day) pairs — not payloads. Output is
+    bounded by the priority domain.
+
+    Output: o_orderpriority, n_orders, n_late.
+    """
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _day("o_orderdate").alias("_oday"),
+    )
+    li = lineitem.select(
+        "l_orderkey", _day("l_shipdate").alias("_sday")
+    )
+    late = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .where(F.col("_sday") >= F.col("_oday") + late_days)
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("n_late"))
+    )
+    total = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        total.join(F.broadcast(late), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_late", F.lit(0)).cast("long").alias("n_late"),
+        )
+    )
+
+
+def small_qty_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brands: tuple = ("Brand#4", "Brand#2"),
+    frac_den: int = 5,
+) -> DataFrame:
+    """Small-lot revenue per brand — the TPC-H Q17 shape: the
+    correlated scalar subquery ("below 1/5 of this part's average
+    quantity") rewritten as a per-part aggregate broadcast-joined back
+    onto the brand-filtered fact. The brand dimension is broadcast
+    FIRST, so only matching rows ever reach the aggregate, and the
+    per-part stats relation (bounded by the part count) broadcasts
+    back — the fact never shuffles.
+
+    The fractional-average cut is the exact integer cross-multiply:
+    q < (1/den)*avg = sum/(den*n)  ⟺  q_c * den * n < sum_q_c.
+
+    Output: p_brand, n_small, revenue_c.
+    """
+    dim = F.broadcast(
+        part.where(F.col("p_brand").isin(*brands)).select(
+            "p_partkey", "p_brand"
+        )
+    )
+    li = lineitem.join(
+        dim, lineitem["l_partkey"] == F.col("p_partkey")
+    ).select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("q_c"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("base_c"),
+    )
+    stats = li.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.sum("q_c").alias("_sum_q"), F.count(F.lit(1)).alias("_n")
+    )
+    small = li.join(
+        F.broadcast(stats), li["p_partkey"] == F.col("_pk")
+    ).where(
+        F.col("q_c") * frac_den * F.col("_n") < F.col("_sum_q")
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum("base_c").alias("revenue_c"),
+    )
+
+
+def supplier_census(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    size_max: int = 10,
+) -> DataFrame:
+    """Supplier variety per (brand, size) for small parts — the TPC-H
+    Q16 shape: a broadcast ANTI join removes suppliers in bad standing
+    (negative account balance), then distinct suppliers are counted per
+    part group. The part dimension (size-filtered) broadcasts into the
+    fact so non-qualifying rows die in the scan stage; the
+    (partkey, suppkey) pair relation is deduplicated map-side before
+    the final count.
+
+    Output: p_brand, p_size, n_suppliers.
+    """
+    excl = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    dim = F.broadcast(
+        part.where(F.col("p_size") <= size_max).select(
+            "p_partkey", "p_brand", "p_size"
+        )
+    )
+    pairs = (
+        lineitem.join(dim, lineitem["l_partkey"] == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey")
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return pairs.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+
+
+def heavy_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    mult: int = 3,
+) -> DataFrame:
+    """Outsize orders — the TPC-H Q18 shape: a HAVING over the
+    per-order quantity rollup, joined back to the order/customer grain.
+    The threshold is data-derived (mult × the average order quantity,
+    a broadcast one-row scalar), so the query is scale-free. The
+    qualifying set is by construction tiny, so it broadcasts into
+    orders and the customer dimension broadcasts after it — the only
+    real shuffle is the per-order rollup itself.
+
+    Output: o_orderkey, c_custkey, c_mktsegment, order_day, total_c,
+    sum_qty_c.
+    """
+    s = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(F.col("l_quantity") * 100).cast("long")
+        ).alias("sum_qty_c")
+    )
+    thr = s.agg(
+        (F.lit(mult) * F.expr("sum(sum_qty_c) DIV count(1)")).alias(
+            "_thr"
+        )
+    )
+    heavy = s.crossJoin(F.broadcast(thr)).where(
+        F.col("sum_qty_c") > F.col("_thr")
+    )
+    o = orders.join(
+        F.broadcast(heavy),
+        orders["o_orderkey"] == heavy["l_orderkey"],
+    )
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"])
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_mktsegment",
+            _day("o_orderdate").alias("order_day"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_c"),
+            "sum_qty_c",
+        )
+    )

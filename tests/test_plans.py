@@ -887,3 +887,164 @@ def test_regional_revenue_single_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # region, nation, dim
     total = sum(r["revenue_c"] for r in out.collect())
     assert total == 120 * 1000  # 120 lineitems x 10.00 -> cents
+
+
+def test_order_fulfilment_semi_shape_and_counts(spark):
+    """Q4 shape: the EXISTS is one equi-join + distinct (no cartesian,
+    no per-order subplan); counts match a hand-built late set, and a
+    priority with zero late orders still appears with n_late=0."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import order_fulfilment
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=base, o_orderpriority="1-HI"),
+         Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=base, o_orderpriority="1-HI"),
+         Row(o_orderkey=3, o_custkey=1, o_orderstatus="O",
+             o_totalprice=1.0, o_orderdate=base, o_orderpriority="2-LO")]
+    )
+
+    def li(ok, lag):
+        return Row(l_orderkey=ok, l_partkey=1, l_suppkey=1,
+                   l_linenumber=1, l_quantity=1.0, l_extendedprice=1.0,
+                   l_discount=0.0, l_tax=0.0, l_returnflag="N",
+                   l_linestatus="O",
+                   l_shipdate=base + datetime.timedelta(days=lag))
+
+    # order 1: two late lineitems (must count ONCE); 2 and 3: on time
+    lineitem = spark.createDataFrame(
+        [li(1, 31), li(1, 45), li(2, 5), li(3, 29)]
+    )
+    out = order_fulfilment(orders, lineitem, late_days=30)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    got = {r["o_orderpriority"]: (r["n_orders"], r["n_late"])
+           for r in out.collect()}
+    assert got == {"1-HI": (2, 1), "2-LO": (1, 0)}
+
+
+def test_small_qty_revenue_cut_and_broadcasts(spark):
+    """Q17 shape: the brand dim and the per-part stats relation both
+    broadcast (the fact never shuffles); the integer cross-multiply
+    reproduces q < avg/5 exactly."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import small_qty_revenue
+
+    base = datetime.datetime(2024, 1, 1)
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="Brand#4", p_type="t",
+             p_size=1, p_retailprice=1.0),
+         Row(p_partkey=2, p_name="b", p_brand="Brand#9", p_type="t",
+             p_size=1, p_retailprice=1.0)]
+    )
+
+    def li(pk, qty):
+        return Row(l_orderkey=1, l_partkey=pk, l_suppkey=1,
+                   l_linenumber=1, l_quantity=float(qty),
+                   l_extendedprice=10.0, l_discount=0.0, l_tax=0.0,
+                   l_returnflag="N", l_linestatus="O", l_shipdate=base)
+
+    # part 1: qties 1, 20, 24 -> avg 15, cut avg/5 = 3 -> only qty 1
+    # part 2 (other brand): must not appear at all
+    lineitem = spark.createDataFrame([li(1, 1), li(1, 20), li(1, 24),
+                                      li(2, 1)])
+    out = small_qty_revenue(part, lineitem, brands=("Brand#4",))
+    plan = _physical(out)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["p_brand"], rows[0]["n_small"],
+            rows[0]["revenue_c"]) == ("Brand#4", 1, 1000)
+
+
+def test_supplier_census_anti_join_dedups(spark):
+    """Q16 shape: the bad-standing supplier is ANTI-joined out, repeat
+    (part, supplier) pairs count once, and the plan keeps both the dim
+    and exclusion sides broadcast."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import supplier_census
+
+    base = datetime.datetime(2024, 1, 1)
+    part = spark.createDataFrame(
+        [Row(p_partkey=1, p_name="a", p_brand="B1", p_type="t",
+             p_size=5, p_retailprice=1.0),
+         Row(p_partkey=2, p_name="b", p_brand="B1", p_type="t",
+             p_size=50, p_retailprice=1.0)]
+    )
+    supplier = spark.createDataFrame(
+        [Row(s_suppkey=1, s_name="s1", s_nationkey=0, s_acctbal=10.0),
+         Row(s_suppkey=2, s_name="s2", s_nationkey=0, s_acctbal=-1.0)]
+    )
+
+    def li(pk, sk):
+        return Row(l_orderkey=1, l_partkey=pk, l_suppkey=sk,
+                   l_linenumber=1, l_quantity=1.0, l_extendedprice=1.0,
+                   l_discount=0.0, l_tax=0.0, l_returnflag="N",
+                   l_linestatus="O", l_shipdate=base)
+
+    # part 1 (size<=10): supp 1 twice (dedup), supp 2 (excluded);
+    # part 2 (size 50): filtered by the dim
+    lineitem = spark.createDataFrame(
+        [li(1, 1), li(1, 1), li(1, 2), li(2, 1)]
+    )
+    out = supplier_census(part, supplier, lineitem, size_max=10)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["p_brand"], rows[0]["p_size"],
+            rows[0]["n_suppliers"]) == ("B1", 5, 1)
+
+
+def test_heavy_orders_data_derived_threshold(spark):
+    """Q18 shape: only the whale order clears 3x the average order
+    quantity; the qualifying set and the customer dim ride broadcast
+    joins (the rollup is the plan's only real shuffle)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import heavy_orders
+
+    base = datetime.datetime(2024, 1, 1)
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c1", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING")]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+             o_totalprice=100.0, o_orderdate=base, o_orderpriority="1")
+         for k in (1, 2, 3, 4)]
+    )
+
+    def li(ok, qty):
+        return Row(l_orderkey=ok, l_partkey=1, l_suppkey=1,
+                   l_linenumber=1, l_quantity=float(qty),
+                   l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+                   l_returnflag="N", l_linestatus="O", l_shipdate=base)
+
+    # per-order qty: 10, 10, 10, 100 -> avg 32.5 (3250c DIV -> 3250),
+    # 3x = 9750c; only order 4 (10000c) clears it
+    lineitem = spark.createDataFrame(
+        [li(1, 10), li(2, 10), li(3, 10), li(4, 100)]
+    )
+    out = heavy_orders(cust, orders, lineitem, mult=3)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["o_orderkey"], rows[0]["sum_qty_c"],
+            rows[0]["total_c"]) == (4, 10000, 10000)
