@@ -7181,6 +7181,57 @@ FROM scored ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_llr_collocations(k: int = 50, min_count: int = 5) -> str:
+    def xlx(c):
+        return (
+            f"(CASE WHEN {c} > 0 THEN {c} * CAST(floor(ln(CAST({c} AS"
+            f" DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END)"
+        )
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+s AS (
+  SELECT unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w WHERE len(words) >= 2
+),
+cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram FROM s GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_count}
+),
+cl AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_left FROM s GROUP BY 1),
+cr AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_right FROM s GROUP BY 1),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM s),
+cells AS (
+  SELECT cb.w1, cb.w2, cb.c_bigram,
+         cb.c_bigram AS k11,
+         cl.c_left - cb.c_bigram AS k12,
+         cr.c_right - cb.c_bigram AS k21,
+         nb.n_bg - cl.c_left - cr.c_right + cb.c_bigram AS k22,
+         cl.c_left AS r1, nb.n_bg - cl.c_left AS r2,
+         cr.c_right AS c1, nb.n_bg - cr.c_right AS c2,
+         nb.n_bg
+  FROM cb JOIN cl ON cl.w1 = cb.w1
+          JOIN cr ON cr.w2 = cb.w2
+          CROSS JOIN nb
+),
+scored AS (
+  SELECT w1, w2, c_bigram,
+         CAST(2 * ({xlx('k11')} + {xlx('k12')} + {xlx('k21')}
+                   + {xlx('k22')} + {xlx('n_bg')} - {xlx('r1')}
+                   - {xlx('r2')} - {xlx('c1')} - {xlx('c2')})
+              AS BIGINT) AS llr_micro
+  FROM cells
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY llr_micro DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank,
+       w1, w2, c_bigram, llr_micro
+FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
+"""
+
+
 def _sql_continuation_counts(min_count: int = 5) -> str:
     return f"""
 WITH w AS (
@@ -8546,6 +8597,9 @@ def queries() -> dict:
         "event_key_skew": q_event_key_skew,
         "posting_lists": docs(lambda d: textstats.posting_lists(d, k=3)),
         "pmi_collocations": docs(lambda d: textstats.pmi_collocations(d, k=50)),
+        "llr_collocations": docs(
+            lambda d: textstats.llr_collocations(d, k=50)
+        ),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -8749,6 +8803,7 @@ def oracle_sql() -> dict:
         "event_key_skew": _sql_event_key_skew(),
         "posting_lists": _sql_posting_lists(),
         "pmi_collocations": _sql_pmi_collocations(),
+        "llr_collocations": _sql_llr_collocations(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

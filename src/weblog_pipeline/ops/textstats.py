@@ -2468,3 +2468,123 @@ def script_mix(documents: DataFrame) -> DataFrame:
             "n_mixed"
         ),
     )
+
+
+def llr_collocations(
+    documents: DataFrame, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Top-k adjacent-token collocations by Dunning's log-likelihood
+    ratio (Dunning 1993) — the statistic of record for rare-event
+    collocations, because unlike PMI it does not explode for
+    low-frequency pairs. Over the 2x2 contingency of the bigram event
+    space (k11 = c(w1,w2), row marginal r1 = bigrams with first
+    position w1, column marginal c1 = bigrams with second position w2,
+    N = all bigrams):
+
+        llr_micro = 2 * ( xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+                          + xlx(N) - xlx(r1) - xlx(r2)
+                          - xlx(c1) - xlx(c2) )
+
+    with xlx(c) = c * floor(ln(c) * 1e6) and xlx(0) = 0. Every floor is
+    ln of an INTEGER (the parity_ln_floor idiom), and everything after
+    is integer products and sums — order-free, so the score is
+    engine-exact with no combined-float-expression trust. Position
+    marginals come from the same bigram stream as k11, so all four
+    cells are >= 0 by construction.
+
+    Scale shape: identical to pmi_collocations — the zip-shift pair
+    stream, map-side-combined counts, the min_count gate BEFORE the
+    marginal joins, broadcast one-row N, TakeOrderedAndProject top-k.
+    Int64 headroom: |xlx| <= N * ln(N) * 1e6, which overflows past
+    N ~ 3e11 bigrams — above that, score per shard or drop to
+    milli-nat quantization (a one-constant change mirrored in the
+    oracle).
+
+    Output: rank, w1, w2, c_bigram, llr_micro.
+    """
+    toks = F.col("_w")
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    bg = arr.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+
+    def xlx(c):
+        c = c.cast("long")
+        return F.when(
+            c > 0,
+            c
+            * F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    c_l = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_left"))
+    c_r = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c_right"))
+    n_bg = bg.agg(F.count(F.lit(1)).alias("n_bg"))
+
+    cells = (
+        c_bg.where(F.col("c_bigram") >= min_count)
+        .join(c_l, "w1")
+        .join(c_r, "w2")
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            F.col("c_bigram").alias("k11"),
+            (F.col("c_left") - F.col("c_bigram")).alias("k12"),
+            (F.col("c_right") - F.col("c_bigram")).alias("k21"),
+            (
+                F.col("n_bg")
+                - F.col("c_left")
+                - F.col("c_right")
+                + F.col("c_bigram")
+            ).alias("k22"),
+            F.col("c_left").alias("r1"),
+            (F.col("n_bg") - F.col("c_left")).alias("r2"),
+            F.col("c_right").alias("c1"),
+            (F.col("n_bg") - F.col("c_right")).alias("c2"),
+            F.col("n_bg"),
+        )
+    )
+    scored = cells.select(
+        "w1",
+        "w2",
+        "c_bigram",
+        (
+            F.lit(2)
+            * (
+                xlx(F.col("k11"))
+                + xlx(F.col("k12"))
+                + xlx(F.col("k21"))
+                + xlx(F.col("k22"))
+                + xlx(F.col("n_bg"))
+                - xlx(F.col("r1"))
+                - xlx(F.col("r2"))
+                - xlx(F.col("c1"))
+                - xlx(F.col("c2"))
+            )
+        ).alias("llr_micro"),
+    )
+    order = [
+        F.col("llr_micro").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "w1", "w2", "c_bigram", "llr_micro")
+    )

@@ -5352,3 +5352,59 @@ def test_connected_components_hashmin_and_stability(spark):
         assert rows[f"c{i}"]["stable"] == 1, f"c{i}"
     for i in range(6, 9):
         assert rows[f"c{i}"]["stable"] == 0, f"c{i}"
+
+
+def test_llr_collocations_twin_and_rare_pair_property(spark):
+    """LLR scores against an exact Python twin (same xlx flooring),
+    plus Dunning's selling point: a pair that ALWAYS co-occurs outranks
+    an equally-frequent pair whose parts are everywhere."""
+    import math
+
+    from weblog_pipeline.ops.textstats import llr_collocations
+
+    docs = (
+        ["hong kong skyline view"] * 5            # exclusive pair
+        + ["the data the model the data"] * 5     # promiscuous parts
+        + ["data model", "model data", "the view"] * 2
+    )
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    got = {
+        (r["w1"], r["w2"]): (r["c_bigram"], r["llr_micro"])
+        for r in llr_collocations(
+            spark.createDataFrame(rows), k=50, min_count=2
+        ).collect()
+    }
+
+    bgs = {}
+    for t in docs:
+        w = t.lower().split()
+        for i in range(len(w) - 1):
+            bgs[(w[i], w[i + 1])] = bgs.get((w[i], w[i + 1]), 0) + 1
+    n = sum(bgs.values())
+    cl = {}
+    cr = {}
+    for (a, b), c in bgs.items():
+        cl[a] = cl.get(a, 0) + c
+        cr[b] = cr.get(b, 0) + c
+
+    def xlx(c):
+        return c * math.floor(math.log(c) * 1e6) if c > 0 else 0
+
+    want = {}
+    for (a, b), c in bgs.items():
+        if c < 2:
+            continue
+        k11, r1, c1 = c, cl[a], cr[b]
+        k12, k21 = r1 - c, c1 - c
+        k22 = n - r1 - c1 + c
+        want[(a, b)] = (
+            c,
+            2
+            * (
+                xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(n)
+                - xlx(r1) - xlx(n - r1) - xlx(c1) - xlx(n - c1)
+            ),
+        )
+    assert got == want
+    # 'hong kong' (always together) must outrank 'the data'
+    assert got[("hong", "kong")][1] > got[("the", "data")][1]
