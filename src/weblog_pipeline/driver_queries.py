@@ -7232,6 +7232,54 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_zipf_fit(k: int = 256) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT unnest(words) AS token FROM w),
+uni AS (SELECT token FROM unif WHERE token <> ''),
+cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_tok FROM uni GROUP BY 1),
+head AS (
+  SELECT c_tok,
+         CAST(row_number() OVER (ORDER BY c_tok DESC, token ASC)
+              AS BIGINT) AS rank
+  FROM cu ORDER BY c_tok DESC, token ASC LIMIT {k}
+),
+xy AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c_tok AS DOUBLE)) * 1000.0) AS BIGINT) AS y,
+         c_tok
+  FROM head
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(MAX(c_tok) AS BIGINT) AS c_top
+  FROM xy
+),
+m2 AS (
+  SELECT n AS n_terms, c_top, sx, sy, n,
+         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+  FROM mom
+),
+sl AS (
+  SELECT n_terms, c_top, sx, sy, n,
+         CASE WHEN num < 0 THEN -((abs(num) * 1000) // den)
+              ELSE (num * 1000) // den END AS slope_milli
+  FROM m2
+)
+SELECT n_terms, c_top, slope_milli,
+       CASE WHEN sy * 1000 - slope_milli * sx < 0
+            THEN -(abs(sy * 1000 - slope_milli * sx) // (n * 1000))
+            ELSE (sy * 1000 - slope_milli * sx) // (n * 1000) END
+         AS intercept_milli
+FROM sl
+"""
+
+
 def _sql_continuation_counts(min_count: int = 5) -> str:
     return f"""
 WITH w AS (
@@ -8600,6 +8648,7 @@ def queries() -> dict:
         "llr_collocations": docs(
             lambda d: textstats.llr_collocations(d, k=50)
         ),
+        "zipf_fit": docs(textstats.zipf_fit),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -8804,6 +8853,7 @@ def oracle_sql() -> dict:
         "posting_lists": _sql_posting_lists(),
         "pmi_collocations": _sql_pmi_collocations(),
         "llr_collocations": _sql_llr_collocations(),
+        "zipf_fit": _sql_zipf_fit(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -2588,3 +2588,98 @@ def llr_collocations(
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("rank", "w1", "w2", "c_bigram", "llr_micro")
     )
+
+
+ZIPF_TOPK = 256  # fitted head; bounded so the rank window never skews
+
+
+def zipf_fit(documents: DataFrame, k: int = ZIPF_TOPK) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus head — the one-row
+    distribution health check (a natural-language corpus fits
+    log f ~ -1.0 * log r; boilerplate floods and template spam bend the
+    slope). Least squares over (x, y) = (floor(ln rank * 1e3),
+    floor(ln count * 1e3)) for the top-k terms:
+
+        slope_milli = (n*Sxy - Sx*Sy) * 1000 / (n*Sxx - Sx^2)
+
+    Every log is ln-of-integer floored once (parity_ln_floor idiom) in
+    MILLI-nats, all moments integer sums, and the one division is
+    SIGN-SPLIT (the pca_power rule: Spark DIV truncates, DuckDB //
+    floors — they agree only on non-negatives). Milli quantization is
+    deliberate int64 headroom: micro-nat x*y terms would put n*Sxy at
+    ~1.3e19 > int64. The intercept reuses the already-rounded slope —
+    deterministic in both engines because both fold the same integers.
+
+    Scale shape: term counts are one map-side-combined aggregate; the
+    top-k head is TakeOrderedAndProject; the rank window runs over the
+    k-row result, never the vocabulary.
+
+    Output: n_terms, c_top, slope_milli, intercept_milli.
+    """
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    uni = arr.select(F.explode(F.col("_w")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
+    order = [F.col("c_tok").desc(), F.col("token").asc()]
+    head = (
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+    )
+
+    def flog3(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000.0)).cast(
+            "long"
+        )
+
+    xy = head.select(
+        flog3(F.col("rank")).alias("x"),
+        flog3(F.col("c_tok")).alias("y"),
+        F.col("c_tok"),
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("c_tok").alias("c_top"),
+    )
+
+    mom2 = mom.select(
+        F.col("n").alias("n_terms"),
+        "c_top",
+        "sx",
+        "sy",
+        F.col("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("den"),
+    )
+    with_slope = mom2.select(
+        "n_terms",
+        "c_top",
+        F.expr(
+            "CASE WHEN num < 0 THEN -((abs(num) * 1000) DIV den)"
+            " ELSE (num * 1000) DIV den END"
+        ).alias("slope_milli"),
+        "sx",
+        "sy",
+        "n",
+    )
+    return with_slope.select(
+        "n_terms",
+        "c_top",
+        "slope_milli",
+        F.expr(
+            "CASE WHEN sy * 1000 - slope_milli * sx < 0"
+            " THEN -(abs(sy * 1000 - slope_milli * sx) DIV (n * 1000))"
+            " ELSE (sy * 1000 - slope_milli * sx) DIV (n * 1000) END"
+        ).alias("intercept_milli"),
+    )

@@ -5408,3 +5408,44 @@ def test_llr_collocations_twin_and_rare_pair_property(spark):
     assert got == want
     # 'hong kong' (always together) must outrank 'the data'
     assert got[("hong", "kong")][1] > got[("the", "data")][1]
+
+
+def test_zipf_fit_python_twin_and_slope_sign(spark):
+    """zipf_fit against an exact Python twin (same milli-nat floors and
+    sign-split divisions); a 1/r-ish corpus fits a negative slope near
+    -1000 milli."""
+    import math
+
+    from weblog_pipeline.ops.textstats import zipf_fit
+
+    # term i (1..20) appears ~60/i times -> textbook Zipf head
+    words = []
+    for i in range(1, 21):
+        words += [f"w{i:02d}"] * (60 // i)
+    docs, chunk = [], 25
+    for j in range(0, len(words), chunk):
+        docs.append(" ".join(words[j:j + chunk]))
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    got = zipf_fit(spark.createDataFrame(rows), k=16).collect()[0]
+
+    cnt = {}
+    for w in words:
+        cnt[w] = cnt.get(w, 0) + 1
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    xs = [math.floor(math.log(r + 1) * 1e3) for r in range(len(head))]
+    ys = [math.floor(math.log(c) * 1e3) for _, c in head]
+    n = len(head)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+
+    def ss(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    slope = ss(num * 1000, den)
+    intercept = ss(sy * 1000 - slope * sx, n * 1000)
+    assert (got["n_terms"], got["c_top"]) == (n, 60)
+    assert got["slope_milli"] == slope
+    assert got["intercept_milli"] == intercept
+    assert -1400 < got["slope_milli"] < -700  # Zipf-ish head
