@@ -1695,3 +1695,76 @@ def bootstrap_ci(
         F.element_at("_ms", 2).alias("ci_lo_c"),
         F.element_at("_ms", int(b) - 1).alias("ci_hi_c"),
     )
+
+
+def trending_items(
+    events: DataFrame,
+    window_days: int = 16,
+    recent_days: int = 3,
+    min_events: int = 3,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially-decayed item popularity with a trending flag — the
+    half-life-weighted leaderboard ("what is hot NOW, not what was hot
+    all month") every product-analytics surface runs. Items are the
+    integer `k` props key (the item_covisitation parity idiom); the
+    decay is EXACT: a day aged `a` days (newest = 0) weighs
+    2^(window_days-1-a), a power-of-two BIGINT shift, so every weight,
+    sum, and comparison is integer — no float half-life anywhere.
+    Days older than `window_days` carry zero weight and are dropped in
+    the scan (a deliberate truncated tail: with a 1-day half-life the
+    dropped mass is < 2^-15 of the head).
+
+    `trending` fires when more than half the decayed mass landed in the
+    last `recent_days` days — an integer cross-multiply, no ratios.
+
+    Scale shape: one scan -> one map-side-combined aggregate keyed by
+    item; the newest day is a broadcast one-row scalar; output is
+    bounded by the live-item domain. Weight headroom: 2^15 * count
+    overflows int64 only past ~2.8e14 events per item-day.
+
+    Output: item, n_events, w_total, w_recent, trending (0/1).
+    """
+    day = F.expr(
+        f"CAST(unix_timestamp(date_trunc('day', {ts_col})) AS BIGINT)"
+        " DIV 86400"
+    )
+    it = (
+        events.where(
+            F.col("props").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            day.alias("_day"),
+        )
+    )
+    dmax = it.agg(F.max("_day").alias("_dmax"))
+    aged = (
+        it.crossJoin(F.broadcast(dmax))
+        .where(F.col("_dmax") - F.col("_day") < window_days)
+        .select(
+            "item",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({window_days - 1} - (_dmax - _day) AS INT))"
+            ).alias("w"),
+            (F.col("_dmax") - F.col("_day") < recent_days).alias("_rec"),
+        )
+    )
+    agg = aged.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w").alias("w_total"),
+        F.sum(F.when(F.col("_rec"), F.col("w")).otherwise(0)).alias(
+            "w_recent"
+        ),
+    )
+    return agg.where(F.col("n_events") >= min_events).select(
+        "item",
+        "n_events",
+        "w_total",
+        "w_recent",
+        (2 * F.col("w_recent") > F.col("w_total"))
+        .cast("long")
+        .alias("trending"),
+    )

@@ -2120,6 +2120,44 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed item popularity (props.k items): exact
+    power-of-two day weights, broadcast newest-day scalar, trending =
+    integer cross-multiply on the recent mass."""
+    from weblog_pipeline.aggregate import trending_items
+
+    return trending_items(_read(spark, sf_dir, "events"))
+
+
+SQL_TRENDING_ITEMS = """
+WITH it AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events
+  WHERE props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+mx AS (SELECT MAX(day) AS dmax FROM it),
+aged AS (
+  SELECT item,
+         (CAST(1 AS BIGINT) << CAST(15 - (dmax - day) AS INTEGER)) AS w,
+         (dmax - day < 3) AS rec
+  FROM it CROSS JOIN mx
+  WHERE dmax - day < 16
+),
+agg AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(w) AS BIGINT) AS w_total,
+         CAST(SUM(CASE WHEN rec THEN w ELSE 0 END) AS BIGINT)
+           AS w_recent
+  FROM aged GROUP BY 1
+)
+SELECT item, n_events, w_total, w_recent,
+       CAST(2 * w_recent > w_total AS BIGINT) AS trending
+FROM agg WHERE n_events >= 3
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor per event type:
     baseline/current by epoch-day parity, shared HDR bucketing, Laplace
@@ -8531,6 +8569,7 @@ def queries() -> dict:
         "domain_kcore": q_domain_kcore,
         "domain_triangles": q_domain_triangles,
         "item_covisitation": q_item_covisitation,
+        "trending_items": q_trending_items,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "audio_fingerprint": q_audio_fingerprint,
@@ -8776,6 +8815,7 @@ def oracle_sql() -> dict:
         "domain_kcore": _sql_domain_kcore(),
         "domain_triangles": _sql_domain_triangles(),
         "item_covisitation": SQL_ITEM_COVISITATION,
+        "trending_items": SQL_TRENDING_ITEMS,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "audio_fingerprint": _sql_audio_fingerprint(),

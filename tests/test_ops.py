@@ -5449,3 +5449,42 @@ def test_zipf_fit_python_twin_and_slope_sign(spark):
     assert got["slope_milli"] == slope
     assert got["intercept_milli"] == intercept
     assert -1400 < got["slope_milli"] < -700  # Zipf-ish head
+
+
+def test_trending_items_decay_twin_and_flag(spark):
+    """Power-of-two decay weights against a hand twin: an item whose
+    hits all land on the newest days trends; the same total spread over
+    old days does not; days past the window carry zero weight."""
+    import datetime
+    import json
+
+    from weblog_pipeline.aggregate import trending_items
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(i, item, day_off):
+        return Row(event_id=i, ts=base + datetime.timedelta(days=day_off),
+                   user_id=1, event_type="view", value=1.0,
+                   props=json.dumps({"k": item}))
+
+    rows = (
+        # item 1: 3 hits on the newest day (day 20)
+        [ev(i, 1, 20) for i in range(3)]
+        # item 2: 3 hits 10 days ago -> in window, not recent
+        + [ev(10 + i, 2, 10) for i in range(3)]
+        # item 3: hits past the 16-day window only -> dropped entirely
+        + [ev(20 + i, 3, 1) for i in range(3)]
+        # item 4: old mass dominates recent dribble
+        + [ev(30 + i, 4, 8) for i in range(8)] + [ev(40, 4, 20)]
+    )
+    got = {
+        r["item"]: (r["n_events"], r["w_total"], r["w_recent"],
+                    r["trending"])
+        for r in trending_items(spark.createDataFrame(rows)).collect()
+    }
+    # newest day = 20; age = 20 - day; weight = 2^(15-age)
+    assert got[1] == (3, 3 * 2 ** 15, 3 * 2 ** 15, 1)
+    assert got[2] == (3, 3 * 2 ** 5, 0, 0)
+    assert 3 not in got  # age 19 >= window 16
+    # item 4: 8 * 2^3 (age 12) + 1 * 2^15 recent -> recent mass wins
+    assert got[4] == (9, 8 * 2 ** 3 + 2 ** 15, 2 ** 15, 1)
