@@ -991,6 +991,34 @@ def trimmed_mean(
     )
 
 
+def _covisit_kept(
+    events: DataFrame, stratum_cap: int, ts_col: str
+) -> DataFrame:
+    """Distinct (user, day, item) strata with 2..stratum_cap items —
+    the shared candidate relation of item_covisitation and
+    item_similarity (the cap bounds any later pair fan-out at
+    C(cap, 2) per stratum)."""
+    from pyspark.sql import Window
+
+    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
+    items = (
+        events.where(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            day.alias("day"),
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
+                "item"
+            ),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "day")
+    return items.withColumn("_n", F.count(F.lit(1)).over(w)).where(
+        (F.col("_n") >= 2) & (F.col("_n") <= stratum_cap)
+    )
+
+
 def item_covisitation(
     events: DataFrame,
     min_support: int = 3,
@@ -1015,25 +1043,7 @@ def item_covisitation(
 
     Output: item_a, item_b, n_covisits (BIGINT), support >= min_support.
     """
-    from pyspark.sql import Window
-
-    day = F.expr(f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400")
-    items = (
-        events.where(F.col("props").isNotNull())
-        .select(
-            "user_id",
-            day.alias("day"),
-            F.get_json_object(F.col("props"), "$.k").cast("long").alias(
-                "item"
-            ),
-        )
-        .where(F.col("item").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy("user_id", "day")
-    kept = items.withColumn("_n", F.count(F.lit(1)).over(w)).where(
-        (F.col("_n") >= 2) & (F.col("_n") <= stratum_cap)
-    )
+    kept = _covisit_kept(events, stratum_cap, ts_col)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = a.join(
         b,
@@ -1767,4 +1777,100 @@ def trending_items(
         (2 * F.col("w_recent") > F.col("w_total"))
         .cast("long")
         .alias("trending"),
+    )
+
+
+def item_similarity(
+    events: DataFrame,
+    min_support: int = 5,
+    stratum_cap: int = 20,
+    k: int = 50,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Item-item cosine similarity over co-visitation strata — the
+    normalization step that turns raw "bought together" counts into a
+    recommender's neighbor lists (frequent items stop winning merely by
+    being frequent). Over the same capped (user, day, item) relation as
+    item_covisitation:
+
+        sim_sq_bp = n_covisits^2 * 10000 DIV (n_a * n_b)
+
+    the SQUARED cosine in basis points — squaring instead of rooting
+    keeps the entire statistic integer (no sqrt exists that both
+    engines floor identically). n_a is the number of kept strata
+    containing item a, so the marginals and the pair counts come from
+    the same relation by construction.
+
+    Scale shape: the pair fan-out inherits item_covisitation's stratum
+    cap (C(cap,2) per stratum, worst case); the per-item degree is one
+    map-side aggregate over the kept relation, broadcast back onto the
+    (already support-gated) pair relation; the final top-k is
+    TakeOrderedAndProject. Headroom: n_covisits^2 * 10^4 overflows
+    int64 past ~10^7 co-visits per pair.
+
+    Output: rank, item_a, item_b, n_covisits, n_a, n_b, sim_sq_bp.
+    """
+    kept = _covisit_kept(events, stratum_cap, ts_col)
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_covisits"))
+        .where(F.col("n_covisits") >= min_support)
+    )
+    deg = kept.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    scored = (
+        pairs.join(
+            F.broadcast(
+                deg.select(
+                    F.col("item").alias("item_a"),
+                    F.col("n_item").alias("n_a"),
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("item").alias("item_b"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_covisits",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_covisits * n_covisits * 10000) DIV (n_a * n_b)"
+            ).alias("sim_sq_bp"),
+        )
+    )
+    order = [
+        F.col("sim_sq_bp").desc(),
+        F.col("item_a").asc(),
+        F.col("item_b").asc(),
+    ]
+    from pyspark.sql import Window
+
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select(
+            "rank", "item_a", "item_b", "n_covisits", "n_a", "n_b",
+            "sim_sq_bp",
+        )
     )

@@ -2120,6 +2120,54 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item squared-cosine (bp) over the capped co-visitation
+    strata: support-gated pairs, broadcast per-item degrees,
+    TakeOrderedAndProject top-k."""
+    from weblog_pipeline.aggregate import item_similarity
+
+    return item_similarity(_read(spark, sf_dir, "events"))
+
+
+SQL_ITEM_SIMILARITY = """
+WITH it AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+sz AS (SELECT user_id, day, COUNT(*) AS n FROM it GROUP BY 1, 2),
+kept AS (
+  SELECT it.* FROM it JOIN sz USING (user_id, day)
+  WHERE sz.n BETWEEN 2 AND 20
+),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_covisits
+  FROM kept a JOIN kept b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM kept GROUP BY 1),
+scored AS (
+  SELECT p.item_a, p.item_b, p.n_covisits,
+         da.n_item AS n_a, db.n_item AS n_b,
+         (p.n_covisits * p.n_covisits * 10000) // (da.n_item * db.n_item)
+           AS sim_sq_bp
+  FROM p JOIN deg da ON da.item = p.item_a
+         JOIN deg db ON db.item = p.item_b
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY sim_sq_bp DESC, item_a ASC, item_b ASC)
+       AS INTEGER) AS rank,
+       item_a, item_b, n_covisits, n_a, n_b, sim_sq_bp
+FROM scored ORDER BY sim_sq_bp DESC, item_a ASC, item_b ASC LIMIT 50
+"""
+
+
 def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-decayed item popularity (props.k items): exact
     power-of-two day weights, broadcast newest-day scalar, trending =
@@ -8570,6 +8618,7 @@ def queries() -> dict:
         "domain_triangles": q_domain_triangles,
         "item_covisitation": q_item_covisitation,
         "trending_items": q_trending_items,
+        "item_similarity": q_item_similarity,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "audio_fingerprint": q_audio_fingerprint,
@@ -8816,6 +8865,7 @@ def oracle_sql() -> dict:
         "domain_triangles": _sql_domain_triangles(),
         "item_covisitation": SQL_ITEM_COVISITATION,
         "trending_items": SQL_TRENDING_ITEMS,
+        "item_similarity": SQL_ITEM_SIMILARITY,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "audio_fingerprint": _sql_audio_fingerprint(),

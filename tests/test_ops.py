@@ -5488,3 +5488,47 @@ def test_trending_items_decay_twin_and_flag(spark):
     assert 3 not in got  # age 19 >= window 16
     # item 4: 8 * 2^3 (age 12) + 1 * 2^15 recent -> recent mass wins
     assert got[4] == (9, 8 * 2 ** 3 + 2 ** 15, 2 ** 15, 1)
+
+
+def test_item_similarity_cosine_twin(spark):
+    """Squared-cosine bp against a hand twin: a pair that always
+    co-occurs scores 10000; a pair diluted by solo strata scores the
+    exact integer ratio."""
+    import datetime
+    import json
+
+    from weblog_pipeline.aggregate import item_similarity
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def stratum(user, day_off, items):
+        nonlocal eid
+        for it in items:
+            rows.append(
+                Row(event_id=eid, ts=base + datetime.timedelta(days=day_off),
+                    user_id=user, event_type="view", value=1.0,
+                    props=json.dumps({"k": it})))
+            eid += 1
+
+    # items 1,2 co-visit in 5 strata (perfect cosine)
+    for u in range(5):
+        stratum(u, 0, [1, 2])
+    # items 3,4 co-visit in 5 strata, but 3 also appears in 5 more
+    # strata (with 5) -> n_3 = 10, n_4 = 5, sim = 25*1e4/(50) = 5000
+    for u in range(5):
+        stratum(10 + u, 0, [3, 4])
+        stratum(20 + u, 0, [3, 5])
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_covisits"], r["n_a"], r["n_b"],
+                                     r["sim_sq_bp"], r["rank"])
+        for r in item_similarity(
+            spark.createDataFrame(rows), min_support=5
+        ).collect()
+    }
+    assert got[(1, 2)][:4] == (5, 5, 5, 10000)
+    assert got[(3, 4)][:4] == (5, 10, 5, 5000)
+    assert got[(1, 2)][4] == 1  # perfect pair ranks first
+    # (3,5) also support-5: n_3=10, n_5=5 -> 5000, ranks after (3,4)
+    assert got[(3, 5)][:4] == (5, 10, 5, 5000)
