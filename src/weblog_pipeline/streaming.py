@@ -738,3 +738,96 @@ def cusum_stream(events: DataFrame, ref: int = 8,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+TREND_SCHEMA = (
+    "item long, day long, n_events long, w_total long, "
+    "w_recent long, trending long"
+)
+_TREND_STATE_SCHEMA = (
+    "days array<long>, counts array<long>, cur_day long, cur_cnt long"
+)
+
+
+def trending_stream(events: DataFrame, window_days: int = 16,
+                    recent_days: int = 3) -> DataFrame:
+    """Streaming twin of aggregate.trending_items — the NINTH stateful
+    op: per item the state store holds the trailing <= window_days
+    closed (day, count) pairs plus the open day's running counter, a
+    fixed-width row per live item forever. A day closes (and emits,
+    append-safe) when a later day's first event arrives for that item;
+    the emitted masses are the batch op's exact power-of-two shifts
+    evaluated at that item's history ending on the closing day, so the
+    verdict equals trending_items run over everything the item has
+    seen up to that day (the batch-twin pytest). The batch
+    `min_events` gate is a presentation filter and deliberately
+    omitted here — the stream emits every closed day.
+
+    Day ordering discipline matches anomaly_stream: rows are day-sorted
+    within a micro-batch; cross-batch disorder is a watermark's job
+    upstream.
+    """
+    import pandas as pd
+
+    def step(key, pdfs, state):
+        if state.exists:
+            hd, hc, cur_day, cur_cnt = state.get
+            hd, hc = list(hd), list(hc)
+        else:
+            hd, hc, cur_day, cur_cnt = [], [], None, 0
+        out = []
+
+        def close(day, cnt):
+            hd.append(day)
+            hc.append(cnt)
+            del hd[:-window_days], hc[:-window_days]
+            n_ev = w_tot = w_rec = 0
+            for d2, c2 in zip(hd, hc):
+                age = day - d2
+                if age >= window_days:
+                    continue
+                w = c2 << (window_days - 1 - age)
+                n_ev += c2
+                w_tot += w
+                if age < recent_days:
+                    w_rec += w
+            out.append((key[0], day, n_ev, w_tot, w_rec,
+                        1 if 2 * w_rec > w_tot else 0))
+
+        days = sorted(d for p in pdfs for d in p["day"].tolist())
+        for d in days:
+            if cur_day is None:
+                cur_day, cur_cnt = d, 0
+            elif d != cur_day:
+                close(cur_day, cur_cnt)
+                cur_day, cur_cnt = d, 0
+            cur_cnt += 1
+        state.update(
+            (hd, hc, cur_day, cur_cnt if cur_day is not None else 0)
+        )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["item", "day", "n_events", "w_total",
+                         "w_recent", "trending"],
+            )
+
+    cells = (
+        events.where(
+            F.col("props").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.expr(
+                "unix_timestamp(date_trunc('day', ts)) DIV 86400"
+            ).alias("day"),
+        )
+    )
+    return cells.groupBy("item").applyInPandasWithState(
+        step,
+        outputStructType=TREND_SCHEMA,
+        stateStructType=_TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

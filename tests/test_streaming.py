@@ -793,3 +793,96 @@ def test_cusum_stream_equals_recurrence_twin(spark, tmp_path):
     # S = 5, 10, 15 on elevated days: first alarm on the 3rd (day idx 7),
     # every later closed elevated day stays in alarm
     assert ramp_alarms == [day0 + 7, day0 + 8, day0 + 9]
+
+
+def test_trending_stream_equals_batch_twin(spark, tmp_path):
+    """Replaying an item stream over two micro-batches: each closed
+    day's emitted masses equal trending_items run on that item's
+    history up to that day (exact power-of-two decay, cross-batch state
+    carry); the open day never emits."""
+    import datetime
+    import json
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import trending_items
+    from weblog_pipeline.streaming import trending_stream
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+
+    def hits(item, day, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(
+                event_id=eid, ts=base + datetime.timedelta(days=day),
+                user_id=1, event_type="view", value=1.0,
+                props=json.dumps({"k": item})))
+            eid += 1
+
+    # item 1: steady then a burst; item 2: sparse with a gap past the
+    # window so old days must age out of the decayed mass
+    for d in range(6):
+        hits(1, d, 2)
+    hits(1, 6, 9)
+    hits(1, 7, 1)          # open day for item 1 (never emits)
+    hits(2, 0, 4)
+    hits(2, 20, 3)
+    hits(2, 21, 1)         # open day for item 2
+    # item 3: a day-0 flood then a dribble — old mass must dominate
+    hits(3, 0, 100)
+    for d in (1, 2, 3):
+        hits(3, d, 1)
+    hits(3, 4, 1)          # open day for item 3
+    rows.sort(key=lambda r: r.ts)
+    split = len(rows) // 2
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(rows[:split], schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(rows[split:], schema).coalesce(1).write.parquet(inp + "/f2")
+
+    q = (
+        trending_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inp + "/*")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["item"], r["day"]): (r["n_events"], r["w_total"],
+                                r["w_recent"], r["trending"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # every closed day present, open days absent
+    day0 = int((base - datetime.datetime(1970, 1, 1)).days)
+    assert (1, day0 + 7) not in got and (2, day0 + 21) not in got
+    assert (3, day0 + 4) not in got
+    assert len(got) == 7 + 2 + 4  # items 1 / 2 / 3 closed days
+
+    # each closed day equals the batch op on that item's history <= day
+    for item, day in got:
+        hist = [r for r in rows
+                if json.loads(r.props)["k"] == item
+                and (r.ts - base).days <= day - day0]
+        batch = trending_items(
+            spark.createDataFrame(hist, schema), min_events=1
+        ).collect()
+        brow = [b for b in batch if b["item"] == item]
+        assert len(brow) == 1
+        b = brow[0]
+        assert got[(item, day)] == (b["n_events"], b["w_total"],
+                                    b["w_recent"], b["trending"])
+    # the burst day flags; the flood-then-dribble day does not (the
+    # age-3 mass 100*2^12 dwarfs the recent 2^15+2^14+2^13)
+    assert got[(1, day0 + 6)][3] == 1
+    assert got[(3, day0 + 3)][3] == 0
+    # item 2 day 20: the day-0 mass aged past the window entirely
+    assert got[(2, day0 + 20)] == (3, 3 * 2 ** 15, 3 * 2 ** 15, 1)
