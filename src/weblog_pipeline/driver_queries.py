@@ -2120,6 +2120,37 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-rule reliability table: hashed-linear scores
+    binned (double-floor, exact), joined on doc_id to the C4 pass bit,
+    per-bin pass rate in bp."""
+    docs = _read(spark, sf_dir, "documents")
+    scores = textstats.quality_classifier(
+        docs, textstats.classifier_weights(spark)
+    )
+    verdicts = textstats.c4_quality_flags(
+        _c4_planted(docs), badwords=C4_PROBE
+    )
+    return textstats.score_calibration(scores, verdicts)
+
+
+def _sql_score_calibration(bin_width: int = 200) -> str:
+    return f"""
+SELECT CAST(floor(CAST(qc.score AS DOUBLE) / {bin_width}.0) AS BIGINT)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN qc.label = 'keep' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN c4."pass" THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       (CAST(SUM(CASE WHEN c4."pass" THEN 1 ELSE 0 END) AS BIGINT)
+        * 10000) // COUNT(*) AS pass_rate_bp
+FROM ({_sql_quality_classifier()}) qc
+JOIN ({_sql_c4_quality()}) c4 USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item squared-cosine (bp) over the capped co-visitation
     strata: support-gated pairs, broadcast per-item degrees,
@@ -8619,6 +8650,7 @@ def queries() -> dict:
         "item_covisitation": q_item_covisitation,
         "trending_items": q_trending_items,
         "item_similarity": q_item_similarity,
+        "score_calibration": q_score_calibration,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "audio_fingerprint": q_audio_fingerprint,
@@ -8866,6 +8898,7 @@ def oracle_sql() -> dict:
         "item_covisitation": SQL_ITEM_COVISITATION,
         "trending_items": SQL_TRENDING_ITEMS,
         "item_similarity": SQL_ITEM_SIMILARITY,
+        "score_calibration": _sql_score_calibration(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "audio_fingerprint": _sql_audio_fingerprint(),

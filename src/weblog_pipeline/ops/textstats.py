@@ -2683,3 +2683,55 @@ def zipf_fit(documents: DataFrame, k: int = ZIPF_TOPK) -> DataFrame:
             " ELSE (sy * 1000 - slope_milli * sx) DIV (n * 1000) END"
         ).alias("intercept_milli"),
     )
+
+
+def score_calibration(
+    scores: DataFrame, verdicts: DataFrame, bin_width: int = 200
+) -> DataFrame:
+    """Reliability table for a learned quality scorer against an
+    independent rule verdict — the calibration audit run before
+    trusting a classifier threshold to prune a corpus: per score bin,
+    how often does the rule-based filter (e.g. the C4 pass bit) agree?
+    A well-calibrated scorer shows a monotone pass-rate column; a flat
+    one means the score carries no signal at the chosen cut.
+
+    `scores` is any per-doc (doc_id, score, label) relation
+    (quality_classifier's shape); `verdicts` any per-doc
+    (doc_id, pass) relation (c4/gopher flags' shape). Bin =
+    floor(score / bin_width) via DOUBLE floor — exact and identical in
+    both engines for |score| < 2^53, and true floor (not truncation)
+    for negative scores, so no sign-split is needed.
+
+    Scale shape: one doc_id equi-join of two per-doc relations (both
+    already aggregated), then one map-side-combined aggregate over the
+    bounded bin domain. Rate in basis points by integer DIV.
+
+    Output: bin, n_docs, n_keep, n_pass, pass_rate_bp.
+    """
+    j = scores.select(
+        "doc_id",
+        F.floor(F.col("score").cast("double") / F.lit(float(bin_width)))
+        .cast("long")
+        .alias("bin"),
+        (F.col("label") == "keep").cast("long").alias("_keep"),
+    ).join(
+        verdicts.select(
+            "doc_id", F.col("pass").cast("long").alias("_pass")
+        ),
+        "doc_id",
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_keep").alias("n_keep"),
+            F.sum("_pass").alias("n_pass"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_keep",
+            "n_pass",
+            F.expr("(n_pass * 10000) DIV n_docs").alias("pass_rate_bp"),
+        )
+    )

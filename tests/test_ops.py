@@ -5532,3 +5532,38 @@ def test_item_similarity_cosine_twin(spark):
     assert got[(1, 2)][4] == 1  # perfect pair ranks first
     # (3,5) also support-5: n_3=10, n_5=5 -> 5000, ranks after (3,4)
     assert got[(3, 5)][:4] == (5, 10, 5, 5000)
+
+
+def test_score_calibration_bins_and_rates(spark):
+    """Calibration table against hand-built scores/verdicts: negative
+    scores floor into the correct bin (floor, not truncation), rates
+    are exact integer bp, and the join drops unscored docs."""
+    from weblog_pipeline.ops.textstats import score_calibration
+
+    scores = spark.createDataFrame(
+        [Row(doc_id=1, score=-250, label="drop"),
+         Row(doc_id=2, score=-10, label="drop"),
+         Row(doc_id=3, score=10, label="keep"),
+         Row(doc_id=4, score=199, label="keep"),
+         Row(doc_id=5, score=200, label="keep")]
+    )
+    verdicts = spark.createDataFrame(
+        [Row(doc_id=1, **{"pass": False}),
+         Row(doc_id=2, **{"pass": True}),
+         Row(doc_id=3, **{"pass": True}),
+         Row(doc_id=4, **{"pass": False}),
+         Row(doc_id=5, **{"pass": True}),
+         Row(doc_id=9, **{"pass": True})]   # unscored -> dropped
+    )
+    got = {
+        r["bin"]: (r["n_docs"], r["n_keep"], r["n_pass"],
+                   r["pass_rate_bp"])
+        for r in score_calibration(scores, verdicts).collect()
+    }
+    # floor(-250/200) = -2, floor(-10/200) = -1 (floor, NOT trunc-to-0)
+    assert got == {
+        -2: (1, 0, 0, 0),
+        -1: (1, 0, 1, 10000),
+        0: (2, 2, 1, 5000),
+        1: (1, 1, 1, 10000),
+    }
