@@ -6230,6 +6230,71 @@ FROM bits LEFT JOIN dbits ON dbits.media_id = bits.media_id
 """
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash over REAL-decoded PNG pixel grids: 8x8 block
+    floor-means, integer-quantized 6x6 low-frequency DCT, lower-median
+    threshold, 35-bit hex hash. The oracle replays the identical
+    integer DCT from the synthetic pixel function via a VALUES basis
+    table holding the same quantized cosines."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_png_from_documents(docs)
+    return multimodal.media_phash(media)
+
+
+def _sql_media_phash() -> str:
+    qt = multimodal.phash_coeffs()
+    rows = ", ".join(
+        f"({u}, {x}, {qt[u][x]})"
+        for u in range(multimodal.PHASH_LOWFREQ)
+        for x in range(multimodal.AHASH_GRID)
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h,
+         doc_id % 256 AS s
+  FROM documents
+),
+pix AS (
+  SELECT media_id, w, h,
+         (s + (u.i % w) + (u.i // w)) % 256 AS lum,
+         ((u.i % w) * 8 // w) AS bx,
+         ((u.i // w) * 8 // h) AS by
+  FROM pre, unnest(range(0, w * h)) AS u(i)
+),
+blocks AS (
+  SELECT media_id, MAX(w) AS w, MAX(h) AS h, bx, by,
+         CAST(SUM(lum) AS BIGINT) // COUNT(*) AS m
+  FROM pix GROUP BY media_id, bx, by
+),
+qb(u, x, qc) AS (VALUES {rows}),
+dct AS (
+  SELECT b.media_id, MAX(b.w) AS w, MAX(b.h) AS h,
+         qu.u AS u, qv.u AS v,
+         CAST(SUM(b.m * qu.qc * qv.qc) AS BIGINT) AS c
+  FROM blocks b
+  JOIN qb qu ON qu.x = b.bx
+  JOIN qb qv ON qv.x = b.by
+  GROUP BY b.media_id, qu.u, qv.u
+),
+med AS (
+  SELECT media_id,
+         (list(c ORDER BY c ASC)
+            FILTER (WHERE NOT (u = 0 AND v = 0)))[18] AS med
+  FROM dct GROUP BY 1
+)
+SELECT d.media_id,
+  CAST(MAX(d.w) AS INTEGER) AS width,
+  CAST(MAX(d.h) AS INTEGER) AS height,
+  CAST(MAX(CASE WHEN d.u = 0 AND d.v = 0 THEN d.c END) AS BIGINT) AS dc,
+  lpad(hex(CAST(COALESCE(SUM(
+    CASE WHEN NOT (d.u = 0 AND d.v = 0) AND d.c > m.med
+         THEN (CAST(1 AS BIGINT) << (d.u * 6 + d.v)) END), 0)
+    AS BIGINT)), 9, '0') AS phash
+FROM dct d JOIN med m USING (media_id)
+GROUP BY d.media_id
+"""
+
+
 def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end-to-end: valid LZW-coded GIF89a payloads
     generated from doc_id; the Arrow UDF runs a full LZW decode and
@@ -8653,6 +8718,7 @@ def queries() -> dict:
         "score_calibration": q_score_calibration,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
+        "media_phash": q_media_phash,
         "audio_fingerprint": q_audio_fingerprint,
         "encoding_damage": q_encoding_damage,
         "pca_power": q_pca_power,
@@ -8901,6 +8967,7 @@ def oracle_sql() -> dict:
         "score_calibration": _sql_score_calibration(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
+        "media_phash": _sql_media_phash(),
         "audio_fingerprint": _sql_audio_fingerprint(),
         "encoding_damage": _sql_encoding_damage(),
         "pca_power": _sql_pca_power(),

@@ -4035,3 +4035,148 @@ def media_colorstats(media: "DataFrame", on_error: str = "raise") -> "DataFrame"
             "sum_b long, sum_g long, sum_r long, min_b int, max_b int"
         ),
     )
+
+
+PHASH_LOWFREQ = 6      # low-frequency DCT block kept (DC excluded)
+PHASH_QSCALE = 1024    # integer quantizer for the cosine basis
+
+
+def phash_coeffs() -> list:
+    """Integer-quantized DCT-II basis Q[u][x] = floor(cos((2x+1) * u *
+    pi / 16) * PHASH_QSCALE) for u < PHASH_LOWFREQ, x < AHASH_GRID.
+    Computed ONCE here and embedded verbatim as literals in the SQL
+    oracle generator, so both engines fold the SAME integers — the
+    quantization is what makes a DCT cross-engine exact at all."""
+    import math
+
+    return [
+        [
+            math.floor(
+                math.cos((2 * x + 1) * u * math.pi / 16) * PHASH_QSCALE
+            )
+            for x in range(AHASH_GRID)
+        ]
+        for u in range(PHASH_LOWFREQ)
+    ]
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dc", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def _phash_of(lum) -> tuple:
+    """35-bit perceptual DCT hash of an integer luminance grid: 8x8
+    block floor-means (absent blocks = 0), integer 2-D DCT over the
+    quantized basis, keep the 6x6 low-frequency block, drop DC,
+    threshold at the LOWER MEDIAN (sorted index 17 of the 35 values),
+    bit u*6+v set iff its coefficient strictly exceeds it. Every step
+    is integer — engine-exact by construction. Returns (dc, hex)."""
+    import numpy as np
+
+    height, width = lum.shape
+    bx = (np.arange(width) * AHASH_GRID) // width
+    by = (np.arange(height) * AHASH_GRID) // height
+    bidx = (by[:, None] * AHASH_GRID + bx[None, :]).ravel()
+    sums = np.zeros(AHASH_GRID * AHASH_GRID, dtype=np.int64)
+    np.add.at(sums, bidx, lum.ravel())
+    cnts = np.bincount(bidx, minlength=AHASH_GRID * AHASH_GRID)
+    present = cnts > 0
+    means = np.zeros_like(sums)
+    means[present] = sums[present] // cnts[present]
+    grid = means.reshape(AHASH_GRID, AHASH_GRID)  # [by][bx]
+
+    q = np.array(phash_coeffs(), dtype=np.int64)  # (6, 8)
+    coef = q @ grid.T @ q.T  # coef[u][v] = sum M[y][x] q[u][x] q[v][y]
+    vals = coef.ravel().copy()
+    vals = np.delete(vals, 0)  # drop DC
+    med = int(np.sort(vals)[(len(vals) - 1) // 2])
+    h = 0
+    for u in range(PHASH_LOWFREQ):
+        for v in range(PHASH_LOWFREQ):
+            if (u, v) == (0, 0):
+                continue
+            if int(coef[u, v]) > med:
+                h |= 1 << (u * PHASH_LOWFREQ + v)
+    return int(coef[0, 0]), format(h, "09X")
+
+
+def media_phash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
+    """DCT perceptual hash (pHash) from the REAL decoded pixel grid —
+    the re-encode-robust sibling of media_ahash: aHash thresholds raw
+    block brightness, pHash thresholds the image's low-frequency
+    SPECTRUM, so it survives contrast shifts and mild blur that move
+    every block mean together. The DCT basis is integer-quantized
+    (phash_coeffs) so the whole statistic is integer and the SQL twin
+    recomputes it bit-for-bit from the synthetic pixel function.
+
+    Same decode surface and on_error contract as media_ahash (PNG and
+    JPEG full-pixel decoders; other magics raise NotImplementedError).
+
+    Scale shape: mapInPandas batch decode, payload never re-emitted;
+    downstream carries four scalars per image. Headroom:
+    |coef| <= 255 * 1024^2 * 64 ~ 1.7e13 — int64-safe.
+
+    Output: media_id, width, height, dc, phash (9 hex, 35 bits).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    if blob[:8] == PNG_SIG:
+                        meta = decode_png(blob, want_pixels=True)
+                        ch = meta["channels"]
+                        arr = np.frombuffer(
+                            meta["pixels"], dtype=np.uint8
+                        ).reshape(meta["height"], meta["width"], ch)
+                        lum = arr.astype(np.int64).sum(axis=2) // ch
+                    elif blob[:2] == b"\xff\xd8":
+                        meta = decode_jpeg(blob)
+                        img = meta["pixels"]
+                        lum = (
+                            img.astype(np.int64)
+                            if img.ndim == 2
+                            else img.astype(np.int64).sum(axis=2) // 3
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "pHash needs a full-pixel decode (PNG/JPEG)"
+                        )
+                except (ValueError, struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                dc, ph = _phash_of(lum)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(meta["width"]),
+                        "height": int(meta["height"]),
+                        "dc": dc,
+                        "phash": ph,
+                    }
+                )
+            if out:
+                o = pd.DataFrame(out)
+                o["media_id"] = o["media_id"].astype("Int64")
+                for c in ("width", "height"):
+                    o[c] = o[c].astype("Int32")
+                o["dc"] = o["dc"].astype("Int64")
+                yield o[[f.name for f in PHASH_SCHEMA.fields]]
+
+    pruned = media.select("media_id", "payload")
+    return pruned.mapInPandas(run, schema=PHASH_SCHEMA)

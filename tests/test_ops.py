@@ -5567,3 +5567,62 @@ def test_score_calibration_bins_and_rates(spark):
         0: (2, 2, 1, 5000),
         1: (1, 1, 1, 10000),
     }
+
+
+def test_phash_twin_and_contrast_invariance():
+    """_phash_of against a brute-force double-loop DCT twin, plus the
+    pHash selling point: exact contrast scaling (2x every pixel) leaves
+    the hash unchanged while the DC coefficient doubles."""
+    import numpy as np
+
+    from weblog_pipeline.ops.multimodal import (
+        AHASH_GRID,
+        PHASH_LOWFREQ,
+        _phash_of,
+        phash_coeffs,
+    )
+
+    rng_lum = np.array(
+        [[(3 + x + y) % 128 for x in range(19)] for y in range(11)],
+        dtype=np.int64,
+    )
+    dc, ph = _phash_of(rng_lum)
+
+    # brute-force twin: block means, integer DCT, lower-median bits
+    g = AHASH_GRID
+    sums = np.zeros((g, g), dtype=np.int64)
+    cnts = np.zeros((g, g), dtype=np.int64)
+    hgt, wid = rng_lum.shape
+    for y in range(hgt):
+        for x in range(wid):
+            by, bx = y * g // hgt, x * g // wid
+            sums[by, bx] += rng_lum[y, x]
+            cnts[by, bx] += 1
+    means = np.where(cnts > 0, sums // np.maximum(cnts, 1), 0)
+    q = phash_coeffs()
+    coef = {}
+    for u in range(PHASH_LOWFREQ):
+        for v in range(PHASH_LOWFREQ):
+            coef[(u, v)] = sum(
+                int(means[y, x]) * q[u][x] * q[v][y]
+                for x in range(g) for y in range(g)
+            )
+    vals = sorted(c for k, c in coef.items() if k != (0, 0))
+    med = vals[(len(vals) - 1) // 2]
+    want = 0
+    for (u, v), c in coef.items():
+        if (u, v) != (0, 0) and c > med:
+            want |= 1 << (u * PHASH_LOWFREQ + v)
+    assert (dc, ph) == (coef[(0, 0)], format(want, "09X"))
+
+    # contrast invariance needs exact block means: a 16x16 image whose
+    # 2x2 blocks are constant, so floor-means scale exactly with the
+    # pixels and every DCT coefficient (and the median cut) doubles
+    vals = np.array(
+        [[(7 * by + 3 * bx) % 101 for bx in range(8)] for by in range(8)],
+        dtype=np.int64,
+    )
+    flat = np.kron(vals, np.ones((2, 2), dtype=np.int64))
+    dc1, ph1 = _phash_of(flat)
+    dc2, ph2 = _phash_of(flat * 2)
+    assert ph2 == ph1 and dc2 == 2 * dc1
