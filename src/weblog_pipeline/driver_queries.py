@@ -2120,6 +2120,55 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension join: deterministic two-version
+    segment history broadcast into the event fact, half-open validity
+    interval picked in the scan stage."""
+    from weblog_pipeline.ops.relational import scd2_lookup
+
+    return scd2_lookup(
+        _read(spark, sf_dir, "events"), _read(spark, sf_dir, "customer")
+    )
+
+
+SQL_SCD2_LOOKUP = """
+WITH d0 AS (
+  SELECT MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400)
+    AS d0 FROM events
+),
+ev AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 - d0.d0
+           AS day,
+         CAST(floor(value * 100) AS BIGINT) AS value_c
+  FROM events CROSS JOIN d0
+),
+segs AS (
+  SELECT ['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD',
+          'MACHINERY'] AS a
+),
+dim AS (
+  SELECT c_custkey, 1 AS version, c_mktsegment AS seg,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(CASE WHEN c_custkey % 3 = 0 THEN 1 + c_custkey % 28
+                   ELSE 30 END AS BIGINT) AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2,
+         a[(list_position(a, c_mktsegment) % 5) + 1],
+         CAST(1 + c_custkey % 28 AS BIGINT), CAST(30 AS BIGINT)
+  FROM customer CROSS JOIN segs WHERE c_custkey % 3 = 0
+)
+SELECT d.seg, d.version,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(e.value_c) AS BIGINT) AS sum_value_c
+FROM ev e JOIN dim d ON d.c_custkey = e.user_id
+WHERE e.day >= d.valid_from AND e.day < d.valid_to
+GROUP BY 1, 2
+"""
+
+
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-vs-rule reliability table: hashed-linear scores
     binned (double-floor, exact), joined on doc_id to the C4 pass bit,
@@ -8716,6 +8765,7 @@ def queries() -> dict:
         "trending_items": q_trending_items,
         "item_similarity": q_item_similarity,
         "score_calibration": q_score_calibration,
+        "scd2_lookup": q_scd2_lookup,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -8965,6 +9015,7 @@ def oracle_sql() -> dict:
         "trending_items": SQL_TRENDING_ITEMS,
         "item_similarity": SQL_ITEM_SIMILARITY,
         "score_calibration": _sql_score_calibration(),
+        "scd2_lookup": SQL_SCD2_LOOKUP,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -400,3 +400,85 @@ def heavy_orders(
             "sum_qty_c",
         )
     )
+
+
+def scd2_dim(customer: DataFrame, n_days: int = 30) -> DataFrame:
+    """Synthesize a slowly-changing (type-2) segment history from the
+    customer dimension: every customer has version 1 from day 0 and —
+    when its key hashes into a change — version 2 from a key-derived
+    day, with the segment rotated one step. Deterministic (pure key
+    arithmetic), so the SQL twin rebuilds the identical history.
+
+    Output: c_custkey, version, seg, valid_from, valid_to
+    (half-open [from, to); the live row's valid_to is n_days).
+    """
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    seg_arr = F.array(*[F.lit(s) for s in segs])
+    idx = F.array_position(seg_arr, F.col("c_mktsegment"))  # 1-based; 0 if absent
+    changed = (F.col("c_custkey") % 3) == 0
+    mid = 1 + F.col("c_custkey") % (n_days - 2)
+    v1 = customer.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.when(changed, mid).otherwise(F.lit(n_days))
+        .cast("long")
+        .alias("valid_to"),
+    )
+    v2 = customer.where(changed).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.element_at(seg_arr, ((idx % 5) + 1).cast("int")).alias("seg"),
+        mid.cast("long").alias("valid_from"),
+        F.lit(n_days).cast("long").alias("valid_to"),
+    )
+    return v1.unionByName(v2)
+
+
+def scd2_lookup(events: DataFrame, customer: DataFrame,
+                n_days: int = 30) -> DataFrame:
+    """Point-in-time dimension lookup — the SCD2 join every warehouse
+    runs to label a fact with the dimension row that was CURRENT at
+    event time (joining the latest row instead silently rewrites
+    history). The event joins its user's version history on the user
+    key and keeps the row whose half-open validity interval contains
+    the event day.
+
+    Scale shape: the history is at most 2 rows per customer here (and
+    small-per-key in any real SCD2), so it BROADCASTS and the fact
+    never shuffles; the interval predicate runs in the scan stage right
+    after the hash probe — fan-out bounded by versions-per-key, then
+    filtered to exactly one. Aggregated per (seg, version) so the
+    output is bounded.
+
+    Output: seg, version, n_events, n_users, sum_value_c.
+    """
+    day0 = events.agg(
+        F.min(
+            F.expr("CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+                   " DIV 86400")
+        ).alias("_d0")
+    )
+    ev = events.crossJoin(F.broadcast(day0)).select(
+        "user_id",
+        (
+            F.expr("CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+                   " DIV 86400")
+            - F.col("_d0")
+        ).alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    dim = scd2_dim(customer, n_days)
+    j = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"]
+    ).where(
+        (F.col("day") >= F.col("valid_from"))
+        & (F.col("day") < F.col("valid_to"))
+    )
+    return j.groupBy("seg", "version").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_c").alias("sum_value_c"),
+    )

@@ -1048,3 +1048,49 @@ def test_heavy_orders_data_derived_threshold(spark):
     assert len(rows) == 1
     assert (rows[0]["o_orderkey"], rows[0]["sum_qty_c"],
             rows[0]["total_c"]) == (4, 10000, 10000)
+
+
+def test_scd2_lookup_point_in_time_and_broadcast(spark):
+    """The SCD2 join must (a) broadcast the version history — the fact
+    never shuffles for a dimension lookup — and (b) pick the version
+    valid AT EVENT TIME: an event before a customer's change day lands
+    on version 1, after it on version 2."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.ops.relational import scd2_lookup
+
+    base = datetime.datetime(2024, 1, 1)
+    # custkey 3 changes (3 % 3 == 0) on day 1 + 3 % 28 = 4;
+    # custkey 1 never changes
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING"),
+         Row(c_custkey=3, c_name="b", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING")]
+    )
+
+    def ev(i, user, day):
+        return Row(event_id=i, ts=base + datetime.timedelta(days=day),
+                   user_id=user, event_type="view", value=1.0,
+                   props=None)
+
+    events = spark.createDataFrame(
+        [ev(0, 1, 0),   # anchors day0; v1 forever
+         ev(1, 3, 2),   # before day 4 -> version 1 BUILDING
+         ev(2, 3, 10),  # after -> version 2 FURNITURE (rotated)
+         ev(3, 3, 20)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = scd2_lookup(events, cust)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    got = {(r["seg"], r["version"]): (r["n_events"], r["n_users"])
+           for r in out.collect()}
+    assert got == {
+        ("BUILDING", 1): (2, 2),      # user 1 day0 + user 3 day2
+        ("FURNITURE", 2): (2, 1),     # user 3 days 10, 20
+    }
