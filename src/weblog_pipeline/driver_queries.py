@@ -2120,6 +2120,43 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder vs ingest order (event_id) within (user,
+    day) strata: exact microsecond lateness against the running max —
+    the number that sizes a watermark."""
+    from weblog_pipeline.aggregate import disorder_audit
+
+    return disorder_audit(_read(spark, sf_dir, "events"))
+
+
+SQL_DISORDER_AUDIT = """
+WITH r AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS runmax
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN runmax IS NOT NULL AND us < runmax
+              THEN runmax - us ELSE 0 END AS late_us
+  FROM r
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+       CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+FROM l GROUP BY 1
+"""
+
+
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 dimension join: deterministic two-version
     segment history broadcast into the event fact, half-open validity
@@ -8766,6 +8803,7 @@ def queries() -> dict:
         "item_similarity": q_item_similarity,
         "score_calibration": q_score_calibration,
         "scd2_lookup": q_scd2_lookup,
+        "disorder_audit": q_disorder_audit,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9016,6 +9054,7 @@ def oracle_sql() -> dict:
         "item_similarity": SQL_ITEM_SIMILARITY,
         "score_calibration": _sql_score_calibration(),
         "scd2_lookup": SQL_SCD2_LOOKUP,
+        "disorder_audit": SQL_DISORDER_AUDIT,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

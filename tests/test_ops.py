@@ -5626,3 +5626,41 @@ def test_phash_twin_and_contrast_invariance():
     dc1, ph1 = _phash_of(flat)
     dc2, ph2 = _phash_of(flat * 2)
     assert ph2 == ph1 and dc2 == 2 * dc1
+
+
+def test_disorder_audit_running_max_lateness(spark):
+    """Lateness against a hand trace: the first event of a stratum is
+    never late, in-order events score 0, and a reordered event's
+    lateness is the exact microsecond gap to the stratum's running max
+    (not to its immediate predecessor)."""
+    import datetime
+
+    from weblog_pipeline.aggregate import disorder_audit
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, sec, typ="view"):
+        return Row(event_id=i, ts=base + datetime.timedelta(seconds=sec),
+                   user_id=user, event_type=typ, value=1.0, props=None)
+
+    rows = [
+        ev(0, 1, 100),          # first -> 0
+        ev(1, 1, 50),           # late by 50 s vs runmax 100
+        ev(2, 1, 70),           # late by 30 s vs runmax 100 (NOT vs 50)
+        ev(3, 1, 200),          # in order -> 0
+        ev(4, 2, 10, "click"),  # other stratum, first -> 0
+        ev(5, 2, 10, "click"),  # equal ts is NOT late (strict <)
+    ]
+    got = {
+        r["event_type"]: (r["n_events"], r["n_late"], r["max_late_us"],
+                          r["sum_late_us"])
+        for r in disorder_audit(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got["view"] == (4, 2, 50_000_000, 80_000_000)
+    assert got["click"] == (2, 0, 0, 0)
