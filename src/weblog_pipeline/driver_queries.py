@@ -7500,6 +7500,24 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_good_turing(max_r: int = 10) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT unnest(words) AS token FROM w),
+uni AS (SELECT token FROM unif WHERE token <> ''),
+cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nr AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types FROM cu GROUP BY 1),
+cur AS (SELECT c, n_types FROM nr ORDER BY c ASC LIMIT {max_r})
+SELECT cur.c AS r, cur.n_types,
+       CAST(COALESCE(nxt.n_types, 0) AS BIGINT) AS n_types_next,
+       ((cur.c + 1) * COALESCE(nxt.n_types, 0) * 1000000) // cur.n_types
+         AS r_star_ppm
+FROM cur LEFT JOIN nr nxt ON nxt.c = cur.c + 1
+"""
+
+
 def _sql_zipf_fit(k: int = 256) -> str:
     return f"""
 WITH w AS (
@@ -8923,6 +8941,7 @@ def queries() -> dict:
             lambda d: textstats.llr_collocations(d, k=50)
         ),
         "zipf_fit": docs(textstats.zipf_fit),
+        "good_turing": docs(textstats.good_turing),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -9134,6 +9153,7 @@ def oracle_sql() -> dict:
         "pmi_collocations": _sql_pmi_collocations(),
         "llr_collocations": _sql_llr_collocations(),
         "zipf_fit": _sql_zipf_fit(),
+        "good_turing": _sql_good_turing(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -2735,3 +2735,55 @@ def score_calibration(
             F.expr("(n_pass * 10000) DIV n_docs").alias("pass_rate_bp"),
         )
     )
+
+
+def good_turing(documents: DataFrame, max_r: int = 10) -> DataFrame:
+    """Good-Turing count-of-counts table — the classic smoothed
+    frequency estimator (Good 1953): for each raw count r, how many
+    token types carry it (N_r), and the adjusted count
+    r* = (r+1) * N_{r+1} / N_r in integer ppm. The r = 1 row's mass is
+    the standard estimate of unseen-token probability, the quantity an
+    OOV budget is sized from.
+
+    Scale shape: token counts are one map-side-combined aggregate; the
+    count-of-counts relation is bounded by the distinct count DOMAIN
+    (tiny); the r+1 shift is a self-join of that tiny relation — no
+    windows, no skew surface. r_star_ppm floors once per row
+    ((r+1) * N_{r+1} * 1e6 DIV N_r — all integers); rows with no
+    successor coalesce to 0, never NULL (the nullable-int gate rule).
+
+    Output: r (the max_r smallest counts present), n_types,
+    n_types_next, r_star_ppm.
+    """
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    uni = arr.select(F.explode(F.col("_w")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nr = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    # the Good-Turing region is the low-count TAIL wherever it sits:
+    # keep the max_r smallest distinct counts present (a synthetic or
+    # boilerplate-heavy corpus may have no singletons at all)
+    cur = (
+        nr.orderBy(F.col("c").asc())
+        .limit(max_r)
+        .select(F.col("c").alias("r"), "n_types")
+    )
+    nxt = nr.select(
+        (F.col("c") - 1).alias("r"), F.col("n_types").alias("_nn")
+    )
+    return (
+        cur.join(F.broadcast(nxt), "r", "left")
+        .select(
+            "r",
+            "n_types",
+            F.coalesce("_nn", F.lit(0)).cast("long").alias(
+                "n_types_next"
+            ),
+            F.expr(
+                "((r + 1) * coalesce(_nn, 0) * 1000000) DIV n_types"
+            ).alias("r_star_ppm"),
+        )
+    )

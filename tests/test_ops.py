@@ -5664,3 +5664,26 @@ def test_disorder_audit_running_max_lateness(spark):
     }
     assert got["view"] == (4, 2, 50_000_000, 80_000_000)
     assert got["click"] == (2, 0, 0, 0)
+
+
+def test_good_turing_count_of_counts(spark):
+    """Count-of-counts against a hand corpus: singletons/doubletons
+    tallied exactly, r* = (r+1) * N_{r+1} * 1e6 DIV N_r, rows without a
+    successor count get 0 (never NULL), and the table adapts to the
+    smallest counts present."""
+    from weblog_pipeline.ops.textstats import good_turing
+
+    # counts: a,b,c =1; d,e =2; f =3  -> N_1=3, N_2=2, N_3=1
+    docs = ["a b c d f", "d e e f f"]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    got = {
+        r["r"]: (r["n_types"], r["n_types_next"], r["r_star_ppm"])
+        for r in good_turing(
+            spark.createDataFrame(rows), max_r=2
+        ).collect()
+    }
+    # max_r=2 keeps the two smallest counts present: r=1 and r=2
+    assert got == {
+        1: (3, 2, 2 * 2 * 1_000_000 // 3),
+        2: (2, 1, 3 * 1 * 1_000_000 // 2),
+    }
