@@ -2120,6 +2120,43 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census per event type: floored-cents
+    amounts, decimal-string first digit, quantized log10 expectations,
+    per-mille deviations — one scan, zero joins."""
+    from weblog_pipeline.aggregate import benford_audit
+
+    return benford_audit(_read(spark, sf_dir, "events"))
+
+
+def _sql_benford_audit() -> str:
+    from weblog_pipeline.aggregate import _benford_pm
+
+    pm = ", ".join(str(p) for p in _benford_pm())
+    return f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit
+  FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0
+),
+agg AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM d GROUP BY 1, 2
+),
+t AS (
+  SELECT *, CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT)
+              AS n_total
+  FROM agg
+)
+SELECT event_type, digit, n_total, n_obs,
+       (n_obs * 1000) // n_total AS obs_pm,
+       CAST(([{pm}])[digit] AS BIGINT) AS p_pm,
+       (n_obs * 1000) // n_total - ([{pm}])[digit] AS dev_pm
+FROM t
+"""
+
+
 def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder vs ingest order (event_id) within (user,
     day) strata: exact microsecond lateness against the running max —
@@ -8822,6 +8859,7 @@ def queries() -> dict:
         "score_calibration": q_score_calibration,
         "scd2_lookup": q_scd2_lookup,
         "disorder_audit": q_disorder_audit,
+        "benford_audit": q_benford_audit,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9074,6 +9112,7 @@ def oracle_sql() -> dict:
         "score_calibration": _sql_score_calibration(),
         "scd2_lookup": SQL_SCD2_LOOKUP,
         "disorder_audit": SQL_DISORDER_AUDIT,
+        "benford_audit": _sql_benford_audit(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -5687,3 +5687,42 @@ def test_good_turing_count_of_counts(spark):
         1: (3, 2, 2 * 2 * 1_000_000 // 3),
         2: (2, 1, 3 * 1 * 1_000_000 // 2),
     }
+
+
+def test_benford_audit_digits_and_expectations(spark):
+    """First digits against a hand trace: cents flooring decides the
+    digit (0.95 -> 95c -> '9'), zero/negative amounts are excluded,
+    shares are integer per-mille, and the quantized Benford constants
+    are the log10 floors."""
+    import datetime
+
+    from weblog_pipeline.aggregate import benford_audit
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(i, val):
+        return Row(event_id=i, ts=base, user_id=1, event_type="buy",
+                   value=val, props=None)
+
+    rows = [ev(0, 1.23),    # 123c -> 1
+            ev(1, 19.0),    # 1900c -> 1
+            ev(2, 0.95),    # 95c -> 9
+            ev(3, 2.5),     # 250c -> 2
+            ev(4, 0.0),     # 0c -> excluded
+            ev(5, -3.0)]    # negative -> excluded
+    got = {
+        r["digit"]: (r["n_total"], r["n_obs"], r["obs_pm"], r["p_pm"],
+                     r["dev_pm"])
+        for r in benford_audit(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got == {
+        1: (4, 2, 500, 301, 199),
+        2: (4, 1, 250, 176, 74),
+        9: (4, 1, 250, 45, 205),
+    }
