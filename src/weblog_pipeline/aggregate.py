@@ -2002,3 +2002,94 @@ def benford_audit(events: DataFrame) -> DataFrame:
             ).alias("dev_pm"),
         )
     )
+
+
+KMV_K = 64
+KMV_HASH_BITS = 52  # 13 md5 hex digits: (k-1) * 2^52 stays inside int64
+
+
+def kmv_audit(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch with its exact audit —
+    the third leg of the sketch stool next to CMS (frequency) and HLL
+    (the engine's own distinct estimator): KMV is the one you build
+    when the sketch must be MERGEABLE across shards with plain min
+    logic and auditable from first principles. Per event type, hash
+    every distinct user to 52 bits (13 md5 hex digits, the
+    canary_md5_conv conv idiom — 52 and not 60 because the estimator
+    multiplies (k-1) * 2^bits and 63 * 2^60 would overflow int64),
+    keep the k smallest, and estimate
+
+        est = (k - 1) * 2^52 DIV h_k      (h_k = the kth smallest)
+
+    with the exact distinct count and the error in bp beside it. Keys
+    with fewer than k distinct users report their exact count
+    (est = n, err = 0) — the sketch IS exact below k.
+
+    Scale shape: the distinct (type, user) relation map-side dedups;
+    the k-smallest selection is the posting_lists two-phase SALTED
+    rank — a Zipf-hot type never funnels one task; everything after
+    runs on <= k rows per type. The estimate is pure BIGINT; bottom-of-range
+    hash collisions at 52 bits are birthday-negligible for the k
+    smallest even at billions of keys.
+
+    Output: event_type, n_exact, h_k, est, err_bp.
+    """
+    from pyspark.sql import Window
+
+    pairs = events.select("event_type", "user_id").distinct()
+    hashed = pairs.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w1 = Window.partitionBy(
+        "event_type", F.col("_salt")
+    ).orderBy(F.col("h").asc())
+    w2 = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kept = (
+        hashed.withColumn("_salt", F.col("h") % 8)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+    )
+    sk = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    two60 = 1 << KMV_HASH_BITS
+    return (
+        exact.join(F.broadcast(sk), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "h_k",
+            F.when(
+                F.col("_n_kept") < k, F.col("n_exact")
+            )
+            .otherwise(
+                F.expr(f"({k} - 1) * CAST({two60} AS BIGINT) DIV h_k")
+            )
+            .cast("long")
+            .alias("est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "h_k",
+            "est",
+            F.expr(
+                "abs(est - n_exact) * 10000 DIV n_exact"
+            ).alias("err_bp"),
+        )
+    )

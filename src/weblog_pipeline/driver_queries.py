@@ -2120,6 +2120,55 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type (60-bit md5 hashes, k
+    smallest via salted two-phase rank) with exact count and bp error
+    beside it."""
+    from weblog_pipeline.aggregate import kmv_audit
+
+    return kmv_audit(_read(spark, sf_dir, "events"))
+
+
+def _sql_kmv_audit(k: int = 64) -> str:
+    two52 = 1 << 52
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                              1, 13)) AS BIGINT) AS h
+  FROM pairs
+),
+kept AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC)
+           AS r
+  FROM hashed
+),
+sk AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(MAX(h) AS BIGINT) AS h_k
+  FROM kept WHERE r <= {k} GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM pairs GROUP BY 1
+),
+j AS (
+  SELECT e.event_type, e.n_exact, s.h_k,
+         CAST(CASE WHEN s.n_kept < {k} THEN e.n_exact
+                   ELSE ({k} - 1) * CAST({two52} AS BIGINT) // s.h_k
+              END AS BIGINT) AS est
+  FROM exact e JOIN sk s USING (event_type)
+)
+SELECT event_type, n_exact, h_k, est,
+       abs(est - n_exact) * 10000 // n_exact AS err_bp
+FROM j
+"""
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit census per event type: floored-cents
     amounts, decimal-string first digit, quantized log10 expectations,
@@ -8860,6 +8909,7 @@ def queries() -> dict:
         "scd2_lookup": q_scd2_lookup,
         "disorder_audit": q_disorder_audit,
         "benford_audit": q_benford_audit,
+        "kmv_audit": q_kmv_audit,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9113,6 +9163,7 @@ def oracle_sql() -> dict:
         "scd2_lookup": SQL_SCD2_LOOKUP,
         "disorder_audit": SQL_DISORDER_AUDIT,
         "benford_audit": _sql_benford_audit(),
+        "kmv_audit": _sql_kmv_audit(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -5726,3 +5726,45 @@ def test_benford_audit_digits_and_expectations(spark):
         2: (4, 1, 250, 176, 74),
         9: (4, 1, 250, 45, 205),
     }
+
+
+def test_kmv_audit_twin_and_exact_below_k(spark):
+    """KMV against a Python md5 twin: with fewer than k distinct users
+    the sketch IS exact (est = n, err 0); with n >= k the estimate is
+    (k-1) * 2^52 DIV h_k for the twin's kth-smallest hash."""
+    import datetime
+    import hashlib
+
+    from weblog_pipeline.aggregate import kmv_audit
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(200):     # 'big': 200 distinct users, duplicated
+        rows.append(Row(event_id=len(rows), ts=base, user_id=u,
+                        event_type="big", value=1.0, props=None))
+        rows.append(Row(event_id=len(rows), ts=base, user_id=u,
+                        event_type="big", value=1.0, props=None))
+    for u in range(10):      # 'small': below k -> exact
+        rows.append(Row(event_id=len(rows), ts=base, user_id=u,
+                        event_type="small", value=1.0, props=None))
+    got = {
+        r["event_type"]: (r["n_exact"], r["h_k"], r["est"], r["err_bp"])
+        for r in kmv_audit(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            ),
+            k=64,
+        ).collect()
+    }
+
+    def h(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:13], 16)
+
+    hk = sorted(h(u) for u in range(200))[63]
+    est = 63 * (1 << 52) // hk
+    assert got["big"] == (200, hk, est,
+                          abs(est - 200) * 10000 // 200)
+    n_small, hk_small = 10, sorted(h(u) for u in range(10))[-1]
+    assert got["small"] == (10, hk_small, 10, 0)
