@@ -8658,6 +8658,53 @@ SELECT host, depth FROM v{iters}
 """
 
 
+def q_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop integer min-plus cheapest paths over the planted
+    domain graph (edge cost 1e6 DIV (1+n_links), bfs_depth's seeds)."""
+    docs = _link_planted(_read(spark, sf_dir, "documents"))
+    return graph.cheapest_paths(
+        graph.link_graph(graph.extract_links(docs))
+    )
+
+
+def _sql_cheapest_paths(
+    seeds_k: int = graph.BFS_SEEDS, iters: int = graph.CP_ITERS
+) -> str:
+    """Unrolled twin of graph.cheapest_paths: one MATERIALIZED distance
+    CTE per relaxation round (the trustrank/domain_reach pattern)."""
+    steps = []
+    for r in range(1, iters + 1):
+        steps.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT host, CAST(MIN(dm) AS BIGINT) AS dm FROM (
+    SELECT host, dm FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst_host AS host, d.dm + e.w AS dm
+    FROM d{r - 1} d JOIN we e ON e.src_host = d.host
+  ) GROUP BY 1
+)"""
+        )
+    return f"""
+WITH {_links_cte()},
+we AS MATERIALIZED (
+  SELECT src_host, dst_host,
+         {graph.CP_COST_SCALE} // (1 + n_links) AS w
+  FROM edges
+),
+seeds AS MATERIALIZED (
+  SELECT src_host AS host FROM (
+    SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS w
+    FROM edges GROUP BY 1
+    ORDER BY w DESC, src_host ASC LIMIT {seeds_k}) t
+),
+d0 AS MATERIALIZED (
+  SELECT host, CAST(0 AS BIGINT) AS dm FROM seeds
+){"".join(steps)}
+SELECT host, dm AS dist_micro FROM d{iters}
+"""
+
+
 SQL_HASHED_TF = f"""
 SELECT doc_id,
   CAST(('0x' || substr(md5(t.token), 1, 4)) AS BIGINT) % {textstats.HASHTF_BUCKETS} AS bucket,
@@ -8910,6 +8957,7 @@ def queries() -> dict:
         "disorder_audit": q_disorder_audit,
         "benford_audit": q_benford_audit,
         "kmv_audit": q_kmv_audit,
+        "cheapest_paths": q_cheapest_paths,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9164,6 +9212,7 @@ def oracle_sql() -> dict:
         "disorder_audit": SQL_DISORDER_AUDIT,
         "benford_audit": _sql_benford_audit(),
         "kmv_audit": _sql_kmv_audit(),
+        "cheapest_paths": _sql_cheapest_paths(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -989,3 +989,61 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         "n_recip",
         F.expr("n_recip * 10000 DIV n_edges").alias("recip_bp"),
     )
+
+
+CP_ITERS = 4
+CP_COST_SCALE = 1_000_000
+
+
+def cheapest_paths(
+    edges: DataFrame, seeds_k: int = BFS_SEEDS, iters: int = CP_ITERS
+) -> DataFrame:
+    """Bounded-hop min-plus cheapest paths over the domain graph — the
+    WEIGHTED sibling of bfs_depth: edge cost = CP_COST_SCALE DIV
+    (1 + n_links), so heavily-linked hops are cheap and the distance
+    reads as crawl effort, not hop count. dist(host) is the exact
+    minimum path cost over <= iters hops from the same deterministic
+    seed set bfs_depth uses (total outlink weight desc, host asc);
+    unreached hosts are absent. All-integer min-plus: sums and mins of
+    BIGINTs, no floats anywhere.
+
+    Shape per round: ONE equi-join of the current distance relation
+    with the (checkpointed) weighted edge list + one map-side MIN
+    aggregate, localCheckpoint'd so lineage stays flat (the
+    connected_components discipline). Relaxation runs from ALL current
+    distances each round — correct and simple at domain grain; the
+    100 TB upgrade is frontier-only / delta-stepping relaxation, a
+    documented swap that does not change the fixed-round semantics.
+
+    Output: host, dist_micro (0 for seeds).
+    """
+    edges = edges.localCheckpoint()
+    w_edges = edges.select(
+        "src_host",
+        "dst_host",
+        F.expr(f"{CP_COST_SCALE} DIV (1 + n_links)").alias("w"),
+    )
+    seeds = (
+        edges.groupBy("src_host")
+        .agg(F.sum("n_links").alias("_w"))
+        .orderBy(F.desc("_w"), F.asc("src_host"))
+        .limit(seeds_k)
+        .select(F.col("src_host").alias("host"))
+    )
+    dist = seeds.select(
+        "host", F.lit(0).cast("long").alias("dist_micro")
+    ).localCheckpoint()
+    for _ in range(iters):
+        relaxed = w_edges.join(
+            dist, w_edges["src_host"] == dist["host"]
+        ).select(
+            F.col("dst_host").alias("host"),
+            (F.col("dist_micro") + F.col("w")).alias("dist_micro"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("host")
+            .agg(F.min("dist_micro").alias("dist_micro"))
+            .localCheckpoint()
+        )
+    return dist

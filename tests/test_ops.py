@@ -5768,3 +5768,34 @@ def test_kmv_audit_twin_and_exact_below_k(spark):
                           abs(est - 200) * 10000 // 200)
     n_small, hk_small = 10, sorted(h(u) for u in range(10))[-1]
     assert got["small"] == (10, hk_small, 10, 0)
+
+
+def test_cheapest_paths_minplus_twin(spark):
+    """Min-plus distances against a hand graph: a 2-hop path through
+    heavy (cheap) edges must beat the direct light (expensive) edge,
+    bounded hops exclude far nodes, and seeds sit at 0."""
+    from weblog_pipeline.ops.graph import CP_COST_SCALE, cheapest_paths
+
+    def e(s, d, n):
+        return Row(src_host=s, dst_host=d, n_links=n)
+
+    # seed = 'a' (largest outlink mass). a->c direct costs 1e6//2;
+    # a->b->c costs 1e6//(1+9) + 1e6//(1+9) = 200000 < 500000.
+    edges = spark.createDataFrame([
+        e("a", "b", 9), e("b", "c", 9), e("a", "c", 1),
+        e("c", "d", 1),               # reachable at hop 3
+        e("d", "e", 1), e("e", "f", 1),
+        e("f", "g", 1),               # g needs 5 hops -> absent
+    ])
+    got = {r["host"]: r["dist_micro"]
+           for r in cheapest_paths(edges, seeds_k=1, iters=4).collect()}
+    w9, w1 = CP_COST_SCALE // 10, CP_COST_SCALE // 2
+    assert got["a"] == 0
+    assert got["b"] == w9
+    assert got["c"] == 2 * w9          # relay beats the direct edge
+    assert got["d"] == 2 * w9 + w1
+    assert got["e"] == 2 * w9 + 2 * w1
+    # f: the cheap relay route needs 5 hops — the 4-hop bound forces
+    # the expensive direct-start route a->c->d->e->f
+    assert got["f"] == 4 * w1
+    assert "g" not in got              # beyond 4 hops
