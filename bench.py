@@ -429,6 +429,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         .collect(),
     )
 
+    # q17: the warehouse join family's tracked representative — the
+    # Q5-shape star join (folded broadcast dims, one fact-fact shuffle)
+    # over the sf dir's relational tables
+    from weblog_pipeline.ops import relational
+
+    timed(
+        "star_join",
+        lambda: relational.regional_revenue(
+            spark.read.parquet(f"{sf_dir}/region.parquet"),
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        )
+        .agg(F.sum("revenue_c"), F.sum("n_orders"))
+        .collect(),
+    )
+
     spark.stop()
     return result()
 

@@ -8905,7 +8905,12 @@ def queries() -> dict:
         # zorder_bins, km_hazard, rfm_segments, textrank_keywords,
         # shot_boundaries, link_prediction, prf_expansion,
         # kneser_ney_bigram, matryoshka_recall, ...) queue after those
-        # for r8/r9.
+        # for r8/r9, followed by the session-6 additions
+        # (order_fulfilment, small_qty_revenue, supplier_census,
+        # heavy_orders, llr_collocations, zipf_fit, trending_items,
+        # item_similarity, score_calibration, scd2_lookup,
+        # disorder_audit, good_turing, benford_audit, kmv_audit,
+        # cheapest_paths, media_phash).
         # update test_canaries_lead_the_correctness_window when rotating:
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
