@@ -2037,6 +2037,10 @@ def kmv_audit(events: DataFrame, k: int = KMV_K) -> DataFrame:
     from pyspark.sql import Window
 
     pairs = events.select("event_type", "user_id").distinct()
+    # the k-min set is over DISTINCT HASH VALUES (the standard KMV
+    # formulation) — this is what makes the sketch maintainable in a
+    # fixed-width streaming state (kmv_stream's twin contract); it
+    # coincides with distinct-user k-mins absent 52-bit collisions
     hashed = pairs.select(
         "event_type",
         F.conv(
@@ -2048,7 +2052,7 @@ def kmv_audit(events: DataFrame, k: int = KMV_K) -> DataFrame:
         )
         .cast("long")
         .alias("h"),
-    )
+    ).distinct()
     w1 = Window.partitionBy(
         "event_type", F.col("_salt")
     ).orderBy(F.col("h").asc())

@@ -2136,7 +2136,7 @@ WITH pairs AS (
   SELECT DISTINCT event_type, user_id FROM events
 ),
 hashed AS (
-  SELECT event_type,
+  SELECT DISTINCT event_type,
          CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
                               1, 13)) AS BIGINT) AS h
   FROM pairs

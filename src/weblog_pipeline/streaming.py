@@ -831,3 +831,93 @@ def trending_stream(events: DataFrame, window_days: int = 16,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+KMV_STREAM_SCHEMA = (
+    "event_type string, day long, n_kept long, h_k long, est long"
+)
+_KMV_STATE_SCHEMA = "hs array<long>, cur_day long"
+
+
+def kmv_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming twin of aggregate.kmv_audit — the TENTH stateful op,
+    and the reason KMV (not HLL) is the audit sketch this engine
+    ships: its state is just the k smallest distinct 52-bit hashes, a
+    fixed-width sorted array maintained by plain insert, mergeable by
+    min. Per event type the state holds that array plus the open day;
+    a day close (first event of a later day) emits the sketch over
+    everything seen so far — append-safe, day-close discipline of
+    anomaly_stream. est = (k-1) * 2^52 DIV h_k once the set is full,
+    else n_kept (the sketch IS exact below k — matching the batch op's
+    exact-below-k rule absent hash collisions).
+
+    Hashes are computed with Python's md5 in the state function —
+    byte-identical to Spark's and DuckDB's md5 of the same string, so
+    the emitted rows equal the batch op on the prefix (batch-twin
+    pytest).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    two52 = 1 << 52
+
+    def step(key, pdfs, state):
+        if state.exists:
+            hs, cur_day = state.get
+            hs = list(hs)
+        else:
+            hs, cur_day = [], None
+        out = []
+
+        def emit(day):
+            n_kept = len(hs)
+            h_k = hs[-1] if hs else 0
+            if n_kept < k:
+                est = n_kept
+            else:
+                est = (k - 1) * two52 // h_k
+            out.append((key[0], day, n_kept, h_k, est))
+
+        rows = sorted(
+            (int(d), int(u))
+            for p in pdfs
+            for d, u in zip(p["day"].tolist(), p["user_id"].tolist())
+        )
+        import bisect
+
+        for d, u in rows:
+            if cur_day is None:
+                cur_day = d
+            elif d != cur_day:
+                emit(cur_day)
+                cur_day = d
+            h = int(
+                hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:13], 16
+            )
+            if len(hs) < k or h < hs[-1]:
+                i = bisect.bisect_left(hs, h)
+                if i >= len(hs) or hs[i] != h:  # distinct-hash set
+                    hs.insert(i, h)
+                    del hs[k:]
+        state.update((hs, cur_day))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "day", "n_kept", "h_k", "est"],
+            )
+
+    cells = events.select(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('day', ts)) DIV 86400").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    return cells.groupBy("event_type").applyInPandasWithState(
+        step,
+        outputStructType=KMV_STREAM_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

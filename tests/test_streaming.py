@@ -886,3 +886,75 @@ def test_trending_stream_equals_batch_twin(spark, tmp_path):
     assert got[(3, day0 + 3)][3] == 0
     # item 2 day 20: the day-0 mass aged past the window entirely
     assert got[(2, day0 + 20)] == (3, 3 * 2 ** 15, 3 * 2 ** 15, 1)
+
+
+def test_kmv_stream_equals_batch_twin(spark, tmp_path):
+    """Replaying a user stream over two micro-batches: each closed
+    day's sketch equals kmv_audit on the prefix up to that day (same
+    h_k and est; n_kept = exact distinct below k), with state carrying
+    the k-min set across the batch boundary."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from weblog_pipeline.aggregate import kmv_audit
+    from weblog_pipeline.streaming import kmv_stream
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+
+    def hit(user, day, typ="view"):
+        nonlocal eid
+        rows.append(Row(event_id=eid, ts=base + datetime.timedelta(days=day),
+                        user_id=user, event_type=typ, value=1.0,
+                        props=None))
+        eid += 1
+
+    # day 0: users 0..39 (below k=32? use k=16 -> full); day 1: 40..99
+    # (grows the set); day 2: repeats only (set must not change);
+    # day 3: open
+    for u in range(40):
+        hit(u, 0)
+    for u in range(40, 100):
+        hit(u, 1)
+    for u in range(10):
+        hit(u, 2)
+    hit(0, 3)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    split = len(rows) // 2
+    spark.createDataFrame(rows[:split], schema).coalesce(1).write.parquet(inp + "/f1")
+    spark.createDataFrame(rows[split:], schema).coalesce(1).write.parquet(inp + "/f2")
+
+    q = (
+        kmv_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(inp + "/*"),
+            k=16,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    day0 = int((base - datetime.datetime(1970, 1, 1)).days)
+    got = {
+        r["day"] - day0: (r["n_kept"], r["h_k"], r["est"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert sorted(got) == [0, 1, 2]  # three closed days, day 3 open
+
+    for d in (0, 1, 2):
+        hist = [r for r in rows if (r.ts - base).days <= d]
+        b = kmv_audit(
+            spark.createDataFrame(hist, schema), k=16
+        ).collect()[0]
+        n_kept, h_k, est = got[d]
+        assert (h_k, est) == (b["h_k"], b["est"])
+    # day 2's repeats changed nothing vs day 1
+    assert got[2] == got[1]
