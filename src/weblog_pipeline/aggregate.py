@@ -2097,3 +2097,66 @@ def kmv_audit(events: DataFrame, k: int = KMV_K) -> DataFrame:
             ).alias("err_bp"),
         )
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    bucket_us: int = 60_000_000,
+    qs: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Time-to-convert distribution — the funnel-health number behind
+    "how long after the ad click does the purchase land": the as-of
+    attribution join's delta_us, bucketed to minutes and reduced to
+    HDR percentiles. Composes two proven shapes end to end: the
+    RANGE-BUCKET as-of join (attribution_last_touch — bounded probe
+    fan-out, never a user-history window) feeds the histogram
+    percentile rule (value_percentiles — cumulative window over the
+    bounded (touch_type, bucket) domain, percentile q = smallest
+    bucket whose running count reaches ceil(q% of total), integer
+    ((q*total + 99) DIV 100)). Unattributed conversions (delta -1)
+    are excluded before bucketing; delta_us >= 0 so the DIV is
+    sign-safe.
+
+    Output: touch_type, q (INT), bucket (INT — bucket * 1 min is the
+    percentile's lower bound), n_conv.
+    """
+    from pyspark.sql import Window
+
+    at = attribution_last_touch(events).where(F.col("delta_us") >= 0)
+    hist = (
+        at.select(
+            "touch_type",
+            F.expr(f"CAST(delta_us DIV {bucket_us} AS INT)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("touch_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("touch_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("touch_type")
+    cum = hist.select(
+        "touch_type",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("_total"),
+    )
+    return (
+        cum.select(
+            "touch_type",
+            "bucket",
+            "cum",
+            "_total",
+            F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+        )
+        .where(F.col("cum") >= F.expr("(q * _total + 99) DIV 100"))
+        .groupBy("touch_type", "q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min("_total").alias("n_conv"),
+        )
+    )

@@ -2120,6 +2120,48 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert HDR percentiles over the as-of attribution
+    join's delta_us (minute buckets, value_percentiles' integer
+    percentile rule)."""
+    from weblog_pipeline.aggregate import conversion_latency
+
+    return conversion_latency(_read(spark, sf_dir, "events"))
+
+
+def _sql_conversion_latency(
+    bucket_us: int = 60_000_000, qs: tuple = (50, 95)
+) -> str:
+    q_vals = ", ".join(str(int(q)) for q in qs)
+    return f"""
+WITH at AS ({SQL_ATTRIBUTION_LAST_TOUCH}),
+hist AS (
+  SELECT touch_type,
+         CAST(delta_us // {bucket_us} AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM at WHERE delta_us >= 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT touch_type, bucket,
+         CAST(SUM(n) OVER (PARTITION BY touch_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY touch_type) AS BIGINT) AS total
+  FROM hist
+),
+x AS (
+  SELECT c.touch_type, c.bucket, c.cum, c.total, u.q
+  FROM cum c, unnest([{q_vals}]) AS u(q)
+  WHERE c.cum >= (u.q * c.total + 99) // 100
+)
+SELECT touch_type, CAST(q AS INTEGER) AS q,
+       CAST(MIN(bucket) AS INTEGER) AS bucket,
+       CAST(MIN(total) AS BIGINT) AS n_conv
+FROM x GROUP BY 1, 2
+"""
+
+
 def q_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch per event type (60-bit md5 hashes, k
     smallest via salted two-phase rank) with exact count and bp error
@@ -8963,6 +9005,7 @@ def queries() -> dict:
         "benford_audit": q_benford_audit,
         "kmv_audit": q_kmv_audit,
         "cheapest_paths": q_cheapest_paths,
+        "conversion_latency": q_conversion_latency,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9218,6 +9261,7 @@ def oracle_sql() -> dict:
         "benford_audit": _sql_benford_audit(),
         "kmv_audit": _sql_kmv_audit(),
         "cheapest_paths": _sql_cheapest_paths(),
+        "conversion_latency": _sql_conversion_latency(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

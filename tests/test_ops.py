@@ -5799,3 +5799,40 @@ def test_cheapest_paths_minplus_twin(spark):
     # the expensive direct-start route a->c->d->e->f
     assert got["f"] == 4 * w1
     assert "g" not in got              # beyond 4 hops
+
+
+def test_conversion_latency_percentiles(spark):
+    """Latency percentiles against a hand funnel: three attributed
+    conversions at 30 s / 5 min / 90 min -> minute buckets 0, 5, 90;
+    p50 = bucket 5, p95 = bucket 90; the unattributed conversion is
+    excluded from the histogram."""
+    import datetime
+
+    from weblog_pipeline.aggregate import conversion_latency
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, sec, typ):
+        return Row(event_id=i, ts=base + datetime.timedelta(seconds=sec),
+                   user_id=user, event_type=typ, value=1.0, props=None)
+
+    rows = [
+        ev(0, 1, 0, "click"), ev(1, 1, 30, "purchase"),        # 30 s
+        ev(2, 2, 0, "click"), ev(3, 2, 300, "purchase"),       # 5 min
+        ev(4, 3, 0, "click"), ev(5, 3, 5400, "purchase"),      # 90 min
+        ev(6, 4, 0, "purchase"),                               # no touch
+    ]
+    got = {
+        (r["touch_type"], r["q"]): (r["bucket"], r["n_conv"])
+        for r in conversion_latency(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got == {
+        ("click", 50): (5, 3),
+        ("click", 95): (90, 3),
+    }
