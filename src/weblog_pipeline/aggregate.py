@@ -2160,3 +2160,49 @@ def conversion_latency(
             F.min("_total").alias("n_conv"),
         )
     )
+
+
+def apdex_score(
+    events: DataFrame, t_satisfied: float = 10.0
+) -> DataFrame:
+    """Apdex — the industry-standard satisfaction rollup of a latency
+    column: satisfied (value <= T), tolerating (T < value <= 4T),
+    frustrated (the rest); score = (satisfied + tolerating/2) / total,
+    here in exact per-mille: (1000*sat + 500*tol) DIV total. The
+    thresholds compare the raw double against the T literals directly
+    (no quantization needed — comparisons are exact in IEEE), so both
+    engines count identical sets.
+
+    Scale shape: one scan, one map-side-combined aggregate per event
+    type with three conditional counts — the cheapest SLO dashboard
+    query there is.
+
+    Output: event_type, n_events, n_satisfied, n_tolerating,
+    apdex_pm.
+    """
+    t4 = t_satisfied * 4
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value") <= t_satisfied).cast("long")
+            ).alias("n_satisfied"),
+            F.sum(
+                (
+                    (F.col("value") > t_satisfied)
+                    & (F.col("value") <= t4)
+                ).cast("long")
+            ).alias("n_tolerating"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_satisfied",
+            "n_tolerating",
+            F.expr(
+                "(1000 * n_satisfied + 500 * n_tolerating)"
+                " DIV n_events"
+            ).alias("apdex_pm"),
+        )
+    )

@@ -2120,6 +2120,62 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax share per source (integer bp), one
+    (source, token) aggregate then a vocabulary-bounded rollup."""
+    return textstats.lexical_richness(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lexical_richness() -> str:
+    return f"""
+WITH w AS (
+  SELECT source, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT source, unnest(words) AS token FROM w),
+uni AS (SELECT source, token FROM unif WHERE token <> ''),
+pt AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM uni GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM pt GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       n_types * 10000 // n_tokens AS ttr_bp,
+       n_hapax * 10000 // n_types AS hapax_bp
+FROM agg
+"""
+
+
+def q_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex satisfaction rollup per event type: exact per-mille
+    (1000*sat + 500*tol) DIV total, raw-double threshold compares."""
+    from weblog_pipeline.aggregate import apdex_score
+
+    return apdex_score(_read(spark, sf_dir, "events"))
+
+
+SQL_APDEX_SCORE = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_satisfied,
+         CAST(SUM(CASE WHEN value > 10.0 AND value <= 40.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_events, n_satisfied, n_tolerating,
+       (1000 * n_satisfied + 500 * n_tolerating) // n_events
+         AS apdex_pm
+FROM agg
+"""
+
+
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert HDR percentiles over the as-of attribution
     join's delta_us (minute buckets, value_percentiles' integer
@@ -9006,6 +9062,8 @@ def queries() -> dict:
         "kmv_audit": q_kmv_audit,
         "cheapest_paths": q_cheapest_paths,
         "conversion_latency": q_conversion_latency,
+        "lexical_richness": q_lexical_richness,
+        "apdex_score": q_apdex_score,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9262,6 +9320,8 @@ def oracle_sql() -> dict:
         "kmv_audit": _sql_kmv_audit(),
         "cheapest_paths": _sql_cheapest_paths(),
         "conversion_latency": _sql_conversion_latency(),
+        "lexical_richness": _sql_lexical_richness(),
+        "apdex_score": SQL_APDEX_SCORE,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

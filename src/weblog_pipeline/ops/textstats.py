@@ -2787,3 +2787,45 @@ def good_turing(documents: DataFrame, max_r: int = 10) -> DataFrame:
             ).alias("r_star_ppm"),
         )
     )
+
+
+def lexical_richness(documents: DataFrame) -> DataFrame:
+    """Type-token lexical diversity per source — the richness signal
+    that separates organic prose (fat type inventory, thick hapax
+    tail) from template spam (huge token mass, tiny vocabulary):
+    type-token ratio and the hapax-legomena share, both in integer
+    basis points.
+
+    Scale shape: one (source, token) map-side-combined count — the
+    only shuffle — then a per-source rollup of that bounded-by-
+    vocabulary relation; no windows, no joins. TTR is corpus-size
+    sensitive by nature; comparisons should be at like sizes (the
+    n_tokens column is emitted so the consumer can stratify).
+
+    Output: source, n_tokens, n_types, n_hapax, ttr_bp, hapax_bp.
+    """
+    arr = _fan_out(documents.select("source", "text")).select(
+        "source", lower_tokens_col().alias("_w")
+    )
+    toks = arr.select(
+        "source", F.explode(F.col("_w")).alias("token")
+    ).where(F.col("token") != "")
+    per_tok = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 10000 DIV n_tokens").alias("ttr_bp"),
+            F.expr("n_hapax * 10000 DIV n_types").alias("hapax_bp"),
+        )
+    )

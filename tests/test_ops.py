@@ -5836,3 +5836,38 @@ def test_conversion_latency_percentiles(spark):
         ("click", 50): (5, 3),
         ("click", 95): (90, 3),
     }
+
+
+def test_lexical_richness_and_apdex(spark):
+    """TTR/hapax against a hand corpus, and Apdex against a hand
+    latency trace (boundary values land on the satisfied/tolerating
+    edges exactly)."""
+    import datetime
+
+    from weblog_pipeline.aggregate import apdex_score
+    from weblog_pipeline.ops.textstats import lexical_richness
+
+    docs = [Row(doc_id=0, source="s1", text="a a a b c"),
+            Row(doc_id=1, source="s1", text="a d"),
+            Row(doc_id=2, source="s2", text="x x x x")]
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                      r["ttr_bp"], r["hapax_bp"])
+        for r in lexical_richness(spark.createDataFrame(docs)).collect()
+    }
+    # s1: tokens a*4 b c d = 7, types 4, hapax b,c,d = 3
+    assert got["s1"] == (7, 4, 3, 4 * 10000 // 7, 3 * 10000 // 4)
+    assert got["s2"] == (4, 1, 0, 2500, 0)
+
+    base = datetime.datetime(2024, 1, 1)
+    evs = [Row(event_id=i, ts=base, user_id=1, event_type="t",
+               value=v, props=None)
+           for i, v in enumerate([1.0, 10.0, 10.1, 40.0, 40.1, 100.0])]
+    a = apdex_score(spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )).collect()[0]
+    # satisfied: 1.0, 10.0; tolerating: 10.1, 40.0; frustrated: rest
+    assert (a["n_events"], a["n_satisfied"], a["n_tolerating"],
+            a["apdex_pm"]) == (6, 2, 2, (1000 * 2 + 500 * 2) // 6)
