@@ -2120,6 +2120,104 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the documents snapshot: deterministic change set
+    (update %7, delete %13 unless updated, insert %11 at id+1e7),
+    anti-join + union merge, per-source rollup with a content hash
+    sum so a wrong merge cannot slip through counts."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def payload(df, op, doc_id, text, lang, source):
+        return df.select(
+            F.lit(op).alias("op"),
+            doc_id.cast("long").alias("doc_id"),
+            text.alias("text"),
+            lang.alias("lang"),
+            source.alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+
+    upd = payload(
+        docs.where(F.col("doc_id") % 7 == 0),
+        "update",
+        F.col("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")),
+        F.col("lang"),
+        F.col("source"),
+    )
+    dele = payload(
+        docs.where((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)),
+        "delete",
+        F.col("doc_id"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.col("lang"),
+        F.col("source"),
+    )
+    ins = payload(
+        docs.where(F.col("doc_id") % 11 == 0),
+        "insert",
+        F.col("doc_id") + 10_000_000,
+        F.concat(F.lit("ins:"), F.col("doc_id")),
+        F.lit("en"),
+        F.lit("ingest"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = corpus.merge_upsert(docs, changes)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        ).alias("sum_chars"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("hash_sum"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH upd AS (
+  SELECT 'update' AS op, doc_id, COALESCE(text, '') || ' [rev2]' AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 = 0
+),
+dele AS (
+  SELECT 'delete' AS op, doc_id, COALESCE(text, '') AS text, lang, source
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+),
+ins AS (
+  SELECT 'insert' AS op, doc_id + 10000000 AS doc_id,
+         'ins:' || CAST(doc_id AS VARCHAR) AS text,
+         'en' AS lang, 'ingest' AS source
+  FROM documents WHERE doc_id % 11 = 0
+),
+changes AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM dele
+  UNION ALL SELECT * FROM ins
+),
+touched AS (
+  SELECT DISTINCT doc_id FROM changes WHERE op IN ('update', 'delete')
+),
+merged AS (
+  SELECT b.doc_id, b.text, b.source FROM documents b
+  WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.doc_id = b.doc_id)
+  UNION ALL
+  SELECT doc_id, text, source FROM changes WHERE op <> 'delete'
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 8))
+                     AS BIGINT)) AS BIGINT) AS hash_sum
+FROM merged GROUP BY 1
+"""
+
+
 def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio + hapax share per source (integer bp), one
     (source, token) aggregate then a vocabulary-bounded rollup."""
@@ -9064,6 +9162,7 @@ def queries() -> dict:
         "conversion_latency": q_conversion_latency,
         "lexical_richness": q_lexical_richness,
         "apdex_score": q_apdex_score,
+        "merge_upsert": q_merge_upsert,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9322,6 +9421,7 @@ def oracle_sql() -> dict:
         "conversion_latency": _sql_conversion_latency(),
         "lexical_richness": _sql_lexical_richness(),
         "apdex_score": SQL_APDEX_SCORE,
+        "merge_upsert": SQL_MERGE_UPSERT,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

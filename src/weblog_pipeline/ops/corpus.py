@@ -1382,3 +1382,36 @@ def zorder_bins(
         "n_match_user",
         "n_match_day",
     )
+
+
+def merge_upsert(
+    base: DataFrame, changes: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """MERGE INTO semantics over a snapshot — the lakehouse mutation
+    primitive (Iceberg/Delta MERGE) expressed as pure relational
+    algebra: `changes` rows carry an `op` of 'insert' / 'update' /
+    'delete' plus the full payload; the result is the post-merge
+    snapshot. Update and delete keys ANTI-JOIN the base (one
+    key-partitioned equi-join — the only shuffle proportional to the
+    base), then update+insert payloads union in unchanged. One op per
+    key is the caller's contract (the deterministic change generator
+    in the driver guarantees it); with multiple ops per key the
+    semantics would need a precedence rule this op deliberately does
+    not invent.
+
+    At 100 TB the base side of the anti-join is the whole table — the
+    real-engine upgrade is partition/file pruning on the key's zone
+    maps (see zone_maps), which this plan composes with because the
+    anti-join pushes the key set down to the scan.
+
+    Output: the merged snapshot (same schema as base, minus nothing —
+    aggregate downstream; the driver query rolls it up per source).
+    """
+    touched = (
+        changes.where(F.col("op").isin("update", "delete"))
+        .select(key)
+        .distinct()
+    )
+    survivors = base.join(touched, key, "left_anti")
+    upserts = changes.where(F.col("op") != "delete").drop("op")
+    return survivors.unionByName(upserts)

@@ -5871,3 +5871,27 @@ def test_lexical_richness_and_apdex(spark):
     # satisfied: 1.0, 10.0; tolerating: 10.1, 40.0; frustrated: rest
     assert (a["n_events"], a["n_satisfied"], a["n_tolerating"],
             a["apdex_pm"]) == (6, 2, 2, (1000 * 2 + 500 * 2) // 6)
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE against a hand snapshot: update replaces the payload in
+    place, delete removes the row, insert appends, untouched rows
+    survive byte-identical."""
+    from weblog_pipeline.ops.corpus import merge_upsert
+
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="one", lang="en", source="s", n_chars=3),
+         Row(doc_id=2, text="two", lang="en", source="s", n_chars=3),
+         Row(doc_id=3, text="three", lang="en", source="s", n_chars=5)]
+    )
+    changes = spark.createDataFrame(
+        [Row(op="update", doc_id=2, text="TWO v2", lang="en",
+             source="s", n_chars=6),
+         Row(op="delete", doc_id=3, text="", lang="en", source="s",
+             n_chars=0),
+         Row(op="insert", doc_id=9, text="nine", lang="en", source="s",
+             n_chars=4)]
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in merge_upsert(base, changes).collect()}
+    assert got == {1: "one", 2: "TWO v2", 9: "nine"}
