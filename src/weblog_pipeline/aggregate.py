@@ -2206,3 +2206,56 @@ def apdex_score(
             ).alias("apdex_pm"),
         )
     )
+
+
+def landing_exit(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Landing / exit / bounce report — the classic session-edge
+    dashboard: treating each (user, day) stratum as a session, which
+    event type opens it, which closes it, and how many sessions are
+    single-event bounces of that type.
+
+    Shape: ONE window-free aggregate over (user, day) using
+    min/max OF A STRUCT (ts_us, event_id, event_type) — lexicographic
+    field-order comparison in BOTH engines (Spark struct ordering ==
+    DuckDB named-struct ordering; arg_min/arg_max were rejected
+    because DuckDB's take only scalar keys) — deterministic under
+    timestamp ties via the event_id field; then a bounded rollup per
+    event type. No per-user history window anywhere (the keyed_quota
+    stratum discipline).
+
+    Output per event_type: n_landing, n_exit, n_bounce.
+    """
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    ts_us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP_LTZ))")
+    key = F.struct(
+        ts_us.alias("u"),
+        F.col("event_id").alias("e"),
+        F.col("event_type").alias("t"),
+    )
+    sess = events.groupBy("user_id", day.alias("_day")).agg(
+        F.min(key)["t"].alias("landing"),
+        F.max(key)["t"].alias("exit"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    landing = sess.groupBy(F.col("landing").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_landing"),
+        F.sum((F.col("n_ev") == 1).cast("long")).alias("n_bounce"),
+    )
+    exits = sess.groupBy(F.col("exit").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_exit")
+    )
+    return (
+        landing.join(F.broadcast(exits), "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_landing", F.lit(0)).cast("long").alias(
+                "n_landing"
+            ),
+            F.coalesce("n_exit", F.lit(0)).cast("long").alias("n_exit"),
+            F.coalesce("n_bounce", F.lit(0)).cast("long").alias(
+                "n_bounce"
+            ),
+        )
+    )

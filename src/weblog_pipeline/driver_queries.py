@@ -2120,6 +2120,45 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_landing_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session landing/exit/bounce per event type: one window-free
+    (user, day) aggregate via min_by/max_by on the (ts_us, event_id)
+    struct."""
+    from weblog_pipeline.aggregate import landing_exit
+
+    return landing_exit(_read(spark, sf_dir, "events"))
+
+
+SQL_LANDING_EXIT = """
+WITH sess AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         (min({'u': epoch_us(ts), 'e': event_id,
+               't': event_type})).t AS landing,
+         (max({'u': epoch_us(ts), 'e': event_id,
+               't': event_type})).t AS exit,
+         COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT landing AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_landing,
+         CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce
+  FROM sess GROUP BY 1
+),
+e AS (
+  SELECT exit AS event_type, CAST(COUNT(*) AS BIGINT) AS n_exit
+  FROM sess GROUP BY 1
+)
+SELECT COALESCE(l.event_type, e.event_type) AS event_type,
+       CAST(COALESCE(l.n_landing, 0) AS BIGINT) AS n_landing,
+       CAST(COALESCE(e.n_exit, 0) AS BIGINT) AS n_exit,
+       CAST(COALESCE(l.n_bounce, 0) AS BIGINT) AS n_bounce
+FROM l FULL OUTER JOIN e ON e.event_type = l.event_type
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO over the documents snapshot: deterministic change set
     (update %7, delete %13 unless updated, insert %11 at id+1e7),
@@ -9163,6 +9202,7 @@ def queries() -> dict:
         "lexical_richness": q_lexical_richness,
         "apdex_score": q_apdex_score,
         "merge_upsert": q_merge_upsert,
+        "landing_exit": q_landing_exit,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9422,6 +9462,7 @@ def oracle_sql() -> dict:
         "lexical_richness": _sql_lexical_richness(),
         "apdex_score": SQL_APDEX_SCORE,
         "merge_upsert": SQL_MERGE_UPSERT,
+        "landing_exit": SQL_LANDING_EXIT,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

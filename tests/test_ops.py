@@ -5895,3 +5895,45 @@ def test_merge_upsert_semantics(spark):
     got = {r["doc_id"]: r["text"]
            for r in merge_upsert(base, changes).collect()}
     assert got == {1: "one", 2: "TWO v2", 9: "nine"}
+
+
+def test_landing_exit_sessions(spark):
+    """Session edges against a hand trace: landing = earliest (ts,
+    event_id), exit = latest, a tie on ts resolves by event_id, a
+    single-event session bounces, and strata are per (user, day)."""
+    import datetime
+
+    from weblog_pipeline.aggregate import landing_exit
+
+    base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(i, user, sec, typ, day=0):
+        return Row(event_id=i,
+                   ts=base + datetime.timedelta(days=day, seconds=sec),
+                   user_id=user, event_type=typ, value=1.0, props=None)
+
+    rows = [
+        # user 1 day 0: view -> click -> purchase
+        ev(0, 1, 0, "view"), ev(1, 1, 10, "click"),
+        ev(2, 1, 20, "purchase"),
+        # user 1 day 1: single signup (bounce)
+        ev(3, 1, 0, "signup", day=1),
+        # user 2 day 0: ts tie — event_id decides landing AND exit
+        ev(4, 2, 0, "click"), ev(5, 2, 0, "view"),
+    ]
+    got = {
+        r["event_type"]: (r["n_landing"], r["n_exit"], r["n_bounce"])
+        for r in landing_exit(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got == {
+        "view": (1, 1, 0),      # lands u1d0; exits u2d0 (id 5)
+        "click": (1, 0, 0),     # lands u2d0 (id 4)
+        "purchase": (0, 1, 0),  # exits u1d0
+        "signup": (1, 1, 1),    # the bounce is both edges
+    }
