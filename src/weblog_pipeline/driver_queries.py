@@ -7821,6 +7821,36 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_token_burstiness(k: int = 64) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT doc_id, unnest(words) AS token FROM w),
+uni AS (SELECT doc_id, token FROM unif WHERE token <> ''),
+pd AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM uni GROUP BY 1, 2
+),
+mom AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM pd GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT token, df, s1,
+         (n_docs * s2 - s1 * s1) * 10000 // (n_docs * s1) AS fano_bp
+  FROM mom CROSS JOIN n
+)
+SELECT CAST(row_number() OVER (ORDER BY s1 DESC, token ASC)
+       AS INTEGER) AS rank,
+       token, df, s1, fano_bp
+FROM scored ORDER BY s1 DESC, token ASC LIMIT {k}
+"""
+
+
 def _sql_good_turing(max_r: int = 10) -> str:
     return f"""
 WITH w AS (
@@ -9323,6 +9353,7 @@ def queries() -> dict:
         ),
         "zipf_fit": docs(textstats.zipf_fit),
         "good_turing": docs(textstats.good_turing),
+        "token_burstiness": docs(textstats.token_burstiness),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -9543,6 +9574,7 @@ def oracle_sql() -> dict:
         "llr_collocations": _sql_llr_collocations(),
         "zipf_fit": _sql_zipf_fit(),
         "good_turing": _sql_good_turing(),
+        "token_burstiness": _sql_token_burstiness(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

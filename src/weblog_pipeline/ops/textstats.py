@@ -2829,3 +2829,59 @@ def lexical_richness(documents: DataFrame) -> DataFrame:
             F.expr("n_hapax * 10000 DIV n_types").alias("hapax_bp"),
         )
     )
+
+
+def token_burstiness(documents: DataFrame, k: int = 64) -> DataFrame:
+    """Token burstiness (Fano factor) for the corpus head — the
+    dispersion statistic (Church & Gale 1995) that separates BURSTY
+    content words (a doc that says "spark" once says it ten times)
+    from evenly-sprinkled function words, even at equal total counts.
+    Over per-doc occurrence counts c_d (zero for absent docs):
+
+        fano_bp = (N * s2 - s1^2) * 10000 DIV (N * s1)
+
+    with s1 = sum c_d, s2 = sum c_d^2, N = corpus doc count — the
+    variance-to-mean ratio scaled to basis points (10000 = Poisson;
+    above = bursty). The numerator is >= 0 by Cauchy-Schwarz, so the
+    single DIV never sees a negative (no sign-split needed). Absent
+    docs contribute zero to both moments, so only occurrence rows are
+    ever touched.
+
+    Scale shape: one (doc, token) count aggregate, one per-token
+    moment aggregate (both map-side combined), broadcast one-row N,
+    TakeOrderedAndProject head by (s1 desc, token asc). Headroom:
+    s1^2 overflows int64 past ~3e9 occurrences of one token —
+    milli-scale the statistic past that.
+
+    Output: rank, token, df, s1, fano_bp.
+    """
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", lower_tokens_col().alias("_w")
+    )
+    toks = arr.select(
+        "doc_id", F.explode(F.col("_w")).alias("token")
+    ).where(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mom = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = mom.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df",
+        "s1",
+        F.expr(
+            "(n_docs * s2 - s1 * s1) * 10000 DIV (n_docs * s1)"
+        ).alias("fano_bp"),
+    )
+    order = [F.col("s1").desc(), F.col("token").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "token", "df", "s1", "fano_bp")
+    )

@@ -5937,3 +5937,29 @@ def test_landing_exit_sessions(spark):
         "purchase": (0, 1, 0),  # exits u1d0
         "signup": (1, 1, 1),    # the bounce is both edges
     }
+
+
+def test_token_burstiness_fano_twin(spark):
+    """Fano factors against a hand corpus: a token concentrated in one
+    doc scores far above one spread evenly at the same total count, and
+    both match the exact integer identity."""
+    from weblog_pipeline.ops.textstats import token_burstiness
+
+    # 'bursty': 6 occurrences all in doc 0; 'even': one in each of 6
+    docs = [Row(doc_id=0, text="bursty " * 6 + "even"),
+            *[Row(doc_id=i, text="even filler") for i in range(1, 6)],
+            *[Row(doc_id=i, text="pad") for i in range(6, 10)]]
+    got = {
+        r["token"]: (r["df"], r["s1"], r["fano_bp"])
+        for r in token_burstiness(spark.createDataFrame(docs)).collect()
+    }
+    n = 10
+
+    def fano(s1, s2):
+        return (n * s2 - s1 * s1) * 10000 // (n * s1)
+
+    assert got["bursty"] == (1, 6, fano(6, 36))
+    assert got["even"] == (6, 6, fano(6, 6))
+    assert got["bursty"][2] > got["even"][2]
+    # Poisson-ish floor: the even token sits below 10000 (sub-Poisson)
+    assert got["even"][2] < 10000
