@@ -2120,6 +2120,38 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_source_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of sources on (n_docs, avg_chars): dominance via
+    two bounded-domain max lookups, never an all-pairs self-join."""
+    return corpus.source_skyline(_read(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_SKYLINE = """
+WITH xs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+           // CAST(COUNT(*) AS BIGINT) AS avg_chars
+  FROM documents GROUP BY 1
+),
+xd AS (SELECT DISTINCT n_docs AS x FROM xs),
+gt AS (
+  SELECT d.x, CAST(MAX(s.avg_chars) AS BIGINT) AS max_y_gt
+  FROM xd d JOIN xs s ON s.n_docs > d.x GROUP BY 1
+),
+eq AS (
+  SELECT n_docs AS x, CAST(MAX(avg_chars) AS BIGINT) AS max_y_eq
+  FROM xs GROUP BY 1
+)
+SELECT s.source, s.n_docs, s.avg_chars,
+       CAST(s.avg_chars = e.max_y_eq
+            AND s.avg_chars > COALESCE(g.max_y_gt, -1) AS BIGINT)
+         AS on_frontier
+FROM xs s
+JOIN eq e ON e.x = s.n_docs
+LEFT JOIN gt g ON g.x = s.n_docs
+"""
+
+
 def q_landing_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session landing/exit/bounce per event type: one window-free
     (user, day) aggregate via min_by/max_by on the (ts_us, event_id)
@@ -9233,6 +9265,7 @@ def queries() -> dict:
         "apdex_score": q_apdex_score,
         "merge_upsert": q_merge_upsert,
         "landing_exit": q_landing_exit,
+        "source_skyline": q_source_skyline,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9494,6 +9527,7 @@ def oracle_sql() -> dict:
         "apdex_score": SQL_APDEX_SCORE,
         "merge_upsert": SQL_MERGE_UPSERT,
         "landing_exit": SQL_LANDING_EXIT,
+        "source_skyline": SQL_SOURCE_SKYLINE,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -1415,3 +1415,65 @@ def merge_upsert(
     survivors = base.join(touched, key, "left_anti")
     upserts = changes.where(F.col("op") != "delete").drop("op")
     return survivors.unionByName(upserts)
+
+
+def source_skyline(documents: DataFrame) -> DataFrame:
+    """2-D Pareto frontier (skyline) of sources on (volume, quality) —
+    the corpus-triage view: a source is ON the frontier when no other
+    source has at least as many docs AND strictly longer average
+    documents (or strictly more docs and at-least-as-long ones).
+    Skylines are a classic "the engine lacks this operator" case; the
+    all-pairs dominance join is rewritten as two BOUNDED-DOMAIN max
+    lookups:
+
+      max_y_gt(x)  = best quality among sources with MORE docs
+      max_y_eq(x)  = best quality at the SAME doc count
+
+    frontier  ⟺  y = max_y_eq(x)  AND  y > coalesce(max_y_gt(x), -1)
+
+    (equal (x, y) points don't strictly dominate each other — both
+    stay). Both lookups are theta-joins of the DISTINCT-x relation
+    against the per-source relation — bounded by the source domain,
+    never a point-by-point self-join; quality is integer
+    (sum_chars DIV n_docs).
+
+    Output: source, n_docs, avg_chars, on_frontier (0/1).
+    """
+    xs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        ).alias("_chars"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr("_chars DIV n_docs").alias("avg_chars"),
+    )
+    xd = xs.select(F.col("n_docs").alias("_x")).distinct()
+    gt = (
+        xd.join(xs, xs["n_docs"] > F.col("_x"))
+        .groupBy("_x")
+        .agg(F.max("avg_chars").alias("_max_y_gt"))
+    )
+    eq = xs.groupBy(F.col("n_docs").alias("_x")).agg(
+        F.max("avg_chars").alias("_max_y_eq")
+    )
+    return (
+        xs.join(F.broadcast(eq), xs["n_docs"] == eq["_x"])
+        .drop("_x")
+        .join(F.broadcast(gt), xs["n_docs"] == gt["_x"], "left")
+        .select(
+            "source",
+            "n_docs",
+            "avg_chars",
+            (
+                (F.col("avg_chars") == F.col("_max_y_eq"))
+                & (
+                    F.col("avg_chars")
+                    > F.coalesce(F.col("_max_y_gt"), F.lit(-1))
+                )
+            )
+            .cast("long")
+            .alias("on_frontier"),
+        )
+    )

@@ -5963,3 +5963,32 @@ def test_token_burstiness_fano_twin(spark):
     assert got["bursty"][2] > got["even"][2]
     # Poisson-ish floor: the even token sits below 10000 (sub-Poisson)
     assert got["even"][2] < 10000
+
+
+def test_source_skyline_dominance(spark):
+    """Skyline against a hand layout: dominated interior points flag 0,
+    the frontier staircase flags 1, equal points both survive, and a
+    same-x lower-y point is dominated."""
+    from weblog_pipeline.ops.corpus import source_skyline
+
+    def docs(source, n, length):
+        return [Row(doc_id=hash((source, i)) % 10**9, source=source,
+                    text="x" * length, lang="en", n_chars=length)
+                for i in range(n)]
+
+    rows = (
+        docs("a", 4, 10)    # frontier: most docs
+        + docs("b", 2, 50)  # frontier: fewer docs, longer
+        + docs("c", 2, 30)  # dominated by b (same x, lower y)
+        + docs("d", 1, 50)  # dominated by b (fewer docs, same y)
+        + docs("e", 1, 99)  # frontier: fewest docs, longest
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["avg_chars"], r["on_frontier"])
+        for r in source_skyline(spark.createDataFrame(rows)).collect()
+    }
+    assert got["a"] == (4, 10, 1)
+    assert got["b"] == (2, 50, 1)
+    assert got["c"] == (2, 30, 0)
+    assert got["d"] == (1, 50, 0)
+    assert got["e"] == (1, 99, 1)
