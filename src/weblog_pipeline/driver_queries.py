@@ -2120,6 +2120,60 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite as data: PK uniqueness, value sign,
+    ts sanity window, FK into customer (broadcast anti-join), props
+    JSON-object validity."""
+    from weblog_pipeline.aggregate import data_quality_checks
+
+    return data_quality_checks(
+        _read(spark, sf_dir, "events"), _read(spark, sf_dir, "customer")
+    )
+
+
+SQL_DATA_QUALITY_CHECKS = """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+         CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg,
+         CAST(SUM(CASE WHEN epoch_us(ts) < 1577836800000000
+                        OR epoch_us(ts) >= 1893456000000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_bad,
+         CAST(SUM(CASE WHEN props IS NOT NULL
+                        AND NOT (json_valid(props)
+                                 AND json_type(props) = 'OBJECT')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_json_bad,
+         CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_props
+  FROM events
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fk_bad
+  FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = e.user_id)
+),
+rows_ AS (
+  SELECT 'pk_unique_event_id' AS check_name, n_rows AS n_checked,
+         n_rows - n_ids AS n_violations FROM base
+  UNION ALL
+  SELECT 'value_non_negative', n_rows, n_neg FROM base
+  UNION ALL
+  SELECT 'ts_in_sane_range', n_rows, n_ts_bad FROM base
+  UNION ALL
+  SELECT 'fk_user_in_customer', n_rows, fk.n_fk_bad
+  FROM base CROSS JOIN fk
+  UNION ALL
+  SELECT 'props_valid_json_object', n_props, n_json_bad FROM base
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_violations = 0 AS BIGINT) AS passed
+FROM rows_
+"""
+
+
 def q_source_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of sources on (n_docs, avg_chars): dominance via
     two bounded-domain max lookups, never an all-pairs self-join."""
@@ -9266,6 +9320,7 @@ def queries() -> dict:
         "merge_upsert": q_merge_upsert,
         "landing_exit": q_landing_exit,
         "source_skyline": q_source_skyline,
+        "data_quality_checks": q_data_quality_checks,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9528,6 +9583,7 @@ def oracle_sql() -> dict:
         "merge_upsert": SQL_MERGE_UPSERT,
         "landing_exit": SQL_LANDING_EXIT,
         "source_skyline": SQL_SOURCE_SKYLINE,
+        "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

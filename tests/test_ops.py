@@ -5992,3 +5992,50 @@ def test_source_skyline_dominance(spark):
     assert got["c"] == (2, 30, 0)
     assert got["d"] == (1, 50, 0)
     assert got["e"] == (1, 99, 1)
+
+
+def test_data_quality_checks_violations(spark):
+    """Every check against a hand table with planted violations: a
+    duplicate PK, a negative value, a 1999 timestamp, an orphan user,
+    valid-JSON-but-not-object props ('5', '[1]') counted invalid, and
+    a proper object passing."""
+    import datetime
+
+    from weblog_pipeline.aggregate import data_quality_checks
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(i, user=1, val=1.0, ts=None, props=None):
+        return Row(event_id=i, ts=ts or base, user_id=user,
+                   event_type="t", value=val, props=props)
+
+    rows = [
+        ev(1, props='{"k": 1}'),
+        ev(1),                                   # dup PK
+        ev(2, val=-5.0),                         # negative
+        ev(3, ts=datetime.datetime(1999, 1, 1)),  # out of range
+        ev(4, user=999),                         # orphan FK
+        ev(5, props="5"),                        # valid JSON, not object
+        ev(6, props="[1]"),                      # array, not object
+        ev(7, props="{broken"),                  # invalid JSON
+    ]
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="BUILDING")]
+    )
+    got = {
+        r["check_name"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in data_quality_checks(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            ),
+            cust,
+        ).collect()
+    }
+    assert got["pk_unique_event_id"] == (8, 1, 0)
+    assert got["value_non_negative"] == (8, 1, 0)
+    assert got["ts_in_sane_range"] == (8, 1, 0)
+    assert got["fk_user_in_customer"] == (8, 1, 0)
+    assert got["props_valid_json_object"] == (4, 3, 0)
