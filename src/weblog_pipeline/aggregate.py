@@ -2335,3 +2335,74 @@ def data_quality_checks(
         "n_violations",
         (F.col("n_violations") == 0).cast("long").alias("passed"),
     )
+
+
+def table_profile(events: DataFrame) -> DataFrame:
+    """Column-level data profile — the Deequ/Great-Expectations
+    "describe this table" pass, one row per column: null count, exact
+    distinct count, min/max, and the modal value with its frequency.
+    Every value is CANONICALIZED to a cross-engine-stable string
+    first: BIGINTs render identically everywhere, so doubles go
+    through floored cents and timestamps through epoch micros (LTZ
+    cast) BEFORE any min/max/top — never a raw double-to-string
+    render, whose scientific-notation cutoffs differ by engine.
+
+    Shape: one mini-aggregate per column (count/nulls/distinct/min/
+    max) plus a value-frequency aggregate whose modal row is the
+    max(struct(n, value)) winner — deterministic under frequency ties
+    (largest value wins); the per-column relations are tiny and union
+    into a 6-row profile. The distinct/top aggregates on a unique key
+    column shuffle its full domain — the honest cost of exact
+    profiling; the production dial is swapping in approx_count_distinct
+    and a CMS top-k (both already in the catalog).
+
+    Output: col_name, n_rows, n_null, n_distinct, min_v, max_v,
+    top_v, top_n (values as canonical strings).
+    """
+    ts_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))")
+    cols = [
+        ("event_id", F.col("event_id")),
+        ("user_id", F.col("user_id")),
+        ("event_type", F.col("event_type")),
+        ("value_cents", F.floor(F.col("value") * 100).cast("long")),
+        ("ts_us", ts_us),
+        ("props", F.col("props")),
+    ]
+    out = None
+    for name, expr in cols:
+        v = events.select(expr.alias("v"))
+        stats = v.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").cast("string").alias("min_v"),
+            F.max("v").cast("string").alias("max_v"),
+        )
+        top = (
+            v.where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n"), F.col("v").cast("string").alias("s")
+                    )
+                ).alias("t")
+            )
+            .select(
+                F.col("t.s").alias("top_v"),
+                F.col("t.n").cast("long").alias("top_n"),
+            )
+        )
+        r = stats.crossJoin(F.broadcast(top)).select(
+            F.lit(name).alias("col_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_v",
+            "max_v",
+            "top_v",
+            "top_n",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -2120,6 +2120,46 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the events table: nulls, exact
+    distincts, canonical-string min/max, modal value via the
+    max(n, value) struct winner."""
+    from weblog_pipeline.aggregate import table_profile
+
+    return table_profile(_read(spark, sf_dir, "events"))
+
+
+def _sql_table_profile() -> str:
+    cols = [
+        ("event_id", "event_id"),
+        ("user_id", "user_id"),
+        ("event_type", "event_type"),
+        ("value_cents", "CAST(floor(value * 100) AS BIGINT)"),
+        ("ts_us", "epoch_us(ts)"),
+        ("props", "props"),
+    ]
+    parts = []
+    for name, expr in cols:
+        parts.append(f"""
+SELECT '{name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(MIN(v) AS VARCHAR) AS min_v,
+       CAST(MAX(v) AS VARCHAR) AS max_v,
+       (SELECT (max({{'n': n, 's': CAST(v AS VARCHAR)}})).s FROM (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT {expr} AS v FROM events)
+          WHERE v IS NOT NULL GROUP BY 1)) AS top_v,
+       (SELECT (max({{'n': n, 's': CAST(v AS VARCHAR)}})).n FROM (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT {expr} AS v FROM events)
+          WHERE v IS NOT NULL GROUP BY 1)) AS top_n
+FROM (SELECT {expr} AS v FROM events)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint suite as data: PK uniqueness, value sign,
     ts sanity window, FK into customer (broadcast anti-join), props
@@ -9321,6 +9361,7 @@ def queries() -> dict:
         "landing_exit": q_landing_exit,
         "source_skyline": q_source_skyline,
         "data_quality_checks": q_data_quality_checks,
+        "table_profile": q_table_profile,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9584,6 +9625,7 @@ def oracle_sql() -> dict:
         "landing_exit": SQL_LANDING_EXIT,
         "source_skyline": SQL_SOURCE_SKYLINE,
         "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
+        "table_profile": _sql_table_profile(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6039,3 +6039,42 @@ def test_data_quality_checks_violations(spark):
     assert got["ts_in_sane_range"] == (8, 1, 0)
     assert got["fk_user_in_customer"] == (8, 1, 0)
     assert got["props_valid_json_object"] == (4, 3, 0)
+
+
+def test_table_profile_canonical_columns(spark):
+    """Profile against a hand table: nulls counted, exact distincts,
+    canonical-string min/max (cents for value, epoch_us for ts), and
+    the modal value deterministic under a frequency tie (largest
+    canonical value wins)."""
+    import datetime
+
+    from weblog_pipeline.aggregate import table_profile
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ev(i, user, typ, val, props):
+        return Row(event_id=i, ts=t0, user_id=user, event_type=typ,
+                   value=val, props=props)
+
+    rows = [
+        ev(1, 1, "a", 1.0, None),
+        ev(2, 1, "a", 2.5, '{"k": 1}'),
+        ev(3, 2, "b", 2.5, None),
+    ]
+    got = {
+        r["col_name"]: (r["n_null"], r["n_distinct"], r["min_v"],
+                        r["max_v"], r["top_v"], r["top_n"])
+        for r in table_profile(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got["event_id"] == (0, 3, "1", "3", "3", 1)  # tie -> max id
+    assert got["user_id"] == (0, 2, "1", "2", "1", 2)
+    # event_type tie a=2 b=1 -> 'a' wins on frequency
+    assert got["event_type"] == (0, 2, "a", "b", "a", 2)
+    assert got["value_cents"] == (0, 2, "100", "250", "250", 2)
+    assert got["props"] == (2, 1, '{"k": 1}', '{"k": 1}', '{"k": 1}', 1)
