@@ -2285,12 +2285,10 @@ FROM l FULL OUTER JOIN e ON e.event_type = l.event_type
 """
 
 
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO over the documents snapshot: deterministic change set
-    (update %7, delete %13 unless updated, insert %11 at id+1e7),
-    anti-join + union merge, per-source rollup with a content hash
-    sum so a wrong merge cannot slip through counts."""
-    docs = _read(spark, sf_dir, "documents")
+def _merge_changes(docs: DataFrame) -> DataFrame:
+    """The deterministic MERGE change set shared by q_merge_upsert and
+    q_snapshot_diff: update %7, delete %13 unless updated, insert %11
+    at id+1e7."""
 
     def payload(df, op, doc_id, text, lang, source):
         return df.select(
@@ -2326,8 +2324,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("en"),
         F.lit("ingest"),
     )
-    changes = upd.unionByName(dele).unionByName(ins)
-    merged = corpus.merge_upsert(docs, changes)
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the documents snapshot: deterministic change set
+    (update %7, delete %13 unless updated, insert %11 at id+1e7),
+    anti-join + union merge, per-source rollup with a content hash
+    sum so a wrong merge cannot slip through counts."""
+    docs = _read(spark, sf_dir, "documents")
+    merged = corpus.merge_upsert(docs, _merge_changes(docs))
     return merged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
@@ -2380,6 +2386,71 @@ SELECT source,
        CAST(SUM(CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 8))
                      AS BIGINT)) AS BIGINT) AS hash_sum
 FROM merged GROUP BY 1
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between documents and its post-MERGE snapshot:
+    one FULL OUTER key join classifying rows by presence + content
+    hash; recovers exactly the planted change-set counts."""
+    docs = _read(spark, sf_dir, "documents")
+    merged = corpus.merge_upsert(docs, _merge_changes(docs))
+    return corpus.snapshot_diff(docs, merged)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH upd AS (
+  SELECT 'update' AS op, doc_id, COALESCE(text, '') || ' [rev2]' AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 = 0
+),
+dele AS (
+  SELECT 'delete' AS op, doc_id, COALESCE(text, '') AS text, lang, source
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+),
+ins AS (
+  SELECT 'insert' AS op, doc_id + 10000000 AS doc_id,
+         'ins:' || CAST(doc_id AS VARCHAR) AS text,
+         'en' AS lang, 'ingest' AS source
+  FROM documents WHERE doc_id % 11 = 0
+),
+changes AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM dele
+  UNION ALL SELECT * FROM ins
+),
+touched AS (
+  SELECT DISTINCT doc_id FROM changes WHERE op IN ('update', 'delete')
+),
+merged AS (
+  SELECT b.doc_id, b.text, b.source FROM documents b
+  WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.doc_id = b.doc_id)
+  UNION ALL
+  SELECT doc_id, text, source FROM changes WHERE op <> 'delete'
+),
+b AS (
+  SELECT doc_id AS k, source AS bsrc,
+         md5(COALESCE(text, '')) AS bh
+  FROM documents
+),
+n AS (
+  SELECT doc_id AS k, source AS nsrc,
+         md5(COALESCE(text, '')) AS nh
+  FROM merged
+),
+j AS (
+  SELECT COALESCE(n.nsrc, b.bsrc) AS source,
+         CASE WHEN b.bh IS NULL THEN 1 ELSE 0 END AS i,
+         CASE WHEN n.nh IS NULL THEN 1 ELSE 0 END AS d,
+         CASE WHEN b.bh IS NOT NULL AND n.nh IS NOT NULL
+               AND b.bh <> n.nh THEN 1 ELSE 0 END AS u
+  FROM b FULL OUTER JOIN n ON n.k = b.k
+)
+SELECT source,
+       CAST(SUM(i) AS BIGINT) AS n_inserts,
+       CAST(SUM(d) AS BIGINT) AS n_deletes,
+       CAST(SUM(u) AS BIGINT) AS n_updates
+FROM j GROUP BY 1
+HAVING SUM(i) > 0 OR SUM(d) > 0 OR SUM(u) > 0
 """
 
 
@@ -9362,6 +9433,7 @@ def queries() -> dict:
         "source_skyline": q_source_skyline,
         "data_quality_checks": q_data_quality_checks,
         "table_profile": q_table_profile,
+        "snapshot_diff": q_snapshot_diff,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9626,6 +9698,7 @@ def oracle_sql() -> dict:
         "source_skyline": SQL_SOURCE_SKYLINE,
         "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
         "table_profile": _sql_table_profile(),
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -1477,3 +1477,55 @@ def source_skyline(documents: DataFrame) -> DataFrame:
             .alias("on_frontier"),
         )
     )
+
+
+def snapshot_diff(
+    base: DataFrame, new: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Change-data-feed between two snapshots — MERGE's inverse: given
+    the before and after tables, recover per-source insert / delete /
+    update counts. One FULL OUTER equi-join on the key; rows are
+    classified by presence and by md5(text) inequality (content hash,
+    not payload compare, so wide text never re-shuffles twice).
+    Applying merge_upsert's change set and diffing MUST recover
+    exactly that change set's counts — the pytest closes the loop.
+
+    Output: source, n_inserts, n_deletes, n_updates (source taken
+    from whichever side exists; an update's source is the NEW side's).
+    """
+    b = base.select(
+        F.col(key).alias("_k"),
+        F.col("source").alias("_bsrc"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_bh"),
+    )
+    n = new.select(
+        F.col(key).alias("_k"),
+        F.col("source").alias("_nsrc"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_nh"),
+    )
+    j = b.join(n, "_k", "full")
+    return (
+        j.select(
+            F.coalesce("_nsrc", "_bsrc").alias("source"),
+            F.col("_bh").isNull().cast("long").alias("_ins"),
+            F.col("_nh").isNull().cast("long").alias("_del"),
+            (
+                F.col("_bh").isNotNull()
+                & F.col("_nh").isNotNull()
+                & (F.col("_bh") != F.col("_nh"))
+            )
+            .cast("long")
+            .alias("_upd"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_ins").alias("n_inserts"),
+            F.sum("_del").alias("n_deletes"),
+            F.sum("_upd").alias("n_updates"),
+        )
+        .where(
+            (F.col("n_inserts") > 0)
+            | (F.col("n_deletes") > 0)
+            | (F.col("n_updates") > 0)
+        )
+    )

@@ -6078,3 +6078,36 @@ def test_table_profile_canonical_columns(spark):
     assert got["event_type"] == (0, 2, "a", "b", "a", 2)
     assert got["value_cents"] == (0, 2, "100", "250", "250", 2)
     assert got["props"] == (2, 1, '{"k": 1}', '{"k": 1}', '{"k": 1}', 1)
+
+
+def test_snapshot_diff_recovers_merge_changes(spark):
+    """Applying merge_upsert's change set and diffing the snapshots
+    must recover exactly the change set: inserts/deletes/updates per
+    source, with an unchanged-but-rewritten-identically row counted as
+    NO change (hash equality, not row identity)."""
+    from weblog_pipeline.ops.corpus import merge_upsert, snapshot_diff
+
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="one", lang="en", source="s1", n_chars=3),
+         Row(doc_id=2, text="two", lang="en", source="s1", n_chars=3),
+         Row(doc_id=3, text="three", lang="en", source="s2", n_chars=5),
+         Row(doc_id=4, text="four", lang="en", source="s2", n_chars=4)]
+    )
+    changes = spark.createDataFrame(
+        [Row(op="update", doc_id=2, text="two v2", lang="en",
+             source="s1", n_chars=6),
+         Row(op="update", doc_id=4, text="four", lang="en",
+             source="s2", n_chars=4),       # no-op rewrite: same text
+         Row(op="delete", doc_id=3, text="", lang="en", source="s2",
+             n_chars=0),
+         Row(op="insert", doc_id=9, text="nine", lang="en",
+             source="s3", n_chars=4)]
+    )
+    new = merge_upsert(base, changes)
+    got = {
+        r["source"]: (r["n_inserts"], r["n_deletes"], r["n_updates"])
+        for r in snapshot_diff(base, new).collect()
+    }
+    # s1: one real update; s2: one delete (the identical rewrite of 4
+    # is NOT an update); s3: one insert; untouched sources absent
+    assert got == {"s1": (0, 0, 1), "s2": (0, 1, 0), "s3": (1, 0, 0)}
