@@ -2406,3 +2406,37 @@ def table_profile(events: DataFrame) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def activity_histogram(events: DataFrame) -> DataFrame:
+    """Power-user curve — the growth-accounting histogram behind
+    "L28" charts: how many users were active exactly d distinct days?
+    Casual-heavy products slope down fast; habit products grow a
+    right-side bump. Also emits each bucket's share of total EVENT
+    volume, the "your top users carry the product" number, in bp.
+
+    Shape: distinct (user, day) -> per-user day count (+ per-user
+    event count in the same pass via two aggregates over different
+    grains: one distinct count, one raw count joined back on user) —
+    all map-side-combined; output bounded by the day-domain size.
+
+    Output: days_active, n_users, n_events, events_share_bp.
+    """
+    day = F.expr("unix_timestamp(date_trunc('day', ts)) DIV 86400")
+    per_user = events.select("user_id", day.alias("_day")).groupBy(
+        "user_id"
+    ).agg(
+        F.countDistinct("_day").alias("days_active"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    hist = per_user.groupBy("days_active").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+    )
+    total = events.agg(F.count(F.lit(1)).alias("_tot"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "days_active",
+        "n_users",
+        "n_events",
+        F.expr("n_events * 10000 DIV _tot").alias("events_share_bp"),
+    )

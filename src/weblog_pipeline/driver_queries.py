@@ -2120,6 +2120,34 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: users by exact distinct active days + each
+    bucket's share of event volume in bp."""
+    from weblog_pipeline.aggregate import activity_histogram
+
+    return activity_histogram(_read(spark, sf_dir, "events"))
+
+
+SQL_ACTIVITY_HISTOGRAM = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(COUNT(DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                    // 86400) AS BIGINT) AS days_active,
+         CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1
+),
+h AS (
+  SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_ev) AS BIGINT) AS n_events
+  FROM pu GROUP BY 1
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM events)
+SELECT days_active, n_users, n_events,
+       n_events * 10000 // t.tot AS events_share_bp
+FROM h CROSS JOIN t
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of the events table: nulls, exact
     distincts, canonical-string min/max, modal value via the
@@ -9434,6 +9462,7 @@ def queries() -> dict:
         "data_quality_checks": q_data_quality_checks,
         "table_profile": q_table_profile,
         "snapshot_diff": q_snapshot_diff,
+        "activity_histogram": q_activity_histogram,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9699,6 +9728,7 @@ def oracle_sql() -> dict:
         "data_quality_checks": SQL_DATA_QUALITY_CHECKS,
         "table_profile": _sql_table_profile(),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

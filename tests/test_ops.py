@@ -6111,3 +6111,46 @@ def test_snapshot_diff_recovers_merge_changes(spark):
     # s1: one real update; s2: one delete (the identical rewrite of 4
     # is NOT an update); s3: one insert; untouched sources absent
     assert got == {"s1": (0, 0, 1), "s2": (0, 1, 0), "s3": (1, 0, 0)}
+
+
+def test_activity_histogram_power_curve(spark):
+    """Histogram against a hand cohort: a 1-day casual, two 2-day
+    users, and a 3-day whale whose bucket carries most of the volume;
+    repeat events on the same day do not inflate days_active."""
+    import datetime
+
+    from weblog_pipeline.aggregate import activity_histogram
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def hit(user, day, n=1):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid,
+                            ts=base + datetime.timedelta(days=day),
+                            user_id=user, event_type="t", value=1.0,
+                            props=None))
+            eid += 1
+
+    hit(1, 0, 2)                 # 1 day, 2 events (repeat same day)
+    hit(2, 0); hit(2, 1)         # 2 days
+    hit(3, 1); hit(3, 2)         # 2 days
+    hit(4, 0, 5); hit(4, 1); hit(4, 2)   # 3 days, 7 events
+    got = {
+        r["days_active"]: (r["n_users"], r["n_events"],
+                           r["events_share_bp"])
+        for r in activity_histogram(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    tot = 13
+    assert got == {
+        1: (1, 2, 2 * 10000 // tot),
+        2: (2, 4, 4 * 10000 // tot),
+        3: (1, 7, 7 * 10000 // tot),
+    }
