@@ -2440,3 +2440,50 @@ def activity_histogram(events: DataFrame) -> DataFrame:
         "n_events",
         F.expr("n_events * 10000 DIV _tot").alias("events_share_bp"),
     )
+
+
+def schema_drift(events: DataFrame) -> DataFrame:
+    """Schema-evolution monitor over the props JSON — the alert that a
+    producer deploy changed the event contract: per key, presence
+    rates (per-mille of props-bearing events) in the baseline vs
+    current halves of the stream (epoch-day parity, drift_psi's
+    content-independent split rule), plus is-new / vanished flags.
+    Key-rate drift is how you catch a renamed field BEFORE the
+    downstream from_json silently starts yielding NULLs.
+
+    Shape: one scan, one (key, side) map-side-combined aggregate (the
+    explode is bounded by keys-per-object), per-side totals broadcast
+    back; output bounded by the real key domain. Rates coalesce to 0
+    (never NULL) per the gate rule.
+
+    Output: key, n_base, n_cur, base_pm, cur_pm, dev_pm,
+    is_new (0/1), vanished (0/1).
+    """
+    day = F.expr("unix_timestamp(date_trunc('day', ts)) DIV 86400")
+    kv = events.where(F.col("props").isNotNull()).select(
+        (day % 2 == 0).alias("_base"),
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "_v"),
+    )
+    per_key = kv.groupBy("key").agg(
+        F.sum(F.col("_base").cast("long")).alias("n_base"),
+        F.sum((~F.col("_base")).cast("long")).alias("n_cur"),
+    )
+    tot = events.where(F.col("props").isNotNull()).agg(
+        F.sum((day % 2 == 0).cast("long")).alias("_tb"),
+        F.sum((day % 2 != 0).cast("long")).alias("_tc"),
+    )
+    return per_key.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_base",
+        "n_cur",
+        F.expr("n_base * 1000 DIV greatest(_tb, 1)").alias("base_pm"),
+        F.expr("n_cur * 1000 DIV greatest(_tc, 1)").alias("cur_pm"),
+        F.expr(
+            "n_cur * 1000 DIV greatest(_tc, 1)"
+            " - n_base * 1000 DIV greatest(_tb, 1)"
+        ).alias("dev_pm"),
+        (F.col("n_base") == 0).cast("long").alias("is_new"),
+        (F.col("n_cur") == 0).cast("long").alias("vanished"),
+    )

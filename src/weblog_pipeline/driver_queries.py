@@ -2120,6 +2120,79 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Props-key presence drift between day-parity halves: per-mille
+    rates, signed deviation, new/vanished flags. Plants a baseline-only
+    'legacy' key and a current-only 'v2' key (census planting style) so
+    the vanish/new paths are non-vacuous on the fixture."""
+    from weblog_pipeline.aggregate import schema_drift
+
+    ev = _read(spark, sf_dir, "events")
+    parity = F.expr(
+        "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+        " DIV 86400 % 2"
+    )
+    planted = ev.withColumn(
+        "props",
+        F.when(
+            F.col("props").isNotNull()
+            & (parity == 0)
+            & (F.col("event_id") % 4 == 0),
+            F.expr("replace(props, '}', ',\"legacy\":1}')"),
+        )
+        .when(
+            F.col("props").isNotNull()
+            & (parity == 1)
+            & (F.col("event_id") % 4 == 0),
+            F.expr("replace(props, '}', ',\"v2\":1}')"),
+        )
+        .otherwise(F.col("props")),
+    )
+    return schema_drift(planted)
+
+
+SQL_SCHEMA_DRIFT = """
+WITH p0 AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 % 2 = 0
+           AS base, event_id, props
+  FROM events WHERE props IS NOT NULL
+),
+p AS (
+  SELECT base,
+         CASE WHEN base AND event_id % 4 = 0
+              THEN replace(props, '}', ',"legacy":1}')
+              WHEN NOT base AND event_id % 4 = 0
+              THEN replace(props, '}', ',"v2":1}')
+              ELSE props END AS props
+  FROM p0
+),
+kv AS (
+  SELECT base, unnest(json_keys(props)) AS key FROM p
+),
+pk AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_base,
+         CAST(SUM(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_cur
+  FROM kv GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(CASE WHEN base THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+         CAST(SUM(CASE WHEN base THEN 0 ELSE 1 END) AS BIGINT) AS tc
+  FROM p
+)
+SELECT key, n_base, n_cur,
+       n_base * 1000 // greatest(tb, 1) AS base_pm,
+       n_cur * 1000 // greatest(tc, 1) AS cur_pm,
+       n_cur * 1000 // greatest(tc, 1)
+         - n_base * 1000 // greatest(tb, 1) AS dev_pm,
+       CAST(n_base = 0 AS BIGINT) AS is_new,
+       CAST(n_cur = 0 AS BIGINT) AS vanished
+FROM pk CROSS JOIN t
+"""
+
+
 def q_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-user curve: users by exact distinct active days + each
     bucket's share of event volume in bp."""
@@ -9463,6 +9536,7 @@ def queries() -> dict:
         "table_profile": q_table_profile,
         "snapshot_diff": q_snapshot_diff,
         "activity_histogram": q_activity_histogram,
+        "schema_drift": q_schema_drift,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9729,6 +9803,7 @@ def oracle_sql() -> dict:
         "table_profile": _sql_table_profile(),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
+        "schema_drift": SQL_SCHEMA_DRIFT,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6154,3 +6154,46 @@ def test_activity_histogram_power_curve(spark):
         2: (2, 4, 4 * 10000 // tot),
         3: (1, 7, 7 * 10000 // tot),
     }
+
+
+def test_schema_drift_rates_and_flags(spark):
+    """Drift against a hand stream: a stable key sits near zero
+    deviation, a baseline-only key flags vanished, a current-only key
+    flags new, and rates are per-mille of each side's props-bearing
+    events."""
+    import datetime
+    import json
+
+    from weblog_pipeline.aggregate import schema_drift
+
+    base = datetime.datetime(2024, 1, 1)  # day parity of 2024-01-01
+    d0 = int((base - datetime.datetime(1970, 1, 1)).days)
+    even_off = 0 if d0 % 2 == 0 else 1     # an even-parity day offset
+    rows = []
+
+    def ev(i, day_off, props):
+        rows.append(Row(event_id=i,
+                        ts=base + datetime.timedelta(days=day_off),
+                        user_id=1, event_type="t", value=1.0,
+                        props=json.dumps(props) if props else None))
+
+    # baseline (even parity): 4 props events - k always, old in 2
+    for i in range(4):
+        ev(i, even_off, {"k": 1, **({"old": 1} if i < 2 else {})})
+    # current (odd parity): 5 props events - k always, fresh in 1
+    for i in range(4, 9):
+        ev(i, even_off + 1, {"k": 1, **({"fresh": 1} if i == 4 else {})})
+    got = {
+        r["key"]: (r["n_base"], r["n_cur"], r["base_pm"], r["cur_pm"],
+                   r["is_new"], r["vanished"])
+        for r in schema_drift(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got["k"] == (4, 5, 1000, 1000, 0, 0)
+    assert got["old"] == (2, 0, 500, 0, 0, 1)
+    assert got["fresh"] == (0, 1, 0, 200, 1, 0)
