@@ -8119,6 +8119,43 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_bigram_holdout() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+s AS (
+  SELECT doc_id % 2 = 0 AS train,
+         unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+         unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+  FROM w WHERE len(words) >= 2
+),
+tr AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE train GROUP BY 1, 2
+),
+pred AS (
+  SELECT w1, (max({{'n': n, 'p': w2}})).p AS pred FROM tr GROUP BY 1
+),
+te AS (SELECT w1, w2 FROM s WHERE NOT train),
+sc AS (
+  SELECT te.w2, p.pred FROM te LEFT JOIN pred p ON p.w1 = te.w1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered,
+         CAST(SUM(CASE WHEN pred IS NOT NULL AND pred = w2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM sc
+)
+SELECT n_pairs, n_covered, n_hits,
+       n_covered * 10000 // greatest(n_pairs, 1) AS coverage_bp,
+       n_hits * 10000 // greatest(n_covered, 1) AS acc_bp
+FROM agg
+"""
+
+
 def _sql_token_burstiness(k: int = 64) -> str:
     return f"""
 WITH w AS (
@@ -9658,6 +9695,7 @@ def queries() -> dict:
         "zipf_fit": docs(textstats.zipf_fit),
         "good_turing": docs(textstats.good_turing),
         "token_burstiness": docs(textstats.token_burstiness),
+        "bigram_holdout": docs(textstats.bigram_holdout),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -9885,6 +9923,7 @@ def oracle_sql() -> dict:
         "zipf_fit": _sql_zipf_fit(),
         "good_turing": _sql_good_turing(),
         "token_burstiness": _sql_token_burstiness(),
+        "bigram_holdout": _sql_bigram_holdout(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

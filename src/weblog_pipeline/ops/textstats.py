@@ -2885,3 +2885,77 @@ def token_burstiness(documents: DataFrame, k: int = 64) -> DataFrame:
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("rank", "token", "df", "s1", "fano_bp")
     )
+
+
+def bigram_holdout(documents: DataFrame) -> DataFrame:
+    """Held-out next-token prediction accuracy — the evaluation loop
+    every language-model pipeline needs: train a bigram argmax
+    predictor on the even-doc_id half, score top-1 accuracy on the odd
+    half. The predictor per w1 is the max(struct(n, w2)) winner —
+    lexicographic struct comparison in both engines (the landing_exit
+    parity fact), deterministic under count ties (largest w2 wins).
+    Unseen-context pairs (test w1 never trained) are counted
+    separately — the coverage number that says whether accuracy even
+    means anything.
+
+    Shape: two zip-shift bigram streams (one per half, the
+    bigram_logprob machinery), one (w1, w2) train aggregate, argmax
+    per w1 as a second bounded aggregate, then ONE equi-join of test
+    pairs against the vocabulary-bounded predictor relation — no
+    windows, no skew surface (the predictor side is vocab-bounded and
+    the join key is w1, map-side combinable).
+
+    Output (1 row): n_pairs, n_covered, n_hits, coverage_bp, acc_bp
+    (accuracy over covered pairs).
+    """
+    toks = F.col("_w")
+    pairs = F.when(
+        F.array_size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", lower_tokens_col().alias("_w")
+    )
+    bg = arr.select(
+        (F.col("doc_id") % 2 == 0).alias("_train"),
+        F.explode(pairs).alias("bg"),
+    ).select("_train", "bg.w1", "bg.w2")
+
+    train = (
+        bg.where(F.col("_train"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = train.groupBy("w1").agg(
+        F.max(
+            F.struct(F.col("n"), F.col("w2").alias("p"))
+        )["p"].alias("pred")
+    )
+    test = bg.where(~F.col("_train")).select("w1", "w2")
+    scored = test.join(pred, "w1", "left")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("pred").isNotNull().cast("long")).alias(
+            "n_covered"
+        ),
+        F.sum(
+            (F.col("pred").isNotNull() & (F.col("pred") == F.col("w2")))
+            .cast("long")
+        ).alias("n_hits"),
+    ).select(
+        "n_pairs",
+        "n_covered",
+        "n_hits",
+        F.expr(
+            "n_covered * 10000 DIV greatest(n_pairs, 1)"
+        ).alias("coverage_bp"),
+        F.expr(
+            "n_hits * 10000 DIV greatest(n_covered, 1)"
+        ).alias("acc_bp"),
+    )

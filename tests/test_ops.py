@@ -6197,3 +6197,29 @@ def test_schema_drift_rates_and_flags(spark):
     assert got["k"] == (4, 5, 1000, 1000, 0, 0)
     assert got["old"] == (2, 0, 500, 0, 0, 1)
     assert got["fresh"] == (0, 1, 0, 200, 1, 0)
+
+
+def test_bigram_holdout_accuracy_twin(spark):
+    """Holdout accuracy against a hand corpus: the argmax predictor
+    trains on even docs only, ties break to the larger w2, unseen test
+    contexts count against coverage but not accuracy."""
+    from weblog_pipeline.ops.textstats import bigram_holdout
+
+    docs = [
+        # train (even ids): 'a b' twice, 'a c' once -> pred(a) = b;
+        # 'x y' and 'x z' once each -> tie -> pred(x) = z (larger)
+        Row(doc_id=0, text="a b a b a c"),
+        Row(doc_id=2, text="x y"),
+        Row(doc_id=4, text="x z"),
+        # test (odd ids): pairs a->b (hit), a->c (miss), x->z (hit via
+        # tie-break), q->r (uncovered context)
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=3, text="a c x z"),   # pairs: a-c, c-x, x-z
+        Row(doc_id=5, text="q r"),
+    ]
+    got = bigram_holdout(spark.createDataFrame(docs)).collect()[0]
+    # test pairs: (a,b) hit, (a,c) miss, (c,x) uncovered, (x,z) hit,
+    # (q,r) uncovered -> n=5, covered=3, hits=2
+    assert (got["n_pairs"], got["n_covered"], got["n_hits"]) == (5, 3, 2)
+    assert got["coverage_bp"] == 3 * 10000 // 5
+    assert got["acc_bp"] == 2 * 10000 // 3
