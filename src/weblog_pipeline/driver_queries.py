@@ -7457,6 +7457,41 @@ FROM d GROUP BY media_id
 """
 
 
+def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed mean-square loudness over the REAL 8-bit-PCM WAV decode:
+    32-sample frames, integer sum-of-squares DIV count, earliest
+    loudest frame wins; oracle replays the synthetic sample function."""
+    docs = _read(spark, sf_dir, "documents")
+    media = multimodal.media_wav_from_documents(docs)
+    return multimodal.audio_loudness(media)
+
+
+def _sql_audio_loudness() -> str:
+    return """
+WITH pre AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 100 AS n, doc_id % 256 AS s
+  FROM documents
+),
+smp AS (
+  SELECT media_id, n, u.i // 32 AS f,
+         ((s + u.i) % 256) * ((s + u.i) % 256) AS v2
+  FROM pre, unnest(range(0, n)) AS u(i)
+),
+fr AS (
+  SELECT media_id, MAX(n) AS n, f,
+         CAST(SUM(v2) AS BIGINT) AS ssq, COUNT(*) AS cnt
+  FROM smp GROUP BY 1, 3
+)
+SELECT media_id,
+  CAST(MAX(n) AS BIGINT) AS n_samples,
+  CAST(SUM(ssq) AS BIGINT) AS ssq_total,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(-(max({'m': ssq // cnt, 'nf': -f})).nf AS BIGINT) AS peak_frame,
+  CAST((max({'m': ssq // cnt, 'nf': -f})).m AS BIGINT) AS peak_ms
+FROM fr GROUP BY media_id
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize end-to-end: the nearest-neighbor kernel reads actual BMP
     pixel rows and re-emits a valid BMP at half dimensions; the oracle
@@ -9577,6 +9612,7 @@ def queries() -> dict:
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
+        "audio_loudness": q_audio_loudness,
         "audio_fingerprint": q_audio_fingerprint,
         "encoding_damage": q_encoding_damage,
         "pca_power": q_pca_power,
@@ -9845,6 +9881,7 @@ def oracle_sql() -> dict:
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),
+        "audio_loudness": _sql_audio_loudness(),
         "audio_fingerprint": _sql_audio_fingerprint(),
         "encoding_damage": _sql_encoding_damage(),
         "pca_power": _sql_pca_power(),

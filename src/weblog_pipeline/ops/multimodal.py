@@ -4180,3 +4180,86 @@ def media_phash(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
 
     pruned = media.select("media_id", "payload")
     return pruned.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+LOUDNESS_FRAME = 32  # samples per loudness frame
+
+LOUDNESS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("ssq_total", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak_frame", T.LongType()),
+        T.StructField("peak_ms", T.LongType()),
+    ]
+)
+
+
+def audio_loudness(media: "DataFrame", on_error: str = "raise") -> "DataFrame":
+    """Framed loudness profile from the REAL WAV decode — the clipping/
+    silence triage pass of an audio-curation pipeline: the sample
+    stream splits into LOUDNESS_FRAME-sample frames and each frame's
+    MEAN-SQUARE energy (integer sum-of-squares DIV count — mean square,
+    deliberately not RMS: no sqrt exists both engines floor alike) is
+    computed; the loudest frame and its energy come back beside the
+    clip totals. Rides decode_wav's full-sample path like
+    audio_fingerprint; same on_error contract.
+
+    Peak selection is deterministic under energy ties: the EARLIEST
+    loudest frame wins (max over (ms, -frame) pairs).
+
+    Scale shape: mapInPandas batch decode; payload and samples never
+    re-emitted — five scalars per clip.
+
+    Output: media_id, n_samples, ssq_total, n_frames, peak_frame,
+    peak_ms.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    meta = decode_wav(blob, want_samples=True)
+                except (ValueError, struct.error, IndexError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                v = np.asarray(meta["samples"], dtype=np.int64)
+                n = len(v)
+                fidx = np.arange(n) // LOUDNESS_FRAME
+                nf = int(fidx[-1]) + 1 if n else 0
+                ssq = np.zeros(nf, dtype=np.int64)
+                np.add.at(ssq, fidx, v * v)
+                cnt = np.bincount(fidx, minlength=nf)
+                if nf:
+                    ms = ssq // np.maximum(cnt, 1)
+                    best = int(np.lexsort((np.arange(nf), -ms))[0])
+                    peak_f, peak_m = best, int(ms[best])
+                else:
+                    peak_f, peak_m = -1, 0
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": n,
+                        "ssq_total": int((v * v).sum()),
+                        "n_frames": nf,
+                        "peak_frame": peak_f,
+                        "peak_ms": peak_m,
+                    }
+                )
+            if out:
+                o = pd.DataFrame(out)
+                for c in o.columns:
+                    o[c] = o[c].astype("Int64")
+                yield o[[f.name for f in LOUDNESS_SCHEMA.fields]]
+
+    pruned = media.select("media_id", "payload")
+    return pruned.mapInPandas(run, schema=LOUDNESS_SCHEMA)

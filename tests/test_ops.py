@@ -6223,3 +6223,33 @@ def test_bigram_holdout_accuracy_twin(spark):
     assert (got["n_pairs"], got["n_covered"], got["n_hits"]) == (5, 3, 2)
     assert got["coverage_bp"] == 3 * 10000 // 5
     assert got["acc_bp"] == 2 * 10000 // 3
+
+
+def test_audio_loudness_frames_and_peak(spark):
+    """Loudness against a hand-built PCM WAV: frame mean-squares are
+    exact integers, the earliest loudest frame wins a tie, and the
+    short tail frame divides by its own count."""
+    import struct as _struct
+
+    from weblog_pipeline.ops.multimodal import audio_loudness
+
+    # 8-bit PCM WAV: 40 samples - frame 0 quiet (64), frame 1 loud
+    # (200), 8-sample tail frame at 200 as well (ties frame 1's ms ->
+    # frame 1 wins as the earliest)
+    samples = bytes([64] * 32 + [200] * 32 + [200] * 8)
+    hdr = (b"RIFF" + _struct.pack("<I", 36 + len(samples)) + b"WAVE"
+           + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000,
+                                    1, 8)
+           + b"data" + _struct.pack("<I", len(samples)))
+    wav = hdr + samples
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(wav))],
+        "media_id long, payload binary",
+    )
+    r = audio_loudness(media).collect()[0]
+    # decode_wav keeps 8-bit PCM as raw unsigned bytes (the same
+    # convention the synthetic oracle replays)
+    q, l = 64 ** 2, 200 ** 2
+    assert (r["n_samples"], r["n_frames"]) == (72, 3)
+    assert r["ssq_total"] == 32 * q + 40 * l
+    assert (r["peak_frame"], r["peak_ms"]) == (1, l)
