@@ -2487,3 +2487,74 @@ def schema_drift(events: DataFrame) -> DataFrame:
         (F.col("n_base") == 0).cast("long").alias("is_new"),
         (F.col("n_cur") == 0).cast("long").alias("vanished"),
     )
+
+
+MARKOV_ITERS = 8
+
+
+def markov_stationary(
+    events: DataFrame, iters: int = MARKOV_ITERS
+) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — where
+    the event stream settles if today's transition matrix keeps
+    running: fixed-round integer power iteration over
+    event_transitions' bp matrix. Each round is one join + one
+    aggregate over the STATE DOMAIN (a handful of event types — the
+    matrix relation, never the event stream), with the vector
+    renormalized to sum 10000 every round (v * 10000 DIV sum, floor)
+    so the integers never drift in scale; states absent from the
+    matrix's from-side hold their mass (self-loop convention, stated).
+    Fixed iters = fixed semantics (the connected_components rule): the
+    output is round-`iters` of the iteration, bit-exact, not an
+    approximation claim.
+
+    Output: event_type, p_bp (the round-`iters` vector, sums to
+    <= 10000 with floor loss).
+    """
+    m = event_transitions(events).select(
+        "from_type", "to_type", F.col("p_bp").alias("p_bp_m")
+    ).localCheckpoint()
+    states = (
+        m.select(F.col("from_type").alias("event_type"))
+        .unionByName(m.select(F.col("to_type").alias("event_type")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_states = states.count()
+    v = states.select(
+        "event_type",
+        F.lit(10000 // max(n_states, 1)).cast("long").alias("p_bp"),
+    )
+    for _ in range(iters):
+        moved = (
+            v.join(m, v["event_type"] == m["from_type"])
+            .groupBy(F.col("to_type").alias("event_type"))
+            .agg(
+                F.sum(
+                    F.expr("p_bp * p_bp_m DIV 10000").cast("long")
+                ).alias("p_new")
+            )
+        )
+        # self-loop convention: a state with no outgoing row keeps its
+        # mass (the matrix rows always sum to ~10000, so moved mass
+        # covers every from-state; states never seen as from keep p)
+        kept = v.join(
+            m.select("from_type").distinct(),
+            v["event_type"] == F.col("from_type"),
+            "left_anti",
+        ).select("event_type", F.col("p_bp").alias("p_new"))
+        nxt = moved.unionByName(kept).groupBy("event_type").agg(
+            F.sum("p_new").alias("p_raw")
+        )
+        tot = nxt.agg(F.sum("p_raw").alias("_t"))
+        v = (
+            nxt.crossJoin(F.broadcast(tot))
+            .select(
+                "event_type",
+                F.expr("p_raw * 10000 DIV _t").cast("long").alias(
+                    "p_bp"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return v

@@ -2120,6 +2120,59 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer power iteration to the journey chain's
+    stationary vector (8 rounds over the event-type-domain matrix,
+    renormalized to 10000 bp each round)."""
+    from weblog_pipeline.aggregate import markov_stationary
+
+    return markov_stationary(_read(spark, sf_dir, "events"))
+
+
+def _sql_markov_stationary(iters: int = 8) -> str:
+    steps = []
+    for r in range(1, iters + 1):
+        steps.append(f""",
+mv{r} AS MATERIALIZED (
+  SELECT m.to_type AS event_type,
+         CAST(SUM(v.p_bp * m.p_bp_m // 10000) AS BIGINT) AS p_new
+  FROM v{r - 1} v JOIN m ON m.from_type = v.event_type
+  GROUP BY 1
+),
+kp{r} AS (
+  SELECT v.event_type, v.p_bp AS p_new FROM v{r - 1} v
+  WHERE NOT EXISTS (SELECT 1 FROM fs WHERE fs.from_type = v.event_type)
+),
+nx{r} AS MATERIALIZED (
+  SELECT event_type, CAST(SUM(p_new) AS BIGINT) AS p_raw FROM (
+    SELECT * FROM mv{r} UNION ALL SELECT * FROM kp{r}
+  ) GROUP BY 1
+),
+t{r} AS (SELECT CAST(SUM(p_raw) AS BIGINT) AS t FROM nx{r}),
+v{r} AS MATERIALIZED (
+  SELECT event_type, CAST(p_raw * 10000 // t.t AS BIGINT) AS p_bp
+  FROM nx{r} CROSS JOIN t{r} t
+)""")
+    return f"""
+WITH tr AS ({SQL_EVENT_TRANSITIONS}),
+m AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(p_bp AS BIGINT) AS p_bp_m FROM tr
+),
+fs AS MATERIALIZED (SELECT DISTINCT from_type FROM m),
+states AS MATERIALIZED (
+  SELECT from_type AS event_type FROM m
+  UNION SELECT to_type FROM m
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+v0 AS MATERIALIZED (
+  SELECT event_type, CAST(10000 // greatest(ns.n, 1) AS BIGINT)
+    AS p_bp
+  FROM states CROSS JOIN ns
+){"".join(steps)}
+SELECT event_type, p_bp FROM v{iters}
+"""
+
+
 def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Props-key presence drift between day-parity halves: per-mille
     rates, signed deviation, new/vanished flags. Plants a baseline-only
@@ -9609,6 +9662,7 @@ def queries() -> dict:
         "snapshot_diff": q_snapshot_diff,
         "activity_histogram": q_activity_histogram,
         "schema_drift": q_schema_drift,
+        "markov_stationary": q_markov_stationary,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9878,6 +9932,7 @@ def oracle_sql() -> dict:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
         "schema_drift": SQL_SCHEMA_DRIFT,
+        "markov_stationary": _sql_markov_stationary(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

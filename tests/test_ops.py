@@ -6253,3 +6253,43 @@ def test_audio_loudness_frames_and_peak(spark):
     assert (r["n_samples"], r["n_frames"]) == (72, 3)
     assert r["ssq_total"] == 32 * q + 40 * l
     assert (r["peak_frame"], r["peak_ms"]) == (1, l)
+
+
+def test_markov_stationary_python_twin(spark):
+    """The 8-round integer iteration against an exact Python twin on a
+    hand chain (including the keeps-mass self-loop convention for a
+    state that never appears as a from-state)."""
+    import datetime
+
+    from weblog_pipeline.aggregate import (
+        event_transitions,
+        markov_stationary,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    seq = ["a", "b"] * 8 + ["a", "c"] * 2  # a->b 0.8-ish, a->c, b->a...
+    rows = [Row(event_id=i, ts=base + datetime.timedelta(seconds=i),
+                user_id=1, event_type=t, value=1.0, props=None)
+            for i, t in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    m = {(r["from_type"], r["to_type"]): r["p_bp"]
+         for r in event_transitions(df).collect()}
+    states = sorted({s for k in m for s in k})
+    v = {s: 10000 // len(states) for s in states}
+    froms = {k[0] for k in m}
+    for _ in range(8):
+        nxt = {s: 0 for s in states}
+        for (f, t), p in m.items():
+            nxt[t] += v[f] * p // 10000
+        for s in states:
+            if s not in froms:
+                nxt[s] += v[s]
+        tot = sum(nxt.values())
+        v = {s: nxt[s] * 10000 // tot for s in states}
+    got = {r["event_type"]: r["p_bp"]
+           for r in markov_stationary(df).collect()}
+    assert got == v
