@@ -2120,6 +2120,38 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity rollup of duplicate clusters: per cluster size, docs /
+    bytes / bytes-saved keeping the longest member."""
+    return dedup.dedup_savings(_read(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_savings(
+    jaccard_pct: int = 80, bucket_cap: int = dedup.DEFAULT_BUCKET_CAP
+) -> str:
+    return f"""
+WITH clusters AS ({_sql_dup_clusters(jaccard_pct, bucket_cap)}),
+lens AS (
+  SELECT doc_id, CAST(length(COALESCE(text, '')) AS BIGINT) AS n_bytes
+  FROM documents
+),
+pc AS (
+  SELECT c.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(l.n_bytes) AS BIGINT) AS total_bytes,
+         CAST(MAX(l.n_bytes) AS BIGINT) AS kept
+  FROM clusters c JOIN lens l USING (doc_id)
+  GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(total_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(total_bytes - kept) AS BIGINT) AS saved_bytes
+FROM pc GROUP BY 1
+"""
+
+
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round integer power iteration to the journey chain's
     stationary vector (8 rounds over the event-type-domain matrix,
@@ -9663,6 +9695,7 @@ def queries() -> dict:
         "activity_histogram": q_activity_histogram,
         "schema_drift": q_schema_drift,
         "markov_stationary": q_markov_stationary,
+        "dedup_savings": q_dedup_savings,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9933,6 +9966,7 @@ def oracle_sql() -> dict:
         "activity_histogram": SQL_ACTIVITY_HISTOGRAM,
         "schema_drift": SQL_SCHEMA_DRIFT,
         "markov_stationary": _sql_markov_stationary(),
+        "dedup_savings": _sql_dedup_savings(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

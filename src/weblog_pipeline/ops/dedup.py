@@ -891,3 +891,58 @@ def setsim_join(documents: DataFrame, jaccard_pct: int = 50) -> DataFrame:
     return verified.where(
         100 * F.col("n_intersect") >= jaccard_pct * F.col("n_union")
     )
+
+
+def dedup_savings(
+    documents: DataFrame,
+    jaccard_pct: int = 80,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Capacity-planning rollup of duplicate_clusters — the number a
+    storage/training-budget review actually asks for: if every
+    duplicate cluster kept one representative, how many documents and
+    bytes disappear? Per cluster SIZE (the bounded reporting grain):
+    cluster count, member docs, total text bytes, and the bytes saved
+    keeping each cluster's longest member (ties by doc_id — max struct,
+    deterministic).
+
+    Shape: cluster labels join back to doc byte lengths on doc_id (one
+    equi-join), per-cluster rollup, then a size-bucketed rollup of
+    THAT bounded relation. Savings use max-member-kept, the
+    curation-standard keep rule.
+
+    Output: cluster_size, n_clusters, n_docs, total_bytes,
+    saved_bytes.
+    """
+    labels = duplicate_clusters(documents, jaccard_pct, bucket_cap)
+    lens = documents.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    per_cluster = (
+        labels.join(lens, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("_kept"),
+        )
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum("total_bytes").alias("total_bytes"),
+            F.sum(F.col("total_bytes") - F.col("_kept")).alias(
+                "saved_bytes"
+            ),
+        )
+        .select(
+            "cluster_size", "n_clusters",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_bytes", "saved_bytes",
+        )
+    )

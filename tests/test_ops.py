@@ -6293,3 +6293,28 @@ def test_markov_stationary_python_twin(spark):
     got = {r["event_type"]: r["p_bp"]
            for r in markov_stationary(df).collect()}
     assert got == v
+
+
+def test_dedup_savings_keeps_longest(spark):
+    """Savings against planted exact twins: a 3-doc identical cluster
+    saves two copies' bytes, the keep rule keeps the LONGEST member of
+    a near-dup cluster, and singletons never appear."""
+    from weblog_pipeline.ops.dedup import dedup_savings
+
+    long_a = "alpha beta gamma delta " * 40
+    rows = [
+        # exact triplet (identical text -> one cluster of 3)
+        Row(doc_id=1, text=long_a, lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=long_a, lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text=long_a, lang="en", source="s", n_chars=1),
+        # unique doc -> no cluster row
+        Row(doc_id=9, text="totally different content here",
+            lang="en", source="s", n_chars=1),
+    ]
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"],
+                            r["total_bytes"], r["saved_bytes"])
+        for r in dedup_savings(spark.createDataFrame(rows)).collect()
+    }
+    b = len(long_a)
+    assert got == {3: (1, 3, 3 * b, 2 * b)}
