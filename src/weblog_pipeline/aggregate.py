@@ -2558,3 +2558,46 @@ def markov_stationary(
             .localCheckpoint()
         )
     return v
+
+
+def burst_census(
+    events: DataFrame, window_s: int = 60, ts_col: str = "ts"
+) -> DataFrame:
+    """Peak-burst census — the abuse/rate-limit sizing view: for each
+    user, the maximum number of events landing in any trailing
+    `window_s`-second window (exact, not bucketed: a RANGE frame over
+    event-time microseconds counts every event in (t - w, t]), then a
+    histogram of users by that peak. The tail of this histogram is who
+    a rate limiter would throttle; its body sizes the limit.
+
+    Shape: the RANGE window is partitioned by (user, day) STRATA
+    (bounded, the keyed_quota discipline — a bot's multi-year history
+    never funnels one task; bursts spanning midnight split, stated),
+    ordered by the LTZ-cast microsecond timestamp; the per-user max
+    and the final histogram are map-side-combined aggregates over
+    ever-smaller relations.
+
+    Output: peak_burst, n_users.
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    ts_us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP_LTZ))")
+    w = (
+        Window.partitionBy("user_id", "_day")
+        .orderBy("_us")
+        .rangeBetween(-(window_s * 1_000_000 - 1), 0)
+    )
+    bursts = (
+        events.select(
+            "user_id", day.alias("_day"), ts_us.alias("_us")
+        )
+        .withColumn("_burst", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("_burst").alias("peak_burst"))
+    )
+    return bursts.groupBy("peak_burst").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -2120,6 +2120,34 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_burst_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users by their peak 60-second event burst: exact RANGE-frame
+    count over (user, day) strata, LTZ microsecond ordering."""
+    from weblog_pipeline.aggregate import burst_census
+
+    return burst_census(_read(spark, sf_dir, "events"))
+
+
+SQL_BURST_CENSUS = """
+WITH r AS (
+  SELECT user_id,
+         COUNT(*) OVER (
+           PARTITION BY user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+           ORDER BY epoch_us(ts)
+           RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW
+         ) AS burst
+  FROM events
+),
+pu AS (
+  SELECT user_id, CAST(MAX(burst) AS BIGINT) AS peak_burst
+  FROM r GROUP BY 1
+)
+SELECT peak_burst, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pu GROUP BY 1
+"""
+
+
 def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity rollup of duplicate clusters: per cluster size, docs /
     bytes / bytes-saved keeping the longest member."""
@@ -9696,6 +9724,7 @@ def queries() -> dict:
         "schema_drift": q_schema_drift,
         "markov_stationary": q_markov_stationary,
         "dedup_savings": q_dedup_savings,
+        "burst_census": q_burst_census,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -9967,6 +9996,7 @@ def oracle_sql() -> dict:
         "schema_drift": SQL_SCHEMA_DRIFT,
         "markov_stationary": _sql_markov_stationary(),
         "dedup_savings": _sql_dedup_savings(),
+        "burst_census": SQL_BURST_CENSUS,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6318,3 +6318,38 @@ def test_dedup_savings_keeps_longest(spark):
     }
     b = len(long_a)
     assert got == {3: (1, 3, 3 * b, 2 * b)}
+
+
+def test_burst_census_exact_window(spark):
+    """Peak bursts against a hand trace: a 3-event burst inside 60 s
+    counts all three, an event exactly 60 s after the first does NOT
+    extend the window ((t-60s, t] frame), and a steady user peaks at
+    1."""
+    import datetime
+
+    from weblog_pipeline.aggregate import burst_census
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, sec):
+        return Row(event_id=i, ts=base + datetime.timedelta(seconds=sec),
+                   user_id=user, event_type="t", value=1.0, props=None)
+
+    rows = [
+        # user 1: events at 0, 30, 59.999999 -> burst 3; at 60.0 the
+        # first event falls out -> burst stays 3
+        ev(0, 1, 0), ev(1, 1, 30), ev(2, 1, 59.999999), ev(3, 1, 60.0),
+        # user 2: hourly -> peak 1
+        ev(4, 2, 0), ev(5, 2, 3600),
+    ]
+    got = {
+        r["peak_burst"]: r["n_users"]
+        for r in burst_census(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got == {3: 1, 1: 1}
