@@ -8267,6 +8267,27 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_prefix_completions(plen: int = 3, min_count: int = 5) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT unnest(words) AS token FROM w),
+uni AS (SELECT token FROM unif WHERE length(token) >= {plen}),
+cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+pp AS (
+  SELECT substr(token, 1, {plen}) AS prefix,
+         max({{'n': n, 't': token}}) AS top,
+         CAST(SUM(n) AS BIGINT) AS tot
+  FROM cu GROUP BY 1
+)
+SELECT prefix, (top).t AS top_token, CAST((top).n AS BIGINT) AS top_n,
+       tot AS n_prefix_tokens,
+       (top).n * 10000 // tot AS dominance_bp
+FROM pp WHERE tot >= {min_count}
+"""
+
+
 def _sql_bigram_holdout() -> str:
     return f"""
 WITH w AS (
@@ -9848,6 +9869,7 @@ def queries() -> dict:
         "good_turing": docs(textstats.good_turing),
         "token_burstiness": docs(textstats.token_burstiness),
         "bigram_holdout": docs(textstats.bigram_holdout),
+        "prefix_completions": docs(textstats.prefix_completions),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10080,6 +10102,7 @@ def oracle_sql() -> dict:
         "good_turing": _sql_good_turing(),
         "token_burstiness": _sql_token_burstiness(),
         "bigram_holdout": _sql_bigram_holdout(),
+        "prefix_completions": _sql_prefix_completions(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -2959,3 +2959,51 @@ def bigram_holdout(documents: DataFrame) -> DataFrame:
             "n_hits * 10000 DIV greatest(n_covered, 1)"
         ).alias("acc_bp"),
     )
+
+
+def prefix_completions(
+    documents: DataFrame, plen: int = 3, min_count: int = 5
+) -> DataFrame:
+    """Autocomplete table — the product feature a query-log pipeline
+    feeds: for every `plen`-character prefix, the most frequent
+    completion token and how dominant it is. Ties break to the LARGER
+    token (the max(struct) winner — the engine-shared lexicographic
+    rule), stated rather than invented around.
+
+    Shape: one token-count aggregate, one (prefix) aggregate of that
+    vocabulary-bounded relation with the max(struct(n, token)) winner
+    and the prefix totals in the same pass — no windows, no joins;
+    min_count gates noise prefixes. Output bounded by the prefix
+    domain (<= alphabet^plen).
+
+    Output: prefix, top_token, top_n, n_prefix_tokens,
+    dominance_bp (top_n * 10000 DIV prefix total).
+    """
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    uni = arr.select(F.explode(F.col("_w")).alias("token")).where(
+        F.length("token") >= plen
+    )
+    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    per_prefix = (
+        counts.select(
+            F.substring("token", 1, plen).alias("prefix"),
+            "token",
+            "n",
+        )
+        .groupBy("prefix")
+        .agg(
+            F.max(
+                F.struct(F.col("n"), F.col("token").alias("t"))
+            ).alias("_top"),
+            F.sum("n").alias("_tot"),
+        )
+    )
+    return per_prefix.where(F.col("_tot") >= min_count).select(
+        "prefix",
+        F.col("_top.t").alias("top_token"),
+        F.col("_top.n").cast("long").alias("top_n"),
+        F.col("_tot").cast("long").alias("n_prefix_tokens"),
+        F.expr("_top.n * 10000 DIV _tot").alias("dominance_bp"),
+    )

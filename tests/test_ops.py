@@ -6353,3 +6353,31 @@ def test_burst_census_exact_window(spark):
         ).collect()
     }
     assert got == {3: 1, 1: 1}
+
+
+def test_prefix_completions_top_and_dominance(spark):
+    """Completions against a hand vocabulary: the top completion wins
+    by count, ties break to the larger token, dominance is the exact
+    integer share, short tokens never enter."""
+    from weblog_pipeline.ops.textstats import prefix_completions
+
+    text = " ".join(
+        ["spark"] * 6 + ["sparse"] * 3 + ["spare"] * 3 + ["sp"] * 9
+    )
+    got = {
+        r["prefix"]: (r["top_token"], r["top_n"], r["n_prefix_tokens"],
+                      r["dominance_bp"])
+        for r in prefix_completions(
+            spark.createDataFrame([Row(doc_id=0, text=text)]),
+            min_count=5,
+        ).collect()
+    }
+    # 'sp' (len 2) excluded; spa-prefix total 12, top 'spark' x6
+    assert got == {"spa": ("spark", 6, 12, 5000)}
+
+    # tie: two tokens x3 under 'tri' -> larger token wins
+    text2 = " ".join(["tried"] * 3 + ["tries"] * 3)
+    got2 = prefix_completions(
+        spark.createDataFrame([Row(doc_id=0, text=text2)]), min_count=5
+    ).collect()[0]
+    assert (got2["prefix"], got2["top_token"]) == ("tri", "tries")
