@@ -8267,6 +8267,90 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def q_stump_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-information-gain length split predicting the C4 pass bit:
+    bucket histogram + cumulative candidate sweep, integer xlx
+    entropy, smallest winning threshold."""
+    docs = _read(spark, sf_dir, "documents")
+    labeled = textstats.c4_quality_flags(
+        _c4_planted(docs), badwords=C4_PROBE
+    ).join(
+        docs.select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias(
+                "value"
+            ),
+        ),
+        "doc_id",
+    ).select("doc_id", "value", F.col("pass").alias("label"))
+    return textstats.stump_finder(labeled)
+
+
+def _sql_stump_finder(bucket: int = 64) -> str:
+    def xlx(c):
+        return (
+            f"(CASE WHEN {c} > 0 THEN {c} * CAST(floor(ln(CAST({c} AS"
+            f" DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END)"
+        )
+
+    return f"""
+WITH lab AS (
+  SELECT c4.doc_id, length(COALESCE(d.text, '')) AS value, c4."pass"
+    AS label
+  FROM ({_sql_c4_quality()}) c4 JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT CAST(value AS BIGINT) // {bucket} AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM lab GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT)
+    AS tp
+  FROM hist
+),
+cum AS (
+  SELECT b + 1 AS split_bucket,
+         CAST(SUM(n) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ln_,
+         CAST(SUM(n_pos) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS lp
+  FROM hist
+),
+cand AS (
+  SELECT c.split_bucket, c.ln_ AS n_left, c.lp AS n_left_pos,
+         t.tn - c.ln_ AS n_right, t.tp - c.lp AS n_right_pos
+  FROM cum c CROSS JOIN tot t
+  WHERE c.ln_ < t.tn
+),
+scored AS (
+  SELECT *,
+         {xlx('n_left_pos')} + {xlx('(n_left - n_left_pos)')}
+           - {xlx('n_left')}
+           + {xlx('n_right_pos')} + {xlx('(n_right - n_right_pos)')}
+           - {xlx('n_right')} AS score_micro
+  FROM cand
+),
+win AS (
+  SELECT min({{'ns': -score_micro, 'sb': split_bucket, 'nl': n_left,
+               'nlp': n_left_pos, 'nr': n_right, 'nrp': n_right_pos}})
+           AS w
+  FROM scored
+)
+SELECT CAST((w).sb AS BIGINT) AS split_bucket,
+       CAST((w).nl AS BIGINT) AS n_left,
+       CAST((w).nlp AS BIGINT) AS n_left_pos,
+       CAST((w).nr AS BIGINT) AS n_right,
+       CAST((w).nrp AS BIGINT) AS n_right_pos,
+       CAST(-(w).ns AS BIGINT) AS score_micro
+FROM win
+"""
+
+
 def _sql_prefix_completions(plen: int = 3, min_count: int = 5) -> str:
     return f"""
 WITH w AS (
@@ -9870,6 +9954,7 @@ def queries() -> dict:
         "token_burstiness": docs(textstats.token_burstiness),
         "bigram_holdout": docs(textstats.bigram_holdout),
         "prefix_completions": docs(textstats.prefix_completions),
+        "stump_finder": q_stump_finder,
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10103,6 +10188,7 @@ def oracle_sql() -> dict:
         "token_burstiness": _sql_token_burstiness(),
         "bigram_holdout": _sql_bigram_holdout(),
         "prefix_completions": _sql_prefix_completions(),
+        "stump_finder": _sql_stump_finder(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -3007,3 +3007,111 @@ def prefix_completions(
         F.col("_tot").cast("long").alias("n_prefix_tokens"),
         F.expr("_top.n * 10000 DIV _tot").alias("dominance_bp"),
     )
+
+
+def stump_finder(
+    labeled: DataFrame, bucket: int = 64
+) -> DataFrame:
+    """Decision-stump trainer — the engine-side primitive of
+    tree-based curation models: find the single length threshold that
+    best separates a boolean label (e.g. the C4 pass bit), by exact
+    integer information gain. Lengths histogram into `bucket`-char
+    buckets; every bucket boundary is a candidate split; the winner
+    maximizes
+
+        score(t) = sum over sides of ( xlx(pos) + xlx(neg) - xlx(n) )
+
+    which is -N * H(children) in the micro-nat xlx quantization
+    (xlx(c) = c * floor(ln c * 1e6), the llr_collocations idiom) — so
+    the argmax is the max-IG split, bit-exact in both engines.
+    Tie-break: the SMALLEST winning threshold (min_by on the
+    (-score, t) ordering via min(struct)).
+
+    `labeled` is any (doc_id, n_chars-like value, label boolean)
+    relation — the driver query feeds c4_quality_flags.
+
+    Shape: one (bucket) histogram aggregate with conditional counts;
+    the candidate sweep is a cumulative window over the BOUNDED bucket
+    relation; the winner is a one-row struct-min. No per-doc work
+    after the first aggregate.
+
+    Output (1 row): split_bucket (right side starts here),
+    n_left, n_left_pos, n_right, n_right_pos, score_micro.
+    """
+    from pyspark.sql import Window
+
+    def xlx(c):
+        c = c.cast("long")
+        return F.when(
+            c > 0,
+            c
+            * F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    hist = (
+        labeled.select(
+            (F.col("value").cast("long") / bucket)
+            .cast("long")
+            .alias("b"),
+            F.col("label").cast("long").alias("_pos"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_pos").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = hist.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    cum = (
+        hist.select(
+            "b",
+            F.sum("n").over(w).alias("ln"),
+            F.sum("n_pos").over(w).alias("lp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("ln") < F.col("_tn"))  # both sides non-empty
+        .select(
+            (F.col("b") + 1).alias("split_bucket"),
+            F.col("ln").alias("n_left"),
+            F.col("lp").alias("n_left_pos"),
+            (F.col("_tn") - F.col("ln")).alias("n_right"),
+            (F.col("_tp") - F.col("lp")).alias("n_right_pos"),
+        )
+    )
+    scored = cum.select(
+        "*",
+        (
+            xlx(F.col("n_left_pos"))
+            + xlx(F.col("n_left") - F.col("n_left_pos"))
+            - xlx(F.col("n_left"))
+            + xlx(F.col("n_right_pos"))
+            + xlx(F.col("n_right") - F.col("n_right_pos"))
+            - xlx(F.col("n_right"))
+        ).alias("score_micro"),
+    )
+    return scored.agg(
+        F.min(
+            F.struct(
+                (-F.col("score_micro")).alias("ns"),
+                F.col("split_bucket").alias("sb"),
+                F.col("n_left").alias("nl"),
+                F.col("n_left_pos").alias("nlp"),
+                F.col("n_right").alias("nr"),
+                F.col("n_right_pos").alias("nrp"),
+            )
+        ).alias("w")
+    ).select(
+        F.col("w.sb").alias("split_bucket"),
+        F.col("w.nl").alias("n_left"),
+        F.col("w.nlp").alias("n_left_pos"),
+        F.col("w.nr").alias("n_right"),
+        F.col("w.nrp").alias("n_right_pos"),
+        (-F.col("w.ns")).alias("score_micro"),
+    )

@@ -6381,3 +6381,33 @@ def test_prefix_completions_top_and_dominance(spark):
         spark.createDataFrame([Row(doc_id=0, text=text2)]), min_count=5
     ).collect()[0]
     assert (got2["prefix"], got2["top_token"]) == ("tri", "tries")
+
+
+def test_stump_finder_max_ig_split(spark):
+    """The stump against a hand-separable set: short docs fail, long
+    docs pass, and the chosen split lands exactly on the boundary
+    bucket; score equals the Python xlx twin."""
+    import math
+
+    from weblog_pipeline.ops.textstats import stump_finder
+
+    # value < 128 -> label False (buckets 0-1); >= 192 -> True
+    rows = (
+        [Row(doc_id=i, value=50 + i, label=False) for i in range(10)]
+        + [Row(doc_id=100 + i, value=200 + i, label=True)
+           for i in range(6)]
+    )
+    got = stump_finder(
+        spark.createDataFrame(rows), bucket=64
+    ).collect()[0]
+    # perfect split: left = the 10 negatives, right = the 6 positives
+    assert (got["n_left"], got["n_left_pos"],
+            got["n_right"], got["n_right_pos"]) == (10, 0, 6, 6)
+
+    def xlx(c):
+        return c * math.floor(math.log(c) * 1e6) if c > 0 else 0
+
+    want = (xlx(0) + xlx(10) - xlx(10)) + (xlx(6) + xlx(0) - xlx(6))
+    assert got["score_micro"] == want == 0  # pure sides -> entropy 0
+    # boundary: negatives end in bucket 0 (50..59 < 64); split at 1
+    assert got["split_bucket"] == 1
