@@ -8267,6 +8267,80 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_nb_lang_holdout() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, {_TOKS} AS words
+  FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (
+  SELECT doc_id, lang, doc_id % 2 = 0 AS train,
+         unnest(words) AS token
+  FROM w
+),
+toks AS (SELECT * FROM unif WHERE token <> ''),
+tr AS (SELECT * FROM toks WHERE train),
+clt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tr GROUP BY 1, 2
+),
+cl AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_lang FROM tr GROUP BY 1
+),
+vocab AS (SELECT DISTINCT token FROM tr),
+vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+grid AS (
+  SELECT vo.token, cl.lang,
+         CAST(floor(ln(CAST(COALESCE(clt.c, 0) + 1 AS DOUBLE)
+                       / CAST(cl.c_lang + vs.v AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS ll_micro
+  FROM vocab vo CROSS JOIN cl
+  LEFT JOIN clt ON clt.lang = cl.lang AND clt.token = vo.token
+  CROSS JOIN vs
+),
+nd AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM nd),
+prior AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(nd.n AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS prior_micro
+  FROM nd CROSS JOIN nt
+),
+te AS (
+  SELECT doc_id, lang AS true_lang, token FROM toks WHERE NOT train
+),
+sc AS (
+  SELECT te.doc_id, te.true_lang, g.lang AS cand_lang,
+         CAST(SUM(g.ll_micro) AS BIGINT) + ANY_VALUE(p.prior_micro)
+           AS score
+  FROM te JOIN grid g ON g.token = te.token
+  JOIN prior p ON p.lang = g.lang
+  GROUP BY 1, 2, 3
+),
+pr AS (
+  SELECT doc_id, true_lang,
+         (max({{'s': score, 'p': cand_lang}})).p AS pred
+  FROM sc GROUP BY 1, 2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(CASE WHEN pred = true_lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM pr
+),
+ntest AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test
+  FROM documents WHERE doc_id % 2 <> 0
+)
+SELECT nt.nt AS n_train, ntest.n_test, agg.n_scored, agg.n_hits,
+       agg.n_hits * 10000 // greatest(agg.n_scored, 1) AS acc_bp
+FROM agg CROSS JOIN ntest CROSS JOIN nt
+"""
+
+
 def q_stump_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-information-gain length split predicting the C4 pass bit:
     bucket histogram + cumulative candidate sweep, integer xlx
@@ -9955,6 +10029,7 @@ def queries() -> dict:
         "bigram_holdout": docs(textstats.bigram_holdout),
         "prefix_completions": docs(textstats.prefix_completions),
         "stump_finder": q_stump_finder,
+        "nb_lang_holdout": docs(textstats.nb_lang_holdout),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10189,6 +10264,7 @@ def oracle_sql() -> dict:
         "bigram_holdout": _sql_bigram_holdout(),
         "prefix_completions": _sql_prefix_completions(),
         "stump_finder": _sql_stump_finder(),
+        "nb_lang_holdout": _sql_nb_lang_holdout(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -3115,3 +3115,131 @@ def stump_finder(
         F.col("w.nrp").alias("n_right_pos"),
         (-F.col("w.ns")).alias("score_micro"),
     )
+
+
+def nb_lang_holdout(documents: DataFrame) -> DataFrame:
+    """Naive Bayes trained and evaluated inside the engine — the
+    proof the pipeline can fit a real (if simple) classifier, not just
+    score a shipped one: multinomial NB predicting the `lang` column
+    from tokens, trained on even doc_ids, top-1 accuracy on odd.
+
+    Integer discipline: every log-likelihood is ln of a ratio of
+    integers floored ONCE to micro-nats (the tfidf/bm25 proven
+    idiom) — Laplace-smoothed ((c+1) / (c_lang + V)) over the FULL
+    vocab x lang grid so every train-vocab token scores under every
+    language; priors likewise. A document's class score is then an
+    integer SUM (order-free) and the argmax a max(struct) winner
+    (ties to the larger lang, stated). Test tokens outside the train
+    vocabulary contribute nothing (stated; the coverage column says
+    how often that bites).
+
+    Shape: train counts and the vocab x lang smoothing grid are
+    vocabulary-bounded relations; scoring is ONE equi-join of the
+    test token stream against that grid (map-side combinable on the
+    token key), one (doc, lang) aggregate, one doc argmax, one final
+    rollup. No windows.
+
+    Output (1 row): n_train, n_test, n_scored, n_hits, acc_bp.
+    """
+    arr = _fan_out(documents.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", lower_tokens_col().alias("_w")
+    )
+    toks = arr.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("_train"),
+        F.explode(F.col("_w")).alias("token"),
+    ).where(F.col("token") != "")
+
+    tr = toks.where(F.col("_train"))
+    c_lt = tr.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c_l = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("c_lang"))
+    vocab = tr.select("token").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        vocab.crossJoin(c_l)
+        .join(c_lt, ["lang", "token"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "token",
+            "lang",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / (F.col("c_lang") + F.col("v")).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("ll_micro"),
+        )
+    )
+    n_docs = documents.select("doc_id", "lang").where(
+        F.col("doc_id") % 2 == 0
+    )
+    n_train = n_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    n_tot = n_docs.agg(F.count(F.lit(1)).alias("nt"))
+    prior = n_train.crossJoin(F.broadcast(n_tot)).select(
+        "lang",
+        F.floor(
+            F.log(F.col("nd").cast("double") / F.col("nt").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+
+    test = toks.where(~F.col("_train")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "token"
+    )
+    scored = (
+        test.join(
+            grid.withColumnRenamed("lang", "cand_lang"), "token"
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("ll_micro").alias("_s"))
+        .join(
+            F.broadcast(prior.withColumnRenamed("lang", "cand_lang")),
+            "cand_lang",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            (F.col("_s") + F.col("prior_micro")).alias("score"),
+        )
+    )
+    pred = scored.groupBy("doc_id", "true_lang").agg(
+        F.max(
+            F.struct(F.col("score"), F.col("cand_lang").alias("p"))
+        )["p"].alias("pred")
+    )
+    n_test_docs = documents.where(F.col("doc_id") % 2 != 0).agg(
+        F.count(F.lit(1)).alias("n_test")
+    )
+    n_train_docs = n_tot.select(F.col("nt").alias("n_train"))
+    return (
+        pred.agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(
+                (F.col("pred") == F.col("true_lang")).cast("long")
+            ).alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_test_docs))
+        .crossJoin(F.broadcast(n_train_docs))
+        .select(
+            "n_train",
+            "n_test",
+            "n_scored",
+            "n_hits",
+            F.expr(
+                "n_hits * 10000 DIV greatest(n_scored, 1)"
+            ).alias("acc_bp"),
+        )
+    )

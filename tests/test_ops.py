@@ -6411,3 +6411,26 @@ def test_stump_finder_max_ig_split(spark):
     assert got["score_micro"] == want == 0  # pure sides -> entropy 0
     # boundary: negatives end in bucket 0 (50..59 < 64); split at 1
     assert got["split_bucket"] == 1
+
+
+def test_nb_lang_holdout_learns_separable_langs(spark):
+    """NB on a hand-separable corpus: distinct vocabularies per lang
+    train on even ids and classify the odd half perfectly; a test doc
+    of only out-of-vocab tokens is unscored (coverage, not accuracy)."""
+    from weblog_pipeline.ops.textstats import nb_lang_holdout
+
+    rows = []
+    for i in range(8):          # even+odd mix; en says 'hello world'
+        rows.append(Row(doc_id=i, lang="en" if i % 4 < 2 else "fr",
+                        text=("hello world greetings" if i % 4 < 2
+                              else "bonjour le monde"),
+                        source="s", n_chars=1))
+    rows.append(Row(doc_id=9, lang="en", text="zzz qqq xxx",
+                    source="s", n_chars=1))   # odd, OOV-only
+    got = nb_lang_holdout(spark.createDataFrame(rows)).collect()[0]
+    # evens 0,2,4,6 train (2 en + 2 fr); odds 1,3,5,7,9 test; 9 is
+    # unscored (all tokens OOV)
+    assert (got["n_train"], got["n_test"]) == (4, 5)
+    assert (got["n_scored"], got["n_hits"], got["acc_bp"]) == (
+        4, 4, 10000,
+    )
