@@ -8267,6 +8267,48 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_ngram_novelty(max_n: int = 3) -> str:
+    parts = []
+    for n in range(1, max_n + 1):
+        slots = " || ' ' || ".join(
+            f"words[i+{j}]" for j in range(n)
+        )
+        parts.append(f"""
+SELECT {n} AS n, t.n_test_grams, u.n_unseen,
+       u.n_unseen * 10000 // greatest(t.n_test_grams, 1)
+         AS novelty_bp
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test_grams
+  FROM (
+    SELECT unnest(list_transform(range(1, len(words) + 2 - {n}),
+                  i -> {slots})) AS gram
+    FROM w WHERE NOT train AND len(words) >= {n}
+  ) WHERE gram <> ''
+) t CROSS JOIN (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_unseen
+  FROM (
+    SELECT unnest(list_transform(range(1, len(words) + 2 - {n}),
+                  i -> {slots})) AS gram
+    FROM w WHERE NOT train AND len(words) >= {n}
+  ) te
+  WHERE gram <> '' AND NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, len(words) + 2 - {n}), i -> {slots})) AS gram
+      FROM w WHERE train AND len(words) >= {n}
+    ) tr WHERE tr.gram = te.gram
+  )
+) u""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH w AS (
+  SELECT doc_id % 2 = 0 AS train, {_TOKS} AS words
+  FROM documents WHERE trim(text, ' ') <> ''
+)
+{body}
+"""
+
+
 def _sql_nb_lang_holdout() -> str:
     return f"""
 WITH w AS (
@@ -10030,6 +10072,7 @@ def queries() -> dict:
         "prefix_completions": docs(textstats.prefix_completions),
         "stump_finder": q_stump_finder,
         "nb_lang_holdout": docs(textstats.nb_lang_holdout),
+        "ngram_novelty": docs(textstats.ngram_novelty),
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10265,6 +10308,7 @@ def oracle_sql() -> dict:
         "prefix_completions": _sql_prefix_completions(),
         "stump_finder": _sql_stump_finder(),
         "nb_lang_holdout": _sql_nb_lang_holdout(),
+        "ngram_novelty": _sql_ngram_novelty(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -3243,3 +3243,61 @@ def nb_lang_holdout(documents: DataFrame) -> DataFrame:
             ).alias("acc_bp"),
         )
     )
+
+
+def ngram_novelty(documents: DataFrame, max_n: int = 3) -> DataFrame:
+    """N-gram novelty between corpus halves — the memorization /
+    generalization dial of LLM data work (how much of tomorrow's text
+    is literally yesterday's?): for n = 1..max_n, the share of the odd
+    half's n-gram OCCURRENCES whose n-gram type never appears in the
+    even half. High unigram novelty means vocabulary shift; high
+    trigram novelty with low unigram novelty means new COMPOSITIONS of
+    known words — the distinction that matters for dedup policy.
+
+    Shape: per n one zip-shift gram stream per half (the bigram
+    machinery generalized by joining n token slots), the train TYPE
+    set map-side dedups, and novelty is a LEFT ANTI count — one
+    equi-join per n on the gram key, everything vocabulary-bounded on
+    the build side. Output: max_n rows.
+
+    Output: n, n_test_grams, n_unseen, novelty_bp.
+    """
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", lower_tokens_col().alias("_w")
+    )
+    out = None
+    for n in range(1, max_n + 1):
+        toks = F.col("_w")
+        grams = F.when(
+            F.array_size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.array_size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = arr.select(
+            (F.col("doc_id") % 2 == 0).alias("_train"),
+            F.explode(grams).alias("gram"),
+        ).where(F.col("gram") != "")
+        train_types = g.where(F.col("_train")).select("gram").distinct()
+        test = g.where(~F.col("_train")).select("gram")
+        totals = test.agg(F.count(F.lit(1)).alias("n_test_grams"))
+        unseen = test.join(train_types, "gram", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_unseen")
+        )
+        r = (
+            totals.crossJoin(F.broadcast(unseen))
+            .select(
+                F.lit(n).alias("n"),
+                "n_test_grams",
+                "n_unseen",
+                F.expr(
+                    "n_unseen * 10000 DIV greatest(n_test_grams, 1)"
+                ).alias("novelty_bp"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -6434,3 +6434,31 @@ def test_nb_lang_holdout_learns_separable_langs(spark):
     assert (got["n_scored"], got["n_hits"], got["acc_bp"]) == (
         4, 4, 10000,
     )
+
+
+def test_ngram_novelty_halves(spark):
+    """Novelty against a hand corpus: shared unigrams but novel
+    compositions — unigram novelty low, trigram novelty high, counted
+    over occurrences (not types)."""
+    from weblog_pipeline.ops.textstats import ngram_novelty
+
+    rows = [
+        Row(doc_id=0, text="the cat sat on the mat"),        # train
+        Row(doc_id=2, text="a dog ran in a park"),           # train
+        Row(doc_id=1, text="the dog sat in the park"),       # test
+        Row(doc_id=3, text="zebra yaks"),                    # test OOV
+    ]
+    got = {
+        r["n"]: (r["n_test_grams"], r["n_unseen"], r["novelty_bp"])
+        for r in ngram_novelty(spark.createDataFrame(rows)).collect()
+    }
+    # unigrams test: the,dog,sat,in,the,park,zebra,yaks = 8 occs;
+    # unseen types: zebra,yaks -> 2
+    assert got[1] == (8, 2, 2 * 10000 // 8)
+    # bigrams test: 5 (doc1) + 1 (doc3) = 6; train bigrams:
+    # {the cat, cat sat, sat on, on the, the mat, a dog, dog ran,
+    #  ran in, in a, a park}; test bigrams: the dog, dog sat, sat in,
+    #  in the, the park, zebra yaks -> all 6 unseen
+    assert got[2] == (6, 6, 10000)
+    # trigrams test: 4 + 0 = 4, all unseen
+    assert got[3] == (4, 4, 10000)
