@@ -2601,3 +2601,69 @@ def burst_census(
     return bursts.groupBy("peak_burst").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def hourly_profile(
+    events: DataFrame,
+    chi2_threshold: int = 42,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Diurnal-seasonality detector per key — weekday_profile's
+    hour-of-day sibling and the other half of the bot signature:
+    humans sleep (a 24-cell profile with a trough), schedulers fire
+    flat or on one hour. Hour = (epoch seconds DIV 3600) % 24, pure
+    integer UTC arithmetic — no timezone/calendar functions whose
+    conventions differ across engines (UTC stated: the profile is a
+    shape detector, not a local-clock report).
+
+    Chi-square against uniform over 24 cells with the weekday_profile
+    integer recipe: term = (24*n - total)^2 DIV (24*total), missing
+    hours materialized by exploding a literal 0..23 sequence.
+
+    Output: <key_col>, hour, n_events, total, chi2, is_diurnal
+    (chi2/is_diurnal repeated on each of the key's 24 rows).
+    """
+    hour = F.expr(
+        f"CAST(unix_timestamp(date_trunc('hour', {ts_col})) AS BIGINT)"
+        " DIV 3600 % 24"
+    )
+    prof = (
+        events.select(key_col, hour.alias("hour"))
+        .groupBy(key_col, "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = prof.groupBy(key_col).agg(F.sum("n_events").alias("total"))
+    grid = tot.select(
+        key_col,
+        "total",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long"))
+        ).alias("hour"),
+    )
+    full = grid.join(prof, [key_col, "hour"], "left").select(
+        key_col,
+        "hour",
+        "total",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+    )
+    term = F.expr(
+        "(24 * n_events - total) * (24 * n_events - total)"
+        " DIV (24 * total)"
+    )
+    chi = full.select(key_col, term.alias("_t")).groupBy(key_col).agg(
+        F.sum("_t").alias("chi2")
+    )
+    return (
+        full.join(F.broadcast(chi), key_col)
+        .select(
+            key_col,
+            "hour",
+            "n_events",
+            "total",
+            "chi2",
+            (F.col("chi2") >= chi2_threshold).alias("is_diurnal"),
+        )
+    )

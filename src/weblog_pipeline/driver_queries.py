@@ -1563,6 +1563,46 @@ FROM p GROUP BY 1
 """
 
 
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic profile per event type with the integer
+    chi-square diurnality flag (UTC hour arithmetic)."""
+    from weblog_pipeline.aggregate import hourly_profile
+
+    return hourly_profile(_read(spark, sf_dir, "events"))
+
+
+SQL_HOURLY_PROFILE = """
+WITH prof AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 % 24
+           AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+        FROM prof GROUP BY 1),
+grid AS (
+  SELECT t.event_type, t.total, CAST(h.i AS BIGINT) AS hour
+  FROM tot t, unnest(range(0, 24)) AS h(i)
+),
+fullg AS (
+  SELECT g.event_type, g.hour, g.total,
+         CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN prof p
+    ON p.event_type = g.event_type AND p.hour = g.hour
+),
+chi AS (
+  SELECT event_type,
+         CAST(SUM((24 * n_events - total) * (24 * n_events - total)
+                  // (24 * total)) AS BIGINT) AS chi2
+  FROM fullg GROUP BY 1
+)
+SELECT f.event_type, f.hour, f.n_events, f.total, c.chi2,
+       (c.chi2 >= 42) AS is_diurnal
+FROM fullg f JOIN chi c USING (event_type)
+"""
+
+
 def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week traffic profile + integer chi-square uniformity flag
     per event type; weekday via pure epoch-day arithmetic."""
@@ -10073,6 +10113,7 @@ def queries() -> dict:
         "stump_finder": q_stump_finder,
         "nb_lang_holdout": docs(textstats.nb_lang_holdout),
         "ngram_novelty": docs(textstats.ngram_novelty),
+        "hourly_profile": q_hourly_profile,
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10309,6 +10350,7 @@ def oracle_sql() -> dict:
         "stump_finder": _sql_stump_finder(),
         "nb_lang_holdout": _sql_nb_lang_holdout(),
         "ngram_novelty": _sql_ngram_novelty(),
+        "hourly_profile": SQL_HOURLY_PROFILE,
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

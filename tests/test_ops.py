@@ -6462,3 +6462,48 @@ def test_ngram_novelty_halves(spark):
     assert got[2] == (6, 6, 10000)
     # trigrams test: 4 + 0 = 4, all unseen
     assert got[3] == (4, 4, 10000)
+
+
+def test_hourly_profile_diurnal_flag(spark):
+    """Hourly profile against a hand trace: a sleepless scheduler key
+    stays flat (chi2 0, not diurnal), a bursty key concentrated in one
+    hour flags, and absent hours materialize with zero counts."""
+    import datetime
+
+    from weblog_pipeline.aggregate import hourly_profile
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def hit(typ, hour, n=1):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid,
+                            ts=base + datetime.timedelta(hours=hour),
+                            user_id=1, event_type=typ, value=1.0,
+                            props=None))
+            eid += 1
+
+    for h in range(24):
+        hit("cron", h)          # perfectly flat
+    hit("burst", 3, 48)         # everything at 03:00
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["chi2"],
+                                       r["is_diurnal"])
+        for r in hourly_profile(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert len(got) == 48  # 24 rows per key, absent hours materialized
+    assert got[("cron", 0)] == (1, 0, False)
+    # burst: hour 3 term = (24*48-48)^2/(24*48) = 48*23^2/24 ... chi2
+    n, tot = 48, 48
+    t3 = (24 * n - tot) ** 2 // (24 * tot)
+    t0 = (0 - tot) ** 2 // (24 * tot)
+    chi = t3 + 23 * t0
+    assert got[("burst", 3)] == (48, chi, True)
+    assert got[("burst", 7)][0] == 0
