@@ -2667,3 +2667,79 @@ def hourly_profile(
             (F.col("chi2") >= chi2_threshold).alias("is_diurnal"),
         )
     )
+
+
+def deseasonalized_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday-adjusted daily anomaly flags — the fix for
+    daily_anomalies' blind spot on weekly-patterned traffic (every
+    Saturday looks like a dip against a trailing-week mean): each
+    (key, day) count is compared to ITS WEEKDAY's average for that
+    key, computed leave-one-out (the day under test is excluded from
+    its own baseline — otherwise a lone spike drags its own
+    expectation up). Flags by integer cross-multiply: high when
+    2*n*base_days > 3*base_sum (n > 1.5x the LOO weekday mean), low
+    when 2*n*base_days < base_sum; days whose weekday has no OTHER
+    observation abstain (base_days 0, both flags 0).
+
+    Shape: one (key, day) count, one (key, weekday) rollup of that
+    bounded relation broadcast back; leave-one-out is arithmetic on
+    the rollup (sum - n, cnt - 1), never a second scan.
+
+    Output: <key_col>, day, weekday, n_events, base_days, base_sum,
+    is_high, is_low (0/1).
+    """
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    daily = (
+        events.select(key_col, day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("weekday", (F.col("day") + 3) % 7)
+    )
+    wk = daily.groupBy(key_col, "weekday").agg(
+        F.sum("n_events").alias("_wsum"),
+        F.count(F.lit(1)).alias("_wcnt"),
+    )
+    j = daily.join(F.broadcast(wk), [key_col, "weekday"]).select(
+        key_col,
+        "day",
+        "weekday",
+        "n_events",
+        (F.col("_wcnt") - 1).alias("base_days"),
+        (F.col("_wsum") - F.col("n_events")).alias("base_sum"),
+    )
+    return j.select(
+        key_col,
+        "day",
+        "weekday",
+        "n_events",
+        "base_days",
+        "base_sum",
+        F.when(
+            (F.col("base_days") > 0)
+            & (
+                2 * F.col("n_events") * F.col("base_days")
+                > 3 * F.col("base_sum")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_high"),
+        F.when(
+            (F.col("base_days") > 0)
+            & (
+                2 * F.col("n_events") * F.col("base_days")
+                < F.col("base_sum")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_low"),
+    )

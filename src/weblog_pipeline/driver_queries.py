@@ -1563,6 +1563,45 @@ FROM p GROUP BY 1
 """
 
 
+def q_deseasonalized_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday-adjusted daily anomalies: leave-one-out weekday
+    baseline, integer cross-multiplied high/low flags."""
+    from weblog_pipeline.aggregate import deseasonalized_anomalies
+
+    return deseasonalized_anomalies(_read(spark, sf_dir, "events"))
+
+
+SQL_DESEASONALIZED_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+d2 AS (SELECT *, (day + 3) % 7 AS weekday FROM daily),
+wk AS (
+  SELECT event_type, weekday, CAST(SUM(n_events) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS wcnt
+  FROM d2 GROUP BY 1, 2
+),
+j AS (
+  SELECT d.event_type, d.day, d.weekday, d.n_events,
+         w.wcnt - 1 AS base_days, w.wsum - d.n_events AS base_sum
+  FROM d2 d JOIN wk w USING (event_type, weekday)
+)
+SELECT event_type, day, weekday, n_events, base_days, base_sum,
+  CAST(CASE WHEN base_days > 0
+             AND 2 * n_events * base_days > 3 * base_sum
+            THEN 1 ELSE 0 END AS BIGINT) AS is_high,
+  CAST(CASE WHEN base_days > 0
+             AND 2 * n_events * base_days < base_sum
+            THEN 1 ELSE 0 END AS BIGINT) AS is_low
+FROM j
+"""
+
+
 def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day traffic profile per event type with the integer
     chi-square diurnality flag (UTC hour arithmetic)."""
@@ -10114,6 +10153,7 @@ def queries() -> dict:
         "nb_lang_holdout": docs(textstats.nb_lang_holdout),
         "ngram_novelty": docs(textstats.ngram_novelty),
         "hourly_profile": q_hourly_profile,
+        "deseasonalized_anomalies": q_deseasonalized_anomalies,
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10351,6 +10391,7 @@ def oracle_sql() -> dict:
         "nb_lang_holdout": _sql_nb_lang_holdout(),
         "ngram_novelty": _sql_ngram_novelty(),
         "hourly_profile": SQL_HOURLY_PROFILE,
+        "deseasonalized_anomalies": SQL_DESEASONALIZED_ANOMALIES,
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

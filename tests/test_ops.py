@@ -6507,3 +6507,47 @@ def test_hourly_profile_diurnal_flag(spark):
     chi = t3 + 23 * t0
     assert got[("burst", 3)] == (48, chi, True)
     assert got[("burst", 7)][0] == 0
+
+
+def test_deseasonalized_anomalies_loo_baseline(spark):
+    """Weekday-adjusted flags against a hand series: a spike on a
+    normally-quiet weekday flags high under the LEAVE-ONE-OUT baseline
+    (its own count never inflates its expectation), a steady weekday
+    stays quiet, and a weekday observed only once abstains."""
+    import datetime
+
+    from weblog_pipeline.aggregate import deseasonalized_anomalies
+
+    # 2024-01-01 is a Monday -> weekday index (day+3)%7 with epoch-day
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def day_events(day_off, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid,
+                            ts=base + datetime.timedelta(days=day_off),
+                            user_id=1, event_type="t", value=1.0,
+                            props=None))
+            eid += 1
+
+    # Mondays (offsets 0, 7, 14): 10, 10, 40 -> the 40 flags high
+    day_events(0, 10); day_events(7, 10); day_events(14, 40)
+    # Tuesday observed once (offset 1): abstains
+    day_events(1, 5)
+    got = {
+        r["day"] - int((base - datetime.datetime(1970, 1, 1)).days):
+            (r["n_events"], r["base_days"], r["base_sum"],
+             r["is_high"], r["is_low"])
+        for r in deseasonalized_anomalies(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got[14] == (40, 2, 20, 1, 0)   # 2*40*2 > 3*20
+    assert got[0] == (10, 2, 50, 0, 1)    # 2*10*2 < 50 -> low vs spike
+    assert got[7] == (10, 2, 50, 0, 1)
+    assert got[1] == (5, 0, 0, 0, 0)      # lone weekday abstains
