@@ -1295,7 +1295,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bm25_topk() -> str:
+def _sql_bm25_topk(k: int = BM25_K) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     k1, b = textstats.BM25_K1_X100, textstats.BM25_B_X100
     return f"""
@@ -1332,7 +1332,7 @@ FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM ds
 )
-WHERE rank <= {BM25_K}
+WHERE rank <= {k}
 """
 
 
@@ -1560,6 +1560,36 @@ SELECT lang,
   + pb * CAST(floor(ln(CAST(2 * pb AS DOUBLE) / CAST(pa + pb AS DOUBLE))
                     * 1000000) AS BIGINT)) AS BIGINT) AS js2_sum
 FROM p GROUP BY 1
+"""
+
+
+def q_serp_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source diversity of the BM25 top-20: distinct sources + the
+    modal source's share (the SERP anti-domination audit)."""
+    return textstats.serp_diversity(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, k=20
+    )
+
+
+def _sql_serp_diversity(k: int = 20) -> str:
+    return f"""
+WITH bm AS ({_sql_bm25_topk(k=k)}),
+j AS (
+  SELECT bm.doc_id, d.source FROM bm JOIN documents d USING (doc_id)
+),
+ps AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_results,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         max({{'n': n, 's': source}}) AS top
+  FROM ps
+)
+SELECT n_results, n_sources, (top).s AS top_source,
+       CAST((top).n AS BIGINT) AS top_n,
+       (top).n * 10000 // greatest(n_results, 1) AS top_share_bp
+FROM agg
 """
 
 
@@ -10154,6 +10184,7 @@ def queries() -> dict:
         "ngram_novelty": docs(textstats.ngram_novelty),
         "hourly_profile": q_hourly_profile,
         "deseasonalized_anomalies": q_deseasonalized_anomalies,
+        "serp_diversity": q_serp_diversity,
         "continuation_counts": docs(textstats.continuation_counts),
         "outlink_graph": q_outlink_graph,
         "domain_pagerank": q_domain_pagerank,
@@ -10392,6 +10423,7 @@ def oracle_sql() -> dict:
         "ngram_novelty": _sql_ngram_novelty(),
         "hourly_profile": SQL_HOURLY_PROFILE,
         "deseasonalized_anomalies": SQL_DESEASONALIZED_ANOMALIES,
+        "serp_diversity": _sql_serp_diversity(),
         "continuation_counts": _sql_continuation_counts(),
         "outlink_graph": _sql_outlink_graph(),
         "domain_pagerank": _sql_domain_pagerank(),

@@ -3301,3 +3301,38 @@ def ngram_novelty(documents: DataFrame, max_n: int = 3) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def serp_diversity(
+    documents: DataFrame, terms: tuple, k: int = 20
+) -> DataFrame:
+    """Result-page diversity audit — the anti-domination check a
+    search product runs on its own ranking: within the BM25 top-k,
+    how many distinct sources appear and how big a share the most
+    frequent one holds (one host owning the page is a relevance AND an
+    abuse smell). Composes the exact bm25_topk ranking with a doc_id
+    join back to the source column and one bounded rollup; the modal
+    source is the max(struct(n, source)) winner (ties to the larger
+    name, the engine-shared rule).
+
+    Output (1 row): n_results, n_sources, top_source, top_n,
+    top_share_bp.
+    """
+    top = bm25_topk(documents, terms, k=k).select("doc_id")
+    j = top.join(documents.select("doc_id", "source"), "doc_id")
+    per_src = j.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return per_src.agg(
+        F.sum("n").alias("n_results"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max(
+            F.struct(F.col("n"), F.col("source").alias("s"))
+        ).alias("_top"),
+    ).select(
+        "n_results",
+        "n_sources",
+        F.col("_top.s").alias("top_source"),
+        F.col("_top.n").cast("long").alias("top_n"),
+        F.expr(
+            "_top.n * 10000 DIV greatest(n_results, 1)"
+        ).alias("top_share_bp"),
+    )

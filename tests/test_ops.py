@@ -6551,3 +6551,25 @@ def test_deseasonalized_anomalies_loo_baseline(spark):
     assert got[0] == (10, 2, 50, 0, 1)    # 2*10*2 < 50 -> low vs spike
     assert got[7] == (10, 2, 50, 0, 1)
     assert got[1] == (5, 0, 0, 0, 0)      # lone weekday abstains
+
+
+def test_serp_diversity_counts_modal_source(spark):
+    """Diversity over a rigged corpus where one source owns most
+    matches: shares are exact and the modal source wins."""
+    from weblog_pipeline.ops.textstats import serp_diversity
+
+    rows = (
+        [Row(doc_id=i, source="big", lang="en", n_chars=1,
+             text="hash join spark " * 3) for i in range(6)]
+        + [Row(doc_id=100 + i, source=f"s{i}", lang="en", n_chars=1,
+               text="hash join spark") for i in range(4)]
+        + [Row(doc_id=900, source="none", lang="en", n_chars=1,
+               text="irrelevant words only")]
+    )
+    got = serp_diversity(
+        spark.createDataFrame(rows), ("hash", "join", "spark"), k=10
+    ).collect()[0]
+    assert got["n_results"] == 10
+    assert got["n_sources"] == 5
+    assert (got["top_source"], got["top_n"]) == ("big", 6)
+    assert got["top_share_bp"] == 6000
