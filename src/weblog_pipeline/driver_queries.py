@@ -9988,7 +9988,15 @@ def queries() -> dict:
         # heavy_orders, llr_collocations, zipf_fit, trending_items,
         # item_similarity, score_calibration, scd2_lookup,
         # disorder_audit, good_turing, benford_audit, kmv_audit,
-        # cheapest_paths, media_phash).
+        # cheapest_paths, media_phash, conversion_latency,
+        # lexical_richness, apdex_score, merge_upsert, landing_exit,
+        # source_skyline, data_quality_checks, table_profile,
+        # snapshot_diff, activity_histogram, schema_drift,
+        # token_burstiness, bigram_holdout, audio_loudness,
+        # markov_stationary, dedup_savings, burst_census,
+        # prefix_completions, stump_finder, nb_lang_holdout,
+        # ngram_novelty, hourly_profile, deseasonalized_anomalies,
+        # serp_diversity).
         # update test_canaries_lead_the_correctness_window when rotating:
         "freq_spectrum": docs(textstats.freq_spectrum),
         "sentence_stats": docs(textstats.sentence_stats),
