@@ -8376,6 +8376,37 @@ FROM scored ORDER BY llr_micro DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+def _sql_skipgram_counts(
+    window: int = 3, k: int = 50, min_count: int = 5
+) -> str:
+    streams = []
+    for o in range(1, window + 1):
+        streams.append(f"""
+  SELECT least(p.a, p.b) AS a, greatest(p.a, p.b) AS b FROM (
+    SELECT unnest(list_transform(range(1, len(words) + 1 - {o}),
+                  i -> {{'a': words[i], 'b': words[i+{o}]}})) AS p
+    FROM w WHERE len(words) >= {o + 1}
+  )""")
+    body = "\n  UNION ALL\n".join(streams)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+bg AS (
+{body}
+),
+cnt AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+  FROM bg WHERE a <> '' AND b <> ''
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+)
+SELECT CAST(row_number() OVER (ORDER BY n_cooc DESC, a ASC, b ASC)
+       AS INTEGER) AS rank,
+       a AS w_a, b AS w_b, n_cooc
+FROM cnt ORDER BY n_cooc DESC, a ASC, b ASC LIMIT {k}
+"""
+
+
 def _sql_ngram_novelty(max_n: int = 3) -> str:
     parts = []
     for n in range(1, max_n + 1):
@@ -10190,6 +10221,7 @@ def queries() -> dict:
         "stump_finder": q_stump_finder,
         "nb_lang_holdout": docs(textstats.nb_lang_holdout),
         "ngram_novelty": docs(textstats.ngram_novelty),
+        "skipgram_counts": docs(textstats.skipgram_counts),
         "hourly_profile": q_hourly_profile,
         "deseasonalized_anomalies": q_deseasonalized_anomalies,
         "serp_diversity": q_serp_diversity,
@@ -10429,6 +10461,7 @@ def oracle_sql() -> dict:
         "stump_finder": _sql_stump_finder(),
         "nb_lang_holdout": _sql_nb_lang_holdout(),
         "ngram_novelty": _sql_ngram_novelty(),
+        "skipgram_counts": _sql_skipgram_counts(),
         "hourly_profile": SQL_HOURLY_PROFILE,
         "deseasonalized_anomalies": SQL_DESEASONALIZED_ANOMALIES,
         "serp_diversity": _sql_serp_diversity(),

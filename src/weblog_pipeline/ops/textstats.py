@@ -3336,3 +3336,79 @@ def serp_diversity(
             "_top.n * 10000 DIV greatest(n_results, 1)"
         ).alias("top_share_bp"),
     )
+
+
+def skipgram_counts(
+    documents: DataFrame,
+    window: int = 3,
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts — the word2vec / GloVe corpus
+    statistic (tokens co-occurring within a `window`-token span), the
+    generalization of pmi_collocations' adjacent-only pairs. The
+    window is materialized WITHOUT a self-join: one shifted zip-stream
+    per offset 1..window (the bigram transform at i+o), unioned — each
+    co-occurrence appears exactly once, in position order, then pairs
+    canonicalize to (least, greatest) so left/right contexts merge.
+
+    Scale shape: zero joins before the count — the pair stream is
+    `window` projections of the same token arrays; one map-side-
+    combined (a, b) aggregate; TakeOrderedAndProject top-k.
+
+    Output: rank, w_a, w_b, n_cooc.
+    """
+    toks = F.col("_w")
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    def _pair_fn(o):
+        # single-arg closure: a 2-arg lambda would make PySpark pass
+        # the ARRAY INDEX as the second argument, clobbering `o`
+        def f(i):
+            return F.struct(
+                F.least(
+                    F.element_at(toks, i), F.element_at(toks, i + o)
+                ).alias("a"),
+                F.greatest(
+                    F.element_at(toks, i), F.element_at(toks, i + o)
+                ).alias("b"),
+            )
+
+        return f
+
+    streams = []
+    for o in range(1, window + 1):
+        pairs = F.when(
+            F.array_size(toks) >= o + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.array_size(toks) - o),
+                _pair_fn(o),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        streams.append(
+            arr.select(F.explode(pairs).alias("p")).select(
+                "p.a", "p.b"
+            )
+        )
+    bg = streams[0]
+    for s in streams[1:]:
+        bg = bg.unionByName(s)
+    counts = (
+        bg.where((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .where(F.col("n_cooc") >= min_count)
+    )
+    order = [F.col("n_cooc").desc(), F.col("a").asc(), F.col("b").asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select(
+            "rank",
+            F.col("a").alias("w_a"),
+            F.col("b").alias("w_b"),
+            "n_cooc",
+        )
+    )

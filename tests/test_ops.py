@@ -6573,3 +6573,32 @@ def test_serp_diversity_counts_modal_source(spark):
     assert got["n_sources"] == 5
     assert (got["top_source"], got["top_n"]) == ("big", 6)
     assert got["top_share_bp"] == 6000
+
+
+def test_skipgram_counts_window_twin(spark):
+    """Skip-gram pairs against an itertools twin: every unordered pair
+    within distance 3 counted once per co-occurrence, left/right
+    contexts merged, adjacent and distance-3 both present."""
+    import itertools
+
+    from weblog_pipeline.ops.textstats import skipgram_counts
+
+    docs = ["a b c d e", "b a"]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    got = {
+        (r["w_a"], r["w_b"]): r["n_cooc"]
+        for r in skipgram_counts(
+            spark.createDataFrame(rows), window=3, min_count=1
+        ).collect()
+    }
+    want = {}
+    for t in docs:
+        w = t.split()
+        for i, j in itertools.combinations(range(len(w)), 2):
+            if j - i <= 3:
+                key = tuple(sorted((w[i], w[j])))
+                want[key] = want.get(key, 0) + 1
+    assert got == want
+    assert got[("a", "b")] == 2       # both docs; directions merged
+    assert got[("a", "d")] == 1       # distance 3
+    assert ("a", "e") not in got      # distance 4 excluded
