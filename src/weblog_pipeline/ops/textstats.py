@@ -3159,7 +3159,8 @@ def nb_lang_holdout(documents: DataFrame) -> DataFrame:
     vocab = tr.select("token").distinct()
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
     grid = (
-        vocab.crossJoin(c_l)
+        vocab.crossJoin(F.broadcast(c_l))  # langs are tiny: broadcast
+        # nested-loop, never a cartesian of the vocabulary
         .join(c_lt, ["lang", "token"], "left")
         .crossJoin(F.broadcast(v_size))
         .select(

@@ -1094,3 +1094,44 @@ def test_scd2_lookup_point_in_time_and_broadcast(spark):
         ("BUILDING", 1): (2, 2),      # user 1 day0 + user 3 day2
         ("FURNITURE", 2): (2, 1),     # user 3 days 10, 20
     }
+
+
+def test_session6_ops_have_no_cartesian(spark):
+    """Plan guard for the session-6 additions that join: no
+    CartesianProduct anywhere; the KMV rank is salted; NB scoring
+    keeps the grid join an equi-join on token."""
+    import datetime
+    import json
+
+    from weblog_pipeline.aggregate import (
+        item_similarity,
+        kmv_audit,
+    )
+    from weblog_pipeline.ops.textstats import nb_lang_holdout
+
+    base = datetime.datetime(2024, 1, 1)
+    ev_rows = [
+        Row(event_id=i, ts=base + datetime.timedelta(hours=i % 48),
+            user_id=i % 7, event_type="view", value=1.0,
+            props=json.dumps({"k": i % 5}))
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    plan_sim = _physical(item_similarity(ev, min_support=1))
+    assert "CartesianProduct" not in plan_sim
+
+    plan_kmv = _physical(kmv_audit(ev))
+    assert "CartesianProduct" not in plan_kmv
+    assert "_salt" in plan_kmv  # the two-phase rank is salted
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "fr",
+             text="hello world " * 3, source="s", n_chars=1)
+         for i in range(12)]
+    )
+    plan_nb = _physical(nb_lang_holdout(docs))
+    assert "CartesianProduct" not in plan_nb
