@@ -140,6 +140,30 @@ CLAIMS = {
     "bot_gap_stats": "lag window partitioned by the bounded (user, day) "
     "stratum — never a user's full history — then one map-side-combined "
     "moments aggregate; zero joins",
+    "regional_revenue": "Q5-shape star: region->nation->customer fold "
+    "into ONE broadcast lookup before any fact is touched; the only "
+    "real exchange is orders ⋈ lineitem on orderkey",
+    "heavy_orders": "Q18 shape: the per-order rollup is the only real "
+    "shuffle; the data-derived threshold is a broadcast one-row "
+    "scalar; the tiny qualifying set and the customer dim both ride "
+    "broadcast joins",
+    "scd2_lookup": "point-in-time dimension join: the <= 2-row-per-key "
+    "version history BROADCASTS; the validity-interval predicate runs "
+    "in the scan stage right after the hash probe — the fact never "
+    "shuffles",
+    "kmv_audit": "distinct (type, user) dedups map-side; the k-smallest "
+    "selection is the two-phase SALTED rank (Zipf-hot types spread "
+    "over salt buckets); everything after runs on <= k rows per key",
+    "markov_stationary": "fixed-round integer power iteration over the "
+    "STATE-DOMAIN matrix relation, localCheckpoint'd each round — the "
+    "final plan holds one round's join regardless of iteration count",
+    "burst_census": "RANGE frame over LTZ microseconds partitioned by "
+    "bounded (user, day) strata; per-user max and the histogram are "
+    "map-side-combined rollups of ever-smaller relations",
+    "skipgram_counts": "window pairs WITHOUT a self-join: one shifted "
+    "zip-stream per offset unioned in the scan stage; the only "
+    "exchange is the map-side-combined pair count (plus the bounded "
+    "top-k)",
 }
 
 
