@@ -2743,3 +2743,61 @@ def deseasonalized_anomalies(
         .cast("long")
         .alias("is_low"),
     )
+
+
+STREAK_WINDOW = 62  # trailing days kept in the activity bitmap
+
+
+def streak_census(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled into a
+    census — the habit metric (Duolingo-style) growth teams track
+    beside the L28 histogram: how many users sustained runs of exactly
+    s days? The user's trailing STREAK_WINDOW days pack into ONE
+    BIGINT bitmap (bit i = active on dmax - i, a bit_or aggregate —
+    exact, fixed width, mergeable), and the longest run of 1s falls
+    out of the classic bit trick: iterating y <- y & (y << 1) kills
+    one run-length per step, so the streak is the number of non-zero
+    iterates. The iteration unrolls to STREAK_WINDOW codegen'd integer
+    ops — no loop, no UDF, bit-identical in both engines (bit ops are
+    a proven parity fact).
+
+    Days older than the window are dropped in the scan (stated: the
+    metric is "streak within the trailing 62 days").
+
+    Shape: one (user) bit_or aggregate, then the bit chain as a pure
+    projection, then the bounded census rollup.
+
+    Output: streak, n_users.
+    """
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    d = events.select("user_id", day.alias("_day"))
+    dmax = d.agg(F.max("_day").alias("_dmax"))
+    masks = (
+        d.crossJoin(F.broadcast(dmax))
+        .where(F.col("_dmax") - F.col("_day") < STREAK_WINDOW)
+        .select(
+            "user_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(_dmax - _day AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("_bit").alias("_mask"))
+    )
+    fold = F.expr(
+        f"""aggregate(
+             sequence(1, {STREAK_WINDOW}),
+             struct(_mask AS y, CAST(0 AS BIGINT) AS s),
+             (acc, i) -> struct(
+               acc.y & shiftleft(acc.y, 1) AS y,
+               acc.s + IF(acc.y <> 0, CAST(1 AS BIGINT),
+                          CAST(0 AS BIGINT)) AS s),
+             acc -> acc.s)"""
+    )
+    per_user = masks.select("user_id", fold.alias("streak"))
+    return per_user.groupBy("streak").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -2229,6 +2229,47 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 7
 """
 
 
+def q_streak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users by longest consecutive-day streak (trailing 62-day BIGINT
+    bitmap + the y & (y<<1) run-killing chain, fully unrolled)."""
+    from weblog_pipeline.aggregate import streak_census
+
+    return streak_census(_read(spark, sf_dir, "events"))
+
+
+def _sql_streak_census(window: int = 62) -> str:
+    # gaps-and-islands twin of the Spark bitmap fold: a lateral-alias
+    # bit chain would blow up DuckDB's binder (aliases substitute by
+    # COPY — the same 2^n expression trap as chaining Columns in
+    # PySpark), so the oracle derives the longest run from consecutive
+    # distinct days directly (day - row_number() island keys)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+mx AS (SELECT MAX(day) AS dmax FROM d),
+f AS (
+  SELECT user_id, day FROM d CROSS JOIN mx
+  WHERE dmax - day < {window}
+),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS g
+  FROM f
+),
+runs AS (
+  SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+),
+pu AS (SELECT user_id, MAX(len) AS streak FROM runs GROUP BY 1)
+SELECT streak, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pu GROUP BY 1
+"""
+
+
 def q_burst_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users by their peak 60-second event burst: exact RANGE-frame
     count over (user, day) strata, LTZ microsecond ordering."""
@@ -10094,6 +10135,7 @@ def queries() -> dict:
         "markov_stationary": q_markov_stationary,
         "dedup_savings": q_dedup_savings,
         "burst_census": q_burst_census,
+        "streak_census": q_streak_census,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10374,6 +10416,7 @@ def oracle_sql() -> dict:
         "markov_stationary": _sql_markov_stationary(),
         "dedup_savings": _sql_dedup_savings(),
         "burst_census": SQL_BURST_CENSUS,
+        "streak_census": _sql_streak_census(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6602,3 +6602,42 @@ def test_skipgram_counts_window_twin(spark):
     assert got[("a", "b")] == 2       # both docs; directions merged
     assert got[("a", "d")] == 1       # distance 3
     assert ("a", "e") not in got      # distance 4 excluded
+
+
+def test_streak_census_bitmap_fold(spark):
+    """Streaks against hand bitmaps: an unbroken 5-day run, a broken
+    3+2 pattern scoring 3, repeat events on one day not inflating, and
+    days beyond the 62-day window aging out."""
+    import datetime
+
+    from weblog_pipeline.aggregate import streak_census
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def hit(user, day, n=1):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid,
+                            ts=base + datetime.timedelta(days=day),
+                            user_id=user, event_type="t", value=1.0,
+                            props=None))
+            eid += 1
+
+    for d in range(5):
+        hit(1, 60 + d)            # 5-day run ending at dmax
+    for d in (60, 61, 62, 64, 65):
+        hit(2, d, 2)              # 3-run then 2-run -> streak 3
+    hit(3, 0)                     # 65 days before dmax -> aged out
+    hit(3, 64)                    # a lone in-window day -> streak 1
+    got = {
+        r["streak"]: r["n_users"]
+        for r in streak_census(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got == {5: 1, 3: 1, 1: 1}
