@@ -2801,3 +2801,85 @@ def streak_census(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     return per_user.groupBy("streak").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = ATTRIBUTION_WINDOW_US,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Linear multi-touch attribution — last-touch's fairer sibling
+    (the marketing-analytics standard pair): every qualifying touch in
+    the lookback window splits the conversion's credit equally,
+    credit = 1e6 ppm DIV n_touches per touch (floor; the remainder
+    ppm stays unassigned — stated, exact, and order-free). Rolled up
+    per touch type: how much credit does each channel actually earn
+    when it doesn't have to be LAST?
+
+    Shape: the same bounded RANGE-BUCKET join as
+    attribution_last_touch (conversion explodes into exactly 2 probe
+    buckets — never a per-user history window); the per-conversion
+    touch count comes from one aggregate joined back BROADCAST onto
+    the candidate relation (bounded by conversions x in-window
+    touches).
+
+    Output per touch_type: n_touches, n_conversions (distinct convs
+    this type touched), credit_ppm_sum.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col(user_col),
+        ts_us.alias("conv_us"),
+    )
+    touch = events.where(
+        F.col(type_col).isin(list(touch_types))
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        F.col(user_col),
+        ts_us.alias("touch_us"),
+        F.col(type_col).alias("touch_type"),
+    )
+    probes = conv.select(
+        "conv_id",
+        user_col,
+        "conv_us",
+        F.explode(
+            F.array(
+                F.expr(f"conv_us DIV {window_us}"),
+                F.expr(f"conv_us DIV {window_us} - 1"),
+            )
+        ).alias("_bucket"),
+    )
+    cand = probes.join(
+        touch.withColumn(
+            "_bucket", F.expr(f"touch_us DIV {window_us}")
+        ),
+        [user_col, "_bucket"],
+    ).where(
+        (
+            (F.col("touch_us") < F.col("conv_us"))
+            | (
+                (F.col("touch_us") == F.col("conv_us"))
+                & (F.col("touch_id") < F.col("conv_id"))
+            )
+        )
+        & (F.col("conv_us") - F.col("touch_us") <= F.lit(window_us))
+    )
+    per_conv = cand.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    credited = cand.join(F.broadcast(per_conv), "conv_id").select(
+        "touch_type",
+        "conv_id",
+        F.expr("1000000 DIV _n").alias("credit_ppm"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.sum("credit_ppm").alias("credit_ppm_sum"),
+    )

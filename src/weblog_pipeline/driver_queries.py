@@ -1108,6 +1108,47 @@ FROM m WHERE rn = 1
 """
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every in-window touch splits the
+    conversion's credit (1e6 ppm DIV n, floor), same bounded
+    RANGE-BUCKET join as last-touch."""
+    from weblog_pipeline.aggregate import attribution_linear
+
+    return attribution_linear(_read(spark, sf_dir, "events"))
+
+
+SQL_ATTRIBUTION_LINEAR = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, epoch_us(ts) AS touch_us,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+cand AS (
+  SELECT p.conv_id, t.touch_id, t.touch_type
+  FROM conv p JOIN touch t ON t.user_id = p.user_id
+    AND (t.touch_us < p.conv_us
+         OR (t.touch_us = p.conv_us AND t.touch_id < p.conv_id))
+    AND p.conv_us - t.touch_us <= 604800000000
+),
+pc AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1
+),
+cr AS (
+  SELECT c.touch_type, c.conv_id, 1000000 // pc.n AS credit_ppm
+  FROM cand c JOIN pc USING (conv_id)
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_sum
+FROM cr GROUP BY 1
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-scoped user-journey Markov matrix: consecutive event-type
     pairs per (user, day) with integer basis-point row normalization.
@@ -10136,6 +10177,7 @@ def queries() -> dict:
         "dedup_savings": q_dedup_savings,
         "burst_census": q_burst_census,
         "streak_census": q_streak_census,
+        "attribution_linear": q_attribution_linear,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10417,6 +10459,7 @@ def oracle_sql() -> dict:
         "dedup_savings": _sql_dedup_savings(),
         "burst_census": SQL_BURST_CENSUS,
         "streak_census": _sql_streak_census(),
+        "attribution_linear": SQL_ATTRIBUTION_LINEAR,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6641,3 +6641,43 @@ def test_streak_census_bitmap_fold(spark):
         ).collect()
     }
     assert got == {5: 1, 3: 1, 1: 1}
+
+
+def test_attribution_linear_splits_credit(spark):
+    """Linear credit against a hand funnel: three in-window touches
+    split 1e6 ppm by floor division, an out-of-window touch earns
+    nothing, and per-type rollups count distinct conversions."""
+    import datetime
+
+    from weblog_pipeline.aggregate import attribution_linear
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def ev(i, sec, typ, user=1):
+        return Row(event_id=i, ts=base + datetime.timedelta(seconds=sec),
+                   user_id=user, event_type=typ, value=1.0, props=None)
+
+    week = 7 * 86_400
+    rows = [
+        ev(0, -week - 10, "view"),     # outside the 7-day window
+        ev(1, 0, "view"),
+        ev(2, 100, "click"),
+        ev(3, 200, "view"),
+        ev(4, 300, "purchase"),        # 3 touches -> 333333 ppm each
+        ev(5, 400, "click", user=2),
+        ev(6, 500, "purchase", user=2),  # 1 touch -> 1e6 ppm
+    ]
+    got = {
+        r["touch_type"]: (r["n_touches"], r["n_conversions"],
+                          r["credit_ppm_sum"])
+        for r in attribution_linear(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    third = 1_000_000 // 3
+    assert got["view"] == (2, 1, 2 * third)
+    assert got["click"] == (2, 2, third + 1_000_000)
