@@ -2883,3 +2883,71 @@ def attribution_linear(
         F.countDistinct("conv_id").alias("n_conversions"),
         F.sum("credit_ppm").alias("credit_ppm_sum"),
     )
+
+
+def error_budget_burn(
+    events: DataFrame,
+    budget_bp: int = 100,
+    error_type: str = "error",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SLO error-budget burn-down — the SRE view of the event stream:
+    daily error rate against a `budget_bp` (default 1%) error budget,
+    plus the CUMULATIVE share of the period's budget already burned
+    (in bp of budget, can exceed 10000 = blown) and a fast-burn flag
+    for days spending more than 3x their pro-rata budget. All integer
+    cross-multiplies:
+
+      burned_bp      = cum_err * 10000 * 10000 DIV (budget_bp * cum_n)
+      fast_burn      = n_err * 10000 * 10000 > 3 * budget_bp * n_total
+
+    Shape: one (day) map-side-combined aggregate with a conditional
+    error count; the cumulative window runs over the BOUNDED day
+    domain. Headroom: cum_err * 1e8 overflows past ~9e10 errors —
+    per-period sharding note applies.
+
+    Output: day, n_total, n_errors, rate_bp, cum_burned_bp,
+    fast_burn (0/1).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    daily = (
+        events.select(
+            day.alias("day"),
+            (F.col("event_type") == error_type).cast("long").alias(
+                "_e"
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_e").alias("n_errors"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "day",
+        "n_total",
+        "n_errors",
+        F.expr("n_errors * 10000 DIV n_total").alias("rate_bp"),
+        F.sum("n_errors").over(w).alias("_ce"),
+        F.sum("n_total").over(w).alias("_cn"),
+    )
+    return cum.select(
+        "day",
+        "n_total",
+        "n_errors",
+        "rate_bp",
+        F.expr(
+            f"_ce * 10000 * 10000 DIV ({budget_bp} * _cn)"
+        ).alias("cum_burned_bp"),
+        F.expr(
+            f"CAST(n_errors * 10000 * 10000 >"
+            f" 3 * {budget_bp} * n_total AS LONG)"
+        ).alias("fast_burn"),
+    )

@@ -1108,6 +1108,41 @@ FROM m WHERE rn = 1
 """
 
 
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error rate vs a 1% SLO budget: integer burn-down bp and
+    fast-burn flags, cumulative window over the day domain."""
+    from weblog_pipeline.aggregate import error_budget_burn
+
+    return error_budget_burn(_read(spark, sf_dir, "events"))
+
+
+SQL_ERROR_BUDGET_BURN = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, n_total, n_errors,
+         n_errors * 10000 // n_total AS rate_bp,
+         CAST(SUM(n_errors) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ce,
+         CAST(SUM(n_total) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cn
+  FROM daily
+)
+SELECT day, n_total, n_errors, rate_bp,
+       ce * 10000 * 10000 // (100 * cn) AS cum_burned_bp,
+       CAST(n_errors * 10000 * 10000 > 3 * 100 * n_total AS BIGINT)
+         AS fast_burn
+FROM cum
+"""
+
+
 def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: every in-window touch splits the
     conversion's credit (1e6 ppm DIV n, floor), same bounded
@@ -10178,6 +10213,7 @@ def queries() -> dict:
         "burst_census": q_burst_census,
         "streak_census": q_streak_census,
         "attribution_linear": q_attribution_linear,
+        "error_budget_burn": q_error_budget_burn,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10460,6 +10496,7 @@ def oracle_sql() -> dict:
         "burst_census": SQL_BURST_CENSUS,
         "streak_census": _sql_streak_census(),
         "attribution_linear": SQL_ATTRIBUTION_LINEAR,
+        "error_budget_burn": SQL_ERROR_BUDGET_BURN,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

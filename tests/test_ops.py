@@ -6681,3 +6681,50 @@ def test_attribution_linear_splits_credit(spark):
     third = 1_000_000 // 3
     assert got["view"] == (2, 1, 2 * third)
     assert got["click"] == (2, 2, third + 1_000_000)
+
+
+def test_error_budget_burn_cumulative(spark):
+    """Burn-down against a hand series: day 1 under budget, day 2 a
+    fast-burn spike that blows the cumulative budget past 10000 bp,
+    day 3 recovery dilutes the cumulative burn."""
+    import datetime
+
+    from weblog_pipeline.aggregate import error_budget_burn
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def day(off, n_ok, n_err):
+        nonlocal eid
+        for k in range(n_ok + n_err):
+            rows.append(Row(
+                event_id=eid, ts=base + datetime.timedelta(days=off),
+                user_id=1,
+                event_type="error" if k < n_err else "view",
+                value=1.0, props=None))
+            eid += 1
+
+    day(0, 1000, 5)    # 0.5% of 1% budget/day... rate 49bp
+    day(1, 80, 20)     # 20% error rate -> fast burn
+    day(2, 1000, 0)
+    d0 = int((base - datetime.datetime(1970, 1, 1)).days)
+    got = {
+        r["day"] - d0: (r["n_total"], r["n_errors"], r["rate_bp"],
+                        r["cum_burned_bp"], r["fast_burn"])
+        for r in error_budget_burn(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+
+    def burned(ce, cn):
+        return ce * 10000 * 10000 // (100 * cn)
+
+    assert got[0] == (1005, 5, 5 * 10000 // 1005, burned(5, 1005), 0)
+    assert got[1][4] == 1                      # 2000bp > 300bp
+    assert got[1][3] == burned(25, 1105)
+    assert got[1][3] > 10000                   # budget blown
+    assert got[2] == (1000, 0, 0, burned(25, 2105), 0)
