@@ -2899,7 +2899,8 @@ def error_budget_burn(
     cross-multiplies:
 
       burned_bp      = cum_err * 10000 * 10000 DIV (budget_bp * cum_n)
-      fast_burn      = n_err * 10000 * 10000 > 3 * budget_bp * n_total
+      fast_burn      = n_err * 10000 > 3 * budget_bp * n_total
+                       (i.e. the day's rate_bp exceeds 3x budget_bp)
 
     Shape: one (day) map-side-combined aggregate with a conditional
     error count; the cumulative window runs over the BOUNDED day
@@ -2947,7 +2948,7 @@ def error_budget_burn(
             f"_ce * 10000 * 10000 DIV ({budget_bp} * _cn)"
         ).alias("cum_burned_bp"),
         F.expr(
-            f"CAST(n_errors * 10000 * 10000 >"
+            f"CAST(n_errors * 10000 >"
             f" 3 * {budget_bp} * n_total AS LONG)"
         ).alias("fast_burn"),
     )

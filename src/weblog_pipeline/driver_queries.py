@@ -1137,7 +1137,7 @@ cum AS (
 )
 SELECT day, n_total, n_errors, rate_bp,
        ce * 10000 * 10000 // (100 * cn) AS cum_burned_bp,
-       CAST(n_errors * 10000 * 10000 > 3 * 100 * n_total AS BIGINT)
+       CAST(n_errors * 10000 > 3 * 100 * n_total AS BIGINT)
          AS fast_burn
 FROM cum
 """
