@@ -2952,3 +2952,44 @@ def error_budget_burn(
             f" 3 * {budget_bp} * n_total AS LONG)"
         ).alias("fast_burn"),
     )
+
+
+def srm_check(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Sample-ratio-mismatch check — the A/B hygiene gate that must
+    pass BEFORE anyone reads ab_metrics: with the same sticky md5-hex
+    arm rule, distinct USERS (assignment grain, never events) should
+    split ~50/50; a skewed split means broken assignment or
+    differential logging loss, and every downstream lift is garbage.
+    The statistic is the 2-cell chi-square against the even split,
+    exactly (n_a - n_b)^2 DIV n in integers; flag at >= 4
+    (p ~ 0.046) and a louder one at >= 11 (p ~ 0.001).
+
+    Shape: distinct users (one map-side dedup), one aggregate. One
+    row out.
+
+    Output: n_users, n_a, n_b, srm_chi2, is_srm, is_srm_strong.
+    """
+    users = events.select(F.col(user_col).alias("_u")).distinct()
+    is_a = F.substring(
+        F.md5(F.col("_u").cast("string")), 1, 1
+    ).isin(*AB_EVEN_HEX)
+    agg = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(is_a.cast("long")).alias("n_a"),
+    )
+    return agg.select(
+        "n_users",
+        "n_a",
+        (F.col("n_users") - F.col("n_a")).alias("n_b"),
+        F.expr(
+            "(n_a - (n_users - n_a)) * (n_a - (n_users - n_a))"
+            " DIV n_users"
+        ).alias("srm_chi2"),
+    ).select(
+        "n_users",
+        "n_a",
+        "n_b",
+        "srm_chi2",
+        (F.col("srm_chi2") >= 4).cast("long").alias("is_srm"),
+        (F.col("srm_chi2") >= 11).cast("long").alias("is_srm_strong"),
+    )

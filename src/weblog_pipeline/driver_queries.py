@@ -1108,6 +1108,36 @@ FROM m WHERE rn = 1
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate on the A/B hash split: distinct-user
+    2-cell chi-square vs 50/50, integer (n_a-n_b)^2 DIV n."""
+    from weblog_pipeline.aggregate import srm_check
+
+    return srm_check(_read(spark, sf_dir, "events"))
+
+
+SQL_SRM_CHECK = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+  FROM u
+),
+s AS (
+  SELECT n_users, n_a, n_users - n_a AS n_b,
+         (n_a - (n_users - n_a)) * (n_a - (n_users - n_a)) // n_users
+           AS srm_chi2
+  FROM agg
+)
+SELECT n_users, n_a, n_b, srm_chi2,
+       CAST(srm_chi2 >= 4 AS BIGINT) AS is_srm,
+       CAST(srm_chi2 >= 11 AS BIGINT) AS is_srm_strong
+FROM s
+"""
+
+
 def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily error rate vs a 1% SLO budget: integer burn-down bp and
     fast-burn flags, cumulative window over the day domain."""
@@ -10214,6 +10244,7 @@ def queries() -> dict:
         "streak_census": q_streak_census,
         "attribution_linear": q_attribution_linear,
         "error_budget_burn": q_error_budget_burn,
+        "srm_check": q_srm_check,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10497,6 +10528,7 @@ def oracle_sql() -> dict:
         "streak_census": _sql_streak_census(),
         "attribution_linear": SQL_ATTRIBUTION_LINEAR,
         "error_budget_burn": SQL_ERROR_BUDGET_BURN,
+        "srm_check": SQL_SRM_CHECK,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6728,3 +6728,40 @@ def test_error_budget_burn_cumulative(spark):
     assert got[1][3] == burned(25, 1105)
     assert got[1][3] > 10000                   # budget blown
     assert got[2] == (1000, 0, 0, burned(25, 2105), 0)
+
+
+def test_srm_check_flags_skew(spark):
+    """SRM against hand cohorts: a user set hand-picked to split into
+    known arms produces the exact chi-square; duplicate events never
+    double-count a user."""
+    import datetime
+    import hashlib
+
+    from weblog_pipeline.aggregate import srm_check
+
+    base = datetime.datetime(2024, 1, 1)
+    even = set("02468ace")
+    # pick 60 a-arm users and 20 b-arm users deterministically
+    a_users, b_users, u = [], [], 0
+    while len(a_users) < 60 or len(b_users) < 20:
+        h = hashlib.md5(str(u).encode()).hexdigest()[0]
+        if h in even and len(a_users) < 60:
+            a_users.append(u)
+        elif h not in even and len(b_users) < 20:
+            b_users.append(u)
+        u += 1
+    rows = []
+    for i, usr in enumerate(a_users + b_users + a_users[:5]):  # dups
+        rows.append(Row(event_id=i, ts=base, user_id=usr,
+                        event_type="t", value=1.0, props=None))
+    got = srm_check(
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+    ).collect()[0]
+    chi = (60 - 20) ** 2 // 80
+    assert (got["n_users"], got["n_a"], got["n_b"]) == (80, 60, 20)
+    assert got["srm_chi2"] == chi == 20
+    assert (got["is_srm"], got["is_srm_strong"]) == (1, 1)
