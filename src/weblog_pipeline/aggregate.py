@@ -2993,3 +2993,60 @@ def srm_check(events: DataFrame, user_col: str = "user_id") -> DataFrame:
         (F.col("srm_chi2") >= 4).cast("long").alias("is_srm"),
         (F.col("srm_chi2") >= 11).cast("long").alias("is_srm_strong"),
     )
+
+
+def hill_tail(events: DataFrame, k: int = 64) -> DataFrame:
+    """Hill estimator of the activity tail index — the canonical
+    heavy-tail measurement (Hill 1975) over per-user event counts:
+    how Pareto is the whale tail? alpha ~ 1 means a few users ARE the
+    traffic (plan capacity for them); alpha >> 2 means the tail is
+    tame. Over the k most active users:
+
+        alpha_milli = (k-1) * 1000 * 1000
+                        DIV sum_{i<k} (flog3(x_i) - flog3(x_k))
+
+    with flog3(x) = floor(ln(x) * 1e3) — each log floored ONCE on an
+    integer count (the zipf_fit milli quantization), the differences
+    and the sum exact integers, one final DIV. An all-equal head
+    (denominator 0) reports the -1 sentinel (never NULL — the gate
+    rule).
+
+    Shape: per-user counts map-side combine; the head is
+    TakeOrderedAndProject; everything after runs on k rows.
+
+    Output (1 row): k_used, x_k, denom_milli, alpha_milli.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    order = [F.col("n").desc(), F.col("user_id").asc()]
+    head = per_user.orderBy(*order).limit(k)
+
+    def flog3(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000.0)).cast(
+            "long"
+        )
+
+    agg = head.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.min("n").alias("x_k"),
+        F.sum(flog3(F.col("n"))).alias("_slog"),
+    )
+    return agg.select(
+        "k_used",
+        "x_k",
+        (
+            F.col("_slog") - F.col("k_used") * flog3(F.col("x_k"))
+        ).alias("denom_milli"),
+    ).select(
+        "k_used",
+        "x_k",
+        "denom_milli",
+        F.when(
+            F.col("denom_milli") > 0,
+            F.expr("(k_used - 1) * 1000 * 1000 DIV denom_milli"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("alpha_milli"),
+    )

@@ -1108,6 +1108,44 @@ FROM m WHERE rn = 1
 """
 
 
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index over the 64 most active users (milli-log
+    quantization, -1 sentinel on an all-equal head)."""
+    from weblog_pipeline.aggregate import hill_tail
+
+    return hill_tail(_read(spark, sf_dir, "events"))
+
+
+def _sql_hill_tail(k: int = 64) -> str:
+    return f"""
+WITH pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+head AS (
+  SELECT n FROM pu ORDER BY n DESC, user_id ASC LIMIT {k}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MIN(n) AS BIGINT) AS x_k,
+         CAST(SUM(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000.0)
+                       AS BIGINT)) AS BIGINT) AS slog
+  FROM head
+),
+d AS (
+  SELECT k_used, x_k,
+         slog - k_used * CAST(floor(ln(CAST(x_k AS DOUBLE)) * 1000.0)
+                              AS BIGINT) AS denom_milli
+  FROM agg
+)
+SELECT k_used, x_k, denom_milli,
+       CAST(CASE WHEN denom_milli > 0
+                 THEN (k_used - 1) * 1000 * 1000 // denom_milli
+                 ELSE -1 END AS BIGINT) AS alpha_milli
+FROM d
+"""
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch gate on the A/B hash split: distinct-user
     2-cell chi-square vs 50/50, integer (n_a-n_b)^2 DIV n."""
@@ -10245,6 +10283,7 @@ def queries() -> dict:
         "attribution_linear": q_attribution_linear,
         "error_budget_burn": q_error_budget_burn,
         "srm_check": q_srm_check,
+        "hill_tail": q_hill_tail,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10529,6 +10568,7 @@ def oracle_sql() -> dict:
         "attribution_linear": SQL_ATTRIBUTION_LINEAR,
         "error_budget_burn": SQL_ERROR_BUDGET_BURN,
         "srm_check": SQL_SRM_CHECK,
+        "hill_tail": _sql_hill_tail(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6765,3 +6765,48 @@ def test_srm_check_flags_skew(spark):
     assert (got["n_users"], got["n_a"], got["n_b"]) == (80, 60, 20)
     assert got["srm_chi2"] == chi == 20
     assert (got["is_srm"], got["is_srm_strong"]) == (1, 1)
+
+
+def test_hill_tail_estimator_twin(spark):
+    """Hill alpha against a Python twin on a planted Pareto-ish head,
+    and the -1 sentinel when the head is flat."""
+    import datetime
+    import math
+
+    from weblog_pipeline.aggregate import hill_tail
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def user(uid, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid, ts=base, user_id=uid,
+                            event_type="t", value=1.0, props=None))
+            eid += 1
+
+    counts = [100, 50, 30, 20, 15, 12, 10, 9]
+    for u, n in enumerate(counts):
+        user(u, n)
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    got = hill_tail(spark.createDataFrame(rows, schema), k=8).collect()[0]
+
+    def flog3(x):
+        return math.floor(math.log(x) * 1000)
+
+    denom = sum(flog3(x) for x in counts) - 8 * flog3(9)
+    assert (got["k_used"], got["x_k"], got["denom_milli"]) == (
+        8, 9, denom,
+    )
+    assert got["alpha_milli"] == 7 * 1000 * 1000 // denom
+
+    flat = []
+    eid = 0
+    rows = []
+    for u in range(8):
+        user(100 + u, 5)
+    got2 = hill_tail(
+        spark.createDataFrame(rows, schema), k=8
+    ).collect()[0]
+    assert got2["alpha_milli"] == -1
