@@ -3050,3 +3050,47 @@ def hill_tail(events: DataFrame, k: int = 64) -> DataFrame:
         .cast("long")
         .alias("alpha_milli"),
     )
+
+
+def heaping_audit(events: DataFrame) -> DataFrame:
+    """Round-number heaping audit — Benford's forensic sibling:
+    organically-measured amounts end in .00 about 1% of the time;
+    hand-entered or fabricated ones heap on round numbers. Per event
+    type: the share of floored-cents amounts ending in 00 (and in 0)
+    against the uniform expectations (100 bp / 1000 bp), with integer
+    excess columns. The last-two-digits extraction is pure modulo on
+    the BIGINT — no string round-trip.
+
+    Shape: one scan, one map-side-combined aggregate per type.
+
+    Output: event_type, n_amounts, n_end00, n_end0, end00_bp,
+    end0_bp, excess00_bp, excess0_bp.
+    """
+    cents = F.floor(F.col("value") * 100).cast("long")
+    rows = events.where(cents > 0).select(
+        "event_type",
+        (cents % 100 == 0).cast("long").alias("_e00"),
+        (cents % 10 == 0).cast("long").alias("_e0"),
+    )
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_amounts"),
+            F.sum("_e00").alias("n_end00"),
+            F.sum("_e0").alias("n_end0"),
+        )
+        .select(
+            "event_type",
+            "n_amounts",
+            "n_end00",
+            "n_end0",
+            F.expr("n_end00 * 10000 DIV n_amounts").alias("end00_bp"),
+            F.expr("n_end0 * 10000 DIV n_amounts").alias("end0_bp"),
+            F.expr("n_end00 * 10000 DIV n_amounts - 100").alias(
+                "excess00_bp"
+            ),
+            F.expr("n_end0 * 10000 DIV n_amounts - 1000").alias(
+                "excess0_bp"
+            ),
+        )
+    )

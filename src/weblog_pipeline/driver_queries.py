@@ -1108,6 +1108,37 @@ FROM m WHERE rn = 1
 """
 
 
+def q_heaping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number heaping per event type: .00/.x0 cents-ending
+    shares vs uniform expectations, pure modulo on the BIGINT."""
+    from weblog_pipeline.aggregate import heaping_audit
+
+    return heaping_audit(_read(spark, sf_dir, "events"))
+
+
+SQL_HEAPING_AUDIT = """
+WITH r AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_amounts,
+         CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_end00,
+         CAST(SUM(CASE WHEN c % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_end0
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_amounts, n_end00, n_end0,
+       n_end00 * 10000 // n_amounts AS end00_bp,
+       n_end0 * 10000 // n_amounts AS end0_bp,
+       n_end00 * 10000 // n_amounts - 100 AS excess00_bp,
+       n_end0 * 10000 // n_amounts - 1000 AS excess0_bp
+FROM agg
+"""
+
+
 def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index over the 64 most active users (milli-log
     quantization, -1 sentinel on an all-equal head)."""
@@ -10284,6 +10315,7 @@ def queries() -> dict:
         "error_budget_burn": q_error_budget_burn,
         "srm_check": q_srm_check,
         "hill_tail": q_hill_tail,
+        "heaping_audit": q_heaping_audit,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10569,6 +10601,7 @@ def oracle_sql() -> dict:
         "error_budget_burn": SQL_ERROR_BUDGET_BURN,
         "srm_check": SQL_SRM_CHECK,
         "hill_tail": _sql_hill_tail(),
+        "heaping_audit": SQL_HEAPING_AUDIT,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

@@ -6810,3 +6810,28 @@ def test_hill_tail_estimator_twin(spark):
         spark.createDataFrame(rows, schema), k=8
     ).collect()[0]
     assert got2["alpha_milli"] == -1
+
+
+def test_heaping_audit_round_endings(spark):
+    """Heaping against hand amounts: .00 endings counted via integer
+    modulo (12.00 -> 1200c yes; 12.10 -> 1210c only the 0-ending;
+    0.07 -> neither), zero amounts excluded, excess is signed."""
+    import datetime
+
+    from weblog_pipeline.aggregate import heaping_audit
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [12.00, 5.00, 12.10, 0.07, 3.33, 0.0]
+    rows = [Row(event_id=i, ts=base, user_id=1, event_type="buy",
+                value=v, props=None) for i, v in enumerate(vals)]
+    got = heaping_audit(
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+    ).collect()[0]
+    # 5 positive amounts; end00: 1200, 500; end0: those + 1210
+    assert (got["n_amounts"], got["n_end00"], got["n_end0"]) == (5, 2, 3)
+    assert got["end00_bp"] == 4000 and got["excess00_bp"] == 3900
+    assert got["end0_bp"] == 6000 and got["excess0_bp"] == 5000
