@@ -3094,3 +3094,48 @@ def heaping_audit(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def user_p95_distribution(
+    events: DataFrame, bucket_c: int = 1000
+) -> DataFrame:
+    """Per-USER p95 then the distribution of those p95s — the
+    SRE/product-experience truth that a global p95 hides: a fine
+    global tail can coexist with 5% of users living entirely in it.
+    Level 1: each user's exact p95 of floored-cents values (rank
+    ceil(0.95 n) under (cents, event_id) ordering — deterministic
+    under value ties). Level 2: a histogram of user-p95s in
+    `bucket_c`-cent buckets.
+
+    Shape: the rank window partitions by USER — the metric's own
+    grain; per-user volumes are retention-bounded in practice and the
+    stratum note is stated (a pathological single-user flood funnels
+    one task; cap upstream with keyed_quota if that is a live risk).
+    Both rollups after the window are map-side-combined.
+
+    Output: bucket, n_users (bucket * bucket_c = lower bound of the
+    users' p95 in cents).
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("_c", "event_id")
+    ranked = (
+        events.select(
+            "user_id", "event_id", cents.alias("_c")
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+    )
+    p95 = ranked.where(
+        F.col("_r") == F.expr("CAST((95 * _n + 99) DIV 100 AS INT)")
+    ).select("user_id", F.col("_c").alias("p95_c"))
+    return (
+        p95.select(
+            F.expr(f"p95_c DIV {bucket_c}").cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1108,6 +1108,36 @@ FROM m WHERE rn = 1
 """
 
 
+def q_user_p95_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution of per-user exact p95s (rank ceil(.95n), cents),
+    10-unit buckets — the experience metric a global p95 hides."""
+    from weblog_pipeline.aggregate import user_p95_distribution
+
+    return user_p95_distribution(_read(spark, sf_dir, "events"))
+
+
+SQL_USER_P95_DISTRIBUTION = """
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(value * 100) AS BIGINT),
+                                     event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+p AS (
+  SELECT user_id, c AS p95_c FROM r
+  WHERE rk = (95 * n + 99) // 100
+)
+SELECT CAST(p95_c // 1000 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+"""
+
+
 def q_heaping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-number heaping per event type: .00/.x0 cents-ending
     shares vs uniform expectations, pure modulo on the BIGINT."""
@@ -10316,6 +10346,7 @@ def queries() -> dict:
         "srm_check": q_srm_check,
         "hill_tail": q_hill_tail,
         "heaping_audit": q_heaping_audit,
+        "user_p95_distribution": q_user_p95_distribution,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10602,6 +10633,7 @@ def oracle_sql() -> dict:
         "srm_check": SQL_SRM_CHECK,
         "hill_tail": _sql_hill_tail(),
         "heaping_audit": SQL_HEAPING_AUDIT,
+        "user_p95_distribution": SQL_USER_P95_DISTRIBUTION,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

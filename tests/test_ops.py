@@ -6835,3 +6835,39 @@ def test_heaping_audit_round_endings(spark):
     assert (got["n_amounts"], got["n_end00"], got["n_end0"]) == (5, 2, 3)
     assert got["end00_bp"] == 4000 and got["excess00_bp"] == 3900
     assert got["end0_bp"] == 6000 and got["excess0_bp"] == 5000
+
+
+def test_user_p95_distribution_exact_rank(spark):
+    """Per-user p95 against hand sets: 20 values -> rank 19 exactly,
+    a 1-value user is their own p95, value ties resolve by event_id
+    without changing the picked VALUE."""
+    import datetime
+
+    from weblog_pipeline.aggregate import user_p95_distribution
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, val):
+        nonlocal eid
+        rows.append(Row(event_id=eid, ts=base, user_id=user,
+                        event_type="t", value=val, props=None))
+        eid += 1
+
+    # user 1: values 1..20 -> rank ceil(.95*20)=19 -> value 19.00
+    for v in range(1, 21):
+        ev(1, float(v))
+    # user 2: a single 42.00 -> p95 = 42.00
+    ev(2, 42.0)
+    got = {
+        r["bucket"]: r["n_users"]
+        for r in user_p95_distribution(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    # 19.00 -> 1900c -> bucket 1; 42.00 -> 4200c -> bucket 4
+    assert got == {1: 1, 4: 1}
