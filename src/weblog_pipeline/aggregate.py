@@ -3139,3 +3139,37 @@ def user_p95_distribution(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def new_vs_returning(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Daily new-vs-returning split — growth accounting 101: per day,
+    how many active users were seen for the first time that day vs
+    returning, plus the new share in bp. First-seen day is one
+    user-grain MIN aggregate BROADCAST back onto the (user, day)
+    activity relation (the cohort_retention shape) — no windows, no
+    per-user history scan.
+
+    Output: day, n_active, n_new, n_returning, new_share_bp.
+    """
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    ud = events.select("user_id", day.alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("_first"))
+    j = ud.join(F.broadcast(first), "user_id").select(
+        "day", (F.col("day") == F.col("_first")).cast("long").alias("_new")
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("_new").alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            F.expr("n_new * 10000 DIV n_active").alias("new_share_bp"),
+        )
+    )

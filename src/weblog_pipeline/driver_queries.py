@@ -1108,6 +1108,37 @@ FROM m WHERE rn = 1
 """
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split with new share in bp
+    (first-seen MIN broadcast back, cohort_retention shape)."""
+    from weblog_pipeline.aggregate import new_vs_returning
+
+    return new_vs_returning(_read(spark, sf_dir, "events"))
+
+
+SQL_NEW_VS_RETURNING = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+j AS (
+  SELECT ud.day,
+         CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END AS is_new
+  FROM ud JOIN f USING (user_id)
+),
+agg AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(is_new) AS BIGINT) AS n_new
+  FROM j GROUP BY 1
+)
+SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+       n_new * 10000 // n_active AS new_share_bp
+FROM agg
+"""
+
+
 def q_user_p95_distribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10347,6 +10378,7 @@ def queries() -> dict:
         "hill_tail": q_hill_tail,
         "heaping_audit": q_heaping_audit,
         "user_p95_distribution": q_user_p95_distribution,
+        "new_vs_returning": q_new_vs_returning,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10634,6 +10666,7 @@ def oracle_sql() -> dict:
         "hill_tail": _sql_hill_tail(),
         "heaping_audit": SQL_HEAPING_AUDIT,
         "user_p95_distribution": SQL_USER_P95_DISTRIBUTION,
+        "new_vs_returning": SQL_NEW_VS_RETURNING,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

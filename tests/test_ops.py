@@ -6871,3 +6871,45 @@ def test_user_p95_distribution_exact_rank(spark):
     }
     # 19.00 -> 1900c -> bucket 1; 42.00 -> 4200c -> bucket 4
     assert got == {1: 1, 4: 1}
+
+
+def test_new_vs_returning_split(spark):
+    """Growth split against a hand cohort: first-ever day counts as
+    new, any later active day as returning; same-day repeats count the
+    user once."""
+    import datetime
+
+    from weblog_pipeline.aggregate import new_vs_returning
+
+    base = datetime.datetime(2024, 1, 1)
+    d0 = int((base - datetime.datetime(1970, 1, 1)).days)
+    rows, eid = [], 0
+
+    def hit(user, day, n=1):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid,
+                            ts=base + datetime.timedelta(days=day),
+                            user_id=user, event_type="t", value=1.0,
+                            props=None))
+            eid += 1
+
+    hit(1, 0, 3); hit(2, 0)          # day 0: both new
+    hit(1, 1); hit(3, 1)             # day 1: 1 returns, 3 is new
+    hit(1, 2); hit(2, 2); hit(3, 2)  # day 2: all returning
+    got = {
+        r["day"] - d0: (r["n_active"], r["n_new"], r["n_returning"],
+                        r["new_share_bp"])
+        for r in new_vs_returning(
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+        ).collect()
+    }
+    assert got == {
+        0: (2, 2, 0, 10000),
+        1: (2, 1, 1, 5000),
+        2: (3, 0, 3, 0),
+    }
