@@ -3173,3 +3173,73 @@ def new_vs_returning(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.expr("n_new * 10000 DIV n_active").alias("new_share_bp"),
         )
     )
+
+
+def forecast_baselines(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Forecast-baseline scorecard — the sanity check that must beat
+    any model before it ships: per key, the sum of absolute day-ahead
+    errors of the NAIVE forecast (yesterday's count) vs the
+    SEASONAL-NAIVE one (last same-weekday count), scored only on days
+    where both predictors exist, plus their ratio in bp (< 10000
+    means weekly seasonality is real and a model must beat
+    seasonal-naive, not naive). Pure integer: absolute differences of
+    counts, summed order-free, one DIV.
+
+    Shape: daily counts are one map-side aggregate; both lags are
+    windows over the BOUNDED (key, day) relation (lag 1 row vs lag 7
+    DAYS via a self-join on day-7 — gap-robust: a missing day yields
+    no seasonal prediction rather than the wrong row).
+
+    Output: <key_col>, n_scored, sae_naive, sae_seasonal, mase_bp
+    (-1 sentinel when sae_naive is 0).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', {ts_col})) DIV 86400"
+    )
+    daily = (
+        events.select(key_col, day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    lagged = daily.withColumn("_prev", F.lag("n").over(w)).withColumn(
+        "_prev_day", F.lag("day").over(w)
+    )
+    week = daily.select(
+        F.col(key_col).alias("_k"),
+        (F.col("day") + 7).alias("_d7"),
+        F.col("n").alias("_n7"),
+    )
+    j = lagged.join(
+        week,
+        (F.col(key_col) == F.col("_k")) & (F.col("day") == F.col("_d7")),
+        "left",
+    ).where(
+        F.col("_prev").isNotNull()
+        & (F.col("_prev_day") == F.col("day") - 1)
+        & F.col("_n7").isNotNull()
+    )
+    agg = j.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("_prev"))).alias("sae_naive"),
+        F.sum(F.abs(F.col("n") - F.col("_n7"))).alias("sae_seasonal"),
+    )
+    return agg.select(
+        key_col,
+        "n_scored",
+        "sae_naive",
+        "sae_seasonal",
+        F.when(
+            F.col("sae_naive") > 0,
+            F.expr("sae_seasonal * 10000 DIV sae_naive"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("mase_bp"),
+    )

@@ -1108,6 +1108,50 @@ FROM m WHERE rn = 1
 """
 
 
+def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive vs seasonal-naive day-ahead absolute-error scorecard per
+    event type (integer SAE sums + bp ratio, -1 sentinel)."""
+    from weblog_pipeline.aggregate import forecast_baselines
+
+    return forecast_baselines(_read(spark, sf_dir, "events"))
+
+
+SQL_FORECAST_BASELINES = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+         lag(day) OVER (PARTITION BY event_type ORDER BY day)
+           AS prev_day
+  FROM daily
+),
+j AS (
+  SELECT l.event_type, l.n, l.prev, w.n AS n7
+  FROM lagged l
+  LEFT JOIN daily w
+    ON w.event_type = l.event_type AND w.day = l.day - 7
+  WHERE l.prev IS NOT NULL AND l.prev_day = l.day - 1
+    AND w.n IS NOT NULL
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(abs(n - prev)) AS BIGINT) AS sae_naive,
+         CAST(SUM(abs(n - n7)) AS BIGINT) AS sae_seasonal
+  FROM j GROUP BY 1
+)
+SELECT event_type, n_scored, sae_naive, sae_seasonal,
+       CAST(CASE WHEN sae_naive > 0
+                 THEN sae_seasonal * 10000 // sae_naive
+                 ELSE -1 END AS BIGINT) AS mase_bp
+FROM agg
+"""
+
+
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new-vs-returning user split with new share in bp
     (first-seen MIN broadcast back, cohort_retention shape)."""
@@ -10379,6 +10423,7 @@ def queries() -> dict:
         "heaping_audit": q_heaping_audit,
         "user_p95_distribution": q_user_p95_distribution,
         "new_vs_returning": q_new_vs_returning,
+        "forecast_baselines": q_forecast_baselines,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10667,6 +10712,7 @@ def oracle_sql() -> dict:
         "heaping_audit": SQL_HEAPING_AUDIT,
         "user_p95_distribution": SQL_USER_P95_DISTRIBUTION,
         "new_vs_returning": SQL_NEW_VS_RETURNING,
+        "forecast_baselines": SQL_FORECAST_BASELINES,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

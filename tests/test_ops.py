@@ -6913,3 +6913,39 @@ def test_new_vs_returning_split(spark):
         1: (2, 1, 1, 5000),
         2: (3, 0, 3, 0),
     }
+
+
+def test_forecast_baselines_twin(spark):
+    """SAE sums against a hand weekly-patterned series: seasonal-naive
+    beats naive on a strong weekly cycle (mase_bp < 10000), and only
+    days with BOTH predictors score."""
+    import datetime
+
+    from weblog_pipeline.aggregate import forecast_baselines
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 21 days of a strict weekly cycle: weekday w gets 10 + 5*w events
+    pattern = [10, 15, 20, 25, 30, 35, 40]
+    counts = [pattern[d % 7] for d in range(21)]
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(Row(event_id=eid,
+                            ts=base + datetime.timedelta(days=d),
+                            user_id=1, event_type="t", value=1.0,
+                            props=None))
+            eid += 1
+    got = forecast_baselines(
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+    ).collect()[0]
+    # scored days: 7..20 (need prev day AND day-7) -> 14 days
+    sae_naive = sum(abs(counts[d] - counts[d - 1]) for d in range(7, 21))
+    sae_seasonal = sum(abs(counts[d] - counts[d - 7])
+                       for d in range(7, 21))
+    assert (got["n_scored"], got["sae_naive"],
+            got["sae_seasonal"]) == (14, sae_naive, sae_seasonal)
+    assert got["sae_seasonal"] == 0 and got["mase_bp"] == 0
