@@ -1108,6 +1108,59 @@ FROM m WHERE rn = 1
 """
 
 
+def q_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p50/p95 SLO TIME SERIES: value_percentiles rerun at the
+    (type, day) grain via a composite key — operator REUSE, not a new
+    operator; the histogram window stays bounded by keys x days x
+    buckets."""
+    from weblog_pipeline.aggregate import value_percentiles
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "#",
+            F.col("event_type"),
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+                " DIV 86400"
+            ),
+        ).alias("type_day"),
+        "value",
+    )
+    return value_percentiles(ev, qs=(50, 95), key_col="type_day")
+
+
+SQL_DAILY_PERCENTILES = """
+WITH e AS (
+  SELECT event_type || '#' ||
+         CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+              AS VARCHAR) AS type_day,
+         value
+  FROM events
+),
+hist AS (
+  SELECT type_day, CAST(floor(value / 10.0) AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+cum AS (
+  SELECT type_day, bucket,
+         CAST(SUM(n) OVER (PARTITION BY type_day ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY type_day) AS BIGINT) AS total
+  FROM hist
+),
+x AS (
+  SELECT c.type_day, c.bucket, c.cum, c.total, u.q
+  FROM cum c, unnest([50, 95]) AS u(q)
+  WHERE c.cum >= (u.q * c.total + 99) // 100
+)
+SELECT type_day, CAST(q AS INTEGER) AS q,
+       CAST(MIN(bucket) AS INTEGER) AS bucket
+FROM x GROUP BY 1, 2
+"""
+
+
 def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive vs seasonal-naive day-ahead absolute-error scorecard per
     event type (integer SAE sums + bp ratio, -1 sentinel)."""
@@ -10424,6 +10477,7 @@ def queries() -> dict:
         "user_p95_distribution": q_user_p95_distribution,
         "new_vs_returning": q_new_vs_returning,
         "forecast_baselines": q_forecast_baselines,
+        "daily_percentiles": q_daily_percentiles,
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10713,6 +10767,7 @@ def oracle_sql() -> dict:
         "user_p95_distribution": SQL_USER_P95_DISTRIBUTION,
         "new_vs_returning": SQL_NEW_VS_RETURNING,
         "forecast_baselines": SQL_FORECAST_BASELINES,
+        "daily_percentiles": SQL_DAILY_PERCENTILES,
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),
