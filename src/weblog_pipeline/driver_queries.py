@@ -1108,6 +1108,53 @@ FROM m WHERE rn = 1
 """
 
 
+def _sql_vocab_coverage(budgets: tuple = (256, 1024, 4096)) -> str:
+    blist = ", ".join(str(int(k)) for k in budgets)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TOKS} AS words FROM documents WHERE trim(text, ' ') <> ''
+),
+unif AS (SELECT unnest(words) AS token FROM w),
+uni AS (SELECT token FROM unif WHERE token <> ''),
+cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+hist AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS m, CAST(c * COUNT(*) AS BIGINT)
+    AS mass
+  FROM cu GROUP BY 1
+),
+cum AS (
+  SELECT c, m, mass,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS ta,
+         CAST(COALESCE(SUM(mass) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS ma
+  FROM hist
+),
+tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_types_total,
+         CAST(SUM(mass) AS BIGINT) AS total_mass
+  FROM hist
+),
+budgets AS (SELECT unnest([{blist}]) AS budget),
+boundary AS (
+  SELECT b.budget,
+         CAST(c.ma + (b.budget - c.ta) * c.c AS BIGINT) AS bmass
+  FROM budgets b JOIN cum c
+    ON c.ta < b.budget AND c.ta + c.m >= b.budget
+)
+SELECT CAST(b.budget AS INTEGER) AS budget, t.n_types_total,
+       t.total_mass,
+       CAST(COALESCE(bd.bmass, t.total_mass) AS BIGINT)
+         AS covered_mass,
+       COALESCE(bd.bmass, t.total_mass) * 10000 // t.total_mass
+         AS coverage_bp
+FROM budgets b CROSS JOIN tot t
+LEFT JOIN boundary bd ON bd.budget = b.budget
+"""
+
+
 def q_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The p50/p95 SLO TIME SERIES: value_percentiles rerun at the
     (type, day) grain via a composite key — operator REUSE, not a new
@@ -10478,6 +10525,7 @@ def queries() -> dict:
         "new_vs_returning": q_new_vs_returning,
         "forecast_baselines": q_forecast_baselines,
         "daily_percentiles": q_daily_percentiles,
+        "vocab_coverage": docs(textstats.vocab_coverage),
         "daily_anomalies": q_daily_anomalies,
         "media_ahash": q_media_ahash,
         "media_phash": q_media_phash,
@@ -10768,6 +10816,7 @@ def oracle_sql() -> dict:
         "new_vs_returning": SQL_NEW_VS_RETURNING,
         "forecast_baselines": SQL_FORECAST_BASELINES,
         "daily_percentiles": SQL_DAILY_PERCENTILES,
+        "vocab_coverage": _sql_vocab_coverage(),
         "daily_anomalies": SQL_DAILY_ANOMALIES,
         "media_ahash": _sql_media_ahash(),
         "media_phash": _sql_media_phash(),

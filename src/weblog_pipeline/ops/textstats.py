@@ -3413,3 +3413,95 @@ def skipgram_counts(
             "n_cooc",
         )
     )
+
+
+VOCAB_BUDGETS = (256, 1024, 4096)
+
+
+def vocab_coverage(
+    documents: DataFrame, budgets: tuple = VOCAB_BUDGETS
+) -> DataFrame:
+    """Tokenizer-budget coverage curve — the sizing question every
+    vocab decision answers: what share of all token OCCURRENCES does a
+    top-k vocabulary cover? Computed EXACTLY without ever ranking the
+    vocabulary: from the count-of-counts histogram (bounded by the
+    distinct count DOMAIN), a cumulative window from the largest count
+    down gives, for each budget k, the mass of all types strictly
+    above the boundary count plus the partial tie slice
+    (k - types_above) * c_boundary — the engagement_gini rank-block
+    trick applied to coverage. Budgets where the whole vocabulary fits
+    report full mass.
+
+    Shape: one token-count aggregate, one count-domain histogram, one
+    cumulative window over that tiny relation, budgets exploded
+    against it. Output: len(budgets) rows.
+
+    Output: budget, n_types_total, total_mass, covered_mass,
+    coverage_bp.
+    """
+    from pyspark.sql import Window
+
+    arr = _fan_out(documents.select("doc_id", "text")).select(
+        lower_tokens_col().alias("_w")
+    )
+    uni = arr.select(F.explode(F.col("_w")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    hist = counts.groupBy("c").agg(
+        F.count(F.lit(1)).alias("m")
+    ).select("c", "m", (F.col("c") * F.col("m")).alias("mass"))
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "c",
+        "m",
+        "mass",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("_ta"),
+        F.coalesce(F.sum("mass").over(w), F.lit(0)).alias("_ma"),
+    )
+    tot = hist.agg(
+        F.sum("m").alias("n_types_total"),
+        F.sum("mass").alias("total_mass"),
+    )
+    b = F.explode(
+        F.array(*[F.lit(int(k)) for k in budgets])
+    ).alias("budget")
+    exploded = cum.select("*", b)
+    boundary = exploded.where(
+        (F.col("_ta") < F.col("budget"))
+        & (F.col("_ta") + F.col("m") >= F.col("budget"))
+    ).select(
+        "budget",
+        (
+            F.col("_ma")
+            + (F.col("budget") - F.col("_ta")) * F.col("c")
+        ).alias("_bmass"),
+    )
+    budget_rows = counts.sparkSession.createDataFrame(
+        [(int(k),) for k in budgets], "budget int"
+    )
+    return (
+        budget_rows.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(boundary), "budget", "left")
+        .select(
+            "budget",
+            "n_types_total",
+            "total_mass",
+            # no boundary row => the whole vocabulary fits the budget
+            F.coalesce("_bmass", F.col("total_mass"))
+            .cast("long")
+            .alias("covered_mass"),
+        )
+        .select(
+            "budget",
+            "n_types_total",
+            "total_mass",
+            "covered_mass",
+            F.expr(
+                "covered_mass * 10000 DIV total_mass"
+            ).alias("coverage_bp"),
+        )
+    )

@@ -6949,3 +6949,31 @@ def test_forecast_baselines_twin(spark):
     assert (got["n_scored"], got["sae_naive"],
             got["sae_seasonal"]) == (14, sae_naive, sae_seasonal)
     assert got["sae_seasonal"] == 0 and got["mase_bp"] == 0
+
+
+def test_vocab_coverage_tie_slice(spark):
+    """Coverage against a hand vocabulary with a tie straddling the
+    budget boundary: the partial slice counts (budget - types_above)
+    ties at the boundary count, and an over-large budget covers
+    everything."""
+    from weblog_pipeline.ops.textstats import vocab_coverage
+
+    # counts: one 10x type, three 4x types, five 1x types
+    text = " ".join(["top"] * 10
+                    + [w for w in ("a4", "b4", "c4") for _ in range(4)]
+                    + ["h1", "h2", "h3", "h4", "h5"])
+    got = {
+        r["budget"]: (r["n_types_total"], r["total_mass"],
+                      r["covered_mass"], r["coverage_bp"])
+        for r in vocab_coverage(
+            spark.createDataFrame([Row(doc_id=0, text=text)]),
+            budgets=(2, 4, 100),
+        ).collect()
+    }
+    total = 10 + 12 + 5
+    # budget 2: top (10) + one of the 4x tie slice -> 14
+    assert got[2] == (9, total, 14, 14 * 10000 // total)
+    # budget 4: top + all three 4x -> 22
+    assert got[4] == (9, total, 22, 22 * 10000 // total)
+    # budget 100 > 9 types -> full mass
+    assert got[100] == (9, total, total, 10000)
