@@ -1,7 +1,7 @@
 """Vectorized parse stage: webpages -> flattened span-event rows.
 
 This is the engine's replacement for the reference's 4-deep nested-loop
-flatten (connector.go:203-216), re-expressed as a `mapInPandas` Arrow UDF:
+flatten (connector.go:203-216), re-expressed as a `mapInArrow` UDF:
 pages arrive as Arrow record batches, a precompiled byte-level regex
 extracts every embedded telemetry marker plus the visible page text, and
 one output row is emitted per span event (page-grain context denormalized
@@ -21,19 +21,27 @@ Scale notes (100 TB design):
     of html — no second pass over the input.
   * Corrupt markers (invalid UTF-8 / JSON) don't fail the task: the page is
     quarantined via parse_error and contributes no event rows.
+  * The hot loop builds Arrow arrays directly (mapInArrow, not
+    mapInPandas): page-grain passthrough columns (url/warc_ts/lang) are
+    re-emitted with a `take` over the input batch — no Python objects —
+    and the four map columns are assembled as flat key/value buffers +
+    offsets (MapArray.from_arrays), never per-row dicts through pandas
+    object columns. Attr payload bytes are memoized per batch (span/
+    resource attrs repeat per span), so most rows skip json entirely.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
 from pyspark.sql import types as T
 
-from .markers import extract_text, parse_markers
+from .markers import _MARKER_RE, _TEXT_RE
 
 if TYPE_CHECKING:
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import DataFrame
 
 #: Flattened event-row schema. One row per span event, plus one sentinel
@@ -63,113 +71,212 @@ EVENT_SCHEMA = T.StructType(
 
 
 _FIELD_NAMES = [f.name for f in EVENT_SCHEMA.fields]
-_EVENT_FIELDS = [
-    "event_name", "ts_ns", "trace_id", "span_id", "span_name", "span_kind",
-    "trace_state", "event_attrs_s", "event_attrs_i", "span_attrs", "res_attrs",
-]
 
 
-def _split_attrs(attrs: dict) -> tuple[dict, dict]:
-    """Partition a parsed attrs dict by value type (Str vs Int), mirroring
-    the pcommon Value type-switch the reference performs
-    (connector.go:275,284,301,350). Keys are disjoint by construction."""
-    s: dict[str, str] = {}
-    i: dict[str, int] = {}
-    for k, v in attrs.items():
-        if isinstance(v, bool):  # JSON bools render as strings
-            s[k] = "true" if v else "false"
-        elif isinstance(v, int):
-            i[k] = v
-        else:
-            s[k] = str(v)
-    return s, i
-
-
-def _stringify_attrs(attrs: dict) -> dict:
-    """All-values-as-strings rendering for span/resource attrs: the
-    reference copies these regardless of type (connector.go:233,382-385);
-    our map<string,string> columns carry ints in their canonical string
-    form (oracle._render_value twin)."""
-    out: dict[str, str] = {}
-    for k, v in attrs.items():
+def _split_flat(raw: bytes) -> tuple[list, list, list, list]:
+    """Decode an event-attrs JSON payload and partition by value type
+    (Str vs Int), mirroring the pcommon Value type-switch the reference
+    performs (connector.go:275,284,301,350) — flat (str_keys, str_vals,
+    int_keys, int_vals) lists ready for MapArray assembly. JSON bools
+    render as strings; key order (JSON document order) is preserved."""
+    d = json.loads(raw.decode("utf-8", "strict"))
+    sk: list = []
+    sv: list = []
+    ik: list = []
+    iv: list = []
+    for k, v in d.items():
         if isinstance(v, bool):
-            out[k] = "true" if v else "false"
+            sk.append(k)
+            sv.append("true" if v else "false")
+        elif isinstance(v, int):
+            ik.append(k)
+            iv.append(v)
         else:
-            out[k] = str(v)
-    return out
+            sk.append(k)
+            sv.append(str(v))
+    return sk, sv, ik, iv
 
 
-def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-    """Hot path: direct column assembly (no per-row dicts) + batch-scoped
-    memoization of repeated JSON payloads and their type-splits (span/
-    resource attrs repeat per span; event attr payloads repeat across
-    similar events)."""
-    import pandas as pd
+def _str_flat(raw: bytes) -> tuple[list, list]:
+    """All-values-as-strings rendering for span/resource attr payloads:
+    the reference copies these regardless of type
+    (connector.go:233,382-385); ints render in canonical string form
+    (oracle._render_value twin)."""
+    d = json.loads(raw.decode("utf-8", "strict"))
+    ks: list = []
+    vs: list = []
+    for k, v in d.items():
+        if isinstance(v, bool):
+            ks.append(k)
+            vs.append("true" if v else "false")
+        else:
+            ks.append(k)
+            vs.append(str(v))
+    return ks, vs
 
-    for pdf in batches:
-        json_cache: dict = {}
-        split_cache: dict = {}  # id(shared dict) -> (ref, result) — ref pins id
-        str_cache: dict = {}
 
-        def split_cached(d: dict) -> tuple[dict, dict]:
-            hit = split_cache.get(id(d))
-            if hit is None:
-                hit = (d, _split_attrs(d))
-                split_cache[id(d)] = hit
-            return hit[1]
+class _MapCol:
+    """Flat builder for one Arrow map column: contiguous key/value
+    buffers plus per-row offsets (None offset = NULL map entry)."""
 
-        def stringify_cached(d: dict) -> dict:
-            hit = str_cache.get(id(d))
-            if hit is None:
-                hit = (d, _stringify_attrs(d))
-                str_cache[id(d)] = hit
-            return hit[1]
+    __slots__ = ("ks", "vs", "offs", "cur")
 
-        cols: dict[str, list] = {name: [] for name in _FIELD_NAMES}
-        ap = {name: cols[name].append for name in _FIELD_NAMES}
-        for url, warc_ts, html, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
-        ):
-            blob = bytes(html) if html is not None else b""
+    def __init__(self) -> None:
+        self.ks: list = []
+        self.vs: list = []
+        self.offs: list = []
+        self.cur = 0
+
+    def add(self, keys: list, vals: list) -> None:
+        self.ks.extend(keys)
+        self.vs.extend(vals)
+        self.offs.append(self.cur)
+        self.cur += len(keys)
+
+    def null(self) -> None:
+        self.offs.append(None)
+
+    def build(self, pa_mod, value_type) -> "pa.MapArray":
+        self.offs.append(self.cur)
+        return pa_mod.MapArray.from_arrays(
+            pa_mod.array(self.offs, pa_mod.int32()),
+            pa_mod.array(self.ks, pa_mod.string()),
+            pa_mod.array(self.vs, value_type),
+        )
+
+
+def _parse_arrow_batches(
+    batches: Iterator["pa.RecordBatch"],
+) -> Iterator["pa.RecordBatch"]:
+    """Hot path: inline marker scan + direct Arrow column assembly.
+
+    Page-grain passthrough columns re-emit input Arrow values via `take`
+    (no Python round trip); attr payload bytes memoize to their flat
+    key/value split per batch. Quarantine semantics match the classic
+    path exactly: text extraction first, then markers in order, field
+    decode order within a marker fixed, first failure wins and the page
+    contributes one sentinel row with parse_error set."""
+    import pyarrow as pa
+
+    str_t = pa.string()
+    int_t = pa.int64()
+    mfind = _MARKER_RE.finditer
+    tfind = _TEXT_RE.finditer
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        sch = rb.schema
+        htmls = rb.column(sch.get_field_index("html")).to_pylist()
+
+        idx: list = []
+        page_text: list = []
+        n_page_events: list = []
+        parse_error: list = []
+        event_idx: list = []
+        event_name: list = []
+        ts_ns: list = []
+        trace_id: list = []
+        span_id: list = []
+        span_name: list = []
+        span_kind: list = []
+        trace_state: list = []
+        m_es = _MapCol()
+        m_ei = _MapCol()
+        m_sp = _MapCol()
+        m_rs = _MapCol()
+        memo_a: dict = {}
+        memo_s: dict = {}
+
+        for i, blob in enumerate(htmls):
+            if blob is None:
+                blob = b""
             try:
-                text = extract_text(blob)
-                events = parse_markers(blob, json_cache)
+                text = "\n".join(
+                    m.group(1).decode("utf-8", "strict") for m in tfind(blob)
+                )
+                evs = []
+                for m in mfind(blob):
+                    g = m.groups()
+                    a = memo_a.get(g[6])
+                    sp = memo_s.get(g[7])
+                    rs = memo_s.get(g[8])
+                    ev = (
+                        g[0].decode("utf-8", "strict"),
+                        g[1].decode("utf-8", "strict"),
+                        g[2].decode("utf-8", "strict"),
+                        g[3].decode("utf-8", "strict"),
+                        int(g[4]),
+                        g[5].decode("utf-8", "strict"),
+                        a if a is not None else memo_a.setdefault(g[6], _split_flat(g[6])),
+                        sp if sp is not None else memo_s.setdefault(g[7], _str_flat(g[7])),
+                        rs if rs is not None else memo_s.setdefault(g[8], _str_flat(g[8])),
+                    )
+                    evs.append(ev)
                 err = None
             except Exception as exc:  # corrupt marker -> quarantine page
-                text, events, err = None, [], f"{type(exc).__name__}: {exc}"
+                text, evs, err = None, [], f"{type(exc).__name__}: {exc}"
 
-            n = len(events)
-            if not events:
-                ap["url"](url); ap["warc_ts"](warc_ts); ap["lang"](lang)
-                ap["page_text"](text); ap["n_page_events"](0)
-                ap["parse_error"](err); ap["event_idx"](-1)
-                for name in _EVENT_FIELDS:
-                    ap[name](None)
+            if not evs:
+                idx.append(i)
+                page_text.append(text)
+                n_page_events.append(0)
+                parse_error.append(err)
+                event_idx.append(-1)
+                event_name.append(None)
+                ts_ns.append(None)
+                trace_id.append(None)
+                span_id.append(None)
+                span_name.append(None)
+                span_kind.append(None)
+                trace_state.append(None)
+                m_es.null()
+                m_ei.null()
+                m_sp.null()
+                m_rs.null()
                 continue
-            for idx, ev in enumerate(events):
-                attrs_s, attrs_i = split_cached(ev.attrs)
-                span_s = stringify_cached(ev.span_attrs)
-                res_s = stringify_cached(ev.res_attrs)
-                ap["url"](url); ap["warc_ts"](warc_ts); ap["lang"](lang)
+            n = len(evs)
+            for j, (tid, sid, snm, skd, ts, nm, a, sp, rs) in enumerate(evs):
+                idx.append(i)
                 # page_text rides only the first row per page (see above)
-                ap["page_text"](text if idx == 0 else None)
-                ap["n_page_events"](n)
-                ap["parse_error"](None)
-                ap["event_idx"](idx)
-                ap["event_name"](ev.name); ap["ts_ns"](ev.ts_ns)
-                ap["trace_id"](ev.trace_id); ap["span_id"](ev.span_id)
-                ap["span_name"](ev.span_name); ap["span_kind"](ev.span_kind)
-                ap["trace_state"](ev.trace_state)
-                ap["event_attrs_s"](attrs_s); ap["event_attrs_i"](attrs_i)
-                ap["span_attrs"](span_s); ap["res_attrs"](res_s)
-        if cols["url"]:
-            # explicit nullable integer dtypes: mixed None/int would be
-            # inferred float64, whose 53-bit mantissa silently corrupts
-            # int64 nanosecond timestamps
-            cols["ts_ns"] = pd.array(cols["ts_ns"], dtype="Int64")
-            cols["event_idx"] = pd.array(cols["event_idx"], dtype="Int32")
-            cols["n_page_events"] = pd.array(cols["n_page_events"], dtype="Int32")
-            yield pd.DataFrame(cols)
+                page_text.append(text if j == 0 else None)
+                n_page_events.append(n)
+                parse_error.append(None)
+                event_idx.append(j)
+                event_name.append(nm)
+                ts_ns.append(ts)
+                trace_id.append(tid)
+                span_id.append(sid)
+                span_name.append(snm)
+                span_kind.append(skd)
+                trace_state.append("")
+                m_es.add(a[0], a[1])
+                m_ei.add(a[2], a[3])
+                m_sp.add(sp[0], sp[1])
+                m_rs.add(rs[0], rs[1])
+
+        take = pa.array(idx, pa.int32())
+        arrays = [
+            rb.column(sch.get_field_index("url")).take(take),
+            rb.column(sch.get_field_index("warc_ts")).take(take),
+            rb.column(sch.get_field_index("lang")).take(take),
+            pa.array(page_text, str_t),
+            pa.array(n_page_events, pa.int32()),
+            pa.array(parse_error, str_t),
+            pa.array(event_idx, pa.int32()),
+            pa.array(event_name, str_t),
+            pa.array(ts_ns, int_t),
+            pa.array(trace_id, str_t),
+            pa.array(span_id, str_t),
+            pa.array(span_name, str_t),
+            pa.array(span_kind, str_t),
+            pa.array(trace_state, str_t),
+            m_es.build(pa, str_t),
+            m_ei.build(pa, int_t),
+            m_sp.build(pa, str_t),
+            m_rs.build(pa, str_t),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=_FIELD_NAMES)
 
 
 def parse_events(webpages: "DataFrame") -> "DataFrame":
@@ -179,7 +286,7 @@ def parse_events(webpages: "DataFrame") -> "DataFrame":
     parquet/Iceberg scan never reads the (redundant) input `text` column.
     """
     pruned = webpages.select("url", "warc_ts", "html", "lang")
-    return pruned.mapInPandas(_parse_batches, schema=EVENT_SCHEMA)
+    return pruned.mapInArrow(_parse_arrow_batches, schema=EVENT_SCHEMA)
 
 
 def event_rows(parsed: "DataFrame") -> "DataFrame":
