@@ -870,10 +870,22 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         .select("doc_id", "bg.w1", "bg.w2")
     )
 
-    bg_counts = stream.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c_bigram")
+    # ONE aggregation of the exploded stream to the (doc_id, w1, w2)
+    # grain; everything else derives from it. The per_doc subtree appears
+    # twice in the plan (model derivation + scoring) with an identical
+    # exchange, so ReuseExchange materializes the tokenize/explode pass
+    # ONCE — the original three-scan shape re-ran the full split/explode
+    # chain per derived table. c_prefix(w1) — w1's count in PREFIX
+    # position — is exactly sum over w2 of c_bigram(w1, w2) (every prefix
+    # occurrence forms one bigram), so it folds out of the tiny bg_counts
+    # table instead of a third pass over the corpus stream.
+    per_doc = stream.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    pf_counts = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c_prefix"))
+    bg_counts = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("c_bigram"))
+    pf_counts = bg_counts.groupBy("w1").agg(
+        F.sum("c_bigram").alias("c_prefix")
+    )
     model = bg_counts.join(pf_counts, "w1").select(
         "w1",
         "w2",
@@ -887,10 +899,10 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         .cast("long")
         .alias("lp_micro"),
     )
-    scored = stream.join(model, ["w1", "w2"])
+    scored = per_doc.join(model, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("lp_micro").alias("sum_lp_micro"),
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("lp_micro")).alias("sum_lp_micro"),
     )
 
 
