@@ -671,59 +671,58 @@ def cdc_chunks(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODULUS)
     hashing is not; cf. LBFS/rsync chunking and exact-substring training-
     data dedup).
 
-    Scale shape: one explode to the character-position stream, the cut
-    flag from an md5 prefix (the engine's portable hash idiom), a
-    per-doc ORDERED running sum to number chunks — partitioned by doc_id,
-    bounded by document length, never corpus-wide — then one aggregate to
-    (start, len) and one equi-join back to the text to hash each chunk's
-    bytes. No window ever crosses a document.
+    Scale shape: the whole chunking decision is PER-DOCUMENT, so it runs
+    as codegen'd array expressions inside one map stage — cut positions
+    via a higher-order `filter` over the k-gram positions (the cut flag
+    from an md5 prefix, the engine's portable hash idiom), chunk spans by
+    zipping each cut with the next one — then ONE explode to the chunk
+    grain. Zero shuffles, zero windows, zero joins: the former
+    per-character explode -> per-doc running-sum window -> span aggregate
+    -> join-back pipeline shuffled ~|text| rows per doc three times for a
+    decision that never crosses a document boundary.
 
     Output: doc_id, chunk_id, start, chunk_len, chunk_hash.
     """
-    from pyspark.sql import Window
-
     norm = F.regexp_replace(F.trim(ascii_lower(F.col("text"))), WS_RE, " ")
     base = (
         _fan_out(documents.select("doc_id", "text"))
         .select("doc_id", norm.alias("t"))
         .where(F.length("t") >= 1)
     )
-    L = F.length("t")
-    pos = base.select(
-        "doc_id",
-        "t",
-        L.alias("n"),
-        F.explode(F.sequence(F.lit(1), L)).alias("p"),
+    # a cut falls BEFORE p for p in [2, n-k+1] with the k-gram hash == 0
+    # (mod modulus) — identical predicate and md5 arithmetic to the
+    # original position-stream form, evaluated per doc
+    cuts = (
+        f"CASE WHEN length(t) >= {k + 1} THEN "
+        f"filter(sequence(2, length(t) - {k - 1}), p -> "
+        f"cast(conv(substring(md5(substr(t, p, {k})), 1, 4), 16, 10) as bigint)"
+        f" % {modulus} = 0) "
+        f"ELSE array() END"
     )
-    gram_ok = (F.col("p") >= 2) & (F.col("p") <= F.col("n") - (k - 1))
-    cut_hash = (
-        F.conv(
-            F.substring(F.md5(F.expr(f"substr(t, p, {k})")), 1, 4), 16, 10
-        ).cast("long")
-        % modulus
+    spans = (
+        f"transform(sequence(1, size(_starts)), i -> named_struct("
+        f"'chunk_id', cast(i - 1 as bigint), "
+        f"'start', element_at(_starts, i), "
+        f"'chunk_len', cast(element_at(_nexts, i) - element_at(_starts, i)"
+        f" as bigint)))"
     )
-    flagged = pos.select(
-        "doc_id",
-        "p",
-        F.when(gram_ok & (cut_hash == 0), F.lit(1)).otherwise(F.lit(0)).alias("cut"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    numbered = flagged.select(
-        "doc_id", "p", F.sum("cut").over(w).alias("chunk_id")
-    )
-    spans = numbered.groupBy("doc_id", "chunk_id").agg(
-        F.min("p").alias("start"), F.count(F.lit(1)).alias("chunk_len")
-    )
-    return spans.join(base, "doc_id").select(
-        "doc_id",
-        "chunk_id",
-        "start",
-        "chunk_len",
-        F.md5(F.expr("substr(t, start, chunk_len)")).alias("chunk_hash"),
+    return (
+        base.withColumn("_starts", F.expr(f"concat(array(1), ({cuts}))"))
+        .withColumn(
+            "_nexts",
+            F.expr(
+                "concat(slice(_starts, 2, size(_starts) - 1),"
+                " array(length(t) + 1))"
+            ),
+        )
+        .select("doc_id", "t", F.explode(F.expr(spans)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start").alias("start"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.md5(F.expr("substr(t, c.start, c.chunk_len)")).alias("chunk_hash"),
+        )
     )
 
 
