@@ -814,13 +814,21 @@ def lsh_dedup_quality(
         F.col("n_intersect") * 100 >= F.col("n_union") * jaccard_pct
     ).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(slice_df).select("doc_a", "doc_b")
-    hits = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
-    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE full-outer join of the two (distinct) pair sets yields all three
+    # counts in a single aggregate — the former three crossJoined count
+    # subtrees executed the true_pairs and cand derivations twice each
+    both = true_pairs.withColumn("_t", F.lit(1)).join(
+        cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    counts = both.agg(
+        F.count("_t").alias("n_true"),
+        F.count("_c").alias("n_cand"),
+        F.count_if(
+            F.col("_t").isNotNull() & F.col("_c").isNotNull()
+        ).alias("n_hits"),
+    )
     return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(n_hits)
+        counts
         .selectExpr(
             "n_true",
             "n_cand",
