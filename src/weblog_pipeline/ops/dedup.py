@@ -547,9 +547,16 @@ def dedup_edges(
     both dedup_pipeline (drop list) and duplicate_clusters (components) —
     one definition, so the two can never silently diverge."""
     w = Window.partitionBy("content_hash")
+    # marked feeds FOUR downstream derivations (exact edges, the rep
+    # filter, the minhash signature pass and the jaccard shingle pass);
+    # checkpointing it trades one materialization (spilling to local disk
+    # beyond memory) for re-running the scan + content-hash window per
+    # consumer — the same one-shuffle-instead-of-N reasoning as
+    # pagerank's iterate, and it keeps every consumer's analyzed plan a
+    # leaf instead of a window subtree
     marked = documents.select(
         "doc_id", "text", content_hash_col().alias("content_hash")
-    ).withColumn("keeper", F.min("doc_id").over(w))
+    ).withColumn("keeper", F.min("doc_id").over(w)).localCheckpoint()
     exact_edges = marked.where(F.col("doc_id") != F.col("keeper")).select(
         F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
