@@ -210,6 +210,12 @@ def regional_revenue(
     o = orders.join(
         F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"]
     ).select("o_orderkey", "n_name", "r_name")
+    # pre-aggregate lineitem to the order grain BEFORE the fact-fact
+    # join: the only big shuffle ships one row per order instead of one
+    # per line item (map-side combine absorbs the rest), and the result
+    # is unconditionally identical — per-row floored cents sum per order
+    # first, then per group (integer addition is associative), and a
+    # duplicated orderkey on either side multiplies both shapes equally
     li = lineitem.select(
         "l_orderkey",
         F.floor(
@@ -217,7 +223,7 @@ def regional_revenue(
         )
         .cast("long")
         .alias("rev_c"),
-    )
+    ).groupBy("l_orderkey").agg(F.sum("rev_c").alias("rev_c"))
     joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
     return joined.groupBy("r_name", "n_name").agg(
         F.countDistinct("o_orderkey").alias("n_orders"),
