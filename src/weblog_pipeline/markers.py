@@ -140,7 +140,8 @@ def parse_markers(html: bytes, json_cache: dict | None = None) -> list[SpanEvent
 
 def extract_text(html: bytes) -> str:
     """Visible page text: the contents of every <p>…</p> block, joined by
-    a single newline. Strict UTF-8 decode; byte-identical by construction."""
-    return "\n".join(
-        m.group(1).decode("utf-8", "strict") for m in _TEXT_RE.finditer(html)
-    )
+    a single newline. Strict UTF-8 decode; byte-identical by construction.
+    (Join the byte blocks first, decode ONCE: newline is ASCII and UTF-8
+    is self-synchronizing, so the result is identical to per-block
+    decoding at a fraction of the calls.)"""
+    return b"\n".join(_TEXT_RE.findall(html)).decode("utf-8", "strict")

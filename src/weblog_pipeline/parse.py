@@ -127,15 +127,6 @@ class _MapCol:
         self.offs: list = []
         self.cur = 0
 
-    def add(self, keys: list, vals: list) -> None:
-        self.ks.extend(keys)
-        self.vs.extend(vals)
-        self.offs.append(self.cur)
-        self.cur += len(keys)
-
-    def null(self) -> None:
-        self.offs.append(None)
-
     def build(self, pa_mod, value_type) -> "pa.MapArray":
         self.offs.append(self.cur)
         return pa_mod.MapArray.from_arrays(
@@ -161,7 +152,7 @@ def _parse_arrow_batches(
     str_t = pa.string()
     int_t = pa.int64()
     mfind = _MARKER_RE.finditer
-    tfind = _TEXT_RE.finditer
+    tfindall = _TEXT_RE.findall
 
     for rb in batches:
         if rb.num_rows == 0:
@@ -188,13 +179,21 @@ def _parse_arrow_batches(
         memo_a: dict = {}
         memo_s: dict = {}
 
+        # bound-method locals: the loop body runs per event row and
+        # attribute lookups dominate at this grain
+        es_ext = m_es.ks.extend; es_vext = m_es.vs.extend; es_off = m_es.offs.append
+        ei_ext = m_ei.ks.extend; ei_vext = m_ei.vs.extend; ei_off = m_ei.offs.append
+        sp_ext = m_sp.ks.extend; sp_vext = m_sp.vs.extend; sp_off = m_sp.offs.append
+        rs_ext = m_rs.ks.extend; rs_vext = m_rs.vs.extend; rs_off = m_rs.offs.append
+        es_cur = ei_cur = sp_cur = rs_cur = 0
+
         for i, blob in enumerate(htmls):
             if blob is None:
                 blob = b""
             try:
-                text = "\n".join(
-                    m.group(1).decode("utf-8", "strict") for m in tfind(blob)
-                )
+                # join the <p> byte blocks, decode ONCE (newline is
+                # ASCII, UTF-8 self-synchronizing — identical text)
+                text = b"\n".join(tfindall(blob)).decode("utf-8", "strict")
                 evs = []
                 for m in mfind(blob):
                     g = m.groups()
@@ -230,10 +229,10 @@ def _parse_arrow_batches(
                 span_name.append(None)
                 span_kind.append(None)
                 trace_state.append(None)
-                m_es.null()
-                m_ei.null()
-                m_sp.null()
-                m_rs.null()
+                es_off(None)
+                ei_off(None)
+                sp_off(None)
+                rs_off(None)
                 continue
             n = len(evs)
             for j, (tid, sid, snm, skd, ts, nm, a, sp, rs) in enumerate(evs):
@@ -250,11 +249,19 @@ def _parse_arrow_batches(
                 span_name.append(snm)
                 span_kind.append(skd)
                 trace_state.append("")
-                m_es.add(a[0], a[1])
-                m_ei.add(a[2], a[3])
-                m_sp.add(sp[0], sp[1])
-                m_rs.add(rs[0], rs[1])
+                ak = a[0]
+                es_ext(ak); es_vext(a[1]); es_off(es_cur); es_cur += len(ak)
+                ik = a[2]
+                ei_ext(ik); ei_vext(a[3]); ei_off(ei_cur); ei_cur += len(ik)
+                sk = sp[0]
+                sp_ext(sk); sp_vext(sp[1]); sp_off(sp_cur); sp_cur += len(sk)
+                rk = rs[0]
+                rs_ext(rk); rs_vext(rs[1]); rs_off(rs_cur); rs_cur += len(rk)
 
+        m_es.cur = es_cur
+        m_ei.cur = ei_cur
+        m_sp.cur = sp_cur
+        m_rs.cur = rs_cur
         take = pa.array(idx, pa.int32())
         arrays = [
             rb.column(sch.get_field_index("url")).take(take),
