@@ -6977,3 +6977,37 @@ def test_vocab_coverage_tie_slice(spark):
     assert got[4] == (9, total, 22, 22 * 10000 // total)
     # budget 100 > 9 types -> full mass
     assert got[100] == (9, total, total, 10000)
+
+
+def test_cos_r6_pre_bit_identical_to_cosine_col(spark):
+    """The precomputed-norm scoring path must be BIT-identical to
+    cosine_col (same fold and multiply order) — the ANN family's oracle
+    hashes depend on the exact rounded doubles."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        Row(id_a=i, id_b=i + 100,
+            va=[rnd.uniform(-1, 1) for _ in range(64)],
+            vb=[rnd.uniform(-1, 1) for _ in range(64)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    na = similarity._norm(F.col("va"))
+    nb = similarity._norm(F.col("vb"))
+    out = df.select(
+        F.round(similarity.cosine_col(F.col("va"), F.col("vb")), 6).alias("direct"),
+        similarity._cos_r6_pre(F.col("va"), F.col("vb"), na, nb).alias("pre"),
+        # norms carried through a projection boundary, as the join paths do
+    ).withColumn("eq", F.col("direct").eqNullSafe(F.col("pre")))
+    assert out.where(~F.col("eq")).count() == 0
+    carried = (
+        df.withColumn("_na", na).withColumn("_nb", nb)
+        .select(
+            F.round(similarity.cosine_col(F.col("va"), F.col("vb")), 6).alias("direct"),
+            similarity._cos_r6_pre(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ).alias("pre"),
+        )
+    )
+    assert carried.where(~F.col("direct").eqNullSafe(F.col("pre"))).count() == 0

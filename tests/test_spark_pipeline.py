@@ -254,3 +254,48 @@ def test_spark_submit_pyfiles_launch_path(tmp_path):
         if d.startswith("sink=")
     ]
     assert len(sink_dirs) >= 2
+
+
+def test_parse_arrow_map_assembly_memo_and_sentinels(spark):
+    """Focused guard for the mapInArrow parse internals: repeated attr
+    payloads (the byte-level memo path), zero-event sentinel pages (NULL
+    map entries via null offsets, not empty maps), and str/int/bool attr
+    splitting must all survive the flat-buffer map assembly."""
+    from weblog_pipeline.parse import parse_events
+    from weblog_pipeline.webpages import WEBPAGES_SCHEMA
+
+    # raw markers (render_marker rejects bools by design; the parser must
+    # still split raw-JSON bools into their canonical string form)
+    shared = '{"n":7,"retry":true,"svc":"web"}'
+    attrs = '{"flag":false,"i":-3,"k":"v"}'
+    ev = lambda i, a: (
+        f"<!--otel span_ctx={'a'*32}/{'b'*16}/s/k ts={1000+i} name=ev{i}"
+        f" attrs={a} span_attrs={shared} res_attrs={shared}-->"
+    )
+    html1 = ("<p>one</p>" + ev(0, attrs) + ev(1, attrs)).encode()
+    html2 = b"<p>no events here</p>"
+    html3 = ("<p>three</p>" + ev(2, "{}")).encode()
+    df = spark.createDataFrame(
+        [("u1", None, bytearray(html1), "one", "en"),
+         ("u2", None, bytearray(html2), "no events here", "de"),
+         ("u3", None, bytearray(html3), "three", "fr")],
+        schema=WEBPAGES_SCHEMA,
+    )
+    rows = {(r["url"], r["event_idx"]): r for r in parse_events(df).collect()}
+    assert set(rows) == {("u1", 0), ("u1", 1), ("u2", -1), ("u3", 0)}
+    r = rows[("u1", 0)]
+    assert r["event_attrs_s"] == {"k": "v", "flag": "false"}
+    assert r["event_attrs_i"] == {"i": -3}
+    assert r["span_attrs"] == {"svc": "web", "retry": "true", "n": "7"}
+    assert r["res_attrs"] == {"svc": "web", "retry": "true", "n": "7"}
+    assert r["page_text"] == "one" and rows[("u1", 1)]["page_text"] is None
+    # memoized second event must carry the SAME values, not a shifted slice
+    assert rows[("u1", 1)]["event_attrs_s"] == {"k": "v", "flag": "false"}
+    assert rows[("u1", 1)]["event_attrs_i"] == {"i": -3}
+    s = rows[("u2", -1)]
+    assert s["event_attrs_s"] is None and s["event_attrs_i"] is None
+    assert s["span_attrs"] is None and s["res_attrs"] is None
+    assert s["n_page_events"] == 0 and s["lang"] == "de"
+    # empty attrs -> EMPTY map (not NULL) on a real event row
+    assert rows[("u3", 0)]["event_attrs_s"] == {}
+    assert rows[("u3", 0)]["event_attrs_i"] == {}
