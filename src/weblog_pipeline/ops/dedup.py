@@ -743,7 +743,12 @@ def cdc_dup_stats(documents: DataFrame, k: int = CDC_K, modulus: int = CDC_MODUL
 
     Output: doc_id, n_chunks, n_dup_chunks, dup_bytes (integers).
     """
-    chunks = cdc_chunks(documents, k=k, modulus=modulus)
+    # the chunk stream feeds BOTH the frequency aggregate and the join
+    # probe side, and it is a pure map stage (no exchange for ReuseExchange
+    # to dedup) — checkpoint it so the md5-per-position cut computation
+    # runs once, not twice (the dedup_edges reasoning; chunk rows are a
+    # few percent of the input bytes)
+    chunks = cdc_chunks(documents, k=k, modulus=modulus).localCheckpoint()
     occ = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     joined = chunks.join(occ, "chunk_hash")
     dup = F.col("n_occ") > 1
